@@ -1,0 +1,86 @@
+package graft.sketch
+
+/**
+ * Bloom filter sizing math, formula-exact to the reference implementation
+ * (streammd `src/bloomfilter.cxx:59-91`). All arithmetic mirrors the C++
+ * double-precision operation order so golden values from
+ * `tests/test_bloomfilter.cxx:10-55` hold bit-for-bit.
+ */
+object BloomSizing {
+
+  /**
+   * Memory-optimal bit-array size `m` and hash count `k` for target
+   * item count `n` and false-positive rate `p`.
+   * Reference: streammd `src/bloomfilter.cxx:87-91` (`m_k_min`).
+   *   m = ceil(n * -ln(p) / ln(2)^2);  k = ceil(ln(2) * m / n)
+   */
+  def mkMin(p: Double, n: Long): (Long, Int) = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1): $p")
+    require(n > 0, s"n must be positive: $n")
+    val m = math.ceil(n * -math.log(p) / math.pow(math.log(2.0), 2.0)).toLong
+    val k = math.ceil(math.log(2.0) * m / n).toInt
+    (m, k)
+  }
+
+  /**
+   * Capacity `n` inferred from (p, m, k).
+   * Reference: streammd `src/bloomfilter.cxx:65-68` (`capacity`):
+   *   n = ceil(m / (-k / ln(1 - exp(ln(p) / k))))
+   */
+  def capacity(p: Double, m: Long, k: Int): Long = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1): $p")
+    val mD = m.toDouble
+    val kD = k.toDouble
+    math.ceil(mD / (-kD / math.log(1.0 - math.exp(math.log(p) / kD)))).toLong
+  }
+
+  /**
+   * Parse a memory spec like "4GiB" / "512 MB" to bytes. Binary (KiB, MiB,
+   * GiB, TiB, PiB) and decimal (KB, MB, GB, TB, PB) units, case-insensitive,
+   * optional whitespace, fractional values allowed. When `mpow2` and the
+   * parsed value is not a power of two, rounds DOWN to the nearest power of
+   * two strictly below it.
+   * Reference: streammd `src/bloomfilter.cxx:73-83` (`memspec_to_bytes`).
+   */
+  def memspecToBytes(memspec: String, mpow2: Boolean = false): Long = {
+    val Pattern = """(?i)^\s*([0-9]*\.?[0-9]+)\s*(b|[kmgtpe]i?b?)?\s*$""".r
+    val bytes = memspec match {
+      case Pattern(num, unit) =>
+        val mult: Long = Option(unit).map(_.toLowerCase) match {
+          case None | Some("b")              => 1L
+          case Some(u) if u.startsWith("k")  => if (u.contains("i")) 1L << 10 else 1000L
+          case Some(u) if u.startsWith("m")  => if (u.contains("i")) 1L << 20 else 1000L * 1000
+          case Some(u) if u.startsWith("g")  => if (u.contains("i")) 1L << 30 else 1000L * 1000 * 1000
+          case Some(u) if u.startsWith("t")  => if (u.contains("i")) 1L << 40 else 1000L * 1000 * 1000 * 1000
+          case Some(u) if u.startsWith("p")  => if (u.contains("i")) 1L << 50 else 1000L * 1000 * 1000 * 1000 * 1000
+          case Some(u) if u.startsWith("e")  => if (u.contains("i")) 1L << 60 else 1000L * 1000 * 1000 * 1000 * 1000 * 1000
+          case other => throw new IllegalArgumentException(s"bad unit in memspec '$memspec': $other")
+        }
+        (BigDecimal(num) * BigDecimal(mult)).toLong
+      case _ => throw new IllegalArgumentException(s"cannot parse memspec: '$memspec'")
+    }
+    if (mpow2 && (bytes & (bytes - 1)) != 0) {
+      // largest power of two strictly less than `bytes`
+      // (reference: pow=1; while(pow<m) pow*=2; return pow>>1)
+      var pow = 1L
+      while (pow < bytes) pow *= 2
+      pow >> 1
+    } else bytes
+  }
+
+  /**
+   * (m, k, n) from a memory spec: m = 8 * bytes, fixed k = 10 (reference
+   * rationale: ~2x hash speed for -17% capacity, streammd `README.md:153-176`),
+   * n inferred via `capacity`.
+   * Reference: streammd `src/bloomfilter.cxx:59-62` (`fromMemSpec`).
+   */
+  def fromMemSpec(p: Double, memspec: String, mpow2: Boolean = false): (Long, Int, Long) = {
+    val m = 8L * memspecToBytes(memspec, mpow2)
+    (m, 10, capacity(p, m, 10))
+  }
+
+  /** Marginal false-positive rate after `nAdded` insertions: (1 - e^(-k*n/m))^k.
+   *  Reference: streammd `src/streammd.cxx:147-149`. */
+  def marginalFpr(m: Long, k: Int, nAdded: Long): Double =
+    math.pow(1.0 - math.exp(-k.toDouble * nAdded.toDouble / m.toDouble), k.toDouble)
+}

@@ -1,0 +1,214 @@
+package graft.sketch
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/**
+ * A mergeable Bloom filter sketch: `m`-bit array backed by `Array[Long]`,
+ * `k` probes per item derived from two seeded 64-bit hashes via
+ * Kirsch-Mitzenmacher double hashing (Kirsch & Mitzenmacher 2006,
+ * doi:10.1007/11841036_42).
+ *
+ * Semantics follow streammd's `BloomFilter` (`src/bloomfilter.{h,cxx}`):
+ *  - seeds 43 / 9967 (`src/bloomfilter.h:38-40`)
+ *  - power-of-two `m` uses a bitmask instead of modulus for addressing
+ *    (`src/bloomfilter.cxx:94-102,116`)
+ *  - `add` is test-then-set: returns false when all k bits were already
+ *    set (item "already present"), true when it inserted
+ *    (`src/bloomfilter.cxx:35-45`)
+ *  - `countEstimate` is the Swamidass-Baldi estimator with the reference's
+ *    integer `m/k` division (`src/bloomfilter.cxx:47-52`)
+ *
+ * Substitution note: the reference hashes with XXH3; the JVM/Spark tree
+ * ships XXH64 (`org.apache.spark.sql.catalyst.expressions.XXH64`), which we
+ * use with the same two seeds. The Bloom FPR bound is hash-agnostic; the
+ * *sizing* formulas (BloomSizing) are what must match the reference exactly.
+ *
+ * The departure from the reference needed for distribution: `orInPlace`,
+ * an associative + commutative bitwise-OR merge of two same-shaped
+ * sketches, making this a valid partial-aggregation buffer.
+ *
+ * NOT thread-safe (one instance per aggregation buffer / partition).
+ */
+final class BloomSketch private[sketch] (
+    val p: Double,
+    val n: Long,
+    val m: Long,
+    val k: Int,
+    val words: Array[Long]) extends Serializable {
+
+  require(k > 0 && k <= 64, s"k out of range: $k")
+  require(m > 0, s"m must be positive: $m")
+  require(words.length == BloomSketch.wordsFor(m), "words length mismatch")
+
+  private[this] val mpow2: Boolean = (m & (m - 1)) == 0
+  private[this] val mask: Long = if (mpow2) m - 1 else 0L
+  // per-instance scratch for the k probe addresses (single-threaded use)
+  @transient private[this] lazy val probes: Array[Long] = new Array[Long](k)
+
+  @inline private[this] def hashA(item: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1)
+  @inline private[this] def hashB(item: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2)
+
+  /** k probe addresses: a_i = (a + i*b + sum(j<i)) mod m (reference
+   *  `src/bloomfilter.cxx:104-120`: buf[i]=addr(a); a+=b; b+=i). */
+  @inline private[this] def fillProbes(a0: Long, b0: Long): Unit = {
+    var a = a0
+    var b = b0
+    var i = 0
+    while (i < k) {
+      probes(i) = if (mpow2) a & mask else java.lang.Long.remainderUnsigned(a, m)
+      a += b
+      b += i
+      i += 1
+    }
+  }
+
+  @inline private[this] def testBit(idx: Long): Boolean =
+    (words((idx >>> 6).toInt) & (1L << idx)) != 0L
+  @inline private[this] def setBit(idx: Long): Unit =
+    words((idx >>> 6).toInt) |= (1L << idx)
+
+  /** True iff every probe bit is set (possible membership). */
+  def contains(item: Array[Byte]): Boolean = {
+    fillProbes(hashA(item), hashB(item))
+    var i = 0
+    while (i < k) {
+      if (!testBit(probes(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Insert; returns true if inserted (not previously present), false if
+   *  all bits were already set. Test-then-set to skip redundant writes
+   *  (reference `src/bloomfilter.cxx:35-45`). */
+  def add(item: Array[Byte]): Boolean = {
+    fillProbes(hashA(item), hashB(item))
+    var present = true
+    var i = 0
+    while (i < k && present) {
+      present = testBit(probes(i))
+      i += 1
+    }
+    if (present) return false
+    i = 0
+    while (i < k) {
+      setBit(probes(i))
+      i += 1
+    }
+    true
+  }
+
+  def contains(item: String): Boolean = contains(item.getBytes("UTF-8"))
+  def add(item: String): Boolean = add(item.getBytes("UTF-8"))
+
+  /** Number of set bits. */
+  def bitCount: Long = {
+    var c = 0L
+    var i = 0
+    while (i < words.length) {
+      c += java.lang.Long.bitCount(words(i))
+      i += 1
+    }
+    c
+  }
+
+  /** Swamidass-Baldi cardinality estimate, with the reference's integer
+   *  m/k division (`src/bloomfilter.cxx:47-52`):
+   *  ceil((m/k) * -ln(1 - bitCount/m)). */
+  def countEstimate: Long = {
+    val mOverK = m / k // integer division, as in the reference
+    math.ceil(mOverK * -math.log(1.0 - bitCount.toDouble / m)).toLong
+  }
+
+  /** Bitwise-OR merge (associative, commutative; identity = empty sketch).
+   *  Requires identical shape. Mutates and returns `this`. */
+  def orInPlace(other: BloomSketch): BloomSketch = {
+    require(other.m == m && other.k == k,
+      s"cannot merge sketches of different shape: ($m,$k) vs (${other.m},${other.k})")
+    val ow = other.words
+    var i = 0
+    while (i < words.length) {
+      words(i) |= ow(i)
+      i += 1
+    }
+    this
+  }
+
+  def copySketch(): BloomSketch = new BloomSketch(p, n, m, k, words.clone())
+
+  /** Marginal FPR at nAdded items (reference `src/streammd.cxx:147-149`). */
+  def marginalFpr(nAdded: Long): Double = BloomSizing.marginalFpr(m, k, nAdded)
+
+  def serialize(): Array[Byte] = BloomSketch.serialize(this)
+
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomSketch =>
+      b.m == m && b.k == k && java.util.Arrays.equals(b.words, words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * m.hashCode() + k) + java.util.Arrays.hashCode(words)
+  override def toString: String =
+    s"BloomSketch(p=$p, n=$n, m=$m, k=$k, bits=$bitCount)"
+}
+
+object BloomSketch {
+  /** Reference seeds, streammd `src/bloomfilter.h:38-40`. */
+  val Seed1 = 43L
+  val Seed2 = 9967L
+  private val Magic = 0x42534b31 // "BSK1"
+
+  private[sketch] def wordsFor(m: Long): Int = {
+    val w = (m + 63) >>> 6
+    require(w <= Int.MaxValue, s"m too large for a single JVM array: $m bits")
+    w.toInt
+  }
+
+  /** Sketch sized from (p, n) via `BloomSizing.mkMin` — reference (p, n)
+   *  constructor `src/bloomfilter.cxx:13-16`. */
+  def apply(p: Double, n: Long): BloomSketch = {
+    val (m, k) = BloomSizing.mkMin(p, n)
+    new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
+  }
+
+  /** Sketch with explicit (p, m, k); capacity n inferred — reference
+   *  (p, m, k) constructor `src/bloomfilter.cxx:19-22`. */
+  def apply(p: Double, m: Long, k: Int): BloomSketch =
+    new BloomSketch(p, BloomSizing.capacity(p, m, k), m, k, new Array[Long](wordsFor(m)))
+
+  /** Sketch from a memory spec: m = 8*bytes, k = 10 — reference
+   *  `fromMemSpec`, `src/bloomfilter.cxx:59-62`. */
+  def fromMemSpec(p: Double, memspec: String, mpow2: Boolean = false): BloomSketch = {
+    val (m, k, n) = BloomSizing.fromMemSpec(p, memspec, mpow2)
+    new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
+  }
+
+  /** Wire format: magic:int, p:double, n:long, m:long, k:int, nWords:int,
+   *  words... (big-endian). */
+  def serialize(s: BloomSketch): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 8 + 4 + 4 + 8 * s.words.length)
+    buf.putInt(Magic).putDouble(s.p).putLong(s.n).putLong(s.m).putInt(s.k)
+    buf.putInt(s.words.length)
+    var i = 0
+    while (i < s.words.length) { buf.putLong(s.words(i)); i += 1 }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = buf.getInt()
+    require(magic == Magic, f"bad BloomSketch magic: 0x$magic%08x")
+    val p = buf.getDouble()
+    val n = buf.getLong()
+    val m = buf.getLong()
+    val k = buf.getInt()
+    val nw = buf.getInt()
+    val words = new Array[Long](nw)
+    var i = 0
+    while (i < nw) { words(i) = buf.getLong(); i += 1 }
+    new BloomSketch(p, n, m, k, words)
+  }
+}

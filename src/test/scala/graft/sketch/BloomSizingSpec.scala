@@ -1,0 +1,63 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden sizing values ported verbatim from the reference unit tests
+ *  (streammd `tests/test_bloomfilter.cxx:10-55`). */
+class BloomSizingSpec extends AnyFunSuite {
+
+  test("capacity golden value: capacity(0.001, 8e6, 10) == 556420") {
+    assert(BloomSizing.capacity(0.001, 8000000L, 10) === 556420L)
+  }
+
+  test("mkMin golden values at four scales") {
+    assert(BloomSizing.mkMin(1e-6, 1000000L) === ((28755176L, 20)))
+    assert(BloomSizing.mkMin(1e-7, 10000000L) === ((335477044L, 24)))
+    assert(BloomSizing.mkMin(1e-8, 100000000L) === ((3834023351L, 27)))
+    assert(BloomSizing.mkMin(1e-6, 1000000000L) === ((28755175133L, 20)))
+  }
+
+  test("memspec parsing: binary and decimal units") {
+    assert(BloomSizing.memspecToBytes("4GiB") === 4L * 1024 * 1024 * 1024)
+    assert(BloomSizing.memspecToBytes("4GB") === 4000000000L)
+    assert(BloomSizing.memspecToBytes("512MiB") === 512L * 1024 * 1024)
+    assert(BloomSizing.memspecToBytes("128 MiB") === 128L * 1024 * 1024)
+    assert(BloomSizing.memspecToBytes("2KB") === 2000L)
+    assert(BloomSizing.memspecToBytes("2KiB") === 2048L)
+    assert(BloomSizing.memspecToBytes("123") === 123L)
+    assert(BloomSizing.memspecToBytes("123B") === 123L)
+    assert(BloomSizing.memspecToBytes("1.5GiB") === (1.5 * (1L << 30)).toLong)
+  }
+
+  test("memspec mpow2 rounds down to the nearest power of two below") {
+    // 4GB = 4e9 is not a power of two -> 2^31 bytes (2GiB)
+    assert(BloomSizing.memspecToBytes("4GB", mpow2 = true) === (1L << 31))
+    // already a power of two -> unchanged
+    assert(BloomSizing.memspecToBytes("4GiB", mpow2 = true) === (1L << 32))
+  }
+
+  test("fromMemSpec: m = 8*bytes, k = 10 fixed") {
+    val (m1, k1, _) = BloomSizing.fromMemSpec(1e-6, "4GiB")
+    assert(m1 === 8L * 4 * 1024 * 1024 * 1024)
+    assert(k1 === 10)
+    assert((m1 & (m1 - 1)) === 0L) // power of two
+
+    val (m2, _, _) = BloomSizing.fromMemSpec(1e-6, "4GB", mpow2 = true)
+    assert(m2 === 8L * (1L << 31)) // rounded down to 2GiB
+
+    val (m3, _, _) = BloomSizing.fromMemSpec(1e-6, "4GB")
+    assert(m3 === 8L * 4000000000L)
+  }
+
+  test("published capacity table (streammd README.md:127-134)") {
+    // n within 1% of the published rounded figures
+    def cap(p: Double, spec: String): Double =
+      BloomSizing.fromMemSpec(p, spec)._3.toDouble
+    assert(math.abs(cap(1e-2, "128MiB") / 1.07e8 - 1) < 0.01)
+    assert(math.abs(cap(1e-4, "256MiB") / 1.09e8 - 1) < 0.01)
+    assert(math.abs(cap(1e-6, "512MiB") / 1.24e8 - 1) < 0.01)
+    assert(math.abs(cap(1e-2, "1GiB") / 8.56e8 - 1) < 0.01)
+    assert(math.abs(cap(1e-4, "2GiB") / 8.72e8 - 1) < 0.01)
+    assert(math.abs(cap(1e-6, "4GiB") / 9.94e8 - 1) < 0.01)
+  }
+}

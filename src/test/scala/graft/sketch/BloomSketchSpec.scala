@@ -1,0 +1,118 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior ported from streammd `tests/test_bloomfilter.cxx:57-148`
+ *  plus the merge laws our distributed design adds. */
+class BloomSketchSpec extends AnyFunSuite {
+
+  private def items(n: Int, tag: String = "item"): IndexedSeq[String] =
+    (0 until n).map(i => s"$tag-$i")
+
+  test("add returns true first time, false second time (test-then-set)") {
+    val bf = BloomSketch(1e-4, 10000L)
+    assert(bf.add("hello"))
+    assert(!bf.add("hello"))
+    assert(bf.contains("hello"))
+    assert(!bf.contains("goodbye"))
+  }
+
+  test("FNR == 0: every inserted item is contained (n=100k)") {
+    val n = 100000
+    val bf = BloomSketch(1e-4, n.toLong)
+    val xs = items(n)
+    xs.foreach(x => bf.add(x))
+    assert(xs.forall(bf.contains), "no false negatives allowed")
+  }
+
+  test("empirical FPR within [0, 2p] at full load for p in {1e-2..1e-5}") {
+    val n = 100000
+    for (p <- Seq(1e-2, 1e-3, 1e-4, 1e-5)) {
+      val bf = BloomSketch(p, n.toLong)
+      items(n, "in").foreach(bf.add)
+      val probes = items(n, "out")
+      val fp = probes.count(bf.contains)
+      val fpr = fp.toDouble / n
+      assert(fpr <= 2 * p, s"p=$p observed FPR $fpr > ${2 * p}")
+    }
+  }
+
+  test("FPR also bounded under memspec (p, m, k=10) sizing at capacity") {
+    val p = 1e-3
+    val bf = BloomSketch.fromMemSpec(p, "64KiB") // m = 2^19 bits, capacity ~36k
+    val n = bf.n.toInt
+    items(n, "in").foreach(bf.add)
+    val fp = items(n, "out").count(bf.contains)
+    assert(fp.toDouble / n <= 2 * p)
+  }
+
+  test("countEstimate within 0.5% at full load") {
+    val n = 100000
+    val bf = BloomSketch(1e-5, n.toLong)
+    items(n).foreach(bf.add)
+    val est = bf.countEstimate
+    assert(math.abs(est.toDouble / n - 1.0) < 0.005, s"estimate $est vs $n")
+  }
+
+  test("power-of-two m uses mask addressing and still has bounded FPR") {
+    val p = 1e-3
+    val bf = BloomSketch(p, 1L << 20, 10) // m = 2^20, mask path
+    val n = bf.n.toInt
+    items(n, "in").foreach(bf.add)
+    assert(items(n, "in").forall(bf.contains))
+    val fp = items(n, "out").count(bf.contains)
+    assert(fp.toDouble / n <= 2 * p)
+  }
+
+  test("serialize/deserialize round-trips") {
+    val bf = BloomSketch(1e-4, 1000L)
+    items(500).foreach(bf.add)
+    val back = BloomSketch.deserialize(bf.serialize())
+    assert(back === bf)
+    assert(back.p === bf.p)
+    assert(back.n === bf.n)
+    assert(back.countEstimate === bf.countEstimate)
+  }
+
+  test("merge is union: merged sketch contains both sides' items") {
+    val a = BloomSketch(1e-4, 10000L)
+    val b = BloomSketch(1e-4, 10000L)
+    val xs = items(1000, "a")
+    val ys = items(1000, "b")
+    xs.foreach(a.add)
+    ys.foreach(b.add)
+    val merged = a.copySketch().orInPlace(b)
+    assert((xs ++ ys).forall(merged.contains))
+  }
+
+  test("merge laws: commutative, associative, identity (seeded property loop)") {
+    val rnd = new scala.util.Random(42)
+    def randomItems(): List[String] =
+      List.fill(rnd.nextInt(200))(rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString)
+    def sk(items: List[String]): BloomSketch = {
+      val s = BloomSketch(1e-3, 1000L)
+      items.foreach(s.add)
+      s
+    }
+    for (_ <- 0 until 50) {
+      val (xs, ys, zs) = (randomItems(), randomItems(), randomItems())
+      val (a, b, c) = (sk(xs), sk(ys), sk(zs))
+      // commutative
+      assert(a.copySketch().orInPlace(b) === b.copySketch().orInPlace(a))
+      // associative
+      val left = a.copySketch().orInPlace(b).orInPlace(c)
+      val right = a.copySketch().orInPlace(b.copySketch().orInPlace(c))
+      assert(left === right)
+      // identity
+      assert(a.copySketch().orInPlace(BloomSketch(1e-3, 1000L)) === a)
+      // merge == bulk insert
+      assert(a.copySketch().orInPlace(b) === sk(xs ++ ys))
+    }
+  }
+
+  test("merge rejects shape mismatch") {
+    val a = BloomSketch(1e-3, 1000L)
+    val b = BloomSketch(1e-3, 2000L)
+    assertThrows[IllegalArgumentException](a.orInPlace(b))
+  }
+}
