@@ -1,0 +1,178 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sketch.{BloomSizing, BloomSketch, BloomSketchAggregator}
+
+/**
+ * Distributed duplicate marking with streammd semantics
+ * (`src/markdups.cxx:86-135`) over a table: signature = sha256(content),
+ * first occurrence kept, later occurrences marked `is_duplicate`.
+ *
+ * First-seen-wins is stream-order-defined in the reference; in a
+ * distributed engine "first" is made deterministic by a total order on
+ * `orderCols` (e.g. repo, path, commit): within each signature group the
+ * minimal key is the keeper. Null/empty content is the "unmapped
+ * template" analog — counted, never tested, never marked
+ * (`src/markdups.cxx:110-112`).
+ *
+ * Scale design (100 TB / 10^12 rows):
+ *  - The dedup decision shuffles only a slim projection (sig: 64 B hex +
+ *    order key), never the content column. Map-side partial aggregation
+ *    combines repeated signatures before the exchange.
+ *  - Only signatures with count > 1 survive the aggregate ("dupGroups").
+ *    At realistic duplicate fractions this side is a small fraction of
+ *    the table, so AQE picks a broadcast join for the mark pass — zero
+ *    shuffle of the full-width table. If it is too big to broadcast, AQE
+ *    falls back to a shuffled hash join on the 64-byte key.
+ *  - The Bloom sketch is built as a map-side mergeable partial per
+ *    partition (see BloomSketchAggregator) — constant memory m/8 bytes
+ *    per partition, OR-merged at the exchange; partition-count invariant.
+ */
+object MarkDuplicates {
+
+  val SigCol = "__sig"
+  private val CntCol = "__sig_cnt"
+  private val KeeperCol = "__sig_keeper"
+
+  /** sha256 hex signature; null for null/empty content (the unmapped analog). */
+  def signature(content: Column): Column =
+    when(length(content) > 0, sha2(content, 256))
+
+  /**
+   * Mark duplicates. Returns the input with `is_duplicate: boolean` (and
+   * optionally the signature column retained when `keepSignature`).
+   */
+  def mark(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
+    // single order column stays a scalar: min(long) plans as a codegen'd
+    // HashAggregate; min(struct) (multi-column tiebreak) needs SortAggregate
+    val key = cfg.orderCols match {
+      case Seq(single) => col(single)
+      case cols => struct(cols.map(col): _*)
+    }
+
+    // shuffle only (sig, key); map-side combine collapses repeats early
+    val dupGroups = withSig
+      .where(col(SigCol).isNotNull)
+      .select(col(SigCol), key.as("__key"))
+      .groupBy(SigCol)
+      .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
+      .where(col(CntCol) > 1)
+
+    val marked = withSig
+      .join(dupGroups, Seq(SigCol), "left_outer")
+      .withColumn(cfg.outputCol,
+        col(CntCol).isNotNull && !(key <=> col(KeeperCol)))
+      .drop(CntCol, KeeperCol)
+
+    val out = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
+    if (cfg.keepSignature) out else out.drop(SigCol)
+  }
+
+  /**
+   * Mark rows against an existing corpus sketch (incremental dedup, the
+   * true streaming analog of streammd's probe): pure map-side, no shuffle;
+   * false positives bounded by the sketch's p.
+   */
+  def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val probe = BloomSketchAggregator.bloomContains(sketch.serialize())
+    df.withColumn(cfg.outputCol, probe(signature(col(cfg.contentCol))))
+  }
+
+  /**
+   * Build the Bloom sketch of all non-null signatures (mergeable partial
+   * aggregation; one job). Shape from cfg: memspec if given else mkMin(p,
+   * expectedN).
+   */
+  def buildSketch(df: DataFrame, cfg: DedupConfig): BloomSketch = {
+    val agg = cfg.mem match {
+      case Some(spec) => BloomSketchAggregator.fromMemSpec(cfg.p, spec, cfg.mpow2)
+      case None => BloomSketchAggregator.fromN(cfg.p, cfg.expectedN)
+    }
+    val bytes = df
+      .select(signature(col(cfg.contentCol)).as(SigCol))
+      .agg(udaf(agg).apply(col(SigCol)))
+      .head().getAs[Array[Byte]](0)
+    BloomSketch.deserialize(bytes)
+  }
+
+  /**
+   * Run the full job: mark + metrics + sketch + capacity guard
+   * (reference post-run guard `src/streammd.cxx:142-160`). Actions run here.
+   */
+  def run(df: DataFrame, cfg: DedupConfig = DedupConfig()): DedupResult = {
+    val marked = mark(df, cfg.copy(removeDuplicates = false, keepSignature = true))
+    marked.cache()
+    val row = marked.agg(
+        count(lit(1)).as("rows"),
+        count(when(col(SigCol).isNull, 1)).as("rows_null"),
+        count(when(col(cfg.outputCol), 1)).as("dups")
+    ).head()
+    val rows = row.getLong(0)
+    val rowsNull = row.getLong(1)
+    val dups = row.getLong(2)
+    // exact count of inserted (distinct) signatures — streammd's
+    // nadded = templates - unmapped - dups (src/streammd.cxx:143)
+    val nAdded = rows - rowsNull - dups
+
+    val sketch = if (cfg.buildSketch) Some(buildSketch(marked, cfg)) else None
+    val metrics = DedupMetrics(
+      rows = rows,
+      rowsNullContent = rowsNull,
+      rowsMarkedDuplicate = dups,
+      duplicateFraction =
+        if (rows - rowsNull == 0) 0.0 else dups.toDouble / (rows - rowsNull),
+      nAdded = nAdded,
+      sketch = sketch.map { s =>
+        SketchMetrics(s.p, s.m, s.k, s.n, nAdded, s.countEstimate,
+          nAdded.toDouble / s.n, s.marginalFpr(nAdded))
+      })
+    metrics.sketch.foreach { sm =>
+      if (sm.capacityUsed > 1.0 && !cfg.allowOvercapacity) {
+        throw new IllegalStateException(
+          f"Bloom filter capacity exceeded: inserted ${sm.inserted}%d > n=${sm.n}%d " +
+            f"(capacity used ${sm.capacityUsed * 100}%.1f%%, marginal FPR ${sm.marginalFpr}%.3g). " +
+            "Pass allowOvercapacity=true to continue (results may exceed target FPR).")
+      }
+    }
+    val out0 = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
+    val out = if (cfg.keepSignature) out0 else out0.drop(SigCol)
+    DedupResult(out, metrics, sketch)
+  }
+}
+
+/** Job configuration — the CLI-surface analog of streammd's `config`
+ *  struct (`src/markdups.h:38-43`) plus sketch sizing. */
+case class DedupConfig(
+    contentCol: String = "content",
+    orderCols: Seq[String] = Seq("repo", "path", "commit"),
+    p: Double = 1e-6,
+    mem: Option[String] = None,
+    expectedN: Long = 1000000L,
+    mpow2: Boolean = false,
+    removeDuplicates: Boolean = false,
+    allowOvercapacity: Boolean = false,
+    buildSketch: Boolean = true,
+    keepSignature: Boolean = false,
+    outputCol: String = "is_duplicate")
+
+/** Mirrors streammd's counts struct + derived fraction
+ *  (`src/markdups.h:33-36`, `src/markdups.cxx:202-234`). */
+case class DedupMetrics(
+    rows: Long,
+    rowsNullContent: Long,
+    rowsMarkedDuplicate: Long,
+    duplicateFraction: Double,
+    nAdded: Long,
+    sketch: Option[SketchMetrics])
+
+case class SketchMetrics(
+    p: Double, m: Long, k: Int, n: Long,
+    inserted: Long, countEstimate: Long,
+    capacityUsed: Double, marginalFpr: Double)
+
+case class DedupResult(
+    marked: DataFrame,
+    metrics: DedupMetrics,
+    sketch: Option[BloomSketch])

@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One row of the synthetic source-code repositories table (the
+ *  Iceberg-shaped input mandated by the input hint; persisted/consumed as
+ *  Parquet in the sandbox). */
+case class RepoRow(repo: String, path: String, commit: String, lang: String, content: String)
+
+/**
+ * Deterministic, distributed generator for the repositories table
+ * (FIXTURES.md §1). Fully splittable: every field derives from the row
+ * index via seeded mixing — no driver-side loops, no RNG state shared
+ * across partitions, identical output for any partition count.
+ *
+ *  - `dupFraction` of rows reuse the content of an earlier row (distinct
+ *    repo/path/commit) — exact oracle stays groupBy(sha256(content)).
+ *  - `nullFraction` of rows have null content (the "unmapped" analog).
+ *  - skew: `hotFraction` of rows land in one hot repo (exercises salting
+ *    and AQE skew handling).
+ */
+object RepoTableGen {
+
+  private val Langs = Array("scala", "java", "py", "c", "cpp", "go", "rs", "md")
+  private val Vocab: Array[String] =
+    ("def class object val var if else match case for while return import " +
+      "package type trait extends with new null true false try catch throw " +
+      "lazy override private public final sealed abstract implicit yield " +
+      "int long double string bool unit map list set array seq vector option").split(" ")
+
+  /** splittable 64-bit mix (xorshift-multiply, seeded) */
+  private def mix(seed: Long, i: Long, stream: Long): Long = {
+    var x = seed ^ (i * 0x9E3779B97F4A7C15L) ^ (stream * 0xC2B2AE3D27D4EB4FL)
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+  private def unitDouble(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Deterministic pseudo-source text for canonical index `ci`. */
+  private def genContent(seed: Long, ci: Long): String = {
+    val nTokens = 30 + (mix(seed, ci, 1).abs % 570).toInt // ~200..4000 chars
+    val sb = new StringBuilder(nTokens * 7)
+    var t = 0
+    while (t < nTokens) {
+      val h = mix(seed, ci, 100 + t)
+      sb.append(Vocab(((h % Vocab.length) + Vocab.length).toInt % Vocab.length))
+      sb.append(if (t % 8 == 7) '\n' else ' ')
+      t += 1
+    }
+    sb.append("// id:").append(java.lang.Long.toHexString(mix(seed, ci, 2)))
+    sb.toString()
+  }
+
+  def row(seed: Long, i: Long, nRows: Long, dupFraction: Double,
+          nullFraction: Double, hotFraction: Double, nRepos: Int): RepoRow = {
+    val hSel = unitDouble(mix(seed, i, 3))
+    // canonical content index: a duplicate reuses an earlier index
+    val canonical =
+      if (hSel < dupFraction && i > 0) mix(seed, i, 4).abs % i
+      else i
+    val isNull = unitDouble(mix(seed, i, 5)) < nullFraction
+    val repoIdx =
+      if (unitDouble(mix(seed, i, 6)) < hotFraction) 0
+      else 1 + (mix(seed, i, 7).abs % math.max(1, nRepos - 1)).toInt
+    val lang = Langs((mix(seed, canonical, 8).abs % Langs.length).toInt)
+    RepoRow(
+      repo = f"org-${repoIdx / 10}%03d/repo-${repoIdx % 10}%d",
+      path = f"src/pkg${mix(seed, i, 9).abs % 20}%d/File_$i%08d.$lang%s",
+      commit = f"${mix(seed, i, 10)}%016x${mix(seed, i, 11)}%016x${(mix(seed, i, 12) & 0xffffffffL)}%08x",
+      lang = lang,
+      content = if (isNull) null else genContent(seed, canonical))
+  }
+
+  def repositories(
+      spark: SparkSession,
+      nRows: Long,
+      dupFraction: Double = 0.3,
+      nullFraction: Double = 0.01,
+      hotFraction: Double = 0.3,
+      nRepos: Int = 100,
+      seed: Long = 42L,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val base = numPartitions match {
+      case Some(np) => spark.range(0, nRows, 1, np)
+      case None => spark.range(0, nRows)
+    }
+    base.map(i => row(seed, i, nRows, dupFraction, nullFraction, hotFraction, nRepos)).toDF()
+  }
+}

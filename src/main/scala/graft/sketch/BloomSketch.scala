@@ -179,6 +179,10 @@ object BloomSketch {
   def apply(p: Double, m: Long, k: Int): BloomSketch =
     new BloomSketch(p, BloomSizing.capacity(p, m, k), m, k, new Array[Long](wordsFor(m)))
 
+  /** Sketch with all of (p, n, m, k) given explicitly (n NOT recomputed). */
+  def withCapacity(p: Double, n: Long, m: Long, k: Int): BloomSketch =
+    new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
+
   /** Sketch from a memory spec: m = 8*bytes, k = 10 — reference
    *  `fromMemSpec`, `src/bloomfilter.cxx:59-62`. */
   def fromMemSpec(p: Double, memspec: String, mpow2: Boolean = false): BloomSketch = {

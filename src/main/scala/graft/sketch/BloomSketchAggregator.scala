@@ -1,0 +1,82 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Mergeable Bloom-filter UDAF: the distributed analog of streammd's
+ * single-threaded probe-and-insert loop (`src/markdups.cxx:110-122`,
+ * `src/bloomfilter.cxx:35-45`). Each partition reduces its rows into a
+ * local BloomSketch partial (map-side, no shuffle of row data); partials
+ * are OR-merged at the exchange — associative and commutative, so the
+ * result is independent of partition count and merge order.
+ *
+ * Spark plans this through ObjectHashAggregate: the buffer stays a live
+ * JVM object per partition; (de)serialization happens only at the
+ * partial/final exchange boundary.
+ *
+ * Input: the signature string (e.g. sha256 hex of content). Nulls are
+ * skipped — the "unmapped template" analog (streammd never inserts
+ * unmapped templates, `src/markdups.cxx:110-112`).
+ * Output: the serialized merged sketch (BloomSketch wire format).
+ */
+class BloomSketchAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
+    extends Aggregator[String, BloomSketch, Array[Byte]] {
+
+  // keep the user-requested capacity when sized from (p, n) — the reference's
+  // (p, n) constructor does the same (src/bloomfilter.cxx:13-16), so inserting
+  // exactly n items is at capacity, not over it
+  override def zero: BloomSketch = n match {
+    case Some(n0) => BloomSketch.withCapacity(p, n0, m, k)
+    case None => BloomSketch(p, m, k)
+  }
+
+  override def reduce(buf: BloomSketch, sig: String): BloomSketch = {
+    if (sig != null) buf.add(sig)
+    buf
+  }
+
+  override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.orInPlace(b)
+
+  override def finish(buf: BloomSketch): Array[Byte] = buf.serialize()
+
+  override def bufferEncoder: Encoder[BloomSketch] = Encoders.kryo[BloomSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object BloomSketchAggregator {
+  /** Aggregator sized from (p, n) via `BloomSizing.mkMin`; n kept as given. */
+  def fromN(p: Double, n: Long): BloomSketchAggregator = {
+    val (m, k) = BloomSizing.mkMin(p, n)
+    new BloomSketchAggregator(p, m, k, Some(n))
+  }
+
+  /** Aggregator sized from a memory spec (k = 10, as the reference). */
+  def fromMemSpec(p: Double, memspec: String, mpow2: Boolean = false): BloomSketchAggregator = {
+    val (m, k, _) = BloomSizing.fromMemSpec(p, memspec, mpow2)
+    new BloomSketchAggregator(p, m, k)
+  }
+
+  /** Column-level entry: `df.agg(bloomSketch($"sig", 1e-6, n))` -> binary sketch. */
+  def bloomSketchColumn(sig: Column, p: Double, n: Long): Column =
+    udaf(fromN(p, n)).apply(sig)
+
+  /**
+   * Map-side membership probe against a fixed (already-built) sketch —
+   * the incremental/streaming dedup path: marks rows whose signature is
+   * (probably) in the accumulated corpus sketch, with FPR <= p. No
+   * shuffle: the serialized sketch ships in the task closure and is
+   * deserialized once per executor.
+   */
+  def bloomContains(sketchBytes: Array[Byte]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val probe = new BloomProbe(sketchBytes)
+    org.apache.spark.sql.functions.udf((s: String) => probe(s))
+  }
+}
+
+/** Serializable holder deserializing the sketch once per JVM/closure. */
+private[sketch] class BloomProbe(bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(bytes)
+  def apply(s: String): Boolean = s != null && sketch.contains(s)
+}

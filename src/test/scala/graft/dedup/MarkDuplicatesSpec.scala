@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSpecBase
+import graft.io.RepoTableGen
+import graft.sketch.BloomSketch
+
+class MarkDuplicatesSpec extends SparkSpecBase {
+
+  private lazy val repos: DataFrame =
+    RepoTableGen.repositories(spark, 20000L, dupFraction = 0.4,
+      nullFraction = 0.02, hotFraction = 0.3, seed = 42L).cache()
+
+  private val cfg = DedupConfig(
+    contentCol = "content", orderCols = Seq("repo", "path", "commit"),
+    p = 1e-4, expectedN = 20000L)
+
+  /** exact oracle: first row per sha256 group in (repo,path,commit) order */
+  private def exactOracle(df: DataFrame): DataFrame = {
+    val sig = when(length(col("content")) > 0, sha2(col("content"), 256))
+    val w = Window.partitionBy(sig).orderBy(col("repo"), col("path"), col("commit"))
+    df.withColumn("exp_dup",
+      sig.isNotNull && row_number().over(w) > lit(1))
+  }
+
+  test("marks exactly the rows the exact groupBy(sha256) oracle marks") {
+    val marked = MarkDuplicates.mark(repos, cfg)
+    val expected = exactOracle(repos)
+    val joined = marked.join(expected,
+      Seq("repo", "path", "commit"), "inner")
+    assert(joined.count() === repos.count())
+    val mismatches = joined.where(col("is_duplicate") =!= col("exp_dup")).count()
+    assert(mismatches === 0L, s"$mismatches rows disagree with the exact oracle")
+  }
+
+  test("per-row content sha256 equality vs pass-through (per-row invariant)") {
+    val marked = MarkDuplicates.mark(repos, cfg.copy(keepSignature = true))
+    val bad = marked.where(
+      col(MarkDuplicates.SigCol) =!= sha2(col("content"), 256) &&
+        col("content").isNotNull && length(col("content")) > 0).count()
+    assert(bad === 0L)
+    // content itself passes through unmodified
+    val diff = marked.select("repo", "path", "commit", "content")
+      .exceptAll(repos.select("repo", "path", "commit", "content")).count()
+    assert(diff === 0L)
+  }
+
+  test("null/empty content is never marked and counted separately") {
+    val res = MarkDuplicates.run(repos, cfg)
+    val nulls = repos.where(col("content").isNull || length(col("content")) === 0).count()
+    assert(res.metrics.rowsNullContent === nulls)
+    assert(nulls > 0, "fixture must exercise the null path")
+    val markedNulls = res.marked
+      .where((col("content").isNull || length(col("content")) === 0) && col("is_duplicate"))
+      .count()
+    assert(markedNulls === 0L)
+  }
+
+  test("metrics mirror streammd counts + derived fraction") {
+    val res = MarkDuplicates.run(repos, cfg)
+    val m = res.metrics
+    assert(m.rows === 20000L)
+    val expDups = exactOracle(repos).where(col("exp_dup")).count()
+    assert(m.rowsMarkedDuplicate === expDups)
+    assert(m.nAdded === m.rows - m.rowsNullContent - m.rowsMarkedDuplicate)
+    assert(math.abs(m.duplicateFraction -
+      expDups.toDouble / (m.rows - m.rowsNullContent)) < 1e-12)
+    val sm = m.sketch.get
+    assert(sm.inserted === m.nAdded)
+    // estimate within 2% at this load
+    assert(math.abs(sm.countEstimate.toDouble / m.nAdded - 1.0) < 0.02)
+    assert(sm.capacityUsed <= 1.0)
+  }
+
+  test("deterministic across partition counts (local shuffle invariance)") {
+    def runAt(np: Int): Set[(String, String, String, Boolean)] =
+      MarkDuplicates.mark(repos.repartition(np), cfg)
+        .select("repo", "path", "commit", "is_duplicate")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(runAt(2) === runAt(13))
+  }
+
+  test("removeDuplicates filters marked rows (reference --remove-duplicates)") {
+    val res = MarkDuplicates.run(repos, cfg.copy(removeDuplicates = true))
+    assert(res.marked.count() === res.metrics.rows - res.metrics.rowsMarkedDuplicate)
+    assert(res.marked.where(col("is_duplicate")).count() === 0L)
+  }
+
+  test("capacity guard throws when over capacity unless allowed") {
+    val tiny = cfg.copy(expectedN = 100L) // 20k rows >> capacity 100
+    val e = intercept[IllegalStateException](MarkDuplicates.run(repos, tiny))
+    assert(e.getMessage.contains("capacity exceeded"))
+    // allowed -> completes
+    val res = MarkDuplicates.run(repos, tiny.copy(allowOvercapacity = true))
+    assert(res.metrics.sketch.get.capacityUsed > 1.0)
+  }
+
+  test("markAgainst sketch: no false negatives, FPR <= 2p on fresh rows") {
+    val p = 1e-3
+    val corpus = RepoTableGen.repositories(spark, 10000L, dupFraction = 0.0,
+      nullFraction = 0.0, seed = 7L)
+    val sketch: BloomSketch = MarkDuplicates.buildSketch(
+      corpus, cfg.copy(p = p, expectedN = 10000L))
+    // all corpus rows hit the sketch (FNR == 0)
+    val hits = MarkDuplicates.markAgainst(corpus, sketch, cfg)
+      .where(col("is_duplicate")).count()
+    assert(hits === 10000L)
+    // fresh rows: FPR bounded (different seed => disjoint content)
+    val fresh = RepoTableGen.repositories(spark, 10000L, dupFraction = 0.0,
+      nullFraction = 0.0, seed = 999L)
+    val fp = MarkDuplicates.markAgainst(fresh, sketch, cfg)
+      .where(col("is_duplicate")).count()
+    assert(fp.toDouble / 10000L <= 2 * p, s"observed FPR ${fp / 10000.0}")
+  }
+
+  test("generator is deterministic and splittable (same table at 3 vs 11 partitions)") {
+    val a = RepoTableGen.repositories(spark, 2000L, numPartitions = Some(3), seed = 5L)
+    val b = RepoTableGen.repositories(spark, 2000L, numPartitions = Some(11), seed = 5L)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+}

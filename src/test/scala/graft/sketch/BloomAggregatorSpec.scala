@@ -1,0 +1,44 @@
+package graft.sketch
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class BloomAggregatorSpec extends SparkSpecBase {
+
+  test("UDAF result equals single-threaded insertion, for any partition count") {
+    import spark.implicits._
+    val items = (0 until 5000).map(i => s"sig-$i")
+    // single-threaded reference result
+    val ref = BloomSketch(1e-4, 1L << 16, 10)
+    items.foreach(ref.add)
+
+    for (np <- Seq(1, 3, 8)) {
+      val df = items.toDF("sig").repartition(np)
+      val agg = new BloomSketchAggregator(1e-4, 1L << 16, 10)
+      val bytes = df.agg(udaf(agg).apply($"sig")).head().getAs[Array[Byte]](0)
+      val got = BloomSketch.deserialize(bytes)
+      assert(got === ref, s"partition count $np changed the sketch")
+    }
+  }
+
+  test("UDAF skips nulls") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), None).toDF("sig").repartition(2)
+    val agg = new BloomSketchAggregator(1e-3, 1L << 12, 7)
+    val bytes = df.agg(udaf(agg).apply($"sig")).head().getAs[Array[Byte]](0)
+    val got = BloomSketch.deserialize(bytes)
+    val ref = BloomSketch(1e-3, 1L << 12, 7)
+    ref.add("a"); ref.add("b")
+    assert(got === ref)
+  }
+
+  test("UDAF works as a grouped aggregation (sketch per group)") {
+    import spark.implicits._
+    val df = Seq(("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "sig")
+    val agg = new BloomSketchAggregator(1e-3, 1L << 12, 7)
+    val rows = df.groupBy($"g").agg(udaf(agg).apply($"sig").as("sk"))
+      .collect().map(r => r.getString(0) -> BloomSketch.deserialize(r.getAs[Array[Byte]](1))).toMap
+    assert(rows("g1").contains("x") && rows("g1").contains("y"))
+    assert(rows("g2").contains("z") && !rows("g2").contains("x"))
+  }
+}
