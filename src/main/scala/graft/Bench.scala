@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
+ *  flagship dedup throughput on a deterministic generated repositories
+ *  table. Prints ONE JSON line. See graft.ScalingBench for the N-vs-4N
+ *  parallelism scaling evidence (BENCH/BASELINE.md). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val dedupRows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm the JVM/codegen paths once so query timings measure the engine
+    SparkEntry.entry(spark).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship: duplicate-marking throughput (rows/s) on the generated table
+    val repos = graft.io.RepoTableGen.repositories(
+      spark, dedupRows, dupFraction = 0.3, nullFraction = 0.01,
+      numPartitions = Some(cpus.toInt * 2))
+    repos.write.mode("overwrite").parquet("/tmp/graft_bench_repos.parquet")
+    val table = spark.read.parquet("/tmp/graft_bench_repos.parquet")
+    val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows)
+    val t0 = System.nanoTime()
+    val res = graft.dedup.MarkDuplicates.run(table, cfg)
+    res.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked.parquet")
+    val dedupSec = (System.nanoTime() - t0) / 1e9
+    val markedCount = res.metrics.rowsMarkedDuplicate
+    res.unpersistAll()
+    val rps = dedupRows / dedupSec
+
+    val qs = (results :+ ("dedup_2m_rows" -> dedupSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + dedupSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f}""")
     spark.stop()
   }
 }

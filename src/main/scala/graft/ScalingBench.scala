@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * N-vs-4N scaling evidence (BASELINE.json metric): runs the identical
+ * duplicate-marking job at local[8] and local[32] on the same generated
+ * parquet input and reports throughput at both plus per-core-normalized
+ * scaling efficiency = (T_8 / T_32) / 4. Results recorded in
+ * BENCH/BASELINE.md.
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "4000000").toLong
+    val input = "/tmp/graft_scaling_repos.parquet"
+
+    def session(cores: Int): SparkSession = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+    // generate once (not timed)
+    {
+      val spark = session(32)
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.io.RepoTableGen.repositories(spark, rows, dupFraction = 0.3,
+        nullFraction = 0.01, numPartitions = Some(64))
+        .write.mode("overwrite").parquet(input)
+      spark.stop()
+    }
+
+    def timeJob(cores: Int): Double = {
+      val spark = session(cores)
+      spark.sparkContext.setLogLevel("ERROR")
+      val table = spark.read.parquet(input)
+      // warm-up: JVM/codegen, file listing
+      table.limit(1000).count()
+      val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = rows)
+      val t0 = System.nanoTime()
+      val res = graft.dedup.MarkDuplicates.run(table, cfg)
+      res.marked.write.mode("overwrite").parquet(s"/tmp/graft_scaling_marked_$cores.parquet")
+      val sec = (System.nanoTime() - t0) / 1e9
+      res.unpersistAll()
+      require(res.metrics.rows == rows)
+      spark.stop()
+      sec
+    }
+
+    val t8 = timeJob(8)
+    val t32 = timeJob(32)
+    val eff = (t8 / t32) / 4.0
+    println(f"""{"rows":$rows%d,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"rows_per_sec_8":${rows / t8}%.0f,"rows_per_sec_32":${rows / t32}%.0f,"scaling_efficiency":$eff%.3f}""")
+  }
+}

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{DedupQueries, EventQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *  Every entry in `queries` has a DuckDB-equivalent in `oracleSql` unless
+ *  the operator is not SQL-expressible (then the driver records a weaker
+ *  rows-only check). Column names match between the two exactly. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DedupQueries.dedupMark(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_mark" -> DedupQueries.dedupMark,
+    "dedup_remove" -> DedupQueries.dedupRemove,
+    "dedup_metrics" -> DedupQueries.dedupMetrics,
+    "sig_sha256" -> DedupQueries.sigSha256,
+    "bloom_fpr_check" -> DedupQueries.bloomFprCheck,
+    "bloom_sizing" -> DedupQueries.bloomSizing,
+    "sessionize" -> EventQueries.sessionize,
+  )
+
+  /** DuckDB-runnable oracle for each query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "dedup_mark" -> DedupQueries.DedupMarkSql,
+    "dedup_remove" -> DedupQueries.DedupRemoveSql,
+    "dedup_metrics" -> DedupQueries.DedupMetricsSql,
+    "sig_sha256" -> DedupQueries.SigSha256Sql,
+    "bloom_fpr_check" -> DedupQueries.BloomFprCheckSql,
+    "bloom_sizing" -> DedupQueries.BloomSizingSql,
+    "sessionize" -> EventQueries.SessionizeSql,
+  )
 }

@@ -43,31 +43,35 @@ object MarkDuplicates {
    * Mark duplicates. Returns the input with `is_duplicate: boolean` (and
    * optionally the signature column retained when `keepSignature`).
    */
-  def mark(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
-    // single order column stays a scalar: min(long) plans as a codegen'd
-    // HashAggregate; min(struct) (multi-column tiebreak) needs SortAggregate
-    val key = cfg.orderCols match {
-      case Seq(single) => col(single)
-      case cols => struct(cols.map(col): _*)
-    }
+  /** single order column stays a scalar: min(long) plans as a codegen'd
+   *  HashAggregate; min(struct) (multi-column tiebreak) needs SortAggregate */
+  private def keyExpr(cfg: DedupConfig): Column = cfg.orderCols match {
+    case Seq(single) => col(single)
+    case cols => struct(cols.map(col): _*)
+  }
 
-    // shuffle only (sig, key); map-side combine collapses repeats early
-    val dupGroups = withSig
+  /** Per-signature (count, keeper) over the slim projection — the one
+   *  heavy shuffle of the job. Map-side combine collapses repeats early. */
+  private def sigCounts(withSig: DataFrame, cfg: DedupConfig): DataFrame =
+    withSig
       .where(col(SigCol).isNotNull)
-      .select(col(SigCol), key.as("__key"))
+      .select(col(SigCol), keyExpr(cfg).as("__key"))
       .groupBy(SigCol)
       .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
-      .where(col(CntCol) > 1)
 
+  private def joinMark(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame = {
     val marked = withSig
       .join(dupGroups, Seq(SigCol), "left_outer")
       .withColumn(cfg.outputCol,
-        col(CntCol).isNotNull && !(key <=> col(KeeperCol)))
+        col(CntCol).isNotNull && !(keyExpr(cfg) <=> col(KeeperCol)))
       .drop(CntCol, KeeperCol)
-
     val out = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
     if (cfg.keepSignature) out else out.drop(SigCol)
+  }
+
+  def mark(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
+    joinMark(withSig, sigCounts(withSig, cfg).where(col(CntCol) > 1), cfg)
   }
 
   /**
@@ -97,26 +101,51 @@ object MarkDuplicates {
     BloomSketch.deserialize(bytes)
   }
 
+  /** Build the sketch from a single signature column (nulls skipped). */
+  def sketchFromSigs(sigs: DataFrame, cfg: DedupConfig): BloomSketch = {
+    val agg = cfg.mem match {
+      case Some(spec) => BloomSketchAggregator.fromMemSpec(cfg.p, spec, cfg.mpow2)
+      case None => BloomSketchAggregator.fromN(cfg.p, cfg.expectedN)
+    }
+    val c = sigs.columns.head
+    val bytes = sigs.agg(udaf(agg).apply(col(c))).head().getAs[Array[Byte]](0)
+    BloomSketch.deserialize(bytes)
+  }
+
   /**
    * Run the full job: mark + metrics + sketch + capacity guard
-   * (reference post-run guard `src/streammd.cxx:142-160`). Actions run here.
+   * (reference post-run guard `src/streammd.cxx:142-160`).
+   *
+   * Cost model: ONE heavy pass (the slim groupBy in `sigCounts`, cached
+   * memory-and-disk); metrics are derived aggregates over the
+   * per-signature counts, and the Bloom sketch is built from the DISTINCT
+   * signatures (insertion is idempotent, so the sketch over distinct sigs
+   * equals the sketch over all rows) — typically far fewer rows than the
+   * table. The wide table is never cached, and in the mark join it only
+   * shuffles if AQE can't broadcast the duplicate-keeper set.
    */
   def run(df: DataFrame, cfg: DedupConfig = DedupConfig()): DedupResult = {
-    val marked = mark(df, cfg.copy(removeDuplicates = false, keepSignature = true))
-    marked.cache()
-    val row = marked.agg(
-        count(lit(1)).as("rows"),
-        count(when(col(SigCol).isNull, 1)).as("rows_null"),
-        count(when(col(cfg.outputCol), 1)).as("dups")
+    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
+    val counts = sigCounts(withSig, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val row = counts.agg(
+      coalesce(sum(col(CntCol)), lit(0L)).as("rows_non_null"),
+      coalesce(sum(col(CntCol) - 1), lit(0L)).as("dups"),
+      count(lit(1)).as("distinct_sigs")
     ).head()
-    val rows = row.getLong(0)
-    val rowsNull = row.getLong(1)
-    val dups = row.getLong(2)
+    val rowsNonNull = row.getLong(0)
+    val dups = row.getLong(1)
     // exact count of inserted (distinct) signatures — streammd's
     // nadded = templates - unmapped - dups (src/streammd.cxx:143)
-    val nAdded = rows - rowsNull - dups
+    val nAdded = row.getLong(2)
+    // total row count is metadata-only on columnar sources; null-content
+    // count follows by difference (sig is null iff content is null/empty)
+    val rows = df.count()
+    val rowsNull = rows - rowsNonNull
 
-    val sketch = if (cfg.buildSketch) Some(buildSketch(marked, cfg)) else None
+    val sketch =
+      if (cfg.buildSketch) Some(sketchFromSigs(counts.select(col(SigCol)), cfg)) else None
     val metrics = DedupMetrics(
       rows = rows,
       rowsNullContent = rowsNull,
@@ -136,9 +165,8 @@ object MarkDuplicates {
             "Pass allowOvercapacity=true to continue (results may exceed target FPR).")
       }
     }
-    val out0 = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
-    val out = if (cfg.keepSignature) out0 else out0.drop(SigCol)
-    DedupResult(out, metrics, sketch)
+    val marked = joinMark(withSig, counts.where(col(CntCol) > 1), cfg)
+    DedupResult(marked, metrics, sketch, Some(counts))
   }
 }
 
@@ -175,4 +203,8 @@ case class SketchMetrics(
 case class DedupResult(
     marked: DataFrame,
     metrics: DedupMetrics,
-    sketch: Option[BloomSketch])
+    sketch: Option[BloomSketch],
+    private val cached: Option[DataFrame] = None) {
+  /** Release the cached per-signature keeper set. */
+  def unpersistAll(): Unit = cached.foreach(_.unpersist())
+}

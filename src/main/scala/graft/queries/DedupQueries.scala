@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{DedupConfig, MarkDuplicates}
+import graft.sketch.{BloomSizing, BloomSketchAggregator, BloomSketch}
+
+/**
+ * Driver-facing queries over the sf testdata `documents` table, each with
+ * a DuckDB-equivalent oracle (SparkEntry.oracleSql). The documents table
+ * has no natural duplicates, so the dedup corpus is synthesized
+ * deterministically INSIDE the query (and identically in the oracle SQL):
+ * every doc_id % 3 == 0 text is duplicated under id+100000 and every
+ * doc_id % 7 == 0 contributes a null-content row under id+200000 (the
+ * "unmapped" analog).
+ */
+object DedupQueries {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The synthetic dedup corpus: (id, text). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("id"), col("text")))
+      .unionAll(d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("id"), lit(null).cast("string").as("text")))
+  }
+
+  /** Shared SQL prefix for the oracle side. */
+  val CorpusSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id + 200000, CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 7 = 0
+      |), marked AS (
+      |  SELECT id, text,
+      |         (text IS NOT NULL AND text <> '' AND
+      |          row_number() OVER (PARTITION BY sha256(text) ORDER BY id) > 1) AS is_duplicate
+      |  FROM corpus
+      |)""".stripMargin
+
+  private val cfg = DedupConfig(contentCol = "text", orderCols = Seq("id"),
+    p = 1e-4, expectedN = 1000000L, buildSketch = false)
+
+  /** Operator #11 (first-seen-wins mark): every row with its duplicate flag. */
+  def dedupMark(spark: SparkSession, dir: String): DataFrame =
+    MarkDuplicates.mark(corpus(spark, dir), cfg).select(col("id"), col("is_duplicate"))
+
+  val DedupMarkSql: String =
+    s"$CorpusSql SELECT id, is_duplicate FROM marked"
+
+  /** Operator #18 (--remove-duplicates): duplicates filtered out. */
+  def dedupRemove(spark: SparkSession, dir: String): DataFrame =
+    MarkDuplicates.mark(corpus(spark, dir), cfg.copy(removeDuplicates = true)).select(col("id"))
+
+  val DedupRemoveSql: String =
+    s"$CorpusSql SELECT id FROM marked WHERE NOT is_duplicate"
+
+  /** Operator #20 (metrics tally): streammd counts + fraction (ppm, exact int). */
+  def dedupMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val marked = MarkDuplicates.mark(corpus(spark, dir), cfg)
+    marked.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1)).as("rows_null_content"),
+      count(when(col("is_duplicate"), 1)).as("rows_marked_duplicate"))
+      .withColumn("duplicate_fraction_ppm",
+        round(col("rows_marked_duplicate") * 1000000.0 /
+          (col("n_rows") - col("rows_null_content"))).cast("long"))
+  }
+
+  val DedupMetricsSql: String =
+    s"""$CorpusSql SELECT count(*) AS n_rows,
+       | sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS rows_null_content,
+       | sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS rows_marked_duplicate,
+       | CAST(round(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) * 1000000.0 /
+       |      (count(*) - sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END))) AS BIGINT)
+       |   AS duplicate_fraction_ppm
+       |FROM marked""".stripMargin
+
+  /** Operator #8 (signature construction): sha256 per row, null for null/empty. */
+  def sigSha256(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(col("id"), MarkDuplicates.signature(col("text")).as("sig"))
+
+  val SigSha256Sql: String =
+    s"""$CorpusSql SELECT id,
+       | CASE WHEN text IS NOT NULL AND text <> '' THEN sha256(text) END AS sig
+       |FROM marked""".stripMargin
+
+  /** Operators #10/#12/#13 at the query surface: build the Bloom sketch via
+   *  the mergeable UDAF, assert FNR==0 and FPR<=2p against guaranteed
+   *  non-members; emit checkable booleans + exact counts. */
+  def bloomFprCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 0.01
+    val d = docs(spark, dir).cache()
+    val nDocs = d.count()
+    val agg = BloomSketchAggregator.fromN(p, nDocs)
+    val bytes = d.agg(udaf(agg).apply(col("text"))).head().getAs[Array[Byte]](0)
+    val probe = BloomSketchAggregator.bloomContains(bytes)
+    val members = d.select(probe(col("text")).as("hit"))
+      .agg(count(when(col("hit"), 1)).as("hits")).head().getLong(0)
+    val nonMembers = d.select(probe(concat(col("text"), lit(" __fresh__"))).as("hit"))
+      .agg(count(when(col("hit"), 1)).as("hits")).head().getLong(0)
+    val sk = BloomSketch.deserialize(bytes)
+    Seq((nDocs, members == nDocs, nonMembers.toDouble / nDocs <= 2 * p,
+      math.abs(sk.countEstimate.toDouble / nDocs - 1.0) < 0.05))
+      .toDF("n_docs", "members_all_found", "fpr_within_2p", "estimate_within_5pct")
+  }
+
+  val BloomFprCheckSql: String =
+    "SELECT count(*) AS n_docs, true AS members_all_found, true AS fpr_within_2p, " +
+      "true AS estimate_within_5pct FROM documents"
+
+  /** Operators #12-#14/#22 (sizing + show-capacity): golden values are the
+   *  published reference numbers, so the oracle pins them as literals. */
+  def bloomSizing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows =
+      Seq(("1e-6", 1000000L), ("1e-7", 10000000L), ("1e-8", 100000000L), ("1e-6", 1000000000L))
+        .map { case (pLabel, n) =>
+          val (m, k) = BloomSizing.mkMin(pLabel.toDouble, n)
+          ("mkmin", pLabel, n, m, k.toLong)
+        } ++ Seq(
+        ("capacity", "1e-3", BloomSizing.capacity(1e-3, 8000000L, 10),
+          8000000L, 10L),
+        ("memspec4GiB", "1e-6", BloomSizing.fromMemSpec(1e-6, "4GiB")._3,
+          BloomSizing.fromMemSpec(1e-6, "4GiB")._1, 10L))
+    rows.toDF("kind", "p", "n", "m", "k")
+  }
+
+  val BloomSizingSql: String =
+    """SELECT * FROM (VALUES
+      | ('mkmin', '1e-6', 1000000, 28755176, 20),
+      | ('mkmin', '1e-7', 10000000, 335477044, 24),
+      | ('mkmin', '1e-8', 100000000, 3834023351, 27),
+      | ('mkmin', '1e-6', 1000000000, 28755175133, 20),
+      | ('capacity', '1e-3', 556420, 8000000, 10),
+      | ('memspec4GiB', '1e-6', 993917924, 34359738368, 10)
+      |) AS t(kind, p, n, m, k)""".stripMargin
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Event-stream queries. `sessionize` is the distributed analog of the
+ * reference's adjacency grouping (consecutive records sharing a key,
+ * streammd `src/markdups.cxx:38-49`): events of a user are grouped into
+ * sessions split at inactivity gaps > 30 minutes. All arithmetic is in
+ * epoch microseconds (integers) so the DuckDB oracle matches exactly.
+ */
+object EventQueries {
+
+  val GapUs: Long = 1800L * 1000000L // 30 min
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** (user_id, session_id, n_events, session_start_us, session_value_sum_micros) */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      // parquet ts is TIMESTAMP_NTZ; session tz is UTC so this cast is the
+      // identity mapping DuckDB's epoch_us applies to the naive timestamp
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        // integer micros of the value sum: exact cross-engine comparison
+        sum(round(col("value") * 1000000.0).cast("long")).as("value_sum_micros"))
+  }
+
+  val SessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, event_id, value, us,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us > ${GapUs} THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |), c AS (
+       |  SELECT user_id, value, us,
+       |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM s
+       |)
+       |SELECT user_id, session_id, count(*) AS n_events, min(us) AS session_start_us,
+       |       sum(CAST(round(value * 1000000.0) AS BIGINT)) AS value_sum_micros
+       |FROM c GROUP BY user_id, session_id""".stripMargin
+}

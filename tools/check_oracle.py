@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables and compare against the parquet dumped by
+graft.Verify (sort columns by name, sort rows, compare values)."""
+import sys, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for q, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetchdf()
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{q}/*.parquet')").fetchdf()
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {q}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            fails += 1
+            continue
+        exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        if len(exp) != len(got):
+            print(f"FAIL {q}: rows exp={len(exp)} got={len(got)}")
+            fails += 1
+            continue
+        # value compare with dtype coercion to string (like a hash would see)
+        mism = 0
+        for c in exp.columns:
+            a, b = exp[c], got[c]
+            try:
+                import pandas as pd
+                eq = (a.astype("object").where(pd.notnull(a), None) ==
+                      b.astype("object").where(pd.notnull(b), None)) | (pd.isnull(a) & pd.isnull(b))
+                bad = (~eq).sum()
+            except Exception:
+                bad = sum(1 for x, y in zip(a, b) if str(x) != str(y))
+            if bad:
+                print(f"  col {c}: {bad} mismatching values; exp head={list(a[:3])} got head={list(b[:3])}")
+                mism += bad
+        if mism:
+            print(f"FAIL {q}: {mism} value mismatches")
+            fails += 1
+        else:
+            print(f"OK   {q}: {len(exp)} rows")
+    except Exception as e:
+        print(f"ERROR {q}: {e}")
+        fails += 1
+sys.exit(1 if fails else 0)
