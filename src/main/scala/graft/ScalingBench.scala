@@ -48,8 +48,11 @@ object ScalingBench {
       sec
     }
 
-    val t8 = timeJob(8)
-    val t32 = timeJob(32)
+    // this box shows up to 3x run-to-run I/O noise: repeat and take the
+    // minimum (the least-interfered measurement) at each parallelism
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val t8 = (1 to reps).map(_ => timeJob(8)).min
+    val t32 = (1 to reps).map(_ => timeJob(32)).min
     val eff = (t8 / t32) / 4.0
     println(f"""{"rows":$rows%d,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"rows_per_sec_8":${rows / t8}%.0f,"rows_per_sec_32":${rows / t32}%.0f,"scaling_efficiency":$eff%.3f}""")
   }

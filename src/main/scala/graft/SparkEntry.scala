@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries}
+import graft.queries.{DedupQueries, EventQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *  Every entry in `queries` has a DuckDB-equivalent in `oracleSql` unless
@@ -22,6 +22,12 @@ object SparkEntry {
     "bloom_fpr_check" -> DedupQueries.bloomFprCheck,
     "bloom_sizing" -> DedupQueries.bloomSizing,
     "sessionize" -> EventQueries.sessionize,
+    "hll_users" -> SketchQueries.hllUsers,
+    "cms_event_counts" -> SketchQueries.cmsEventCounts,
+    "kll_value_quantiles" -> SketchQueries.kllValueQuantiles,
+    "token_stats" -> TextQueries.tokenStats,
+    "quality_scores" -> TextQueries.qualityScores,
+    "lang_id" -> TextQueries.langId,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -33,5 +39,11 @@ object SparkEntry {
     "bloom_fpr_check" -> DedupQueries.BloomFprCheckSql,
     "bloom_sizing" -> DedupQueries.BloomSizingSql,
     "sessionize" -> EventQueries.SessionizeSql,
+    "hll_users" -> SketchQueries.HllUsersSql,
+    "cms_event_counts" -> SketchQueries.CmsEventCountsSql,
+    "kll_value_quantiles" -> SketchQueries.KllValueQuantilesSql,
+    "token_stats" -> TextQueries.TokenStatsSql,
+    "quality_scores" -> TextQueries.QualityScoresSql,
+    "lang_id" -> TextQueries.LangIdSql,
   )
 }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sketch._
+
+/**
+ * Sketch-library queries over `events`. A sketch estimate is not
+ * SQL-reproducible, so each query emits the EXACT value (computed in
+ * Spark and by the DuckDB oracle independently) together with booleans
+ * asserting the sketch met its published error bound — the oracle pins
+ * the exact values and `true` for the bound checks.
+ */
+object SketchQueries {
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** HLL distinct user estimate vs exact, within 4 standard errors
+   *  (se = 1.04/sqrt(2^14) ~ 0.81%; 4 se keeps the check deterministic-ish
+   *  while still meaningful). */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val bytes = ev.agg(GraftFunctions.hllSketchLong(col("user_id")))
+      .head().getAs[Array[Byte]](0)
+    val est = HllSketch.deserialize(bytes).estimate
+    val se = HllSketch(14).standardError
+    Seq((exact, math.abs(est.toDouble / exact - 1.0) <= 4 * se))
+      .toDF("n_exact", "hll_within_4se")
+  }
+
+  val HllUsersSql: String =
+    "SELECT count(DISTINCT user_id) AS n_exact, true AS hll_within_4se FROM events"
+
+  /** CMS frequency per event_type: never under, over by <= eps*N. */
+  def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val bytes = ev.agg(GraftFunctions.cmsSketch(col("event_type")))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.deserialize(bytes)
+    val exact = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = cms.totalCount
+    exact.toSeq.map { case (k, c) =>
+      val est = cms.estimate(k)
+      (k, c, est >= c && est <= c + (cms.epsilon * n).toLong)
+    }.toDF("event_type", "n_exact", "cms_within_bound")
+  }
+
+  val CmsEventCountsSql: String =
+    "SELECT event_type, count(*) AS n_exact, true AS cms_within_bound " +
+      "FROM events GROUP BY event_type"
+
+  /** KLL quantiles of `value`: the estimated quantile's TRUE rank must be
+   *  within 2% of the requested rank (KLL k=200 bound). */
+  def kllValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).where(col("value").isNotNull)
+    val n = ev.count()
+    val bytes = ev.agg(GraftFunctions.kllSketch(col("value").cast("double")))
+      .head().getAs[Array[Byte]](0)
+    val kll = KllSketch.deserialize(bytes)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    qs.map { q =>
+      val est = kll.quantile(q)
+      val trueRank = ev.where(col("value") <= est).count().toDouble / n
+      (f"q$q%.2f", math.abs(trueRank - q) <= 0.02)
+    }.toDF("quantile", "kll_within_2pct_rank")
+  }
+
+  val KllValueQuantilesSql: String =
+    "SELECT * FROM (VALUES ('q0.10', true), ('q0.25', true), ('q0.50', true), " +
+      "('q0.75', true), ('q0.90', true)) AS t(quantile, kll_within_2pct_rank)"
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over `documents` with exact DuckDB oracles. */
+object TextQueries {
+
+  /** Token counting: whitespace + BPE-ish regex tokens (operator family:
+   *  training-data token accounting). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
+      punctCount(col("text")).cast("long").as("punct_chars"),
+      stopwordCount(col("text")).cast("long").as("stopword_tokens"))
+
+  val TokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       |  CASE WHEN text IS NULL THEN 0
+       |       ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END AS bpeish_tokens,
+       |  CASE WHEN text IS NULL THEN 0
+       |       ELSE len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) END AS punct_chars,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                            t -> t IN (${stopwordsSqlList}))) END AS stopword_tokens
+       |FROM documents""".stripMargin
+
+  /** Quality scoring (length/diversity/punctuation formula, integer score). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality_score"))
+
+  val QualityScoresSql: String =
+    """SELECT doc_id,
+      |  CAST(round(least(
+      |    25.0 * least(len(coalesce(text,'')), 2000) / 2000.0
+      |  + 25.0 * least(CASE WHEN text IS NULL OR trim(text)='' THEN 0
+      |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 300) / 300.0
+      |  + 25.0 * (CASE WHEN text IS NULL OR trim(text)='' THEN 0
+      |                 ELSE len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) END)
+      |         / greatest(CASE WHEN text IS NULL OR trim(text)='' THEN 0
+      |                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+      |  + 25.0 * (1.0 - (CASE WHEN text IS NULL THEN 0
+      |                        ELSE len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) END)
+      |                  / greatest(len(coalesce(text,'')), 1))
+      |  , 100.0)) AS BIGINT) AS quality_score
+      |FROM documents""".stripMargin
+
+  /** Language-ID by stopword voting (prediction compared, not accuracy). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      languageId(col("text")).as("predicted_lang"))
+
+  val LangIdSql: String = {
+    val cases = graft.text.TextFunctions.LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($list))) AS v_$lang"
+    }.mkString(",\n  ")
+    val langs = graft.text.TextFunctions.LangMarkers.map(_._1)
+    val maxExpr = s"greatest(${langs.map("v_" + _).mkString(", ")})"
+    val winner = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN v_$l = mx AND mx > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         regexp_split_to_array(lower(trim(coalesce(text,''))), '\\s+') AS toks
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, lang, $cases FROM t
+       |), m AS (
+       |  SELECT *, $maxExpr AS mx FROM v
+       |)
+       |SELECT doc_id, lang, $winner AS predicted_lang FROM m""".stripMargin
+  }
+}

@@ -1,0 +1,140 @@
+package graft.sketch
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/**
+ * Count-min sketch (Cormode & Muthukrishnan 2005): depth x width counter
+ * matrix; point estimate = min over rows; guarantees
+ * estimate in [true, true + eps*N] with probability >= 1 - delta, where
+ * eps = e/width and delta = e^-depth.
+ *
+ * Row hash functions come from Kirsch-Mitzenmacher double hashing of two
+ * seeded XXH64 values — same technique as the Bloom filter
+ * (streammd `src/bloomfilter.cxx:104-120`).
+ *
+ * Mergeable: element-wise sum — associative and commutative.
+ * NOT thread-safe (one instance per aggregation buffer).
+ */
+final class CountMinSketch private (
+    val depth: Int, val width: Int, val counts: Array[Long])
+    extends Serializable {
+
+  require(depth > 0 && width > 0, s"bad shape: $depth x $width")
+  require(counts.length == depth * width, "counts length mismatch")
+
+  @inline private[this] def rowCol(a0: Long, b0: Long, row: Int): Int = {
+    // probe_i = (a + i*b + sum(j<i) j) mod width, as in BloomSketch
+    var a = a0
+    var b = b0
+    var i = 0
+    while (i < row) { a += b; b += i; i += 1 }
+    (java.lang.Long.remainderUnsigned(a, width.toLong)).toInt
+  }
+
+  private[this] def hashes(item: Array[Byte]): (Long, Long) = (
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2))
+
+  def add(item: Array[Byte], c: Long = 1L): Unit = {
+    val (a0, b0) = hashes(item)
+    var a = a0
+    var b = b0
+    var r = 0
+    while (r < depth) {
+      val colIdx = java.lang.Long.remainderUnsigned(a, width.toLong).toInt
+      counts(r * width + colIdx) += c
+      a += b
+      b += r
+      r += 1
+    }
+  }
+
+  def add(item: String): Unit = add(item.getBytes("UTF-8"), 1L)
+  def add(item: String, c: Long): Unit = add(item.getBytes("UTF-8"), c)
+
+  /** Point estimate: min over rows (never underestimates). */
+  def estimate(item: Array[Byte]): Long = {
+    val (a0, b0) = hashes(item)
+    var a = a0
+    var b = b0
+    var r = 0
+    var minV = Long.MaxValue
+    while (r < depth) {
+      val colIdx = java.lang.Long.remainderUnsigned(a, width.toLong).toInt
+      val v = counts(r * width + colIdx)
+      if (v < minV) minV = v
+      a += b
+      b += r
+      r += 1
+    }
+    minV
+  }
+
+  def estimate(item: String): Long = estimate(item.getBytes("UTF-8"))
+
+  /** Total count of all additions (any full row sums to N). */
+  def totalCount: Long = {
+    var s = 0L
+    var c = 0
+    while (c < width) { s += counts(c); c += 1 }
+    s
+  }
+
+  /** eps such that estimate <= true + eps*N w.p. >= 1 - e^-depth. */
+  def epsilon: Double = math.E / width
+
+  /** Element-wise sum merge; mutates and returns `this`. */
+  def addInPlace(other: CountMinSketch): CountMinSketch = {
+    require(other.depth == depth && other.width == width,
+      s"cannot merge CMS of different shape: ${depth}x$width vs ${other.depth}x${other.width}")
+    var i = 0
+    while (i < counts.length) { counts(i) += other.counts(i); i += 1 }
+    this
+  }
+
+  def copySketch(): CountMinSketch = new CountMinSketch(depth, width, counts.clone())
+
+  def serialize(): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 8 * counts.length)
+    buf.putInt(CountMinSketch.Magic).putInt(depth).putInt(width)
+    var i = 0
+    while (i < counts.length) { buf.putLong(counts(i)); i += 1 }
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case c: CountMinSketch =>
+      c.depth == depth && c.width == width && java.util.Arrays.equals(c.counts, counts)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * depth + width) + java.util.Arrays.hashCode(counts)
+}
+
+object CountMinSketch {
+  private val Magic = 0x434d5331 // "CMS1"
+
+  def apply(depth: Int = 5, width: Int = 65536): CountMinSketch =
+    new CountMinSketch(depth, width, new Array[Long](depth * width))
+
+  /** Shape from accuracy targets: eps (overcount fraction of N) and delta
+   *  (failure probability): width = ceil(e/eps), depth = ceil(ln(1/delta)). */
+  def fromAccuracy(eps: Double, delta: Double): CountMinSketch = {
+    val width = math.ceil(math.E / eps).toInt
+    val depth = math.ceil(math.log(1.0 / delta)).toInt
+    apply(depth, width)
+  }
+
+  def deserialize(bytes: Array[Byte]): CountMinSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = buf.getInt()
+    require(magic == Magic, f"bad CountMinSketch magic: 0x$magic%08x")
+    val d = buf.getInt()
+    val w = buf.getInt()
+    val cs = new Array[Long](d * w)
+    var i = 0
+    while (i < cs.length) { cs(i) = buf.getLong(); i += 1 }
+    new CountMinSketch(d, w, cs)
+  }
+}

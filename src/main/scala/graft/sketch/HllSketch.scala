@@ -1,0 +1,120 @@
+package graft.sketch
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/**
+ * Dense HyperLogLog sketch (Flajolet, Fusy, Gandouet, Meunier 2007), the
+ * standard 64-bit-hash variant: m = 2^precision byte registers, register
+ * index from the top `precision` hash bits, rank = leading zeros + 1 of
+ * the remaining bits. Relative standard error ~= 1.04 / sqrt(m).
+ *
+ * Mergeable: element-wise register max — associative, commutative,
+ * idempotent — so per-partition partials combine independently of
+ * partition count and merge order (same contract as BloomSketch.orInPlace).
+ *
+ * Small-range correction: linear counting when the raw estimate is below
+ * 2.5m and empty registers remain. No large-range correction is needed
+ * with a 64-bit hash.
+ *
+ * NOT thread-safe (one instance per aggregation buffer).
+ */
+final class HllSketch private (val precision: Int, val registers: Array[Byte])
+    extends Serializable {
+
+  require(precision >= 4 && precision <= 18, s"precision out of range: $precision")
+  val m: Int = 1 << precision
+  require(registers.length == m, "register array length mismatch")
+
+  private[this] val idxShift = 64 - precision
+
+  def add(item: Array[Byte]): Unit = {
+    val h = XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, HllSketch.Seed)
+    addHash(h)
+  }
+
+  def add(item: String): Unit = add(item.getBytes("UTF-8"))
+
+  def addLong(v: Long): Unit = addHash(XXH64.hashLong(v, HllSketch.Seed))
+
+  def addHash(h: Long): Unit = {
+    val idx = (h >>> idxShift).toInt
+    val w = h << precision
+    // rank in [1, 64-precision+1]; w == 0 -> max rank
+    val rank = if (w == 0) (64 - precision + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
+    val r = math.min(rank, 64 - precision + 1).toByte
+    if (registers(idx) < r) registers(idx) = r
+  }
+
+  /** Cardinality estimate with linear-counting small-range correction. */
+  def estimate: Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += 1.0 / (1L << registers(i)).toDouble
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m.toDouble * m.toDouble / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+
+  /** Element-wise max merge; mutates and returns `this`. */
+  def maxInPlace(other: HllSketch): HllSketch = {
+    require(other.precision == precision,
+      s"cannot merge HLL sketches of different precision: $precision vs ${other.precision}")
+    var i = 0
+    while (i < m) {
+      if (registers(i) < other.registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+    this
+  }
+
+  def copySketch(): HllSketch = new HllSketch(precision, registers.clone())
+
+  /** Relative standard error bound: 1.04/sqrt(m). */
+  def standardError: Double = 1.04 / math.sqrt(m.toDouble)
+
+  def serialize(): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + m)
+    buf.putInt(HllSketch.Magic).putInt(precision).put(registers)
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case h: HllSketch =>
+      h.precision == precision && java.util.Arrays.equals(h.registers, registers)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * precision + java.util.Arrays.hashCode(registers)
+  override def toString: String = s"HllSketch(p=$precision, estimate=$estimate)"
+}
+
+object HllSketch {
+  val Seed = 4161L
+  private val Magic = 0x484c4c31 // "HLL1"
+
+  def apply(precision: Int = 14): HllSketch =
+    new HllSketch(precision, new Array[Byte](1 << precision))
+
+  def deserialize(bytes: Array[Byte]): HllSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = buf.getInt()
+    require(magic == Magic, f"bad HllSketch magic: 0x$magic%08x")
+    val p = buf.getInt()
+    val regs = new Array[Byte](1 << p)
+    buf.get(regs)
+    new HllSketch(p, regs)
+  }
+}

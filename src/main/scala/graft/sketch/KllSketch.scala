@@ -1,0 +1,176 @@
+package graft.sketch
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * KLL quantile sketch over doubles (Karnin, Lang, Liberty 2016,
+ * "Optimal Quantile Approximation in Streams"). A hierarchy of
+ * compactors: items at level h carry weight 2^h; level capacities decay
+ * geometrically (ratio 2/3) from the top, so space is O(k * log log n)
+ * and additive rank error is O(1/k) with high probability — k = 200
+ * gives roughly 1-2% rank error in practice.
+ *
+ * Mergeable: concatenate levels pairwise, then re-compress. Compaction
+ * keeps odd- or even-indexed items of the sorted level by a seeded coin,
+ * so a single-threaded stream is reproducible; distributed results vary
+ * within the rank-error bound (inherent to randomized quantile sketches).
+ *
+ * NOT thread-safe (one instance per aggregation buffer).
+ */
+final class KllSketch(val k: Int, seed: Long) extends Serializable {
+  require(k >= 8, s"k too small: $k")
+
+  private[sketch] var compactors: ArrayBuffer[ArrayBuffer[Double]] =
+    ArrayBuffer(ArrayBuffer.empty[Double])
+  private[sketch] var count: Long = 0L
+  private[this] val rng = new java.util.Random(seed)
+
+  def n: Long = count
+  private def numLevels: Int = compactors.length
+
+  private def capacity(level: Int): Int = {
+    val depthFromTop = numLevels - level - 1
+    math.max(2, math.ceil(k * math.pow(2.0 / 3.0, depthFromTop)).toInt)
+  }
+
+  private def totalSize: Int = {
+    var s = 0; var i = 0
+    while (i < compactors.length) { s += compactors(i).length; i += 1 }
+    s
+  }
+
+  private def totalCapacity: Int = {
+    var s = 0; var i = 0
+    while (i < numLevels) { s += capacity(i); i += 1 }
+    s
+  }
+
+  def add(v: Double): Unit = {
+    compactors(0) += v
+    count += 1
+    if (totalSize > totalCapacity) compress()
+  }
+
+  private def compress(): Unit = {
+    var guard = 0
+    while (totalSize > totalCapacity && guard < 64) {
+      guard += 1
+      var lvl = 0
+      var done = false
+      while (lvl < numLevels && !done) {
+        if (compactors(lvl).length > capacity(lvl)) {
+          compactLevel(lvl)
+          done = true
+        }
+        lvl += 1
+      }
+      if (!done) return
+    }
+  }
+
+  /** Sort level; compact an even-sized prefix by promoting every other
+   *  item (seeded coin offset) to level+1 with doubled weight; an odd
+   *  leftover stays at this level with its original weight. */
+  private def compactLevel(lvl: Int): Unit = {
+    if (lvl + 1 == numLevels) compactors += ArrayBuffer.empty[Double]
+    val items = compactors(lvl).toArray
+    java.util.Arrays.sort(items)
+    val evenLen = items.length & ~1
+    val offset = if (rng.nextBoolean()) 1 else 0
+    val kept = new ArrayBuffer[Double](evenLen / 2)
+    var i = offset
+    while (i < evenLen) { kept += items(i); i += 2 }
+    compactors(lvl) = ArrayBuffer.empty[Double]
+    if (items.length % 2 == 1) compactors(lvl) += items(items.length - 1)
+    compactors(lvl + 1) ++= kept
+  }
+
+  /** Merge `other` into this; mutates and returns `this`. */
+  def mergeInPlace(other: KllSketch): KllSketch = {
+    require(other.k == k, s"cannot merge KLL of different k: $k vs ${other.k}")
+    while (numLevels < other.compactors.length) compactors += ArrayBuffer.empty[Double]
+    var lvl = 0
+    while (lvl < other.compactors.length) {
+      compactors(lvl) ++= other.compactors(lvl)
+      lvl += 1
+    }
+    count += other.count
+    compress()
+    this
+  }
+
+  /** All (value, weight) pairs, sorted by value. */
+  private def weighted: Array[(Double, Long)] = {
+    val out = new ArrayBuffer[(Double, Long)](totalSize)
+    var lvl = 0
+    while (lvl < numLevels) {
+      val w = 1L << lvl
+      compactors(lvl).foreach(v => out += ((v, w)))
+      lvl += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+
+  /** Estimated value at quantile q in [0, 1]. */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"q out of range: $q")
+    val ws = weighted
+    if (ws.isEmpty) return Double.NaN
+    val target = q * count
+    var cum = 0L
+    var i = 0
+    while (i < ws.length) {
+      cum += ws(i)._2
+      if (cum >= target) return ws(i)._1
+      i += 1
+    }
+    ws.last._1
+  }
+
+  /** Estimated rank (fraction of items <= v). */
+  def rank(v: Double): Double = {
+    if (count == 0) return 0.0
+    var below = 0L
+    var lvl = 0
+    while (lvl < numLevels) {
+      val w = 1L << lvl
+      compactors(lvl).foreach(x => if (x <= v) below += w)
+      lvl += 1
+    }
+    below.toDouble / count
+  }
+
+  def serialize(): Array[Byte] = {
+    val nItems = totalSize
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 8 + 4 + numLevels * 4 + nItems * 8)
+    buf.putInt(KllSketch.Magic).putInt(k).putLong(seed).putLong(count).putInt(numLevels)
+    compactors.foreach { c => buf.putInt(c.length) }
+    compactors.foreach { c => c.foreach(buf.putDouble) }
+    buf.array()
+  }
+}
+
+object KllSketch {
+  private val Magic = 0x4b4c4c31 // "KLL1"
+
+  def apply(k: Int = 200, seed: Long = 7321L): KllSketch = new KllSketch(k, seed)
+
+  def deserialize(bytes: Array[Byte]): KllSketch = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = buf.getInt()
+    require(magic == Magic, f"bad KllSketch magic: 0x$magic%08x")
+    val k = buf.getInt()
+    val seed = buf.getLong()
+    val n = buf.getLong()
+    val levels = buf.getInt()
+    val lens = (0 until levels).map(_ => buf.getInt())
+    val s = new KllSketch(k, seed)
+    s.compactors = ArrayBuffer.from(lens.map { len =>
+      val c = new ArrayBuffer[Double](len)
+      (0 until len).foreach(_ => c += buf.getDouble())
+      c
+    })
+    s.count = n
+    s
+  }
+}

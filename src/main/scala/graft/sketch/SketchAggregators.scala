@@ -1,0 +1,90 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Mergeable sketch UDAFs (north-rule library surface): each is an
+ * `Aggregator` whose buffer is the live sketch object — Spark plans these
+ * through ObjectHashAggregate, building per-partition partials map-side
+ * and merging them associatively at the exchange. Registered per session
+ * via [[GraftFunctions.register]] for SQL use.
+ */
+class HllAggregator(precision: Int) extends Aggregator[String, HllSketch, Array[Byte]] {
+  override def zero: HllSketch = HllSketch(precision)
+  override def reduce(buf: HllSketch, v: String): HllSketch = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: HllSketch, b: HllSketch): HllSketch = a.maxInPlace(b)
+  override def finish(buf: HllSketch): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[HllSketch] = Encoders.kryo[HllSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** HLL over long inputs (ids) — avoids string conversion in the hot path. */
+class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllSketch, Array[Byte]] {
+  override def zero: HllSketch = HllSketch(precision)
+  override def reduce(buf: HllSketch, v: java.lang.Long): HllSketch = {
+    if (v != null) buf.addLong(v)
+    buf
+  }
+  override def merge(a: HllSketch, b: HllSketch): HllSketch = a.maxInPlace(b)
+  override def finish(buf: HllSketch): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[HllSketch] = Encoders.kryo[HllSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+class CmsAggregator(depth: Int, width: Int) extends Aggregator[String, CountMinSketch, Array[Byte]] {
+  override def zero: CountMinSketch = CountMinSketch(depth, width)
+  override def reduce(buf: CountMinSketch, v: String): CountMinSketch = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.addInPlace(b)
+  override def finish(buf: CountMinSketch): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+class KllAggregator(k: Int) extends Aggregator[java.lang.Double, KllSketch, Array[Byte]] {
+  override def zero: KllSketch = KllSketch(k)
+  override def reduce(buf: KllSketch, v: java.lang.Double): KllSketch = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
+  override def finish(buf: KllSketch): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[KllSketch] = Encoders.kryo[KllSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Column-level + SQL-registered entry points for the sketch library. */
+object GraftFunctions {
+
+  def bloomSketch(sig: Column, p: Double, n: Long): Column =
+    udaf(BloomSketchAggregator.fromN(p, n)).apply(sig)
+
+  def hllSketch(c: Column, precision: Int = 14): Column =
+    udaf(new HllAggregator(precision)).apply(c)
+
+  def hllSketchLong(c: Column, precision: Int = 14): Column =
+    udaf(new HllLongAggregator(precision)).apply(c)
+
+  def cmsSketch(c: Column, depth: Int = 5, width: Int = 65536): Column =
+    udaf(new CmsAggregator(depth, width)).apply(c)
+
+  def kllSketch(c: Column, k: Int = 200): Column =
+    udaf(new KllAggregator(k)).apply(c)
+
+  /** Register SQL-callable versions: graft_bloom, graft_hll, graft_cms,
+   *  graft_kll (fixed default shapes). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_bloom", udaf(BloomSketchAggregator.fromN(1e-6, 1000000L)))
+    spark.udf.register("graft_hll", udaf(new HllAggregator(14)))
+    spark.udf.register("graft_hll_long", udaf(new HllLongAggregator(14)))
+    spark.udf.register("graft_cms", udaf(new CmsAggregator(5, 65536)))
+    spark.udf.register("graft_kll", udaf(new KllAggregator(200)))
+  }
+}

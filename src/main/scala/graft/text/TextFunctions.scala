@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for training-data pipelines, built from
+ * codegen'd `org.apache.spark.sql.functions` (no UDFs in the hot path).
+ * Each has an exactly-matching DuckDB oracle expression in
+ * graft.queries.TextQueries.
+ */
+object TextFunctions {
+
+  /** Whitespace-delimited token count; 0 for null/empty. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull || length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+   *  non-alphanumeric-non-space characters each count as one token. */
+  def bpeishTokenCount(c: Column): Column =
+    when(c.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Punctuation character count (fixed class, same on the oracle side). */
+  def punctCount(c: Column): Column =
+    when(c.isNull, lit(0))
+      .otherwise(length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]{}]", "")))
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  /** SQL-literal list of the stopwords (shared with the oracle). */
+  def stopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Number of whitespace tokens that are stopwords (lowercased). */
+  def stopwordCount(c: Column): Column = {
+    val arr = split(lower(trim(c)), "\\s+")
+    when(c.isNull || length(trim(c)) === 0, lit(0))
+      .otherwise(size(filter(arr, t => t.isin(Stopwords: _*))))
+  }
+
+  /**
+   * Quality score in [0, 100]: rewards moderate length, word diversity
+   * and a sane stopword ratio; penalizes punctuation soup. All integer/
+   * simple-arithmetic so the oracle reproduces it bit-for-bit.
+   * score = least(100, 25*min(len,2000)/2000 + 25*min(tokens,300)/300
+   *               + 25*distinct_tokens/greatest(tokens,1)
+   *               + 25*(1 - punct/greatest(len,1)))  rounded to bigint
+   */
+  def qualityScore(c: Column): Column = {
+    val len = length(coalesce(c, lit("")))
+    val toks = tokenCount(c)
+    val distinctToks =
+      when(c.isNull || length(trim(c)) === 0, lit(0))
+        .otherwise(size(array_distinct(split(lower(trim(c)), "\\s+"))))
+    val punct = punctCount(c)
+    val s =
+      lit(25.0) * least(len, lit(2000)) / 2000.0 +
+        lit(25.0) * least(toks, lit(300)) / 300.0 +
+        lit(25.0) * distinctToks / greatest(toks, lit(1)) +
+        lit(25.0) * (lit(1.0) - punct / greatest(len, lit(1)))
+    round(least(s, lit(100.0))).cast("long")
+  }
+
+  /** Language marker words: tiny per-language stopword sets for the
+   *  n-gram/stopword-voting language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /**
+   * Language-ID by stopword voting: the language whose marker words occur
+   * most often among whitespace tokens wins; ties and zero votes fall back
+   * to "und" (undetermined). Deterministic tie-break: first language in
+   * LangMarkers order with the max votes.
+   */
+  def languageId(c: Column): Column = {
+    val arr = split(lower(trim(coalesce(c, lit("")))), "\\s+")
+    val votes = LangMarkers.map { case (lang, words) =>
+      (lang, size(filter(arr, t => t.isin(words: _*))))
+    }
+    val maxVote = greatest(votes.map(_._2): _*)
+    val winner = votes.foldRight(lit("und")) { case ((lang, v), acc) =>
+      when(v === maxVote && maxVote > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives the FIRST max in LangMarkers order priority
+    winner
+  }
+}

@@ -1,0 +1,150 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Published-error-bound + merge-law tests for HLL / CMS / KLL. */
+class SketchLibrarySpec extends AnyFunSuite {
+
+  // ---------- HLL ----------
+
+  test("HLL estimate within 3 standard errors across scales") {
+    for (n <- Seq(100, 10000, 1000000)) {
+      val h = HllSketch(14)
+      (0 until n).foreach(i => h.add(s"item-$i"))
+      val se = h.standardError // 1.04/sqrt(2^14) ~ 0.0081
+      val rel = math.abs(h.estimate.toDouble / n - 1.0)
+      assert(rel <= 3 * se, s"n=$n estimate=${h.estimate} rel=$rel > ${3 * se}")
+    }
+  }
+
+  test("HLL merge == bulk insert; commutative, associative, idempotent") {
+    def sk(lo: Int, hi: Int): HllSketch = {
+      val s = HllSketch(12)
+      (lo until hi).foreach(i => s.add(s"x$i"))
+      s
+    }
+    val a = sk(0, 5000)
+    val b = sk(5000, 9000)
+    val c = sk(9000, 12000)
+    assert(a.copySketch().maxInPlace(b) === b.copySketch().maxInPlace(a))
+    assert(a.copySketch().maxInPlace(b).maxInPlace(c) ===
+      a.copySketch().maxInPlace(b.copySketch().maxInPlace(c)))
+    assert(a.copySketch().maxInPlace(a) === a) // idempotent
+    assert(a.copySketch().maxInPlace(b) === sk(0, 9000)) // == bulk
+    // overlapping merge counts each distinct once
+    val overlap = sk(0, 6000).maxInPlace(sk(4000, 10000))
+    assert(math.abs(overlap.estimate.toDouble / 10000 - 1.0) <= 3 * overlap.standardError)
+  }
+
+  test("HLL serialization round-trips; addLong consistent") {
+    val h = HllSketch(10)
+    (0L until 1000L).foreach(h.addLong)
+    val back = HllSketch.deserialize(h.serialize())
+    assert(back === h)
+    assert(back.estimate === h.estimate)
+  }
+
+  test("HLL small-range linear counting is accurate at tiny n") {
+    val h = HllSketch(14)
+    (0 until 10).foreach(i => h.add(s"v$i"))
+    assert(h.estimate === 10L)
+  }
+
+  // ---------- CMS ----------
+
+  test("CMS never underestimates and overcount <= eps*N (w.h.p.)") {
+    val cms = CountMinSketch(5, 4096)
+    val rnd = new scala.util.Random(1)
+    // zipf-ish: item i gets ~ 10000/i additions
+    val freqs = (1 to 500).map(i => s"key$i" -> math.max(1, 10000 / i))
+    freqs.foreach { case (k, f) => (0 until f).foreach(_ => cms.add(k)) }
+    val total = cms.totalCount
+    assert(total === freqs.map(_._2.toLong).sum)
+    var overBudget = 0
+    freqs.foreach { case (k, f) =>
+      val est = cms.estimate(k)
+      assert(est >= f, s"CMS underestimated $k: $est < $f")
+      if (est > f + (cms.epsilon * total).toLong) overBudget += 1
+    }
+    // eps-bound holds w.p. 1-e^-5 per item; allow a tiny tail
+    assert(overBudget <= math.max(1, freqs.size / 100), s"$overBudget items over eps*N budget")
+    // unseen key estimate is bounded too
+    assert(cms.estimate("never-seen") <= (cms.epsilon * total).toLong)
+  }
+
+  test("CMS merge == bulk insert; commutative, associative") {
+    def sk(keys: Seq[String]): CountMinSketch = {
+      val s = CountMinSketch(4, 1024)
+      keys.foreach(s.add)
+      s
+    }
+    val xs = (0 until 2000).map(i => s"a${i % 97}")
+    val ys = (0 until 3000).map(i => s"b${i % 53}")
+    val zs = (0 until 1000).map(i => s"a${i % 11}")
+    val (a, b, c) = (sk(xs), sk(ys), sk(zs))
+    assert(a.copySketch().addInPlace(b) === b.copySketch().addInPlace(a))
+    assert(a.copySketch().addInPlace(b).addInPlace(c) ===
+      a.copySketch().addInPlace(b.copySketch().addInPlace(c)))
+    assert(a.copySketch().addInPlace(b) === sk(xs ++ ys))
+    assert(CountMinSketch.deserialize(a.serialize()) === a)
+  }
+
+  test("CMS fromAccuracy shapes correctly") {
+    val cms = CountMinSketch.fromAccuracy(eps = 0.001, delta = 0.01)
+    assert(cms.width === math.ceil(math.E / 0.001).toInt)
+    assert(cms.depth === math.ceil(math.log(100.0)).toInt)
+  }
+
+  // ---------- KLL ----------
+
+  test("KLL quantiles within 2% rank error on 100k uniform stream") {
+    val s = KllSketch(200)
+    val rnd = new scala.util.Random(3)
+    val data = Array.fill(100000)(rnd.nextDouble() * 1e6)
+    data.foreach(s.add)
+    assert(s.n === 100000L)
+    val sorted = data.sorted
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = s.quantile(q)
+      // true rank of the estimated value
+      val trueRank = sorted.count(_ <= est).toDouble / data.length
+      assert(math.abs(trueRank - q) <= 0.02, s"q=$q est=$est trueRank=$trueRank")
+    }
+  }
+
+  test("KLL merge preserves rank error (partials over disjoint ranges)") {
+    // worst-case-ish: partitions see disjoint sorted ranges
+    val parts = (0 until 8).map { pIdx =>
+      val s = KllSketch(200, seed = 100 + pIdx)
+      (0 until 25000).foreach(i => s.add(pIdx * 25000.0 + i))
+      s
+    }
+    val merged = parts.reduce((a, b) => a.mergeInPlace(b))
+    assert(merged.n === 200000L)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      val trueRank = est / 200000.0 // data is 0..199999 uniform
+      assert(math.abs(trueRank - q) <= 0.025, s"q=$q est=$est trueRank=$trueRank")
+    }
+  }
+
+  test("KLL serialization round-trips") {
+    val s = KllSketch(128)
+    (0 until 50000).foreach(i => s.add(i.toDouble))
+    val back = KllSketch.deserialize(s.serialize())
+    assert(back.n === s.n)
+    for (q <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(q) === s.quantile(q))
+    // deserialized sketch keeps working
+    back.add(1.0)
+    assert(back.n === s.n + 1)
+  }
+
+  test("KLL rank() inverse-consistent with quantile()") {
+    val s = KllSketch(200)
+    (0 until 100000).foreach(i => s.add(i.toDouble))
+    for (q <- Seq(0.2, 0.5, 0.8)) {
+      val v = s.quantile(q)
+      assert(math.abs(s.rank(v) - q) <= 0.03)
+    }
+  }
+}
