@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, SketchQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, SimQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *  Every entry in `queries` has a DuckDB-equivalent in `oracleSql` unless
@@ -28,6 +28,12 @@ object SparkEntry {
     "token_stats" -> TextQueries.tokenStats,
     "quality_scores" -> TextQueries.qualityScores,
     "lang_id" -> TextQueries.langId,
+    "minhash_exact_pairs" -> SimQueries.minhashExactPairs,
+    "simhash_exact_pairs" -> SimQueries.simhashExactPairs,
+    "jaccard_consecutive" -> SimQueries.jaccardConsecutive,
+    "ann_brute_force" -> SimQueries.annBruteForce,
+    "ann_ivf_recall" -> SimQueries.annIvfRecall,
+    "multimodal_features" -> SimQueries.multimodalFeatures,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -45,5 +51,11 @@ object SparkEntry {
     "token_stats" -> TextQueries.TokenStatsSql,
     "quality_scores" -> TextQueries.QualityScoresSql,
     "lang_id" -> TextQueries.LangIdSql,
+    "minhash_exact_pairs" -> SimQueries.MinhashExactPairsSql,
+    "simhash_exact_pairs" -> SimQueries.SimhashExactPairsSql,
+    "jaccard_consecutive" -> SimQueries.JaccardConsecutiveSql,
+    "ann_brute_force" -> SimQueries.AnnBruteForceSql,
+    "ann_ivf_recall" -> SimQueries.AnnIvfRecallSql,
+    "multimodal_features" -> SimQueries.MultimodalFeaturesSql,
   )
 }

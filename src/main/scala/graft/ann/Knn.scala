@@ -1,0 +1,106 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - `bruteForceTopK`: exact cosine top-k — the queries side is
+ *    broadcast, the dot products run map-side in codegen'd higher-order
+ *    functions (`zip_with`/`aggregate`), and only the slim
+ *    (query_id, neighbor_id, cos) triples shuffle for the per-query top-k
+ *    window. The baseline every approximate method is measured against.
+ *
+ *  - `ivfTopK`: IVF-style bucketed ANN — vectors are assigned to their
+ *    nearest centroid once (map-side vs broadcast centroids); a query
+ *    probes only the `nprobe` nearest centroid buckets, so the scan cost
+ *    drops by ~nClusters/nprobe at some recall cost. Centroids here are a
+ *    deterministic sample of the data (first `nClusters` by id) — a
+ *    k-means refinement would slot in without changing the dataflow.
+ */
+object Knn {
+
+  /** Cosine similarity of two array<float> columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /**
+   * Exact top-k cosine neighbors for each query row.
+   * @param vectors (idCol, vecCol) corpus
+   * @param queries (idCol, vecCol) query set (small; broadcast)
+   */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qvec")))
+    val v = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vvec"))
+    val scored = q.join(v, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qvec"), col("__vvec")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /**
+   * IVF-bucketed approximate top-k: probe the `nprobe` nearest of
+   * `nClusters` centroid buckets per query.
+   */
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nClusters: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = broadcast(
+      vectors.orderBy(col(idCol)).limit(nClusters)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("__cvec")))
+
+    // assign every vector to its nearest centroid (map-side)
+    val wv = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = vectors
+      .select(col(idCol).as("vid"), col(vecCol).as("__vvec"))
+      .join(centroids, lit(true))
+      .withColumn("csim", cosine(col("__vvec"), col("__cvec")))
+      .withColumn("crank", row_number().over(wv))
+      .where(col("crank") === 1)
+      .select(col("vid"), col("__vvec"), col("centroid_id").as("bucket"))
+
+    // per query: nprobe nearest centroid buckets
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .join(centroids, lit(true))
+      .withColumn("qsim", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("centroid_id").as("bucket"))
+
+    // search only the probed buckets
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("bucket"))
+      .where(col("query_id") =!= col("vid"))
+      .withColumn("cos", cosine(col("__qvec"), col("__vvec")))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

