@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.dedup.{CheckpointedSketch, DedupConfig, MarkDuplicates}
+import graft.sketch.BloomSizing
+
+/**
+ * spark-submit entry point mirroring streammd's CLI surface
+ * (`src/streammd.cxx:34-90`, `README.md:87-108`) in the table domain:
+ *
+ *   spark-submit --class graft.DedupCli <jar> \
+ *     --input <parquet> --output <parquet> [--metrics <json path>] \
+ *     [-p|--fp-rate 1e-6] [-m|--mem 4GiB] [--expected-n N] \
+ *     [--allow-overcapacity] [--remove-duplicates] \
+ *     [--content-col content] [--order-cols repo,path,commit] \
+ *     [--checkpoint-dir <dir>] [--partitions N] \
+ *     [--show-capacity]
+ */
+object DedupCli {
+
+  private def parse(args: Array[String]): Map[String, String] = {
+    val flags = Set("--allow-overcapacity", "--remove-duplicates", "--show-capacity")
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (flags(a)) { out(a) = "true"; i += 1 }
+      else if (a.startsWith("-")) {
+        require(i + 1 < args.length, s"missing value for $a")
+        out(a) = args(i + 1); i += 2
+      } else throw new IllegalArgumentException(s"unexpected argument: $a")
+    }
+    out.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args)
+    val p = opts.get("-p").orElse(opts.get("--fp-rate")).map(_.toDouble).getOrElse(1e-6)
+    val mem = opts.get("-m").orElse(opts.get("--mem"))
+
+    // --show-capacity: metadata-only query, no Spark job
+    // (streammd src/streammd.cxx:97-107)
+    if (opts.contains("--show-capacity")) {
+      val spec = mem.getOrElse("4GiB")
+      val (m, k, n) = BloomSizing.fromMemSpec(p, spec)
+      println(s"memory spec: $spec  bits m=$m  hashes k=$k  p=$p  capacity n=$n")
+      return
+    }
+
+    val input = opts.getOrElse("--input", sys.error("--input required"))
+    val output = opts.getOrElse("--output", sys.error("--output required"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-dedup")
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("--partitions",
+          math.max(2, Runtime.getRuntime.availableProcessors()).toString))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = DedupConfig(
+      contentCol = opts.getOrElse("--content-col", "content"),
+      orderCols = opts.getOrElse("--order-cols", "repo,path,commit").split(",").toSeq,
+      p = p,
+      mem = mem,
+      expectedN = opts.get("--expected-n").map(_.toLong).getOrElse(1000000L),
+      removeDuplicates = opts.contains("--remove-duplicates"),
+      allowOvercapacity = opts.contains("--allow-overcapacity"),
+      buildSketch = true)
+
+    val df = spark.read.parquet(input)
+    val res = MarkDuplicates.run(df, cfg)
+    res.marked.write.mode("overwrite").parquet(output)
+
+    opts.get("--checkpoint-dir").foreach { dir =>
+      val (_, manifests) = CheckpointedSketch.build(df, cfg, dir)
+      CheckpointedSketch.writeLineage(dir, args.toSeq, res.metrics, manifests)
+    }
+
+    val m = res.metrics
+    val json =
+      s"""{"ROWS":${m.rows},"ROWS_NULL_CONTENT":${m.rowsNullContent},""" +
+        s""""ROWS_MARKED_DUPLICATE":${m.rowsMarkedDuplicate},""" +
+        s""""DUPLICATE_FRACTION":${m.duplicateFraction}}"""
+    opts.get("--metrics") match {
+      case Some(path) =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      case None => println(json)
+    }
+    res.unpersistAll()
+    spark.stop()
+  }
+}

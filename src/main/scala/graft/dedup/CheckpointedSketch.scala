@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions.col
+import graft.sketch.{BloomSketch, BloomSizing}
+
+/** Per-partition checkpoint record (the lineage manifest row). */
+case class SketchPartCheckpoint(
+    pid: Int, rows: Long, inserted: Long, fromCache: Boolean, file: String)
+
+/**
+ * Resumable distributed sketch construction with per-partition
+ * checkpoints: every input partition builds its Bloom partial and
+ * persists it as `part-<pid>.sketch` (atomic write-then-rename) before
+ * the job-level merge. A restarted job finds existing partials and skips
+ * recomputation — only missing partitions run. Because the merge is an
+ * associative, commutative, idempotent bitwise OR, resume order cannot
+ * change the result.
+ *
+ * This is the distributed analog of streammd's single persistent filter
+ * state, plus the lineage/@PG provenance record
+ * (streammd `src/markdups.cxx:62-83`) written as lineage.json.
+ *
+ * Partition identity is positional: resume assumes the same input files
+ * and partitioning (standard for deterministic batch sources).
+ */
+object CheckpointedSketch {
+
+  /**
+   * Build (or resume) the merged sketch over the signature column of df.
+   * Returns the merged sketch and the per-partition manifest.
+   */
+  def build(df: DataFrame, cfg: DedupConfig, checkpointDir: String): (BloomSketch, Seq[SketchPartCheckpoint]) = {
+    val (m, k, n) = cfg.mem match {
+      case Some(spec) =>
+        val (m0, k0, n0) = BloomSizing.fromMemSpec(cfg.p, spec, cfg.mpow2)
+        (m0, k0, n0)
+      case None =>
+        val (m0, k0) = BloomSizing.mkMin(cfg.p, cfg.expectedN)
+        (m0, k0, cfg.expectedN)
+    }
+    val p = cfg.p
+
+    val sigs = df
+      .select(MarkDuplicates.signature(col(cfg.contentCol)).as("sig"))
+      .as(Encoders.STRING)
+
+    val dir = checkpointDir
+    new Path(dir).getFileSystem(new Configuration())
+      .mkdirs(new Path(dir))
+
+    val manifests = sigs.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val conf = new Configuration()
+      val path = new Path(s"$dir/part-$pid.sketch")
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path)) {
+        // resume: partial already persisted; skip this partition's work
+        Iterator.single(SketchPartCheckpoint(pid, -1L, -1L, fromCache = true, path.toString))
+      } else {
+        val sk = BloomSketch.withCapacity(p, n, m, k)
+        var rows = 0L
+        var inserted = 0L
+        it.foreach { s =>
+          if (s != null) {
+            rows += 1
+            if (sk.add(s)) inserted += 1
+          }
+        }
+        val tmp = new Path(s"$dir/.part-$pid.sketch.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(sk.serialize()) finally out.close()
+        if (!fs.rename(tmp, path)) {
+          // a concurrent attempt won the rename; use its result
+          fs.delete(tmp, false)
+        }
+        Iterator.single(SketchPartCheckpoint(pid, rows, inserted, fromCache = false, path.toString))
+      }
+    }(Encoders.product[SketchPartCheckpoint]).collect().toSeq.sortBy(_.pid)
+
+    // driver-side associative merge of the persisted partials
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    val merged = manifests.map { mf =>
+      val in = fs.open(new Path(mf.file))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        BloomSketch.deserialize(bytes.toByteArray)
+      } finally in.close()
+    }.reduceLeft(_.orInPlace(_))
+
+    (merged, manifests)
+  }
+
+  /** Write the lineage record — the @PG provenance analog
+   *  (streammd `src/markdups.cxx:62-83`) plus the partition manifest. */
+  def writeLineage(
+      checkpointDir: String,
+      args: Seq[String],
+      metrics: DedupMetrics,
+      manifests: Seq[SketchPartCheckpoint]): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val parts = manifests.map { m =>
+      s"""{"pid":${m.pid},"rows":${m.rows},"inserted":${m.inserted},""" +
+        s""""from_cache":${m.fromCache},"file":${q(m.file)}}"""
+    }.mkString("[", ",", "]")
+    val sketchJson = metrics.sketch.map { s =>
+      s"""{"p":${s.p},"m":${s.m},"k":${s.k},"n":${s.n},"inserted":${s.inserted},""" +
+        s""""count_estimate":${s.countEstimate},"capacity_used":${s.capacityUsed},""" +
+        s""""marginal_fpr":${s.marginalFpr}}"""
+    }.getOrElse("null")
+    val json =
+      s"""{"LINEAGE":{"tool":"graft","version":"0.1.0","args":${args.map(q).mkString("[", ",", "]")}},
+         |"ROWS":${metrics.rows},"ROWS_NULL_CONTENT":${metrics.rowsNullContent},
+         |"ROWS_MARKED_DUPLICATE":${metrics.rowsMarkedDuplicate},
+         |"DUPLICATE_FRACTION":${metrics.duplicateFraction},
+         |"SKETCH":$sketchJson,
+         |"CHECKPOINTS":$parts}""".stripMargin
+    val path = new Path(s"$checkpointDir/lineage.json")
+    val fs = path.getFileSystem(new Configuration())
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+}

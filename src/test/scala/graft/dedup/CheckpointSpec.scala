@@ -1,0 +1,70 @@
+package graft.dedup
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpecBase
+import graft.io.RepoTableGen
+import graft.sketch.BloomSketch
+
+class CheckpointSpec extends SparkSpecBase {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-ckpt-$tag").toString
+
+  private lazy val df = {
+    val d = RepoTableGen.repositories(spark, 5000L, dupFraction = 0.3,
+      nullFraction = 0.01, numPartitions = Some(6), seed = 21L)
+    val path = tmpDir("data") + "/repos.parquet"
+    d.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private val cfg = DedupConfig(p = 1e-4, expectedN = 5000L)
+
+  test("checkpointed sketch equals the single-job UDAF sketch") {
+    val dir = tmpDir("a")
+    val (sketch, manifests) = CheckpointedSketch.build(df, cfg, dir)
+    assert(manifests.nonEmpty)
+    assert(manifests.forall(!_.fromCache))
+    val direct = MarkDuplicates.buildSketch(df, cfg)
+    assert(sketch === direct)
+  }
+
+  test("resume: second run skips all partitions, identical sketch") {
+    val dir = tmpDir("b")
+    val (first, m1) = CheckpointedSketch.build(df, cfg, dir)
+    val (second, m2) = CheckpointedSketch.build(df, cfg, dir)
+    assert(m1.forall(!_.fromCache))
+    assert(m2.forall(_.fromCache), "all partitions must resume from checkpoint")
+    assert(first === second)
+  }
+
+  test("partial resume: missing partitions recomputed, identical sketch") {
+    val dirFull = tmpDir("c1")
+    val (full, _) = CheckpointedSketch.build(df, cfg, dirFull)
+
+    // simulate a job killed after some partitions: keep only even pids
+    val dirPart = tmpDir("c2")
+    val src = Paths.get(dirFull)
+    Files.list(src).forEach { f =>
+      val name = f.getFileName.toString
+      if (name.matches("part-[02468]+\\.sketch"))
+        Files.copy(f, Paths.get(dirPart, name))
+    }
+    val (resumed, manifests) = CheckpointedSketch.build(df, cfg, dirPart)
+    assert(manifests.exists(_.fromCache), "some partitions resumed")
+    assert(manifests.exists(!_.fromCache), "some partitions recomputed")
+    assert(resumed === full, "resume must reproduce the full-run sketch")
+  }
+
+  test("lineage.json written with manifest + metrics") {
+    val dir = tmpDir("d")
+    val res = MarkDuplicates.run(df, cfg)
+    val (_, manifests) = CheckpointedSketch.build(df, cfg, dir)
+    CheckpointedSketch.writeLineage(dir, Seq("--input", "x"), res.metrics, manifests)
+    val json = Files.readString(Paths.get(dir, "lineage.json"))
+    assert(json.contains("\"tool\":\"graft\""))
+    assert(json.contains("\"CHECKPOINTS\":["))
+    assert(json.contains("\"ROWS\":5000"))
+    res.unpersistAll()
+  }
+}
