@@ -1,0 +1,151 @@
+package graft.sam
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.SparkSpecBase
+
+/**
+ * Parity against the reference's own semantics and golden fixtures.
+ * Unit cases ported from streammd `tests/test_markdups.cxx`; the full
+ * concordance check replays `tests/resources/test.paired_full.sam`
+ * (4058 alignments / 2027 templates) and compares the duplicate flag of
+ * EVERY alignment against the Picard golden file, keyed (qname, rname,
+ * pos) — same comparison as `tests/test_util.cxx:24-50`.
+ */
+class SamParitySpec extends SparkSpecBase {
+
+  private def read(order: Long, qname: String, flag: Int, rname: String,
+                   pos: Int, cigar: String) = SamRead(order, qname, flag, rname, pos, cigar)
+
+  // ---- CIGAR scalar fns (test_markdups.cxx:29-55) ----
+
+  test("start_pos subtracts leading soft clips only") {
+    assert(SamOps.startPos(1000, "100M") === 1000)
+    assert(SamOps.startPos(1000, "10S90M") === 990)
+    assert(SamOps.startPos(1000, "90M10S") === 1000)
+    assert(SamOps.startPos(1000, "10H90M") === 1000)
+  }
+
+  test("end_pos adds ref-consuming ops and trailing soft clips") {
+    assert(SamOps.endPos(1000, "100M") === 1100)
+    assert(SamOps.endPos(1000, "10S90M") === 1090)
+    assert(SamOps.endPos(1000, "90M10S") === 1100)
+    assert(SamOps.endPos(1000, "40M10D50M") === 1100) // D consumes ref
+    assert(SamOps.endPos(1000, "40M10I50M") === 1090) // I does not
+    assert(SamOps.endPos(1000, "40M10N50M") === 1100) // N consumes ref
+  }
+
+  test("column CIGAR fns agree with the Scala fns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq((1000, "100M"), (1000, "10S90M"), (1000, "90M10S"),
+      (1000, "40M10D50M"), (1000, "40M10I50M"), (500, "5S20M3D2I10M7S"))
+    val df = cases.toDF("pos", "cigar")
+    val got = df.select(
+      SamOps.startPosCol(col("pos"), col("cigar")).as("sp"),
+      SamOps.endPosCol(col("pos"), col("cigar")).as("ep"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val want = cases.map { case (p, c) => (SamOps.startPos(p, c), SamOps.endPos(p, c)) }
+    assert(got.toSeq === want)
+  }
+
+  // ---- template_ends semantics (test_markdups.cxx:120-246) ----
+
+  test("orientation invariance: FR and RF pairs get the same signature") {
+    val fr = Seq(
+      read(0, "q", 99, "chr1", 1000, "100M"),  // fwd
+      read(1, "q", 147, "chr1", 1200, "100M")) // rev
+    val rf = Seq(
+      read(0, "q", 83, "chr1", 1200, "100M"),  // rev first in file
+      read(1, "q", 163, "chr1", 1000, "100M")) // fwd second
+    assert(SamOps.templateEnds(fr) === SamOps.templateEnds(rf))
+  }
+
+  test("unmapped end sorts last (DEL sentinel)") {
+    val orphan = Seq(
+      read(0, "q", 73, "chr1", 1000, "100M"), // mapped fwd, mate unmapped
+      read(1, "q", 133, "chr1", 1000, "*"))   // unmapped
+    val ends = SamOps.templateEnds(orphan)
+    assert(ends.size === 2)
+    assert(ends.head === "chr1F1000")
+    assert(ends.last === SamOps.Del)
+  }
+
+  test("SAMBLASTER orphan rule: mapped end of half-mapped pair uses start_pos/F even when reverse") {
+    val orphanRev = Seq(
+      read(0, "q", 89, "chr1", 1000, "10S90M"), // mapped REVERSE (16 set), mate unmapped
+      read(1, "q", 165, "chr1", 1000, "*"))
+    val ends = SamOps.templateEnds(orphanRev)
+    // reverse flag ignored because a read is unmapped: F + start_pos
+    assert(ends.head === "chr1F990")
+  }
+
+  test("secondary and supplementary alignments are excluded from ends") {
+    val grp = Seq(
+      read(0, "q", 99, "chr1", 1000, "100M"),
+      read(1, "q", 355, "chr2", 5000, "100M"), // secondary (256)
+      read(2, "q", 2147, "chr3", 9000, "100M"), // supplementary (2048)
+      read(3, "q", 147, "chr1", 1200, "100M"))
+    assert(SamOps.templateEnds(grp) === Seq("chr1F1000", "chr1R1300"))
+  }
+
+  test("arity violation throws like the reference") {
+    val bad = SamOps.parseSamLines(spark, Seq(
+      "q1\t0\tchr1\t1000\t60\t100M\t*\t0\t0\tA\tF"))
+    val e = intercept[IllegalStateException](
+      SamOps.markSamDuplicates(bad, readsPerTemplate = 2).collect())
+    assert(e.getMessage.contains("not paired or not qname-grouped"))
+  }
+
+  // ---- full-fixture Picard concordance (test_markdups.cxx:429-440) ----
+
+  test("full concordance: 2027 templates, 1018 dup templates, 2039 dup alignments, per-record flag parity") {
+    val fixture = "/root/reference/tests/resources/test.paired_full.sam"
+    val golden = "/root/reference/tests/resources/test.paired_full.picardmd.sam"
+    assume(Files.exists(Paths.get(fixture)))
+
+    val lines = Files.readAllLines(Paths.get(fixture)).asScala.toSeq
+    val reads = SamOps.parseSamLines(spark, lines)
+    val out = SamOps.markSamDuplicates(reads, readsPerTemplate = 2).cache()
+
+    import org.apache.spark.sql.functions._
+    val alignments = out.count()
+    assert(alignments === 4058L)
+    val templates = out.select(countDistinct(col("qname"))).head().getLong(0)
+    assert(templates === 2027L)
+    val dupAlignments = out.where(col("is_duplicate")).count()
+    assert(dupAlignments === 2039L)
+    val dupTemplates = out.where(col("is_duplicate"))
+      .select(countDistinct(col("qname"))).head().getLong(0)
+    assert(dupTemplates === 1018L)
+    assert(math.abs(dupTemplates.toDouble / templates - 0.5022) < 0.0001)
+
+    // per-record duplicate-flag equality vs the Picard golden file,
+    // keyed (qname, rname, pos) as in the reference test harness
+    val goldenFlags = Files.readAllLines(Paths.get(golden)).asScala
+      .filter(l => l.nonEmpty && l.charAt(0) != '@')
+      .map { l =>
+        val f = l.split("\t")
+        (f(0), f(2), f(3).toInt) -> ((f(1).toInt & SamOps.FlagDuplicate) != 0)
+      }.toMap
+    val ours = out.select(col("qname"), col("rname"), col("pos"), col("out_flag"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getInt(3) & SamOps.FlagDuplicate) != 0))
+    val mismatches = ours.filter { case (k, dup) => goldenFlags.get(k).exists(_ != dup) }
+    assert(mismatches.isEmpty,
+      s"${mismatches.length} alignments disagree with Picard golden flags: ${mismatches.take(5).toSeq}")
+    out.unpersist()
+  }
+
+  test("strip-previous clears pre-set duplicate flags on non-duplicates") {
+    val lines = Seq(
+      "q1\t1091\tchr1\t1000\t60\t100M\t*\t0\t0\tA\tF", // 1024 pre-set, fwd+paired
+      "q1\t1171\tchr1\t1200\t60\t100M\t*\t0\t0\tA\tF")
+    val reads = SamOps.parseSamLines(spark, lines)
+    val kept = SamOps.markSamDuplicates(reads, 2, stripPrevious = false).collect()
+    assert(kept.forall(r => (r.getAs[Int]("out_flag") & 1024) != 0), "flag kept without strip")
+    val stripped = SamOps.markSamDuplicates(reads, 2, stripPrevious = true).collect()
+    assert(stripped.forall(r => (r.getAs[Int]("out_flag") & 1024) === 0), "flag cleared with strip")
+  }
+}
