@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Explicit skew handling for hot keys (hot repos / hot signatures).
+ *
+ * Where skew matters in this engine:
+ *  - The per-signature groupBy already combines map-side, so a hot
+ *    signature contributes at most one partial row per input partition
+ *    to the shuffle — partial aggregation IS the salt for re-aggregable
+ *    functions (count/min/sum/sketch-merge).
+ *  - A hot key in a JOIN or a non-combining aggregation (collect_list,
+ *    exact windows) does concentrate on one reducer; for those,
+ *    `saltedGroupAgg` does the classic two-stage salted aggregation and
+ *    `repartitionByKeySalted` spreads a hot key over `salt` partitions.
+ *  - AQE skew-join splitting handles the join side at runtime; salting
+ *    here is the static guarantee for when AQE is off or the operation
+ *    is not a join.
+ */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) from arbitrary columns. */
+  def saltCol(buckets: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
+
+  /**
+   * Hash-repartition on `keys` with hot-key salting: every row's target
+   * partition also mixes in a salt derived from `saltFrom` (e.g. path,
+   * commit), so one hot repo spreads over up to `saltBuckets` partitions
+   * instead of hitting one. This is the "explicit repartition on
+   * hash(repo, path) + salted hot repos" shape from the design brief.
+   */
+  def repartitionByKeySalted(
+      df: DataFrame,
+      numPartitions: Int,
+      keys: Seq[String],
+      saltFrom: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val parts =
+      (keys.map(col) :+ saltCol(saltBuckets, saltFrom.map(col): _*)).toArray
+    df.repartition(numPartitions, parts: _*)
+  }
+
+  /**
+   * Two-stage salted aggregation for re-aggregable aggregates:
+   * stage 1 groups by (key, salt) — the hot key's rows split over
+   * `saltBuckets` reducers; stage 2 re-aggregates the partials by key.
+   *
+   * @param partialAggs aggregates for stage 1 (over raw rows)
+   * @param finalAggs aggregates for stage 2 (over stage-1 partials)
+   */
+  def saltedGroupAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFromCols: Seq[String],
+      saltBuckets: Int,
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(saltBuckets, saltFromCols.map(col): _*))
+    val stage1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Top-N keys by frequency — hot-key detection for choosing what to salt
+   *  (one cheap pass over the slim key projection). */
+  def hotKeys(df: DataFrame, keys: Seq[String], topN: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc)
+      .limit(topN)
+}

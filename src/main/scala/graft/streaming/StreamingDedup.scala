@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.MarkDuplicates
+import graft.sketch.{BloomSketch, BloomSketchAggregator}
+
+/**
+ * Structured Streaming duplicate handling — the true streaming analog of
+ * streammd's single-pass pipe processing (its "stream" is stdin;
+ * ours is an unbounded table).
+ *
+ * Two modes:
+ *
+ *  - `dedupExactStream`: exact streaming dedup on the sha256 signature
+ *    via Spark's stateful `dropDuplicates` (state store backed,
+ *    watermark-bounded when an event-time column is given). First
+ *    occurrence passes through; later ones are dropped — streammd's
+ *    `--remove-duplicates` semantics over an unbounded input.
+ *
+ *  - `markAgainstSketchStream`: constant-memory probabilistic marking
+ *    against a FROZEN corpus sketch (e.g. built by the batch job and
+ *    refreshed per micro-batch epoch): map-side only, no state store,
+ *    FPR <= sketch p — streammd's probe semantics where the Bloom filter
+ *    stands in for unbounded state.
+ */
+object StreamingDedup {
+
+  /** Exact streaming dedup: keep first occurrence of each signature.
+   *  Pass an event-time column + watermark to bound state. */
+  def dedupExactStream(
+      stream: DataFrame,
+      contentCol: String,
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val withSig = stream
+      .withColumn(MarkDuplicates.SigCol, MarkDuplicates.signature(col(contentCol)))
+      .where(col(MarkDuplicates.SigCol).isNotNull)
+    eventTimeCol match {
+      case Some(tc) =>
+        withSig.withWatermark(tc, watermark)
+          .dropDuplicates(MarkDuplicates.SigCol, tc)
+      case None =>
+        withSig.dropDuplicates(MarkDuplicates.SigCol)
+    }
+  }
+
+  /** Probabilistic streaming mark against a frozen sketch (map-side). */
+  def markAgainstSketchStream(
+      stream: DataFrame,
+      sketch: BloomSketch,
+      contentCol: String,
+      outputCol: String = "is_duplicate"): DataFrame = {
+    val probe = BloomSketchAggregator.bloomContains(sketch.serialize())
+    stream.withColumn(outputCol,
+      probe(MarkDuplicates.signature(col(contentCol))))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.io.RepoTableGen
+
+class SkewSpec extends SparkSpecBase {
+
+  test("salted two-stage agg equals direct agg on a hot-key table") {
+    // 50% of rows in one hot repo (RepoTableGen hotFraction)
+    val df = RepoTableGen.repositories(spark, 20000L, dupFraction = 0.2,
+      nullFraction = 0.0, hotFraction = 0.5, nRepos = 50, seed = 17L)
+
+    val direct = df.groupBy(col("repo"))
+      .agg(count(lit(1)).as("n"), min(col("path")).as("first_path"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+    val salted = Skew.saltedGroupAgg(
+      df,
+      keys = Seq("repo"),
+      saltFromCols = Seq("path", "commit"),
+      saltBuckets = 8,
+      partialAggs = Seq(count(lit(1)).as("n"), min(col("path")).as("first_path")),
+      finalAggs = Seq(sum(col("n")).as("n"), min(col("first_path")).as("first_path")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+    assert(salted === direct)
+  }
+
+  test("salted repartition spreads the hot key over multiple partitions") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val df = RepoTableGen.repositories(spark, 10000L, dupFraction = 0.0,
+      nullFraction = 0.0, hotFraction = 0.6, nRepos = 20, seed = 19L)
+    val hot = Skew.hotKeys(df, Seq("repo"), 1).collect()(0).getString(0)
+
+    val unsalted = df.repartition(8, col("repo"))
+      .withColumn("pid", spark_partition_id())
+      .where(col("repo") === hot)
+      .select(countDistinct(col("pid"))).head().getLong(0)
+    assert(unsalted === 1L, "hot repo lands on one partition without salting")
+
+    val saltedParts = Skew.repartitionByKeySalted(
+      df, 8, keys = Seq("repo"), saltFrom = Seq("path"), saltBuckets = 16)
+      .withColumn("pid", spark_partition_id())
+      .where(col("repo") === hot)
+      .select(countDistinct(col("pid"))).head().getLong(0)
+    assert(saltedParts >= 4L, s"hot repo spread over only $saltedParts partitions")
+  }
+
+  test("hotKeys finds the dominant key") {
+    val df = RepoTableGen.repositories(spark, 5000L, dupFraction = 0.0,
+      nullFraction = 0.0, hotFraction = 0.5, nRepos = 20, seed = 23L)
+    val top = Skew.hotKeys(df, Seq("repo"), 3).collect()
+    assert(top(0).getLong(1) > 5000 * 0.4, "hot repo holds ~half the rows")
+    assert(top(0).getLong(1) > 3 * top(1).getLong(1))
+  }
+}

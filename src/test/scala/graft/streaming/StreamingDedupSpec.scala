@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.dedup.{DedupConfig, MarkDuplicates}
+import graft.io.RepoTableGen
+
+class StreamingDedupSpec extends SparkSpecBase {
+
+  test("exact streaming dedup keeps only first occurrence across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "content")
+    val deduped = StreamingDedup.dedupExactStream(stream, "content")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // dup in batch
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma")) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("sketch-probe streaming mark: corpus hits flagged, fresh rows pass (FPR-bounded)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = RepoTableGen.repositories(spark, 2000L, dupFraction = 0.0,
+      nullFraction = 0.0, seed = 31L)
+    val sketch = MarkDuplicates.buildSketch(corpus,
+      DedupConfig(p = 1e-3, expectedN = 2000L))
+
+    val corpusContent = corpus.select("content").limit(3)
+      .collect().map(_.getString(0))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "content")
+    val marked = StreamingDedup.markAgainstSketchStream(stream, sketch, "content")
+    val q = marked.writeStream.format("memory").queryName("probe_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, corpusContent(0)), (2L, "definitely fresh content xyz"),
+        (3L, corpusContent(1)), (4L, corpusContent(2)))
+      q.processAllAvailable()
+      val res = spark.table("probe_out").select("id", "is_duplicate")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(res(1L) && res(3L) && res(4L), "corpus members must hit the sketch")
+      assert(!res(2L), "fresh content should not hit (p=1e-3)")
+    } finally q.stop()
+  }
+}
