@@ -34,7 +34,8 @@ object Bench {
       numPartitions = Some(cpus.toInt * 2))
     repos.write.mode("overwrite").parquet("/tmp/graft_bench_repos.parquet")
     val table = spark.read.parquet("/tmp/graft_bench_repos.parquet")
-    val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows)
+    val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows,
+      broadcastKeeperMaxRows = 20000000L)
     val t0 = System.nanoTime()
     val res = graft.dedup.MarkDuplicates.run(table, cfg)
     res.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked.parquet")

@@ -46,7 +46,7 @@ object CheckpointedSketch {
 
     val sigs = df
       .select(MarkDuplicates.signature(col(cfg.contentCol)).as("sig"))
-      .as(Encoders.STRING)
+      .as(Encoders.BINARY)
 
     val dir = checkpointDir
     new Path(dir).getFileSystem(new Configuration())

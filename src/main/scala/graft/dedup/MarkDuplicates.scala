@@ -35,8 +35,13 @@ object MarkDuplicates {
   private val CntCol = "__sig_cnt"
   private val KeeperCol = "__sig_keeper"
 
-  /** sha256 hex signature; null for null/empty content (the unmapped analog). */
+  /** sha256 signature as 32-byte binary (half the shuffle/broadcast bytes
+   *  of the hex string); null for null/empty content (the unmapped analog). */
   def signature(content: Column): Column =
+    when(length(content) > 0, unhex(sha2(content, 256)))
+
+  /** Hex form for user-facing output/oracles. */
+  def signatureHex(content: Column): Column =
     when(length(content) > 0, sha2(content, 256))
 
   /**
@@ -59,15 +64,21 @@ object MarkDuplicates {
       .groupBy(SigCol)
       .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
 
-  private def joinMark(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame = {
-    val marked = withSig
+  /** Left-join the keeper set and derive the duplicate flag. */
+  private def joinFlag(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame =
+    withSig
       .join(dupGroups, Seq(SigCol), "left_outer")
       .withColumn(cfg.outputCol,
         col(CntCol).isNotNull && !(keyExpr(cfg) <=> col(KeeperCol)))
       .drop(CntCol, KeeperCol)
+
+  private def applyOutputOptions(marked: DataFrame, cfg: DedupConfig): DataFrame = {
     val out = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
     if (cfg.keepSignature) out else out.drop(SigCol)
   }
+
+  private def joinMark(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame =
+    applyOutputOptions(joinFlag(withSig, dupGroups, cfg), cfg)
 
   def mark(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
@@ -80,8 +91,17 @@ object MarkDuplicates {
    * false positives bounded by the sketch's p.
    */
   def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val probe = BloomSketchAggregator.bloomContains(sketch.serialize())
+    val probe = BloomSketchAggregator.bloomContainsBytes(sketch.serialize())
     df.withColumn(cfg.outputCol, probe(signature(col(cfg.contentCol))))
+  }
+
+  /** The Bloom UDAF column (binary signature input), shaped from cfg. */
+  def sketchAggColumn(cfg: DedupConfig): Column = {
+    val agg = cfg.mem match {
+      case Some(spec) => BloomSketchAggregator.bytesFromMemSpec(cfg.p, spec, cfg.mpow2)
+      case None => BloomSketchAggregator.bytesFromN(cfg.p, cfg.expectedN)
+    }
+    udaf(agg).apply(col(SigCol))
   }
 
   /**
@@ -89,26 +109,13 @@ object MarkDuplicates {
    * aggregation; one job). Shape from cfg: memspec if given else mkMin(p,
    * expectedN).
    */
-  def buildSketch(df: DataFrame, cfg: DedupConfig): BloomSketch = {
-    val agg = cfg.mem match {
-      case Some(spec) => BloomSketchAggregator.fromMemSpec(cfg.p, spec, cfg.mpow2)
-      case None => BloomSketchAggregator.fromN(cfg.p, cfg.expectedN)
-    }
-    val bytes = df
-      .select(signature(col(cfg.contentCol)).as(SigCol))
-      .agg(udaf(agg).apply(col(SigCol)))
-      .head().getAs[Array[Byte]](0)
-    BloomSketch.deserialize(bytes)
-  }
+  def buildSketch(df: DataFrame, cfg: DedupConfig): BloomSketch =
+    sketchFromSigs(df.select(signature(col(cfg.contentCol)).as(SigCol)), cfg)
 
-  /** Build the sketch from a single signature column (nulls skipped). */
+  /** Build the sketch from a single binary signature column (nulls skipped). */
   def sketchFromSigs(sigs: DataFrame, cfg: DedupConfig): BloomSketch = {
-    val agg = cfg.mem match {
-      case Some(spec) => BloomSketchAggregator.fromMemSpec(cfg.p, spec, cfg.mpow2)
-      case None => BloomSketchAggregator.fromN(cfg.p, cfg.expectedN)
-    }
-    val c = sigs.columns.head
-    val bytes = sigs.agg(udaf(agg).apply(col(c))).head().getAs[Array[Byte]](0)
+    val renamed = sigs.toDF(SigCol)
+    val bytes = renamed.agg(sketchAggColumn(cfg)).head().getAs[Array[Byte]](0)
     BloomSketch.deserialize(bytes)
   }
 
@@ -129,23 +136,29 @@ object MarkDuplicates {
     val counts = sigCounts(withSig, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val row = counts.agg(
+    // one pass over the per-signature counts: derived metrics AND the
+    // Bloom sketch over distinct signatures (mixed declarative + typed
+    // imperative aggregation — a single job and plan)
+    val baseAggs = Seq(
       coalesce(sum(col(CntCol)), lit(0L)).as("rows_non_null"),
       coalesce(sum(col(CntCol) - 1), lit(0L)).as("dups"),
-      count(lit(1)).as("distinct_sigs")
-    ).head()
+      count(lit(1)).as("distinct_sigs"),
+      count(when(col(CntCol) > 1, 1)).as("dup_groups"))
+    val aggs = if (cfg.buildSketch) baseAggs :+ sketchAggColumn(cfg).as("sketch") else baseAggs
+    val row = counts.agg(aggs.head, aggs.tail: _*).head()
     val rowsNonNull = row.getLong(0)
     val dups = row.getLong(1)
     // exact count of inserted (distinct) signatures — streammd's
     // nadded = templates - unmapped - dups (src/streammd.cxx:143)
     val nAdded = row.getLong(2)
+    val dupGroupRows = row.getLong(3)
     // total row count is metadata-only on columnar sources; null-content
     // count follows by difference (sig is null iff content is null/empty)
     val rows = df.count()
     val rowsNull = rows - rowsNonNull
 
     val sketch =
-      if (cfg.buildSketch) Some(sketchFromSigs(counts.select(col(SigCol)), cfg)) else None
+      if (cfg.buildSketch) Some(BloomSketch.deserialize(row.getAs[Array[Byte]]("sketch"))) else None
     val metrics = DedupMetrics(
       rows = rows,
       rowsNullContent = rowsNull,
@@ -165,7 +178,29 @@ object MarkDuplicates {
             "Pass allowOvercapacity=true to continue (results may exceed target FPR).")
       }
     }
-    val marked = joinMark(withSig, counts.where(col(CntCol) > 1), cfg)
+    // The keeper-set size is now EXACTLY known, so pick the mark plan:
+    //  - small keeper set -> broadcast hash join, zero shuffle of the
+    //    full-width table;
+    //  - large keeper set -> BLOOM-GATED mark: broadcast a few-MB Bloom
+    //    filter of the duplicated signatures; rows that miss it are
+    //    definitely unique and get flagged false MAP-SIDE (false
+    //    positives just take the join path and find no match), so only
+    //    the duplicated fraction of the table enters the shuffled join.
+    //    This is the streammd probe re-purposed as a semi-join gate.
+    val keepers0 = counts.where(col(CntCol) > 1)
+    val marked =
+      if (dupGroupRows <= cfg.broadcastKeeperMaxRows) {
+        joinMark(withSig, broadcast(keepers0), cfg)
+      } else {
+        val gate = sketchFromSigs(
+          keepers0.select(col(SigCol)),
+          cfg.copy(p = cfg.gateFpr, expectedN = math.max(1L, dupGroupRows), mem = None))
+        val maybeDup = BloomSketchAggregator.bloomContainsBytes(gate.serialize())
+        val clean = withSig.where(!maybeDup(col(SigCol)))
+          .withColumn(cfg.outputCol, lit(false))
+        val dirty = joinFlag(withSig.where(maybeDup(col(SigCol))), keepers0, cfg)
+        applyOutputOptions(dirty.unionByName(clean), cfg)
+      }
     DedupResult(marked, metrics, sketch, Some(counts))
   }
 }
@@ -183,7 +218,15 @@ case class DedupConfig(
     allowOvercapacity: Boolean = false,
     buildSketch: Boolean = true,
     keepSignature: Boolean = false,
-    outputCol: String = "is_duplicate")
+    outputCol: String = "is_duplicate",
+    // max keeper-set rows to broadcast in run()'s mark join (~300 B/row
+    // in the driver hash relation: 2M rows ~ 600 MB — size to the driver);
+    // above this, the bloom-gated mark path is used instead
+    broadcastKeeperMaxRows: Long = 2000000L,
+    // FPR of the dup-signature gate bloom in the bloom-gated mark path:
+    // false positives only cost a wasted join probe, so a loose p keeps
+    // the broadcast tiny (p=1e-3 -> ~1.8 bytes per duplicated signature)
+    gateFpr: Double = 1e-3)
 
 /** Mirrors streammd's counts struct + derived fraction
  *  (`src/markdups.h:33-36`, `src/markdups.cxx:202-234`). */

@@ -82,7 +82,7 @@ object DedupQueries {
 
   /** Operator #8 (signature construction): sha256 per row, null for null/empty. */
   def sigSha256(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir).select(col("id"), MarkDuplicates.signature(col("text")).as("sig"))
+    corpus(spark, dir).select(col("id"), MarkDuplicates.signatureHex(col("text")).as("sig"))
 
   val SigSha256Sql: String =
     s"""$CorpusSql SELECT id,
@@ -105,6 +105,7 @@ object DedupQueries {
     val nonMembers = d.select(probe(concat(col("text"), lit(" __fresh__"))).as("hit"))
       .agg(count(when(col("hit"), 1)).as("hits")).head().getLong(0)
     val sk = BloomSketch.deserialize(bytes)
+    d.unpersist()
     Seq((nDocs, members == nDocs, nonMembers.toDouble / nDocs <= 2 * p,
       math.abs(sk.countEstimate.toDouble / nDocs - 1.0) < 0.05))
       .toDF("n_docs", "members_all_found", "fpr_within_2p", "estimate_within_5pct")

@@ -45,11 +45,39 @@ class BloomSketchAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Binary-input variant (e.g. 32-byte sha256 signatures) — avoids the
+ *  string round-trip in the hot path. */
+class BloomSketchBytesAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
+    extends Aggregator[Array[Byte], BloomSketch, Array[Byte]] {
+  override def zero: BloomSketch = n match {
+    case Some(n0) => BloomSketch.withCapacity(p, n0, m, k)
+    case None => BloomSketch(p, m, k)
+  }
+  override def reduce(buf: BloomSketch, sig: Array[Byte]): BloomSketch = {
+    if (sig != null) buf.add(sig)
+    buf
+  }
+  override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.orInPlace(b)
+  override def finish(buf: BloomSketch): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[BloomSketch] = Encoders.kryo[BloomSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 object BloomSketchAggregator {
   /** Aggregator sized from (p, n) via `BloomSizing.mkMin`; n kept as given. */
   def fromN(p: Double, n: Long): BloomSketchAggregator = {
     val (m, k) = BloomSizing.mkMin(p, n)
     new BloomSketchAggregator(p, m, k, Some(n))
+  }
+
+  def bytesFromN(p: Double, n: Long): BloomSketchBytesAggregator = {
+    val (m, k) = BloomSizing.mkMin(p, n)
+    new BloomSketchBytesAggregator(p, m, k, Some(n))
+  }
+
+  def bytesFromMemSpec(p: Double, memspec: String, mpow2: Boolean = false): BloomSketchBytesAggregator = {
+    val (m, k, _) = BloomSizing.fromMemSpec(p, memspec, mpow2)
+    new BloomSketchBytesAggregator(p, m, k)
   }
 
   /** Aggregator sized from a memory spec (k = 10, as the reference). */
@@ -73,10 +101,17 @@ object BloomSketchAggregator {
     val probe = new BloomProbe(sketchBytes)
     org.apache.spark.sql.functions.udf((s: String) => probe(s))
   }
+
+  /** Binary-input probe (for binary signature columns). */
+  def bloomContainsBytes(sketchBytes: Array[Byte]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val probe = new BloomProbe(sketchBytes)
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) => probe.bytes(b))
+  }
 }
 
 /** Serializable holder deserializing the sketch once per JVM/closure. */
-private[sketch] class BloomProbe(bytes: Array[Byte]) extends Serializable {
-  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(bytes)
+private[sketch] class BloomProbe(bytesIn: Array[Byte]) extends Serializable {
+  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(bytesIn)
   def apply(s: String): Boolean = s != null && sketch.contains(s)
+  def bytes(b: Array[Byte]): Boolean = b != null && sketch.contains(b)
 }

@@ -51,7 +51,10 @@ object StreamingDedup {
       sketch: BloomSketch,
       contentCol: String,
       outputCol: String = "is_duplicate"): DataFrame = {
-    val probe = BloomSketchAggregator.bloomContains(sketch.serialize())
+    // NOTE: must be the binary-input probe — a string-input UDF over the
+    // binary signature column silently coerces raw bytes to UTF-8 and
+    // probes garbage (no analysis error)
+    val probe = BloomSketchAggregator.bloomContainsBytes(sketch.serialize())
     stream.withColumn(outputCol,
       probe(MarkDuplicates.signature(col(contentCol))))
   }

@@ -38,7 +38,7 @@ class MarkDuplicatesSpec extends SparkSpecBase {
   test("per-row content sha256 equality vs pass-through (per-row invariant)") {
     val marked = MarkDuplicates.mark(repos, cfg.copy(keepSignature = true))
     val bad = marked.where(
-      col(MarkDuplicates.SigCol) =!= sha2(col("content"), 256) &&
+      col(MarkDuplicates.SigCol) =!= unhex(sha2(col("content"), 256)) &&
         col("content").isNotNull && length(col("content")) > 0).count()
     assert(bad === 0L)
     // content itself passes through unmodified
@@ -72,6 +72,17 @@ class MarkDuplicatesSpec extends SparkSpecBase {
     // estimate within 2% at this load
     assert(math.abs(sm.countEstimate.toDouble / m.nAdded - 1.0) < 0.02)
     assert(sm.capacityUsed <= 1.0)
+  }
+
+  test("bloom-gated mark path (broadcast cap 0) equals the plain mark") {
+    val gated = MarkDuplicates.run(repos, cfg.copy(broadcastKeeperMaxRows = 0L))
+    val plain = MarkDuplicates.mark(repos, cfg)
+    val joined = gated.marked.select(col("repo"), col("path"), col("commit"),
+        col("is_duplicate").as("gated_dup"))
+      .join(plain, Seq("repo", "path", "commit"))
+    assert(joined.count() === repos.count())
+    assert(joined.where(col("gated_dup") =!= col("is_duplicate")).count() === 0L)
+    gated.unpersistAll()
   }
 
   test("deterministic across partition counts (local shuffle invariance)") {
