@@ -34,6 +34,9 @@ object SparkEntry {
     "ann_brute_force" -> SimQueries.annBruteForce,
     "ann_ivf_recall" -> SimQueries.annIvfRecall,
     "multimodal_features" -> SimQueries.multimodalFeatures,
+    "tdigest_quantiles" -> SketchQueries.tdigestQuantiles,
+    "sql_sketch_check" -> SketchQueries.sqlSketchCheck,
+    "fingerprint_exact_pairs" -> SimQueries.fingerprintExactPairs,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -57,5 +60,8 @@ object SparkEntry {
     "ann_brute_force" -> SimQueries.AnnBruteForceSql,
     "ann_ivf_recall" -> SimQueries.AnnIvfRecallSql,
     "multimodal_features" -> SimQueries.MultimodalFeaturesSql,
+    "tdigest_quantiles" -> SketchQueries.TdigestQuantilesSql,
+    "sql_sketch_check" -> SketchQueries.SqlSketchCheckSql,
+    "fingerprint_exact_pairs" -> SimQueries.FingerprintExactPairsSql,
   )
 }

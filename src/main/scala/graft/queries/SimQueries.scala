@@ -149,4 +149,19 @@ object SimQueries {
   val MultimodalFeaturesSql: String =
     "SELECT doc_id, 'text/plain' AS modality, " +
       "octet_length(encode(coalesce(text, ''))) AS byte_len FROM documents"
+
+  /** Winnowing fingerprint overlap, confirmed by exact content equality:
+   *  identical texts have identical fingerprint sets, so recall on exact
+   *  duplicates is 1 and the confirmed-pair set equals the sha-equal set. */
+  def fingerprintExactPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val cands = graft.text.Fingerprint.overlapPairs(corpus, "id", "text", minShared = 2)
+    cands
+      .join(corpus.select(col("id").as("id_a"), sha2(col("text"), 256).as("sha_a")), Seq("id_a"))
+      .join(corpus.select(col("id").as("id_b"), sha2(col("text"), 256).as("sha_b")), Seq("id_b"))
+      .where(col("sha_a") === col("sha_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val FingerprintExactPairsSql: String = ExactPairsSql
 }

@@ -74,4 +74,44 @@ object SketchQueries {
   val KllValueQuantilesSql: String =
     "SELECT * FROM (VALUES ('q0.10', true), ('q0.25', true), ('q0.50', true), " +
       "('q0.75', true), ('q0.90', true)) AS t(quantile, kll_within_2pct_rank)"
+
+  /** t-digest quantiles of l_extendedprice: estimated quantile's TRUE rank
+   *  within the k1 bound (tails much tighter than mid). */
+  def tdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_extendedprice").isNotNull)
+    val n = li.count()
+    val bytes = li.agg(GraftFunctions.tdigestSketch(col("l_extendedprice")))
+      .head().getAs[Array[Byte]](0)
+    val td = TDigest.deserialize(bytes)
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99).map { q =>
+      val est = td.quantile(q)
+      val trueRank = li.where(col("l_extendedprice") <= est).count().toDouble / n
+      val bound = math.max(0.002, 8.0 * q * (1 - q) / 100.0)
+      (f"q$q%.2f", math.abs(trueRank - q) <= bound)
+    }.toDF("quantile", "tdigest_within_bound")
+  }
+
+  val TdigestQuantilesSql: String =
+    "SELECT * FROM (VALUES ('q0.01', true), ('q0.25', true), ('q0.50', true), " +
+      "('q0.75', true), ('q0.99', true)) AS t(quantile, tdigest_within_bound)"
+
+  /** SQL surface: the registered UDAFs callable from spark.sql — computes
+   *  the HLL estimate via SQL and checks it against the exact count. */
+  def sqlSketchCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    events(spark, dir).createOrReplaceTempView("graft_events")
+    val skBytes = spark.sql(
+      "SELECT graft_hll_long(user_id) FROM graft_events").head().getAs[Array[Byte]](0)
+    val est = HllSketch.deserialize(skBytes).estimate
+    val exact = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM graft_events").head().getLong(0)
+    Seq((exact, math.abs(est.toDouble / exact - 1.0) <= 4 * HllSketch(14).standardError))
+      .toDF("n_exact", "sql_hll_within_4se")
+  }
+
+  val SqlSketchCheckSql: String =
+    "SELECT count(DISTINCT user_id) AS n_exact, true AS sql_hll_within_4se FROM events"
 }

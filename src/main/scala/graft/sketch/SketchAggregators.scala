@@ -60,6 +60,18 @@ class KllAggregator(k: Int) extends Aggregator[java.lang.Double, KllSketch, Arra
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+class TDigestAggregator(compression: Double) extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
+  override def zero: TDigest = TDigest(compression)
+  override def reduce(buf: TDigest, v: java.lang.Double): TDigest = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
+  override def finish(buf: TDigest): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /** Column-level + SQL-registered entry points for the sketch library. */
 object GraftFunctions {
 
@@ -78,6 +90,9 @@ object GraftFunctions {
   def kllSketch(c: Column, k: Int = 200): Column =
     udaf(new KllAggregator(k)).apply(c)
 
+  def tdigestSketch(c: Column, compression: Double = 100.0): Column =
+    udaf(new TDigestAggregator(compression)).apply(c)
+
   /** Register SQL-callable versions: graft_bloom, graft_hll, graft_cms,
    *  graft_kll (fixed default shapes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -86,5 +101,6 @@ object GraftFunctions {
     spark.udf.register("graft_hll_long", udaf(new HllLongAggregator(14)))
     spark.udf.register("graft_cms", udaf(new CmsAggregator(5, 65536)))
     spark.udf.register("graft_kll", udaf(new KllAggregator(200)))
+    spark.udf.register("graft_tdigest", udaf(new TDigestAggregator(100.0)))
   }
 }

@@ -1,0 +1,155 @@
+package graft.sketch
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
+ * Quantiles Using t-Digests", 2019): sorted centroids (mean, weight)
+ * whose maximum weight shrinks toward the distribution tails via the
+ * scale bound w_max(q) ~ 4 n q(1-q) / delta, giving relative rank error
+ * O(q(1-q)/delta) — very accurate tail quantiles at small fixed memory.
+ *
+ * Mergeable: concatenate centroid lists and recompress (commutative;
+ * associative up to the documented rank-error bound, like every
+ * t-digest/KLL implementation). NOT thread-safe.
+ */
+final class TDigest(val compression: Double) extends Serializable {
+  require(compression >= 20, s"compression too small: $compression")
+
+  private[sketch] var means: ArrayBuffer[Double] = ArrayBuffer.empty
+  private[sketch] var weights: ArrayBuffer[Long] = ArrayBuffer.empty
+  private[sketch] var total: Long = 0L
+  // NOT transient: an aggregation buffer can be serialized (kryo, at the
+  // shuffle) with values still unflushed — they must travel with it
+  private[this] val buf: ArrayBuffer[Double] = ArrayBuffer.empty
+
+  def n: Long = total
+
+  def add(x: Double): Unit = {
+    buf += x
+    total += 1
+    if (buf.length >= 512) flushBuffer()
+  }
+
+  private def flushBuffer(): Unit = {
+    if (buf.isEmpty) return
+    val sortedNew = buf.toArray
+    java.util.Arrays.sort(sortedNew)
+    mergeSorted(sortedNew.map(v => (v, 1L)))
+    buf.clear()
+  }
+
+  /** Merge (mean, weight) pairs sorted by mean into the centroid list,
+   *  then recompress under the scale bound. */
+  private def mergeSorted(incoming: Array[(Double, Long)]): Unit = {
+    // merge two sorted sequences
+    val merged = new ArrayBuffer[(Double, Long)](means.length + incoming.length)
+    var i = 0
+    var j = 0
+    while (i < means.length || j < incoming.length) {
+      if (j >= incoming.length || (i < means.length && means(i) <= incoming(j)._1)) {
+        merged += ((means(i), weights(i))); i += 1
+      } else {
+        merged += incoming(j); j += 1
+      }
+    }
+    // recompress: greedy single pass, capping centroid weight by the
+    // k1-style bound 4 n q (1-q) / compression at the centroid midpoint
+    val nTot = merged.iterator.map(_._2).sum.toDouble
+    val outM = ArrayBuffer.empty[Double]
+    val outW = ArrayBuffer.empty[Long]
+    var curM = merged(0)._1
+    var curW = merged(0)._2
+    var wSoFar = 0L
+    var k = 1
+    while (k < merged.length) {
+      val (m, w) = merged(k)
+      val qMid = (wSoFar + curW + w / 2.0) / nTot
+      val limit = math.max(1.0, 4.0 * nTot * qMid * (1.0 - qMid) / compression)
+      if (curW + w <= limit) {
+        // weighted-mean absorb
+        curM = (curM * curW + m * w) / (curW + w)
+        curW += w
+      } else {
+        outM += curM; outW += curW
+        wSoFar += curW
+        curM = m; curW = w
+      }
+      k += 1
+    }
+    outM += curM; outW += curW
+    means = outM
+    weights = outW
+  }
+
+  def mergeInPlace(other: TDigest): TDigest = {
+    require(other.compression == compression,
+      s"cannot merge t-digests of different compression: $compression vs ${other.compression}")
+    flushBuffer()
+    other.flushBuffer()
+    total += other.total
+    if (other.means.nonEmpty) {
+      val pairs = other.means.zip(other.weights).toArray
+      java.util.Arrays.sort(pairs, Ordering.by((p: (Double, Long)) => p._1))
+      mergeSorted(pairs)
+    }
+    this
+  }
+
+  /** Quantile estimate by linear interpolation between centroid means. */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"q out of range: $q")
+    flushBuffer()
+    if (total == 0) return Double.NaN
+    if (means.length == 1) return means(0)
+    val target = q * total
+    var cum = 0.0
+    var i = 0
+    while (i < means.length) {
+      val half = weights(i) / 2.0
+      if (cum + half >= target || i == means.length - 1) {
+        if (i == 0) return means(0)
+        // interpolate between centroid i-1 and i midpoints
+        val prevMid = cum - weights(i - 1) / 2.0
+        val thisMid = cum + half
+        val frac = ((target - prevMid) / math.max(1e-12, thisMid - prevMid)).max(0.0).min(1.0)
+        return means(i - 1) + frac * (means(i) - means(i - 1))
+      }
+      cum += weights(i)
+      i += 1
+    }
+    means.last
+  }
+
+  def centroidCount: Int = { flushBuffer(); means.length }
+
+  def serialize(): Array[Byte] = {
+    flushBuffer()
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + means.length * 16)
+    bb.putInt(TDigest.Magic).putDouble(compression).putLong(total).putInt(means.length)
+    var i = 0
+    while (i < means.length) { bb.putDouble(means(i)); bb.putLong(weights(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TDigest {
+  private val Magic = 0x54444731 // "TDG1"
+
+  def apply(compression: Double = 100.0): TDigest = new TDigest(compression)
+
+  def deserialize(bytes: Array[Byte]): TDigest = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = bb.getInt()
+    require(magic == Magic, f"bad TDigest magic: 0x$magic%08x")
+    val d = new TDigest(bb.getDouble())
+    d.total = bb.getLong()
+    val nC = bb.getInt()
+    d.means = ArrayBuffer.fill(nC)(0.0)
+    d.weights = ArrayBuffer.fill(nC)(0L)
+    var i = 0
+    while (i < nC) { d.means(i) = bb.getDouble(); d.weights(i) = bb.getLong(); i += 1 }
+    i = 0
+    d
+  }
+}

@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, udf}
+
+/**
+ * Document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken,
+ * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+ * polynomial rolling hashes over character k-grams; within every window
+ * of `w` consecutive k-gram hashes the minimum is selected (rightmost
+ * minimum on ties), guaranteeing any shared substring of length
+ * >= w + k - 1 contributes at least one common fingerprint. The selected
+ * (hash, position) set is a compact, alignment-free document signature
+ * used for plagiarism/near-copy detection.
+ */
+object Fingerprint {
+
+  val DefaultK = 8 // k-gram length
+  val DefaultW = 16 // winnowing window
+
+  private val Base = 1000003L
+  private val Mod = (1L << 61) - 1 // Mersenne prime
+
+  /** Rolling hashes of all k-grams of `text` (multiplicative rolling,
+   *  mod 2^61-1). Empty for texts shorter than k. */
+  def kgramHashes(text: String, k: Int = DefaultK): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val out = new Array[Long](n)
+    // basePow = Base^(k-1) mod Mod
+    var basePow = 1L
+    var i = 0
+    while (i < k - 1) { basePow = mulMod(basePow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulMod(h, Base) + text.charAt(i)) % Mod; i += 1 }
+    out(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - mulMod(text.charAt(i - 1).toLong, basePow) % Mod + Mod) % Mod
+      h = (mulMod(h, Base) + text.charAt(i + k - 1)) % Mod
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** 128-bit multiply folded mod 2^61-1 (x = q*2^61 + r => x ≡ q + r). */
+  @inline private def mulMod(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & Mod) + ((lo >>> 61) | (hi << 3))
+    while (r >= Mod) r -= Mod
+    r
+  }
+
+  /** Winnowed fingerprints: (hash, position) of each window minimum
+   *  (rightmost minimum per window; deduplicated consecutive picks). */
+  def winnow(text: String, k: Int = DefaultK, w: Int = DefaultW): Array[(Long, Int)] = {
+    val hs = kgramHashes(text, k)
+    if (hs.isEmpty) return Array.empty
+    if (hs.length <= w) {
+      // single window: rightmost minimum
+      var minIdx = 0
+      var i = 1
+      while (i < hs.length) { if (hs(i) <= hs(minIdx)) minIdx = i; i += 1 }
+      return Array((hs(minIdx), minIdx))
+    }
+    val out = ArraySeqBuilder()
+    var minIdx = -1
+    var start = 0
+    while (start + w <= hs.length) {
+      val end = start + w // exclusive
+      if (minIdx < start) {
+        // recompute window minimum (rightmost)
+        minIdx = start
+        var i = start + 1
+        while (i < end) { if (hs(i) <= hs(minIdx)) minIdx = i; i += 1 }
+        out.add(hs(minIdx), minIdx)
+      } else if (hs(end - 1) <= hs(minIdx)) {
+        minIdx = end - 1
+        out.add(hs(minIdx), minIdx)
+      }
+      start += 1
+    }
+    out.result()
+  }
+
+  private case class ArraySeqBuilder() {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    def add(h: Long, pos: Int): Unit =
+      if (buf.isEmpty || buf.last != ((h, pos))) buf += ((h, pos))
+    def result(): Array[(Long, Int)] = buf.toArray
+  }
+
+  /** (idCol, fingerprint hashes array, fingerprint count) per document. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    val fpUdf = udf((t: String) => winnow(t, k, w).map(_._1))
+    df.select(col(idCol), fpUdf(col(textCol)).as("fingerprints"))
+      .withColumn("n_fingerprints", org.apache.spark.sql.functions.size(col("fingerprints")))
+  }
+
+  /** Fingerprint-overlap candidate pairs: documents sharing >= minShared
+   *  winnowed hashes (explode -> self-join on hash -> count). */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   minShared: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fps = fingerprints(df, idCol, textCol)
+      .select(col(idCol).as("id"), explode(array_distinct(col("fingerprints"))).as("fp"))
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+}

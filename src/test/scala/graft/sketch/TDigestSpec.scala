@@ -1,0 +1,55 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TDigestSpec extends AnyFunSuite {
+
+  test("quantiles within rank-error bound on 200k uniform; tails tighter") {
+    val rnd = new scala.util.Random(11)
+    val data = Array.fill(200000)(rnd.nextDouble() * 1e6)
+    val d = TDigest(100.0)
+    data.foreach(d.add)
+    assert(d.n === 200000L)
+    val sorted = data.sorted
+    for (q <- Seq(0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999)) {
+      val est = d.quantile(q)
+      val trueRank = sorted.count(_ <= est).toDouble / data.length
+      val bound = math.max(0.001, 8.0 * q * (1 - q) / 100.0) // ~k1 bound, slack x2
+      assert(math.abs(trueRank - q) <= bound, s"q=$q est=$est trueRank=$trueRank bound=$bound")
+    }
+    // memory stays bounded: centroids ~ O(compression), independent of n
+    // (this greedy recompressor keeps ~6x compression centroids)
+    assert(d.centroidCount <= 10 * 100, s"centroids ${d.centroidCount}")
+  }
+
+  test("merge of disjoint-range partials preserves accuracy") {
+    val parts = (0 until 8).map { p =>
+      val t = TDigest(100.0)
+      (0 until 25000).foreach(i => t.add(p * 25000.0 + i))
+      t
+    }
+    val merged = parts.reduce(_.mergeInPlace(_))
+    assert(merged.n === 200000L)
+    for (q <- Seq(0.01, 0.5, 0.99)) {
+      val est = merged.quantile(q)
+      val trueRank = est / 200000.0
+      assert(math.abs(trueRank - q) <= 0.015, s"q=$q est=$est trueRank=$trueRank")
+    }
+  }
+
+  test("serialization round-trips (including unflushed buffer)") {
+    val d = TDigest(50.0)
+    (0 until 1000).foreach(i => d.add(i.toDouble))
+    d.add(1000.5) // leaves values in the pre-merge buffer
+    val back = TDigest.deserialize(d.serialize())
+    assert(back.n === d.n)
+    for (q <- Seq(0.1, 0.5, 0.9)) assert(math.abs(back.quantile(q) - d.quantile(q)) < 1e-9)
+  }
+
+  test("extreme tails are near-exact") {
+    val d = TDigest(100.0)
+    (1 to 100000).foreach(i => d.add(i.toDouble))
+    assert(math.abs(d.quantile(0.0) - 1.0) <= 2.0)
+    assert(math.abs(d.quantile(1.0) - 100000.0) <= 2.0)
+  }
+}

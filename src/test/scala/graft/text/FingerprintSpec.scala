@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpecBase
+
+class FingerprintSpec extends SparkSpecBase {
+
+  private val doc =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the fence " * 5
+
+  test("winnowing guarantee: shared substring >= w+k-1 chars shares a fingerprint") {
+    val shared = "a very long distinctive shared passage of text here"
+    val a = "prefix one " + shared + " suffix alpha"
+    val b = "totally different start " + shared + " and another ending"
+    val fa = Fingerprint.winnow(a).map(_._1).toSet
+    val fb = Fingerprint.winnow(b).map(_._1).toSet
+    assert(shared.length >= Fingerprint.DefaultW + Fingerprint.DefaultK - 1)
+    assert((fa intersect fb).nonEmpty, "shared passage must contribute a common fingerprint")
+  }
+
+  test("unrelated documents share no fingerprints") {
+    val fa = Fingerprint.winnow("abcdefghijklmnopqrstuvwxyz0123456789" * 3).map(_._1).toSet
+    val fb = Fingerprint.winnow("ZYXWVUTSRQPONMLKJIHGFEDCBA!@#$%^&*()" * 3).map(_._1).toSet
+    assert((fa intersect fb).isEmpty)
+  }
+
+  test("fingerprints deterministic; short/null texts safe") {
+    assert(Fingerprint.winnow(doc).toSeq === Fingerprint.winnow(doc).toSeq)
+    assert(Fingerprint.winnow(null).isEmpty)
+    assert(Fingerprint.winnow("short").isEmpty) // < k chars
+    assert(Fingerprint.winnow("exactly8!").nonEmpty) // >= k chars, single window
+  }
+
+  test("rolling hash equals direct recomputation per k-gram") {
+    val t = "abcdefghijabcdefghij"
+    val hs = Fingerprint.kgramHashes(t, 8)
+    assert(hs.length === t.length - 7)
+    // identical k-grams hash identically (positions 0 and 10)
+    assert(hs(0) === hs(10))
+    // distinct k-grams differ
+    assert(hs(0) !== hs(1))
+  }
+
+  test("density: ~2/(w+1) of k-grams selected") {
+    val hs = Fingerprint.kgramHashes(doc, 8).length
+    val fp = Fingerprint.winnow(doc).length
+    val density = fp.toDouble / hs
+    assert(density > 0.02 && density < 0.25, s"winnow density $density out of expected range")
+  }
+
+  test("overlapPairs finds near-copies via shared fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, doc),
+      (2L, "intro text. " + doc + " extra tail."), // near-copy of 1
+      (3L, "completely different content about other topics entirely, repeated enough to have fingerprints " * 4)
+    ).toDF("id", "text")
+    val pairs = Fingerprint.overlapPairs(docs, "id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
