@@ -90,10 +90,9 @@ object MarkDuplicates {
    * true streaming analog of streammd's probe): pure map-side, no shuffle;
    * false positives bounded by the sketch's p.
    */
-  def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val probe = BloomSketchAggregator.bloomContainsBytes(sketch.serialize())
-    df.withColumn(cfg.outputCol, probe(signature(col(cfg.contentCol))))
-  }
+  def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame =
+    df.withColumn(cfg.outputCol,
+      graft.plans.GraftExpressions.bloomContains(sketch, signature(col(cfg.contentCol))))
 
   /** The Bloom UDAF column (binary signature input), shaped from cfg. */
   def sketchAggColumn(cfg: DedupConfig): Column = {
@@ -195,10 +194,10 @@ object MarkDuplicates {
         val gate = sketchFromSigs(
           keepers0.select(col(SigCol)),
           cfg.copy(p = cfg.gateFpr, expectedN = math.max(1L, dupGroupRows), mem = None))
-        val maybeDup = BloomSketchAggregator.bloomContainsBytes(gate.serialize())
-        val clean = withSig.where(!maybeDup(col(SigCol)))
+        def maybeDup = graft.plans.GraftExpressions.bloomContains(gate, col(SigCol))
+        val clean = withSig.where(!maybeDup)
           .withColumn(cfg.outputCol, lit(false))
-        val dirty = joinFlag(withSig.where(maybeDup(col(SigCol))), keepers0, cfg)
+        val dirty = joinFlag(withSig.where(maybeDup), keepers0, cfg)
         applyOutputOptions(dirty.unionByName(clean), cfg)
       }
     DedupResult(marked, metrics, sketch, Some(counts))

@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import graft.sketch.BloomSketch
+
+/**
+ * Native Catalyst expression probing a fixed Bloom sketch with a binary
+ * signature child — the streammd `contains` probe
+ * (`src/bloomfilter.cxx:25-32`) as a Catalyst scalar. Preferred over the
+ * Scala-UDF probe in hot paths: no ScalaUDF input conversion, null
+ * handled in-expression (null signature -> false, the unmapped-analog
+ * semantics), and the sketch deserializes once per executor via the
+ * transient lazy.
+ */
+case class BloomContainsExpr(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(sketchBytes)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && sketch.contains(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_contains"
+  override def toString: String = s"graft_bloom_contains($child, <${sketchBytes.length}B sketch>)"
+}
+
+object GraftExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** Column-level Bloom membership probe against a fixed sketch. */
+  def bloomContains(sketch: BloomSketch, sig: Column): Column =
+    toColumn(BloomContainsExpr(exprOf(sig), sketch.serialize()))
+}

@@ -51,11 +51,10 @@ object StreamingDedup {
       sketch: BloomSketch,
       contentCol: String,
       outputCol: String = "is_duplicate"): DataFrame = {
-    // NOTE: must be the binary-input probe — a string-input UDF over the
-    // binary signature column silently coerces raw bytes to UTF-8 and
-    // probes garbage (no analysis error)
-    val probe = BloomSketchAggregator.bloomContainsBytes(sketch.serialize())
+    // native Catalyst probe (typed binary child; a string-input UDF here
+    // would silently coerce the raw bytes to UTF-8 and probe garbage)
     stream.withColumn(outputCol,
-      probe(MarkDuplicates.signature(col(contentCol))))
+      graft.plans.GraftExpressions.bloomContains(
+        sketch, MarkDuplicates.signature(col(contentCol))))
   }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/**
+ * Column <-> catalyst Expression bridge for Spark 4 (where `Column` wraps
+ * a ColumnNode and the converters are private[sql]). Lives under
+ * org.apache.spark.sql.* for access — the standard technique for
+ * libraries contributing native Catalyst expressions.
+ */
+object ColumnBridge {
+  def exprOf(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def toColumn(e: Expression): Column = Column(ExpressionColumnNode(e))
+}

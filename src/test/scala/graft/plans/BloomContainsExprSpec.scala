@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.sketch.{BloomSketch, BloomSketchAggregator}
+
+class BloomContainsExprSpec extends SparkSpecBase {
+
+  test("native expression agrees with the UDF probe and the direct sketch") {
+    import spark.implicits._
+    val sk = BloomSketch(1e-3, 1000L)
+    (0 until 500).foreach(i => sk.add(s"member-$i"))
+
+    val df = ((0 until 500).map(i => s"member-$i") ++
+      (0 until 500).map(i => s"other-$i")).toDF("s")
+      .withColumn("sig", unhex(sha2(col("s"), 256)))
+    // sketch over the sha-sigs, not the raw strings
+    val sigSk = BloomSketch(1e-3, 1000L)
+    df.where(col("s").startsWith("member")).select("sig").collect()
+      .foreach(r => sigSk.add(r.getAs[Array[Byte]](0)))
+
+    val udfProbe = BloomSketchAggregator.bloomContainsBytes(sigSk.serialize())
+    val res = df.select(
+      col("s"),
+      GraftExpressions.bloomContains(sigSk, col("sig")).as("native"),
+      udfProbe(col("sig")).as("viaUdf"))
+      .collect()
+    assert(res.forall(r => r.getBoolean(1) === r.getBoolean(2)), "native != udf")
+    val members = res.filter(_.getString(0).startsWith("member"))
+    assert(members.forall(_.getBoolean(1)), "FNR must be 0")
+  }
+
+  test("null signature evaluates to false (not null)") {
+    import spark.implicits._
+    val sk = BloomSketch(1e-3, 100L)
+    sk.add("x")
+    val df = Seq(Some("x"), None).toDF("s")
+      .withColumn("sig", unhex(sha2(col("s"), 256)))
+      .select(GraftExpressions.bloomContains(sk, col("sig")).as("hit"))
+    val vals = df.collect().map(r => Option(r.get(0)))
+    assert(vals.forall(_.isDefined), "expression must never yield null")
+    assert(vals(1) === Some(false))
+  }
+
+  test("usable inside filters and joins (plan integration)") {
+    import spark.implicits._
+    val sk = BloomSketch(1e-3, 100L)
+    val keep = Seq("a", "b")
+    keep.foreach { s =>
+      val dig = java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      sk.add(dig)
+    }
+    val df = Seq("a", "b", "c", "d").toDF("s")
+      .withColumn("sig", unhex(sha2(col("s"), 256)))
+    val hits = df.where(GraftExpressions.bloomContains(sk, col("sig")))
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(hits === Set("a", "b"))
+  }
+}
