@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Pluggable source for the repositories table. The production target is
+ * an Iceberg catalog table (10^12 files); no Iceberg runtime ships in
+ * this sandbox, so the default implementation reads Iceberg-SHAPED
+ * Parquet. A real catalog slots in as another TableSource without
+ * touching any engine code — every job takes a DataFrame, not a path.
+ */
+trait TableSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+object TableSource {
+
+  /** The mandated repositories schema (BASELINE.json input_hint). */
+  val RepositoriesSchema: StructType = StructType(Seq(
+    StructField("repo", StringType),
+    StructField("path", StringType),
+    StructField("commit", StringType),
+    StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  /** Parquet directory holding the Iceberg-shaped table. */
+  case class ParquetSource(path: String, validate: Boolean = true) extends TableSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val df = spark.read.parquet(path)
+      if (validate) requireRepoShape(df)
+      df
+    }
+  }
+
+  /** A catalog table (`spark.table`) — how an Iceberg table arrives once
+   *  the catalog is configured (`spark.sql.catalog.* = ...iceberg...`). */
+  case class CatalogSource(table: String, validate: Boolean = true) extends TableSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val df = spark.table(table)
+      if (validate) requireRepoShape(df)
+      df
+    }
+  }
+
+  /** Deterministic generated table (tests/benchmarks). */
+  case class GeneratedSource(
+      nRows: Long, dupFraction: Double = 0.3, nullFraction: Double = 0.01,
+      seed: Long = 42L, numPartitions: Option[Int] = None) extends TableSource {
+    override def load(spark: SparkSession): DataFrame =
+      RepoTableGen.repositories(spark, nRows, dupFraction, nullFraction,
+        seed = seed, numPartitions = numPartitions)
+  }
+
+  /** Schema contract check: required columns present with string type. */
+  def requireRepoShape(df: DataFrame): Unit = {
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    RepositoriesSchema.foreach { f =>
+      require(have.get(f.name).contains(f.dataType),
+        s"repositories table missing/mistyped column ${f.name}: ${f.dataType}; " +
+          s"got schema ${df.schema.simpleString}")
+    }
+  }
+}

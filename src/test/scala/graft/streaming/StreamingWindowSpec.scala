@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.io.TableSource
+
+class StreamingWindowSpec extends SparkSpecBase {
+
+  test("watermarked tumbling-window aggregation drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int): Timestamp = new Timestamp(3600000L + min * 60000L)
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "b", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      input.addData((ts(40), "a", 9.0))
+      q.processAllAvailable()
+      // late arrival for the long-closed first window: must be dropped
+      input.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      input.addData((ts(60), "z", 0.0)) // push watermark to emit remaining
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"event_type", $"n", $"v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("a", 2L, 3.0)), s"first window of 'a' missing: $rows")
+      assert(rows.contains(("b", 1L, 3.0)))
+      assert(!rows.exists(_._3 == 100.0), "late row must be dropped by the watermark")
+    } finally q.stop()
+  }
+
+  test("TableSource plugs parquet / generated sources interchangeably") {
+    val gen = TableSource.GeneratedSource(nRows = 500L, seed = 9L)
+    val df = gen.load(spark)
+    TableSource.requireRepoShape(df)
+    val path = java.nio.file.Files.createTempDirectory("graft-ts").toString + "/repos"
+    df.write.mode("overwrite").parquet(path)
+    val back = TableSource.ParquetSource(path).load(spark)
+    assert(back.count() === 500L)
+    // shape violation rejected
+    val bad = spark.range(3).toDF("repo")
+    val e = intercept[IllegalArgumentException](TableSource.requireRepoShape(bad))
+    assert(e.getMessage.contains("missing/mistyped"))
+  }
+}
