@@ -37,6 +37,8 @@ object SparkEntry {
     "tdigest_quantiles" -> SketchQueries.tdigestQuantiles,
     "sql_sketch_check" -> SketchQueries.sqlSketchCheck,
     "fingerprint_exact_pairs" -> SimQueries.fingerprintExactPairs,
+    "dup_clusters" -> SimQueries.dupClusters,
+    "json_extract" -> SimQueries.jsonExtract,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -63,5 +65,7 @@ object SparkEntry {
     "tdigest_quantiles" -> SketchQueries.TdigestQuantilesSql,
     "sql_sketch_check" -> SketchQueries.SqlSketchCheckSql,
     "fingerprint_exact_pairs" -> SimQueries.FingerprintExactPairsSql,
+    "dup_clusters" -> SimQueries.DupClustersSql,
+    "json_extract" -> SimQueries.JsonExtractSql,
   )
 }

@@ -164,4 +164,37 @@ object SimQueries {
   }
 
   val FingerprintExactPairsSql: String = ExactPairsSql
+
+  /** Duplicate clusters: connected components over the MinHash-LSH
+   *  exact-confirmed pair graph. For exact-equality edges the component
+   *  is the sha256 group, so the oracle is min(id) per sha group. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
+    val pairs = minhashExactPairs(spark, dir)
+    graft.sim.Clustering.dupClusters(corpus, "id", pairs)
+      .select(col("id"), col("cluster").as("cluster_id"))
+  }
+
+  val DupClustersSql: String =
+    s"""$DupCorpusSql
+       |SELECT id, min(id) OVER (PARTITION BY sha256(text)) AS cluster_id
+       |FROM corpus""".stripMargin
+
+  /** JSON scalar extraction (training pipelines routinely parse metadata
+   *  JSON): props -> k as bigint, aggregated per event_type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+  }
+
+  val JsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
 }

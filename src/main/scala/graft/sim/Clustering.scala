@@ -1,0 +1,71 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster assignment: connected components over a candidate
+ * near-duplicate pair graph (the standard final step of corpus dedup —
+ * pairs from exact-hash, MinHash-LSH, SimHash, or fingerprint overlap
+ * become clusters; one representative per cluster is kept).
+ *
+ * Algorithm: large-star/small-star-style iterative min-label
+ * propagation (Kiveris et al., "Connected Components in MapReduce and
+ * Beyond", SoCC 2014 — the simple hash-join variant): every vertex
+ * repeatedly adopts the minimum label in its neighborhood; converges in
+ * O(diameter) rounds, each round two shuffles of the (slim) edge list.
+ * Near-dup graphs have tiny components, so rounds are few; an explicit
+ * iteration cap guards pathological inputs.
+ */
+object Clustering {
+
+  /**
+   * @param edges (srcCol, dstCol) undirected candidate pairs
+   * @param vertices single-column vertex ids (singletons allowed)
+   * @return (id, cluster) where cluster = min vertex id of the component
+   */
+  def connectedComponents(
+      edges: DataFrame,
+      vertices: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val vCol = vertices.columns.head
+    val Seq(sCol, dCol) = edges.columns.take(2).toSeq
+
+    // symmetric edge list
+    val sym = edges.select(col(sCol).as("a"), col(dCol).as("b"))
+      .unionAll(edges.select(col(dCol).as("a"), col(sCol).as("b")))
+      .distinct()
+      .cache()
+
+    // localCheckpoint each round: iterative self-referencing plans grow
+    // exponentially otherwise (lineage, not data, becomes the bottleneck)
+    var labels = vertices.select(col(vCol).as("id"), col(vCol).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // every vertex adopts min(own label, min neighbor label)
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nb_cluster"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nb_cluster")).as("min_nb"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster ids for a document table given near-dup pairs; singletons
+   *  cluster as themselves. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, docs.select(col(idCol)))
+      .withColumnRenamed("id", idCol)
+}

@@ -1,0 +1,46 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class ClusteringSpec extends SparkSpecBase {
+
+  test("connected components: chains, singletons, min-label clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = Clustering.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain converges within the iteration budget (diameter test)") {
+    import spark.implicits._
+    val n = 60
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    // min-label propagation jumps via neighbor minima: a 60-chain resolves
+    // well within 20 iterations because labels spread 1 hop per round from
+    // every already-correct vertex
+    val got = Clustering.connectedComponents(edges, vertices, maxIterations = 65)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("cluster count equals distinct content count on a dup corpus") {
+    val docs = graft.io.RepoTableGen.repositories(spark, 2000L,
+      dupFraction = 0.5, nullFraction = 0.0, seed = 77L)
+      .withColumn("id", monotonically_increasing_id())
+    val sig = sha2(col("content"), 256)
+    val pairs = docs.select(col("id").as("id_a"), sig.as("s"))
+      .join(docs.select(col("id").as("id_b"), sig.as("s")), Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val clusters = Clustering.dupClusters(docs, "id", pairs)
+    val nClusters = clusters.select(countDistinct(col("cluster"))).head().getLong(0)
+    val nDistinct = docs.select(countDistinct(sig)).head().getLong(0)
+    assert(nClusters === nDistinct)
+  }
+}
