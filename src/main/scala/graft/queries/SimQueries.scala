@@ -155,7 +155,15 @@ object SimQueries {
    *  duplicates is 1 and the confirmed-pair set equals the sha-equal set. */
   def fingerprintExactPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
-    val cands = graft.text.Fingerprint.overlapPairs(corpus, "id", "text", minShared = 2)
+    // k=24 (~4 words): discriminative grams on this short-vocab corpus;
+    // docFreq cap kills the quadratic hot-fingerprint join keys. Exact
+    // duplicates (2-3 copies) share their whole rare fingerprint set, so
+    // recall on them stays 1.
+    // minShared=1: the shortest documents winnow to a single rare
+    // fingerprint; precision is irrelevant here because candidates are
+    // confirmed by exact content equality below
+    val cands = graft.text.Fingerprint.overlapPairs(corpus, "id", "text",
+      minShared = 1, maxDocFreq = 50L, k = 24)
     cands
       .join(corpus.select(col("id").as("id_a"), sha2(col("text"), 256).as("sha_a")), Seq("id_a"))
       .join(corpus.select(col("id").as("id_b"), sha2(col("text"), 256).as("sha_b")), Seq("id_b"))

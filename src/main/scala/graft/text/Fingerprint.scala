@@ -102,14 +102,26 @@ object Fingerprint {
   }
 
   /** Fingerprint-overlap candidate pairs: documents sharing >= minShared
-   *  winnowed hashes (explode -> self-join on hash -> count). */
+   *  winnowed hashes (explode -> self-join on hash -> count).
+   *
+   *  `maxDocFreq` drops fingerprints occurring in more than that many
+   *  documents before pairing — a corpus-ubiquitous fingerprint carries
+   *  no near-copy signal but makes the self-join quadratic in its
+   *  document frequency (the classic stop-gram treatment). Near-copies
+   *  still share plenty of rare fingerprints. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
-                   minShared: Int = 2): DataFrame = {
+                   minShared: Int = 2, maxDocFreq: Long = 1000L,
+                   k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
     import org.apache.spark.sql.functions._
-    val fps = fingerprints(df, idCol, textCol)
+    val fps = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), explode(array_distinct(col("fingerprints"))).as("fp"))
-    val a = fps.select(col("fp"), col("id").as("id_a"))
-    val b = fps.select(col("fp"), col("id").as("id_b"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val filtered = fps.join(rare, Seq("fp"), "left_semi")
+    val a = filtered.select(col("fp"), col("id").as("id_a"))
+    val b = filtered.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
