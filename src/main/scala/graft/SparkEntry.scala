@@ -33,6 +33,7 @@ object SparkEntry {
     "jaccard_consecutive" -> SimQueries.jaccardConsecutive,
     "ann_brute_force" -> SimQueries.annBruteForce,
     "ann_ivf_recall" -> SimQueries.annIvfRecall,
+    "embedding_near_dup" -> SimQueries.embeddingNearDup,
     "multimodal_features" -> SimQueries.multimodalFeatures,
     "tdigest_quantiles" -> SketchQueries.tdigestQuantiles,
     "sql_sketch_check" -> SketchQueries.sqlSketchCheck,
@@ -61,6 +62,7 @@ object SparkEntry {
     "jaccard_consecutive" -> SimQueries.JaccardConsecutiveSql,
     "ann_brute_force" -> SimQueries.AnnBruteForceSql,
     "ann_ivf_recall" -> SimQueries.AnnIvfRecallSql,
+    "embedding_near_dup" -> SimQueries.EmbeddingNearDupSql,
     "multimodal_features" -> SimQueries.MultimodalFeaturesSql,
     "tdigest_quantiles" -> SketchQueries.TdigestQuantilesSql,
     "sql_sketch_check" -> SketchQueries.SqlSketchCheckSql,

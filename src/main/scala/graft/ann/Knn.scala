@@ -22,6 +22,67 @@ import org.apache.spark.sql.expressions.Window
  */
 object Knn {
 
+  /** Deterministic ±1 Rademacher hyperplanes (splitmix64 over (table, bit,
+   *  dim)) — same planes on every executor/run, no RNG state to ship. */
+  private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(dim) { d =>
+      if (splitmix64(table.toLong * 1000003L + bit.toLong * 1009L + d) < 0L) -1.0 else 1.0
+    }
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+   * (Charikar 2002): each vector gets `nTables` buckets of `bitsPerTable`
+   * sign bits (bit b of table t = sign of the dot with a fixed ±1
+   * hyperplane); vectors sharing any bucket are candidates; candidates are
+   * confirmed by exact cosine >= threshold. P(bit match) = 1 - angle/pi, so
+   * a pair at cosine c collides per table with prob (1 - acos(c)/pi)^bits —
+   * exactly-parallel vectors always collide. Bucketing is map-side
+   * (broadcast-free literal planes); only (bucket, id, vec) shuffles, and
+   * each bucket's candidate join is local to its hash partition — the
+   * O(n^2) brute-force scan never happens at scale.
+   */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 2,
+      bitsPerTable: Int = 16): DataFrame = {
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val v = vectors.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
+    // bucket of table t: bitsPerTable sign bits packed into a long
+    val buckets = array((0 until nTables).map { t =>
+      val key = (0 until bitsPerTable).map { b =>
+        val plane = typedLit(hyperplane(t, b, dim).toSeq)
+        val dot = aggregate(zip_with(col("__vec"), plane, (x, r) => x * r),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), key.as("key"))
+    }: _*)
+    val bucketed = v.select(col("__id"), col("__vec"), explode(buckets).as("b"))
+      .select(col("__id"), col("__vec"), col("b.t").as("t"), col("b.key").as("key"))
+    val a = bucketed.select(col("t"), col("key"),
+      col("__id").as("id_a"), col("__vec").as("__vec_a"))
+    val b = bucketed.select(col("t"), col("key"),
+      col("__id").as("id_b"), col("__vec").as("__vec_b"))
+    a.join(b, Seq("t", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__vec_a"), col("__vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("__vec_a"), col("__vec_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Cosine similarity of two array<float> columns, computed in double. */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))

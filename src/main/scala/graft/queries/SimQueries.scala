@@ -188,6 +188,33 @@ object SimQueries {
        |SELECT id, min(id) OVER (PARTITION BY sha256(text)) AS cluster_id
        |FROM corpus""".stripMargin
 
+  /** Embedding-cosine near-dup: plant exactly-parallel copies (x2 scaling
+   *  is exact in IEEE binary FP, so cosine(v, 2v) = 1 in every engine),
+   *  find all pairs >= 0.8 via random-hyperplane LSH + exact confirm.
+   *  Background pairs top out ~0.60 on this corpus (measured at sf0.1), so
+   *  the 0.8 threshold is float-rounding safe; parallel vectors share every
+   *  LSH sign bit, so recall on the planted pairs is exactly 1. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    Knn.cosineNearDupPairs(corpus, "id", "embedding", threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val EmbeddingNearDupSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id AS id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b
+      |FROM corpus a JOIN corpus b ON a.id < b.id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin
+
   /** JSON scalar extraction (training pipelines routinely parse metadata
    *  JSON): props -> k as bigint, aggregated per event_type. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {

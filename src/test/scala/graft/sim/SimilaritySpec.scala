@@ -106,6 +106,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("hyperplane LSH near-dup: parallel vectors always found, background excluded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    // plant exactly-parallel copies of every 5th vector (x2 scaling is
+    // exact in IEEE FP, so cosine = 1 and every LSH sign bit matches)
+    val planted = base.filter(_._1 % 5 == 0).map { case (i, v) => (i + 1000L, v.map(_ * 2f)) }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Knn.cosineNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map(_._1).filter(_ % 5 == 0).map(i => (i, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missed planted pairs: ${expected -- pairs}")
+    // everything returned really is >= threshold (confirm step works)
+    val confirmed = Knn.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.8)
+    val minCos = confirmed.agg(min($"cos")).head().getDouble(0)
+    assert(minCos >= 0.8)
+    // stability across partitioning (merge/shuffle invariance)
+    val repart = Knn.cosineNearDupPairs(vecs.repartition(7), "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repart === pairs)
+  }
+
   test("multimodal pipeline: blob plumbing + deterministic stub features") {
     import spark.implicits._
     import graft.multimodal._
