@@ -1,0 +1,22 @@
+package graft
+
+/** Driver-contract invariants: every query has an oracle (or is knowingly
+ *  rows-only checked), and the flagship entry returns rows on sf0.001. */
+class SparkEntrySpec extends SparkSpecBase {
+
+  test("every queries entry has a matching oracleSql entry and vice versa") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("oracle SQL strings are non-empty SELECTs") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name oracle empty")
+      assert(sql.toLowerCase.contains("select"), s"$name oracle is not a SELECT")
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke check)") {
+    assert(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L)
+  }
+}
