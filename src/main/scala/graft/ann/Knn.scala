@@ -47,6 +47,12 @@ object Knn {
    * (broadcast-free literal planes); only (bucket, id, vec) shuffles, and
    * each bucket's candidate join is local to its hash partition — the
    * O(n^2) brute-force scan never happens at scale.
+   *
+   * Skew guard: buckets larger than `maxBucketSize` are dropped before the
+   * self-join (a hot bucket — e.g. a spike of near-zero or boilerplate
+   * vectors — would otherwise join quadratically), and singleton buckets
+   * never reach the join at all. Same df-cap discipline as
+   * `graft.text.Fingerprint.overlapPairs`.
    */
   def cosineNearDupPairs(
       vectors: DataFrame,
@@ -54,7 +60,8 @@ object Knn {
       vecCol: String,
       threshold: Double,
       nTables: Int = 2,
-      bitsPerTable: Int = 16): DataFrame = {
+      bitsPerTable: Int = 16,
+      maxBucketSize: Long = 10000L): DataFrame = {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     val v = vectors.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
@@ -68,8 +75,15 @@ object Knn {
       }.reduce(_ + _)
       struct(lit(t).as("t"), key.as("key"))
     }: _*)
-    val bucketed = v.select(col("__id"), col("__vec"), explode(buckets).as("b"))
+    val allBucketed = v.select(col("__id"), col("__vec"), explode(buckets).as("b"))
       .select(col("__id"), col("__vec"), col("b.t").as("t"), col("b.key").as("key"))
+    // only buckets that can produce pairs (>= 2) and aren't hot (<= cap)
+    // survive; the slim (t, key, n) aggregate shuffles instead of vectors
+    val liveBuckets = allBucketed.groupBy(col("t"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("t"), col("key"))
+    val bucketed = allBucketed.join(liveBuckets, Seq("t", "key"), "left_semi")
     val a = bucketed.select(col("t"), col("key"),
       col("__id").as("id_a"), col("__vec").as("__vec_a"))
     val b = bucketed.select(col("t"), col("key"),

@@ -128,6 +128,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(repart === pairs)
   }
 
+  test("hyperplane LSH near-dup: hot buckets are capped, cold pairs survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val hotVec = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    // 50 identical vectors (one hot bucket per table) + one planted cold pair
+    val cold = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val rows = (0L until 50L).map(i => (i, hotVec)) ++
+      Seq((100L, cold), (101L, cold.map(_ * 2f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val pairs = Knn.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.8,
+      maxBucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)),
+      s"hot bucket should be dropped, cold pair kept; got $pairs")
+    // with the cap lifted, the hot pairs come back (50 choose 2 + 1)
+    val uncapped = Knn.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.8)
+      .count()
+    assert(uncapped === 50L * 49 / 2 + 1)
+  }
+
   test("multimodal pipeline: blob plumbing + deterministic stub features") {
     import spark.implicits._
     import graft.multimodal._
