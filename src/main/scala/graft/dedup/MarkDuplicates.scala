@@ -48,19 +48,34 @@ object MarkDuplicates {
    * Mark duplicates. Returns the input with `is_duplicate: boolean` (and
    * optionally the signature column retained when `keepSignature`).
    */
-  /** single order column stays a scalar: min(long) plans as a codegen'd
-   *  HashAggregate; min(struct) (multi-column tiebreak) needs SortAggregate */
-  private def keyExpr(cfg: DedupConfig): Column = cfg.orderCols match {
+  /** Keeper tiebreak key, kept aggregation-friendly:
+   *   - single order column stays a scalar (min(long/string) is a
+   *     codegen'd HashAggregate);
+   *   - all-string multi-column keys are NUL-joined into ONE string —
+   *     byte-wise string comparison then equals tuple comparison (order
+   *     cols must not contain U+0000; a null col collapses with empty —
+   *     the total order stays deterministic, which is all the tiebreak
+   *     needs), and min(string) stays a HashAggregate;
+   *   - anything else falls back to min(struct), which Spark plans as a
+   *     SortAggregate (two extra sorts around the exchange). */
+  private def keyExpr(df: DataFrame, cfg: DedupConfig): Column = cfg.orderCols match {
     case Seq(single) => col(single)
+    case cols if cols.forall(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType) =>
+      concat_ws("\u0000", cols.map(col): _*)
     case cols => struct(cols.map(col): _*)
   }
 
   /** Per-signature (count, keeper) over the slim projection — the one
-   *  heavy shuffle of the job. Map-side combine collapses repeats early. */
-  private def sigCounts(withSig: DataFrame, cfg: DedupConfig): DataFrame =
-    withSig
-      .where(col(SigCol).isNotNull)
-      .select(col(SigCol), keyExpr(cfg).as("__key"))
+   *  heavy shuffle of the job. Map-side combine collapses repeats early.
+   *  Filters on content length BEFORE computing the signature so sha256
+   *  runs once per row (a filter on sig.isNotNull would inline the whole
+   *  CASE WHEN sha2 expression into the filter and hash twice). */
+  private def sigCounts(df: DataFrame, cfg: DedupConfig): DataFrame =
+    df
+      .where(length(col(cfg.contentCol)) > 0)
+      .select(unhex(sha2(col(cfg.contentCol), 256)).as(SigCol),
+        keyExpr(df, cfg).as("__key"))
       .groupBy(SigCol)
       .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
 
@@ -69,7 +84,7 @@ object MarkDuplicates {
     withSig
       .join(dupGroups, Seq(SigCol), "left_outer")
       .withColumn(cfg.outputCol,
-        col(CntCol).isNotNull && !(keyExpr(cfg) <=> col(KeeperCol)))
+        col(CntCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
       .drop(CntCol, KeeperCol)
 
   private def applyOutputOptions(marked: DataFrame, cfg: DedupConfig): DataFrame = {
