@@ -22,9 +22,15 @@ object Bench {
     // warm the JVM/codegen paths once so query timings measure the engine
     SparkEntry.entry(spark).count()
 
+    // a failed query must NOT read as a (fast) timing — record it explicitly
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAILURE in $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -48,8 +54,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + dedupSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"failed":$failedJson%s}"""
+    println(line)
+    // also persist to a file so the line survives any log-prefixing wrapper
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()
   }
 }

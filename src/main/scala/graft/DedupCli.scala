@@ -10,16 +10,29 @@ import graft.sketch.BloomSizing
  *
  *   spark-submit --class graft.DedupCli <jar> \
  *     --input <parquet> --output <parquet> [--metrics <json path>] \
- *     [-p|--fp-rate 1e-6] [-m|--mem 4GiB] [--expected-n N] \
- *     [--allow-overcapacity] [--remove-duplicates] \
+ *     [-p|--fp-rate 1e-6] [-m|--mem 4GiB] [--expected-n N] [--mem-pow2] \
+ *     [--allow-overcapacity] [--remove-duplicates] [--strip-previous] \
  *     [--content-col content] [--order-cols repo,path,commit] \
  *     [--checkpoint-dir <dir>] [--partitions N] \
+ *     [--metrics-format graft|streammd] \
+ *     [--input-format parquet|sam] [--single | --reads-per-template N] \
  *     [--show-capacity]
+ *
+ * Flag parity with streammd (`src/streammd.cxx:34-90`):
+ *   --strip-previous       clear stale is_duplicate flags on re-marking
+ *                          (without it prior flags are OR'd in, like the
+ *                          reference which only ever sets the 0x400 bit)
+ *   --mem-pow2             round the filter size down to a power of two
+ *                          for bitmask addressing (~5%, README.md:93-97)
+ *   --single               1 read per template (SAM input mode)
+ *   --metrics-format streammd  emit the reference's metrics key names
+ *                          (src/markdups.cxx:202-234)
  */
 object DedupCli {
 
-  private def parse(args: Array[String]): Map[String, String] = {
-    val flags = Set("--allow-overcapacity", "--remove-duplicates", "--show-capacity")
+  private[graft] def parse(args: Array[String]): Map[String, String] = {
+    val flags = Set("--allow-overcapacity", "--remove-duplicates", "--show-capacity",
+      "--strip-previous", "--mem-pow2", "--single")
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -58,15 +71,24 @@ object DedupCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = DedupConfig(
-      contentCol = opts.getOrElse("--content-col", "content"),
-      orderCols = opts.getOrElse("--order-cols", "repo,path,commit").split(",").toSeq,
-      p = p,
-      mem = mem,
-      expectedN = opts.get("--expected-n").map(_.toLong).getOrElse(1000000L),
-      removeDuplicates = opts.contains("--remove-duplicates"),
-      allowOvercapacity = opts.contains("--allow-overcapacity"),
-      buildSketch = true)
+    // SAM input mode — the reference's native domain (--single /
+    // --reads-per-template choose the template arity, streammd
+    // src/streammd.cxx:79-81)
+    if (opts.get("--input-format").contains("sam")) {
+      val rpt =
+        if (opts.contains("--single")) 1
+        else opts.get("--reads-per-template").map(_.toInt).getOrElse(2)
+      val reads = graft.sam.SamOps.parseSamFile(spark, input)
+      val marked = graft.sam.SamOps.markSamDuplicates(
+        reads, readsPerTemplate = rpt,
+        removeDuplicates = opts.contains("--remove-duplicates"),
+        stripPrevious = opts.contains("--strip-previous"))
+      marked.write.mode("overwrite").parquet(output)
+      spark.stop()
+      return
+    }
+
+    val cfg = buildConfig(opts, p, mem)
 
     val df = spark.read.parquet(input)
     val res = MarkDuplicates.run(df, cfg)
@@ -77,11 +99,7 @@ object DedupCli {
       CheckpointedSketch.writeLineage(dir, args.toSeq, res.metrics, manifests)
     }
 
-    val m = res.metrics
-    val json =
-      s"""{"ROWS":${m.rows},"ROWS_NULL_CONTENT":${m.rowsNullContent},""" +
-        s""""ROWS_MARKED_DUPLICATE":${m.rowsMarkedDuplicate},""" +
-        s""""DUPLICATE_FRACTION":${m.duplicateFraction}}"""
+    val json = metricsJson(res.metrics, opts.getOrElse("--metrics-format", "graft"))
     opts.get("--metrics") match {
       case Some(path) =>
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
@@ -90,4 +108,40 @@ object DedupCli {
     res.unpersistAll()
     spark.stop()
   }
+
+  /** CLI options -> job config (kept separate so flag wiring is testable). */
+  private[graft] def buildConfig(
+      opts: Map[String, String], p: Double, mem: Option[String]): DedupConfig =
+    DedupConfig(
+      contentCol = opts.getOrElse("--content-col", "content"),
+      orderCols = opts.getOrElse("--order-cols", "repo,path,commit").split(",").toSeq,
+      p = p,
+      mem = mem,
+      expectedN = opts.get("--expected-n").map(_.toLong).getOrElse(1000000L),
+      mpow2 = opts.contains("--mem-pow2"),
+      removeDuplicates = opts.contains("--remove-duplicates"),
+      stripPrevious = opts.contains("--strip-previous"),
+      allowOvercapacity = opts.contains("--allow-overcapacity"),
+      buildSketch = true)
+
+  /** Metrics serialization. "streammd" emits the reference's key names
+   *  (src/markdups.cxx:202-234, README.md:179-183) so a consumer of the
+   *  reference's metrics file can point at ours unchanged; in the table
+   *  domain a template has exactly one "alignment" (the row). */
+  private[graft] def metricsJson(m: graft.dedup.DedupMetrics, format: String): String =
+    format match {
+      case "streammd" =>
+        s"""{"ALIGNMENTS":${m.rows},""" +
+          s""""ALIGNMENTS_MARKED_DUPLICATE":${m.rowsMarkedDuplicate},""" +
+          s""""TEMPLATES":${m.rows},""" +
+          s""""TEMPLATES_UNMAPPED":${m.rowsNullContent},""" +
+          s""""TEMPLATES_MARKED_DUPLICATE":${m.rowsMarkedDuplicate},""" +
+          s""""TEMPLATE_DUPLICATE_FRACTION":${m.duplicateFraction}}"""
+      case "graft" =>
+        s"""{"ROWS":${m.rows},"ROWS_NULL_CONTENT":${m.rowsNullContent},""" +
+          s""""ROWS_MARKED_DUPLICATE":${m.rowsMarkedDuplicate},""" +
+          s""""DUPLICATE_FRACTION":${m.duplicateFraction}}"""
+      case other =>
+        throw new IllegalArgumentException(s"unknown --metrics-format: $other")
+    }
 }

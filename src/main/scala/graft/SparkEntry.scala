@@ -29,6 +29,7 @@ object SparkEntry {
     "quality_scores" -> TextQueries.qualityScores,
     "lang_id" -> TextQueries.langId,
     "minhash_exact_pairs" -> SimQueries.minhashExactPairs,
+    "minhash_near_dup" -> SimQueries.minhashNearDup,
     "simhash_exact_pairs" -> SimQueries.simhashExactPairs,
     "jaccard_consecutive" -> SimQueries.jaccardConsecutive,
     "ann_brute_force" -> SimQueries.annBruteForce,
@@ -58,6 +59,7 @@ object SparkEntry {
     "quality_scores" -> TextQueries.QualityScoresSql,
     "lang_id" -> TextQueries.LangIdSql,
     "minhash_exact_pairs" -> SimQueries.MinhashExactPairsSql,
+    "minhash_near_dup" -> SimQueries.MinhashNearDupSql,
     "simhash_exact_pairs" -> SimQueries.SimhashExactPairsSql,
     "jaccard_consecutive" -> SimQueries.JaccardConsecutiveSql,
     "ann_brute_force" -> SimQueries.AnnBruteForceSql,

@@ -62,7 +62,22 @@ object Knn {
       nTables: Int = 2,
       bitsPerTable: Int = 16,
       maxBucketSize: Long = 10000L): DataFrame = {
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    // Recall calibration (candidates are confirmed by exact cosine, so
+    // precision is always 1; these knobs only set RECALL): a pair at
+    // cosine c collides per table with prob (1 - acos(c)/pi)^bitsPerTable,
+    // overall 1 - (1 - p_table)^nTables. Defaults (2 x 16) give ~5% recall
+    // at c = 0.8 — sized for EXACT/parallel near-dups (p_table = 1), which
+    // always collide. For general near-threshold search pick e.g.
+    // nTables = 16, bitsPerTable = 10 (~83% recall at c = 0.8) and pay the
+    // proportional bucket-row cost. All vectors must share one dimension
+    // (taken from the first row; shorter/longer rows would zip-truncate).
+    val dimRow = vectors.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      // empty input: empty result with the right schema, no job run
+      return vectors.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos")).where(lit(false))
+    }
+    val dim = dimRow(0).getInt(0)
     val v = vectors.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
     // bucket of table t: bitsPerTable sign bits packed into a long
@@ -131,9 +146,90 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Dot product of a vector column with a fixed (driver-side) array. */
+  private def dotLit(v: Column, w: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(w.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /**
+   * Nearest-centroid id for a (double-array) vector column, fully map-side:
+   * an argmax fold over the centroid literals via `array_max` on
+   * (similarity, -centroid_id) structs — NO cross-join, NO window, NO
+   * Exchange. Centroids are stored unit-normalized, so argmax dot ==
+   * argmax cosine; ties resolve to the smallest centroid id.
+   */
+  private[graft] def nearestCentroid(
+      vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct(dotLit(vec, cvec).as("s"), lit(-cid).as("negid"))
+    }: _*)
+    -array_max(scored).getField("negid")
+  }
+
+  /** Map-side bucket assignment of every vector (plan-testable: contains
+   *  no Exchange). Output: (vid, __vvec: array<double>, bucket). */
+  private[graft] def assignBuckets(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    vectors
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("__vvec"))
+      .withColumn("bucket", nearestCentroid(col("__vvec"), centroids))
+
+  /** One Lloyd's iteration: mean of each bucket's members (unit-normalized;
+   *  empty buckets keep their previous centroid). The per-dimension sums
+   *  shuffle only nClusters*dim partial rows (posexplode feeds a hash
+   *  aggregate with map-side combine — the exploded rows never shuffle). */
+  private def lloydStep(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    val stats = assignBuckets(vectors, idCol, vecCol, centroids)
+      .select(col("bucket"), posexplode(col("__vvec")).as(Seq("pos", "x")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val byBucket = stats.groupBy(_.getLong(0))
+    centroids.map { case (cid, old) =>
+      byBucket.get(cid) match {
+        case Some(rows) =>
+          val mean = old.clone()
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+          (cid, normalize(mean))
+        case None => (cid, old)
+      }
+    }
+  }
+
+  /** Deterministic initial centroids (first nClusters by id, unit-norm)
+   *  refined by `lloydIters` Lloyd's iterations. */
+  private[graft] def trainCentroids(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, lloydIters: Int = 1): Array[(Long, Array[Double])] = {
+    val init = vectors.orderBy(col(idCol)).limit(nClusters)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
+    (0 until lloydIters).foldLeft(init)((c, _) => lloydStep(vectors, idCol, vecCol, c))
+  }
+
   /**
    * IVF-bucketed approximate top-k: probe the `nprobe` nearest of
    * `nClusters` centroid buckets per query.
+   *
+   * Scale shape: centroids live on the driver (nClusters * dim doubles)
+   * and are folded into the plan as literals — bucket assignment of the
+   * 10^12-row corpus is pure map-side compute with zero shuffle (verified
+   * by a no-Exchange plan test). Only the probed buckets' (slim) rows meet
+   * the broadcast query set; the one unavoidable shuffle is the per-query
+   * top-k window over scored candidates. Centroid training: deterministic
+   * seed + `lloydIters` Lloyd's rounds, each shuffling only nClusters*dim
+   * partial sums.
    */
   def ivfTopK(
       vectors: DataFrame,
@@ -141,31 +237,29 @@ object Knn {
       idCol: String,
       vecCol: String,
       k: Int,
-      nClusters: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val centroids = broadcast(
-      vectors.orderBy(col(idCol)).limit(nClusters)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("__cvec")))
+      nClusters: Int = 64,
+      nprobe: Int = 8,
+      lloydIters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(vectors, idCol, vecCol, nClusters, lloydIters)
+    if (centroids.isEmpty) {
+      return vectors.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cos")).where(lit(false))
+    }
 
-    // assign every vector to its nearest centroid (map-side)
-    val wv = Window.partitionBy(col("vid")).orderBy(col("csim").desc, col("centroid_id"))
-    val assigned = vectors
-      .select(col(idCol).as("vid"), col(vecCol).as("__vvec"))
-      .join(centroids, lit(true))
-      .withColumn("csim", cosine(col("__vvec"), col("__cvec")))
-      .withColumn("crank", row_number().over(wv))
-      .where(col("crank") === 1)
-      .select(col("vid"), col("__vvec"), col("centroid_id").as("bucket"))
+    // assign every vector to its nearest centroid — map-side, no Exchange
+    val assigned = assignBuckets(vectors, idCol, vecCol, centroids)
 
-    // per query: nprobe nearest centroid buckets
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("centroid_id"))
+    // per query: the nprobe nearest centroid buckets, also map-side
+    // (sort the scored centroid literals, slice the top nprobe);
+    // (-sim, cid) struct order == sim desc with smallest-cid tiebreak
+    val qscored = array(centroids.map { case (cid, cvec) =>
+      struct((-dotLit(col("__qvec"), cvec)).as("negs"), lit(cid).as("cid"))
+    }: _*)
     val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-      .join(centroids, lit(true))
-      .withColumn("qsim", cosine(col("__qvec"), col("__cvec")))
-      .withColumn("qrank", row_number().over(wq))
-      .where(col("qrank") <= nprobe)
-      .select(col("query_id"), col("__qvec"), col("centroid_id").as("bucket"))
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+      .withColumn("__probe", explode(slice(array_sort(qscored), 1, nprobe)))
+      .select(col("query_id"), col("__qvec"), col("__probe.cid").as("bucket"))
 
     // search only the probed buckets
     val w = Window.partitionBy(col("query_id"))

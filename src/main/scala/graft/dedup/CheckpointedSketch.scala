@@ -81,10 +81,24 @@ object CheckpointedSketch {
       }
     }(Encoders.product[SketchPartCheckpoint]).collect().toSeq.sortBy(_.pid)
 
-    // driver-side associative merge of the persisted partials
-    val fs = new Path(dir).getFileSystem(new Configuration())
-    val merged = manifests.map { mf =>
-      val in = fs.open(new Path(mf.file))
+    // executor-side associative merge: with thousands of partitions a
+    // driver-sequential merge would pull terabytes through one process
+    // (each partial is m/8 bytes). Instead the manifest is parallelized,
+    // each slice OR-merges its files into ONE local sketch, and a
+    // tree-reduce merges the slice results — the driver receives only the
+    // final m/8 bytes.
+    val merged = mergePartials(df.sparkSession, manifests.map(_.file))
+
+    (merged, manifests)
+  }
+
+  /** Distributed OR-merge of persisted sketch partials (see build()). */
+  def mergePartials(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String]): BloomSketch = {
+    require(files.nonEmpty, "no sketch partials to merge")
+    def readSketch(conf: Configuration, f: String): BloomSketch = {
+      val path = new Path(f)
+      val in = path.getFileSystem(conf).open(path)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](1 << 16)
@@ -92,9 +106,23 @@ object CheckpointedSketch {
         while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
         BloomSketch.deserialize(bytes.toByteArray)
       } finally in.close()
-    }.reduceLeft(_.orInPlace(_))
-
-    (merged, manifests)
+    }
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    val mergedBytes = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        var acc: BloomSketch = null
+        it.foreach { f =>
+          val sk = readSketch(conf, f)
+          acc = if (acc == null) sk else acc.orInPlace(sk)
+        }
+        if (acc == null) Iterator.empty else Iterator.single(acc.serialize())
+      }
+      .treeReduce({ (a, b) =>
+        BloomSketch.deserialize(a).orInPlace(BloomSketch.deserialize(b)).serialize()
+      }, depth = 2)
+    BloomSketch.deserialize(mergedBytes)
   }
 
   /** Write the lineage record — the @PG provenance analog

@@ -34,6 +34,7 @@ object MarkDuplicates {
   val SigCol = "__sig"
   private val CntCol = "__sig_cnt"
   private val KeeperCol = "__sig_keeper"
+  private val PrevCol = "__prev_dup"
 
   /** sha256 signature as 32-byte binary (half the shuffle/broadcast bytes
    *  of the hex string); null for null/empty content (the unmapped analog). */
@@ -49,21 +50,33 @@ object MarkDuplicates {
    * optionally the signature column retained when `keepSignature`).
    */
   /** Keeper tiebreak key, kept aggregation-friendly:
-   *   - single order column stays a scalar (min(long/string) is a
-   *     codegen'd HashAggregate);
-   *   - all-string multi-column keys are NUL-joined into ONE string —
-   *     byte-wise string comparison then equals tuple comparison (order
-   *     cols must not contain U+0000; a null col collapses with empty —
-   *     the total order stays deterministic, which is all the tiebreak
-   *     needs), and min(string) stays a HashAggregate;
-   *   - anything else falls back to min(struct), which Spark plans as a
-   *     SortAggregate (two extra sorts around the exchange). */
-  private def keyExpr(df: DataFrame, cfg: DedupConfig): Column = cfg.orderCols match {
-    case Seq(single) => col(single)
-    case cols if cols.forall(c =>
-        df.schema(c).dataType == org.apache.spark.sql.types.StringType) =>
-      concat_ws("\u0000", cols.map(col): _*)
-    case cols => struct(cols.map(col): _*)
+   *   - single NON-NULLABLE order column stays a scalar (min(long/string)
+   *     is a codegen'd HashAggregate);
+   *   - all-string keys are NUL-joined into ONE string — byte-wise string
+   *     comparison then equals tuple comparison (order cols must not
+   *     contain U+0000), and min(string) stays a HashAggregate. Nullable
+   *     string columns are encoded unambiguously as "n" (null) vs
+   *     "v"+value, because concat_ws silently SKIPS nulls — without the
+   *     prefix, (NULL,'x') and ('x',NULL) would collide, and colliding
+   *     keys both equal the group min so neither gets marked;
+   *   - anything else (a nullable non-string column) falls back to
+   *     min(struct): Spark's struct ordering is a true tuple order with
+   *     nulls-first, so it is collision-free, at the cost of a
+   *     SortAggregate plan. */
+  private def keyExpr(df: DataFrame, cfg: DedupConfig): Column = {
+    def nullable(c: String) = df.schema(c).nullable
+    def isString(c: String) =
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType
+    cfg.orderCols match {
+      case Seq(single) if !nullable(single) => col(single)
+      case cols if cols.forall(isString) =>
+        if (cols.exists(nullable))
+          concat_ws("\u0000",
+            cols.map(c => coalesce(concat(lit("v"), col(c)), lit("n"))): _*)
+        else concat_ws("\u0000", cols.map(col): _*)
+      case Seq(single) => struct(col(single))
+      case cols => struct(cols.map(col): _*)
+    }
   }
 
   /** Per-signature (count, keeper) over the slim projection — the one
@@ -79,13 +92,31 @@ object MarkDuplicates {
       .groupBy(SigCol)
       .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
 
+  /** Re-marking semantics over an input that ALREADY has the output
+   *  column (streammd `--strip-previous`, `src/markdups.cxx:126-129`):
+   *  with stripPrevious the stale flags are discarded and recomputed;
+   *  without it the reference only ever SETS the 0x400 bit, so the final
+   *  flag is prior OR fresh. */
+  private def prepPrevious(df: DataFrame, cfg: DedupConfig): DataFrame =
+    if (!df.columns.contains(cfg.outputCol)) df
+    else if (cfg.stripPrevious) df.drop(cfg.outputCol)
+    else df.withColumnRenamed(cfg.outputCol, PrevCol)
+
+  private def combinePrevious(out: DataFrame, cfg: DedupConfig): DataFrame =
+    if (!out.columns.contains(PrevCol)) out
+    else out
+      .withColumn(cfg.outputCol, coalesce(col(PrevCol), lit(false)) || col(cfg.outputCol))
+      .drop(PrevCol)
+
   /** Left-join the keeper set and derive the duplicate flag. */
   private def joinFlag(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame =
-    withSig
-      .join(dupGroups, Seq(SigCol), "left_outer")
-      .withColumn(cfg.outputCol,
-        col(CntCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
-      .drop(CntCol, KeeperCol)
+    combinePrevious(
+      withSig
+        .join(dupGroups, Seq(SigCol), "left_outer")
+        .withColumn(cfg.outputCol,
+          col(CntCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
+        .drop(CntCol, KeeperCol),
+      cfg)
 
   private def applyOutputOptions(marked: DataFrame, cfg: DedupConfig): DataFrame = {
     val out = if (cfg.removeDuplicates) marked.where(!col(cfg.outputCol)) else marked
@@ -96,7 +127,7 @@ object MarkDuplicates {
     applyOutputOptions(joinFlag(withSig, dupGroups, cfg), cfg)
 
   def mark(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
+    val withSig = prepPrevious(df, cfg).withColumn(SigCol, signature(col(cfg.contentCol)))
     joinMark(withSig, sigCounts(withSig, cfg).where(col(CntCol) > 1), cfg)
   }
 
@@ -146,7 +177,7 @@ object MarkDuplicates {
    * shuffles if AQE can't broadcast the duplicate-keeper set.
    */
   def run(df: DataFrame, cfg: DedupConfig = DedupConfig()): DedupResult = {
-    val withSig = df.withColumn(SigCol, signature(col(cfg.contentCol)))
+    val withSig = prepPrevious(df, cfg).withColumn(SigCol, signature(col(cfg.contentCol)))
     val counts = sigCounts(withSig, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -210,8 +241,8 @@ object MarkDuplicates {
           keepers0.select(col(SigCol)),
           cfg.copy(p = cfg.gateFpr, expectedN = math.max(1L, dupGroupRows), mem = None))
         def maybeDup = graft.plans.GraftExpressions.bloomContains(gate, col(SigCol))
-        val clean = withSig.where(!maybeDup)
-          .withColumn(cfg.outputCol, lit(false))
+        val clean = combinePrevious(
+          withSig.where(!maybeDup).withColumn(cfg.outputCol, lit(false)), cfg)
         val dirty = joinFlag(withSig.where(maybeDup), keepers0, cfg)
         applyOutputOptions(dirty.unionByName(clean), cfg)
       }
@@ -229,6 +260,9 @@ case class DedupConfig(
     expectedN: Long = 1000000L,
     mpow2: Boolean = false,
     removeDuplicates: Boolean = false,
+    // clear a pre-existing output column's stale flags instead of OR-ing
+    // them in (streammd --strip-previous, src/streammd.cxx:84-88)
+    stripPrevious: Boolean = false,
     allowOvercapacity: Boolean = false,
     buildSketch: Boolean = true,
     keepSignature: Boolean = false,

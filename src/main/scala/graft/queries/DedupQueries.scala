@@ -16,6 +16,12 @@ import graft.sketch.{BloomSizing, BloomSketchAggregator, BloomSketch}
  */
 object DedupQueries {
 
+  /** Planted-row id offsets. 10^12 cannot collide with any real doc_id /
+   *  vec_id at any plausible scale factor (driver ids are dense from 0),
+   *  so planted ids are globally unique without a data-dependent max scan. */
+  val DupOffset: Long = 1000000000000L
+  val NullOffset: Long = 2000000000000L
+
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -24,17 +30,17 @@ object DedupQueries {
     val d = docs(spark, dir)
     d.select(col("doc_id").as("id"), col("text"))
       .unionAll(d.where(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000L).as("id"), col("text")))
+        .select((col("doc_id") + DupOffset).as("id"), col("text")))
       .unionAll(d.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000L).as("id"), lit(null).cast("string").as("text")))
+        .select((col("doc_id") + NullOffset).as("id"), lit(null).cast("string").as("text")))
   }
 
   /** Shared SQL prefix for the oracle side. */
   val CorpusSql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id AS id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
-      |  UNION ALL SELECT doc_id + 200000, CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + $DupOffset, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id + $NullOffset, CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 7 = 0
       |), marked AS (
       |  SELECT id, text,
       |         (text IS NOT NULL AND text <> '' AND
@@ -73,8 +79,8 @@ object DedupQueries {
 
   val DedupMetricsSql: String =
     s"""$CorpusSql SELECT count(*) AS n_rows,
-       | sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS rows_null_content,
-       | sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS rows_marked_duplicate,
+       | CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS rows_null_content,
+       | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS rows_marked_duplicate,
        | CAST(round(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) * 1000000.0 /
        |      (count(*) - sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END))) AS BIGINT)
        |   AS duplicate_fraction_ppm

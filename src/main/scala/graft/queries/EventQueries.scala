@@ -49,11 +49,11 @@ object EventQueries {
        |  FROM e
        |), c AS (
        |  SELECT user_id, value, us,
-       |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |                             ROWS UNBOUNDED PRECEDING) AS session_id
+       |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        |  FROM s
        |)
        |SELECT user_id, session_id, count(*) AS n_events, min(us) AS session_start_us,
-       |       sum(CAST(round(value * 1000000.0) AS BIGINT)) AS value_sum_micros
+       |       CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_sum_micros
        |FROM c GROUP BY user_id, session_id""".stripMargin
 }

@@ -21,13 +21,13 @@ object SimQueries {
     val d = DedupQueries.docs(spark, dir)
     d.select(col("doc_id").as("id"), col("text"))
       .unionAll(d.where(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000L).as("id"), col("text")))
+        .select((col("doc_id") + DedupQueries.DupOffset).as("id"), col("text")))
   }
 
   private val DupCorpusSql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id AS id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id + ${DedupQueries.DupOffset}, text FROM documents WHERE doc_id % 3 = 0
       |)""".stripMargin
 
   private val ExactPairsSql: String =
@@ -62,6 +62,34 @@ object SimQueries {
   }
 
   val SimhashExactPairsSql: String = ExactPairsSql
+
+  /** MinHash-LSH NEAR-duplicate recall with a deterministic planted
+   *  corpus: every long (>= 50 words) doc with doc_id % 11 == 0 gets a
+   *  copy with ONE extra token appended — true 3-gram Jaccard =
+   *  (w-2)/(w-1) >= 48/49 ~ 0.98, so est_jaccard lands ~0.98 (never near
+   *  the 0.5 cut: sigma = sqrt(s(1-s)/128) ~ 0.012) and the per-band miss
+   *  probability is (1 - 0.98^4)^32 ~ 1e-35 — recall is 1 for every
+   *  planted pair while background pairs (true Jaccard < ~0.3 on this
+   *  corpus) sit > 15 sigma below the cut. The found set is therefore
+   *  EXACTLY the planted set, which the oracle enumerates directly. This
+   *  exercises the est_jaccard < 1 path that exact-dup queries cannot. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val longDocs = d.where(size(split(trim(col("text")), "\\s+")) >= 50)
+    val corpus = d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(longDocs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + DedupQueries.DupOffset).as("id"),
+          concat(col("text"), lit(" qqgraftneardup")).as("text")))
+    MinHashLsh.candidatePairs(corpus, "id", "text")
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val MinhashNearDupSql: String =
+    s"""SELECT doc_id AS id_a, doc_id + ${DedupQueries.DupOffset} AS id_b
+       |FROM documents
+       |WHERE doc_id % 11 = 0
+       |  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 50""".stripMargin
 
   /** Exact word-3-gram Jaccard between consecutive documents, as integer
    *  intersection/union sizes (cross-engine exact). */
@@ -198,17 +226,17 @@ object SimQueries {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
       .unionAll(emb.where(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000L).as("id"),
+        .select((col("vec_id") + DedupQueries.DupOffset).as("id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
     Knn.cosineNearDupPairs(corpus, "id", "embedding", threshold = 0.8)
       .select(col("id_a"), col("id_b"))
   }
 
   val EmbeddingNearDupSql: String =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT vec_id AS id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
+      |  SELECT vec_id + ${DedupQueries.DupOffset}, list_transform(embedding, x -> x * CAST(2 AS FLOAT))
       |  FROM embeddings WHERE vec_id % 5 = 0
       |)
       |SELECT a.id AS id_a, b.id AS id_b
@@ -228,7 +256,7 @@ object SimQueries {
 
   val JsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
       | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin

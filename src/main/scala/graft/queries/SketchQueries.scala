@@ -55,19 +55,24 @@ object SketchQueries {
       "FROM events GROUP BY event_type"
 
   /** KLL quantiles of `value`: the estimated quantile's TRUE rank must be
-   *  within 2% of the requested rank (KLL k=200 bound). */
+   *  within 2% of the requested rank (KLL k=200 bound).
+   *  TWO passes total: (count + sketch) in one agg, then ONE conditional-
+   *  count agg verifying all five ranks (was: 7 separate scans). */
   def kllValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir).where(col("value").isNotNull)
-    val n = ev.count()
-    val bytes = ev.agg(GraftFunctions.kllSketch(col("value").cast("double")))
-      .head().getAs[Array[Byte]](0)
-    val kll = KllSketch.deserialize(bytes)
+    val first = ev.agg(count(lit(1)).as("n"),
+      GraftFunctions.kllSketch(col("value").cast("double")).as("sk")).head()
+    val n = first.getLong(0)
+    val kll = KllSketch.deserialize(first.getAs[Array[Byte]](1))
     val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
-    qs.map { q =>
-      val est = kll.quantile(q)
-      val trueRank = ev.where(col("value") <= est).count().toDouble / n
-      (f"q$q%.2f", math.abs(trueRank - q) <= 0.02)
+    val ests = qs.map(kll.quantile)
+    val rankCols = ests.zipWithIndex.map { case (est, i) =>
+      count(when(col("value") <= est, 1)).as(s"r$i")
+    }
+    val ranks = ev.agg(rankCols.head, rankCols.tail: _*).head()
+    qs.zipWithIndex.map { case (q, i) =>
+      (f"q$q%.2f", math.abs(ranks.getLong(i).toDouble / n - q) <= 0.02)
     }.toDF("quantile", "kll_within_2pct_rank")
   }
 
@@ -81,15 +86,19 @@ object SketchQueries {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .where(col("l_extendedprice").isNotNull)
-    val n = li.count()
-    val bytes = li.agg(GraftFunctions.tdigestSketch(col("l_extendedprice")))
-      .head().getAs[Array[Byte]](0)
-    val td = TDigest.deserialize(bytes)
-    Seq(0.01, 0.25, 0.5, 0.75, 0.99).map { q =>
-      val est = td.quantile(q)
-      val trueRank = li.where(col("l_extendedprice") <= est).count().toDouble / n
+    val first = li.agg(count(lit(1)).as("n"),
+      GraftFunctions.tdigestSketch(col("l_extendedprice")).as("sk")).head()
+    val n = first.getLong(0)
+    val td = TDigest.deserialize(first.getAs[Array[Byte]](1))
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val ests = qs.map(td.quantile)
+    val rankCols = ests.zipWithIndex.map { case (est, i) =>
+      count(when(col("l_extendedprice") <= est, 1)).as(s"r$i")
+    }
+    val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
+    qs.zipWithIndex.map { case (q, i) =>
       val bound = math.max(0.002, 8.0 * q * (1 - q) / 100.0)
-      (f"q$q%.2f", math.abs(trueRank - q) <= bound)
+      (f"q$q%.2f", math.abs(ranks.getLong(i).toDouble / n - q) <= bound)
     }.toDF("quantile", "tdigest_within_bound")
   }
 

@@ -109,6 +109,17 @@ object MinHashLsh {
   /**
    * Candidate near-duplicate pairs (idA < idB) with estimated Jaccard.
    * Input df must have (idCol: long, textCol: string).
+   *
+   * Scale shape: the MinHash signature (1 KB at 128 hashes) is computed
+   * once and localCheckpoint'd; only the slim (band, bucket, id) triples
+   * enter the self-join, and signatures are re-attached AFTER pair dedup
+   * (the pair set is orders of magnitude smaller than band-expanded rows).
+   * Buckets hotter than `maxBucketSize` are dropped before the join — an
+   * exact-dup cluster of c docs shares all bands and would otherwise
+   * produce bands*c^2 candidate rows. Dropping a hot bucket only loses
+   * pairs whose ONLY collision is that bucket; callers that must not lose
+   * giant exact-dup clusters should exact-dedup (sha256 groupBy) first,
+   * which is cheaper anyway.
    */
   def candidatePairs(
       df: DataFrame,
@@ -116,7 +127,8 @@ object MinHashLsh {
       textCol: String,
       numHashes: Int = DefaultNumHashes,
       bands: Int = DefaultBands,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigUdf = udf { (text: String) =>
@@ -131,18 +143,35 @@ object MinHashLsh {
       estimatedJaccard(s1.toArray, s2.toArray)
     }
 
+    // signature pass is the expensive map-side work (numHashes affine
+    // transforms per shingle); localCheckpoint materializes it once so the
+    // bucket-count pass, the join and the two re-attach joins don't each
+    // recompute it (lazy: first action materializes)
     val sigs = df
       .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .where(col("sig").isNotNull)
+      .localCheckpoint(false)
     val banded = sigs
-      .select(col("id"), col("sig"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
+    // only buckets that can produce pairs (>= 2 members) and aren't hot
+    // survive; the aggregate shuffles slim (band, bucket, n) rows with
+    // map-side combine — same discipline as Knn.cosineNearDupPairs /
+    // Fingerprint.overlapPairs
+    val liveBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(liveBuckets, Seq("band", "bucket"), "left_semi")
+    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estUdf(col("sig_a"), col("sig_b")))
-      .drop("sig_a", "sig_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 }

@@ -45,39 +45,82 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Block boundaries: 64 bits split into nBlocks near-equal spans. */
+  private def blockSpans(nBlocks: Int): IndexedSeq[(Int, Int)] = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = IndexedSeq.tabulate(nBlocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).take(nBlocks)
+  }
+
   /**
    * Near-duplicate candidate pairs (id_a < id_b) with Hamming distance <=
    * maxHamming. df must have (idCol: long, textCol: string).
+   *
+   * Blocking (Manku/Jain/Sarma, WWW'07 generalization of the pigeonhole
+   * trick): the 64 bits are split into `nBlocks` blocks; a pair within
+   * `maxHamming` flips must agree exactly on at least nBlocks - maxHamming
+   * blocks, so keying each row by every (nBlocks - maxHamming)-subset of
+   * block values finds all such pairs. With the old maxHamming+1 chunks the
+   * key was only 64/(h+1) bits (65k buckets at h=3 — quadratic buckets at
+   * web scale); block subsets widen the key to ~64*(1 - h/nBlocks) bits
+   * (e.g. 32 bits at h=3, nBlocks=6) at the cost of C(nBlocks, nBlocks-h)
+   * exploded rows per doc.
+   *
+   * Scale shape: only slim (combo, key, id) rows enter the self-join;
+   * fingerprints are re-attached after pair dedup. Buckets hotter than
+   * `maxBucketSize` are dropped before the join (hot bucket = giant
+   * exact-dup cluster or degenerate fingerprint; exact-dedup first if
+   * those clusters matter).
    */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val nChunks = maxHamming + 1
-    val bitsPer = 64 / nChunks
+      maxHamming: Int = 3,
+      nBlocks: Int = 6,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    require(nBlocks > maxHamming, "need more blocks than allowed bit flips")
+    require(nBlocks <= 16, "block count beyond 16 explodes the combo count")
+    val spans = blockSpans(nBlocks)
+    val combos: IndexedSeq[IndexedSeq[Int]] =
+      (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toIndexedSeq).toIndexedSeq
     val shUdf = udf((t: String) => simhash64(t))
-    val chunksUdf = udf { (h: Long) =>
-      (0 until nChunks).map { c =>
-        val lo = c * bitsPer
-        val width = if (c == nChunks - 1) 64 - lo else bitsPer
-        val mask = if (width == 64) -1L else (1L << width) - 1
-        (h >>> lo) & mask
+    // key of combo c = FNV fold of the exact block values in that combo
+    val keysUdf = udf { (h: Long) =>
+      combos.map { combo =>
+        var k = 0xCBF29CE484222325L
+        combo.foreach { b =>
+          val (lo, width) = spans(b)
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          k = (k ^ ((h >>> lo) & mask)) * 0x100000001B3L
+          k = (k ^ b) * 0x100000001B3L
+        }
+        k
       }
     }
     val hamUdf = udf((a: Long, b: Long) => hamming(a, b))
 
     val hashed = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
-    val chunked = hashed
-      .select(col("id"), col("sh"), posexplode(chunksUdf(col("sh"))).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "cval"))
+      .localCheckpoint(false)
+    val keyed = hashed
+      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("combo", "key")))
+    val liveBuckets = keyed.groupBy(col("combo"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("combo"), col("key"))
+    val pruned = keyed.join(liveBuckets, Seq("combo", "key"), "left_semi")
+    val a = pruned.select(col("combo"), col("key"), col("id").as("id_a"))
+    val b = pruned.select(col("combo"), col("key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("combo", "key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
-      .drop("sh_a", "sh_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import graft.dedup.DedupMetrics
+import graft.sam.SamOps
+
+/** CLI surface parity with streammd (`src/streammd.cxx:34-90`):
+ *  flag parsing, config wiring, metrics formats, and the SAM input mode
+ *  (--single / --reads-per-template). */
+class DedupCliSpec extends SparkSpecBase {
+
+  test("parse: boolean flags and valued options") {
+    val opts = DedupCli.parse(Array(
+      "--input", "in.parquet", "--output", "out.parquet",
+      "--strip-previous", "--mem-pow2", "--single",
+      "--remove-duplicates", "-p", "1e-4", "--reads-per-template", "1"))
+    assert(opts("--strip-previous") === "true")
+    assert(opts("--mem-pow2") === "true")
+    assert(opts("--single") === "true")
+    assert(opts("--reads-per-template") === "1")
+    assert(opts("-p") === "1e-4")
+  }
+
+  test("buildConfig wires --strip-previous and --mem-pow2 into the job config") {
+    val base = DedupCli.buildConfig(Map.empty, 1e-6, None)
+    assert(!base.stripPrevious && !base.mpow2)
+    val cfg = DedupCli.buildConfig(
+      Map("--strip-previous" -> "true", "--mem-pow2" -> "true",
+        "--remove-duplicates" -> "true", "--expected-n" -> "42"),
+      1e-4, Some("128MiB"))
+    assert(cfg.stripPrevious)
+    assert(cfg.mpow2)
+    assert(cfg.removeDuplicates)
+    assert(cfg.expectedN === 42L)
+    assert(cfg.p === 1e-4)
+    assert(cfg.mem === Some("128MiB"))
+  }
+
+  test("metricsJson streammd format emits the reference's documented key set") {
+    // reference key names: src/markdups.cxx:202-234, README.md:179-183
+    val m = DedupMetrics(rows = 100L, rowsNullContent = 3L,
+      rowsMarkedDuplicate = 20L, duplicateFraction = 20.0 / 97, nAdded = 77L,
+      sketch = None)
+    val json = DedupCli.metricsJson(m, "streammd")
+    for (key <- Seq("ALIGNMENTS", "ALIGNMENTS_MARKED_DUPLICATE", "TEMPLATES",
+      "TEMPLATES_UNMAPPED", "TEMPLATES_MARKED_DUPLICATE",
+      "TEMPLATE_DUPLICATE_FRACTION"))
+      assert(json.contains("\"" + key + "\""), s"missing $key in $json")
+    assert(json.contains("\"TEMPLATES\":100"))
+    assert(json.contains("\"TEMPLATES_UNMAPPED\":3"))
+    assert(json.contains("\"TEMPLATES_MARKED_DUPLICATE\":20"))
+    val graftJson = DedupCli.metricsJson(m, "graft")
+    assert(graftJson.contains("\"ROWS\":100"))
+    intercept[IllegalArgumentException](DedupCli.metricsJson(m, "bogus"))
+  }
+
+  test("SAM input mode: parseSamFile + --single arity (reads-per-template=1)") {
+    // minimal single-end SAM: q1/q3 same start -> q3 dup; q2 distinct
+    val sam = Seq(
+      "@HD\tVN:1.6",
+      "@SQ\tSN:chr1\tLN:1000",
+      "q1\t0\tchr1\t100\t60\t10M\t*\t0\t0\tAAAAAAAAAA\t*",
+      "q2\t0\tchr1\t200\t60\t10M\t*\t0\t0\tAAAAAAAAAA\t*",
+      "q3\t0\tchr1\t100\t60\t10M\t*\t0\t0\tAAAAAAAAAA\t*"
+    ).mkString("\n")
+    val f = Files.createTempFile("graft-cli", ".sam")
+    Files.writeString(f, sam)
+    val reads = SamOps.parseSamFile(spark, f.toString)
+    assert(reads.count() === 3L) // headers skipped
+    val marked = SamOps.markSamDuplicates(reads, readsPerTemplate = 1)
+      .select("qname", "is_duplicate").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(marked === Map("q1" -> false, "q2" -> false, "q3" -> true))
+    // paired arity on single-end input throws, like the reference
+    val e = intercept[IllegalStateException](
+      SamOps.markSamDuplicates(reads, readsPerTemplate = 2).count())
+    assert(e.getMessage.contains("not paired"))
+  }
+}

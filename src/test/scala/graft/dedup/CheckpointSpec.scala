@@ -56,6 +56,20 @@ class CheckpointSpec extends SparkSpecBase {
     assert(resumed === full, "resume must reproduce the full-run sketch")
   }
 
+  test("executor-side merge handles 64+ partials and matches the direct sketch") {
+    val dir = tmpDir("wide")
+    val wide = df.repartition(64)
+    val (merged, manifests) = CheckpointedSketch.build(wide, cfg, dir)
+    assert(manifests.size >= 64, s"expected >= 64 partials, got ${manifests.size}")
+    // the distributed tree merge must equal the single-job UDAF sketch —
+    // the driver only ever receives the final merged m/8 bytes
+    val direct = MarkDuplicates.buildSketch(df, cfg)
+    assert(merged === direct)
+    // mergePartials alone (the executor-side path) agrees too
+    val again = CheckpointedSketch.mergePartials(spark, manifests.map(_.file))
+    assert(again === direct)
+  }
+
   test("lineage.json written with manifest + metrics") {
     val dir = tmpDir("d")
     val res = MarkDuplicates.run(df, cfg)

@@ -126,6 +126,63 @@ class MarkDuplicatesSpec extends SparkSpecBase {
     assert(fp.toDouble / 10000L <= 2 * p, s"observed FPR ${fp / 10000.0}")
   }
 
+  test("nullable order columns: (NULL,'x') and ('x',NULL) keys must not collide") {
+    import spark.implicits._
+    // concat_ws silently skips NULLs; without unambiguous encoding both
+    // tuples encode to "x", both equal the group min, and NEITHER gets
+    // marked — exactly one of these two same-content rows must be a dup
+    val df = Seq(
+      (Option.empty[String], Option("x"), "samecontent"),
+      (Option("x"), Option.empty[String], "samecontent")
+    ).toDF("a", "b", "content")
+    val c = DedupConfig(contentCol = "content", orderCols = Seq("a", "b"),
+      p = 1e-4, expectedN = 10L, buildSketch = false)
+    val marked = MarkDuplicates.mark(df, c)
+    assert(marked.where(col("is_duplicate")).count() === 1L,
+      "exactly one of the colliding-key rows must be marked")
+  }
+
+  test("single nullable order column: null keys don't escape marking") {
+    import spark.implicits._
+    val df = Seq((Option(2L), "c"), (Option.empty[Long], "c"), (Option(1L), "c"))
+      .toDF("k", "content")
+    val c = DedupConfig(contentCol = "content", orderCols = Seq("k"),
+      p = 1e-4, expectedN = 10L, buildSketch = false)
+    val marked = MarkDuplicates.mark(df, c)
+    // min(struct) orders nulls first: the null-key row is the keeper,
+    // the other two are duplicates — 2 marked, deterministically
+    assert(marked.where(col("is_duplicate")).count() === 2L)
+  }
+
+  test("re-marking: prior flags OR'd in by default, cleared with stripPrevious") {
+    import spark.implicits._
+    // id=1 was previously marked (stale flag); fresh marking keeps id=1
+    // (keeper of the 'a' group) and marks id=3
+    val df = Seq((1L, "a", true), (2L, "b", false), (3L, "a", false))
+      .toDF("id", "content", "is_duplicate")
+    val c = DedupConfig(contentCol = "content", orderCols = Seq("id"),
+      p = 1e-4, expectedN = 10L, buildSketch = false)
+
+    // default (no strip): the reference only ever SETS the bit -> OR
+    val kept = MarkDuplicates.mark(df, c)
+      .select("id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept === Map(1L -> true, 2L -> false, 3L -> true))
+
+    // --strip-previous: stale flags cleared, fresh marks only
+    val stripped = MarkDuplicates.mark(df, c.copy(stripPrevious = true))
+      .select("id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(stripped === Map(1L -> false, 2L -> false, 3L -> true))
+
+    // run() (bloom-gated path included) honors the same semantics
+    val gated = MarkDuplicates.run(df, c.copy(broadcastKeeperMaxRows = 0L))
+    val gmap = gated.marked.select("id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gmap === Map(1L -> true, 2L -> false, 3L -> true))
+    gated.unpersistAll()
+  }
+
   test("generator is deterministic and splittable (same table at 3 vs 11 partitions)") {
     val a = RepoTableGen.repositories(spark, 2000L, numPartitions = Some(3), seed = 5L)
     val b = RepoTableGen.repositories(spark, 2000L, numPartitions = Some(11), seed = 5L)

@@ -148,6 +148,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(uncapped === 50L * 49 / 2 + 1)
   }
 
+  test("MinHash hot buckets are capped; cold pairs survive; slim join stays bounded") {
+    import spark.implicits._
+    // 100 identical docs share every band -> one hot bucket per band;
+    // uncapped this joins quadratically (32 * 100^2 candidate rows)
+    val hot = (0L until 100L).map(i => (i, baseText))
+    val coldText = (0 until 200).map(i => s"cold${i}zz word$i").mkString(" ")
+    val rows = hot ++ Seq((500L, coldText), (501L, coldText))
+    val docs = rows.toDF("id", "text")
+    val capped = MinHashLsh.candidatePairs(docs, "id", "text", maxBucketSize = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((500L, 501L)),
+      s"hot buckets dropped, cold pair kept; got $capped")
+    // with the cap lifted, the hot cluster's pairs come back
+    val uncapped = MinHashLsh.candidatePairs(docs, "id", "text").count()
+    assert(uncapped === 100L * 99 / 2 + 1)
+  }
+
+  test("MinHash near-dup: one appended token gives est_jaccard in (0.8, 1]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, baseText),
+      (2L, baseText + " qqgraftneardup")
+    ).toDF("id", "text")
+    val rows = MinHashLsh.candidatePairs(docs, "id", "text").collect()
+    assert(rows.length === 1)
+    val est = rows(0).getDouble(2)
+    assert(est > 0.8 && est <= 1.0, s"est_jaccard $est")
+  }
+
+  test("SimHash hot buckets are capped; cold pairs survive") {
+    import spark.implicits._
+    val hot = (0L until 100L).map(i => (i, baseText))
+    val coldText = (0 until 200).map(i => s"cold${i}zz word$i").mkString(" ")
+    val rows = hot ++ Seq((500L, coldText), (501L, coldText))
+    val docs = rows.toDF("id", "text")
+    val capped = SimHash.nearDupPairs(docs, "id", "text", maxBucketSize = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((500L, 501L)))
+    val uncapped = SimHash.nearDupPairs(docs, "id", "text").count()
+    assert(uncapped === 100L * 99 / 2 + 1)
+  }
+
+  test("IVF bucket assignment is pure map-side: no Exchange in the plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Knn.trainCentroids(vecs, "vec_id", "embedding", 4, lloydIters = 0)
+    val plan = Knn.assignBuckets(vecs, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("cosineNearDupPairs: empty input returns empty result, no exception") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.cosineNearDupPairs(empty, "vec_id", "embedding", 0.8).count() === 0L)
+  }
+
   test("multimodal pipeline: blob plumbing + deterministic stub features") {
     import spark.implicits._
     import graft.multimodal._
