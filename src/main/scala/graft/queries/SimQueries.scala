@@ -68,11 +68,14 @@ object SimQueries {
    *  copy with ONE extra token appended — true 3-gram Jaccard =
    *  (w-2)/(w-1) >= 48/49 ~ 0.98, so est_jaccard lands ~0.98 (never near
    *  the 0.5 cut: sigma = sqrt(s(1-s)/128) ~ 0.012) and the per-band miss
-   *  probability is (1 - 0.98^4)^32 ~ 1e-35 — recall is 1 for every
-   *  planted pair while background pairs (true Jaccard < ~0.3 on this
-   *  corpus) sit > 15 sigma below the cut. The found set is therefore
-   *  EXACTLY the planted set, which the oracle enumerates directly. This
-   *  exercises the est_jaccard < 1 path that exact-dup queries cannot. */
+   *  probability is (1 - 0.98^4)^32 ~ 1e-35 — recall on the planted pairs
+   *  is 1. The output is projected onto the planted relation
+   *  (id_b = id_a + offset) because the documents corpus contains NATURAL
+   *  near-dups too (measured at sf0.01: e.g. two docs differing by one
+   *  word), which est >= 0.5 legitimately finds but no SQL oracle can
+   *  enumerate; a planted pair still must survive the full pipeline —
+   *  banding, hot-bucket pruning, candidate join, est_jaccard cut — to be
+   *  emitted, so this exercises the est_jaccard < 1 path end-to-end. */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     val longDocs = d.where(size(split(trim(col("text")), "\\s+")) >= 50)
@@ -81,7 +84,8 @@ object SimQueries {
         .select((col("doc_id") + DedupQueries.DupOffset).as("id"),
           concat(col("text"), lit(" qqgraftneardup")).as("text")))
     MinHashLsh.candidatePairs(corpus, "id", "text")
-      .where(col("est_jaccard") >= 0.5)
+      .where(col("est_jaccard") >= 0.5 &&
+        col("id_b") === col("id_a") + DedupQueries.DupOffset)
       .select(col("id_a"), col("id_b"))
   }
 
