@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, SimQueries, SketchQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, SamQueries, SimQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *  Every entry in `queries` has a DuckDB-equivalent in `oracleSql` unless
@@ -41,6 +41,13 @@ object SparkEntry {
     "fingerprint_exact_pairs" -> SimQueries.fingerprintExactPairs,
     "dup_clusters" -> SimQueries.dupClusters,
     "json_extract" -> SimQueries.jsonExtract,
+    "sam_clip_positions" -> SamQueries.samClipPositions,
+    "sam_route_parse" -> SamQueries.samRouteParse,
+    "sam_markdup" -> SamQueries.samMarkdup,
+    "sam_arity" -> SamQueries.samArity,
+    "pg_lineage" -> SamQueries.pgLineage,
+    "capacity_guard" -> SamQueries.capacityGuard,
+    "skew_salted_agg" -> SamQueries.skewSaltedAgg,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -71,5 +78,12 @@ object SparkEntry {
     "fingerprint_exact_pairs" -> SimQueries.FingerprintExactPairsSql,
     "dup_clusters" -> SimQueries.DupClustersSql,
     "json_extract" -> SimQueries.JsonExtractSql,
+    "sam_clip_positions" -> SamQueries.SamClipPositionsSql,
+    "sam_route_parse" -> SamQueries.SamRouteParseSql,
+    "sam_markdup" -> SamQueries.SamMarkdupSql,
+    "sam_arity" -> SamQueries.SamAritySql,
+    "pg_lineage" -> SamQueries.PgLineageSql,
+    "capacity_guard" -> SamQueries.CapacityGuardSql,
+    "skew_salted_agg" -> SamQueries.SkewSaltedAggSql,
   )
 }

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sam.{Lineage, SamOps, SamRead}
+import graft.dedup.{DedupConfig, MarkDuplicates}
+import graft.sketch.BloomSizing
+
+/**
+ * Driver-facing queries for the SAM-domain operators (reference parity
+ * layer) plus the capacity guard, provenance and skew-handling surfaces.
+ * The sf testdata has no SAM records, so deterministic SAM-shaped inputs
+ * are synthesized from the `events`/`region` tables INSIDE each query and
+ * reproduced identically (by arithmetic, not by re-parsing) in the oracle
+ * SQL — the Spark side exercises the real operators (CIGAR parsing,
+ * header routing, template grouping, first-seen marking), the oracle
+ * independently derives the expected values from the generating formulas.
+ */
+object SamQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  // ---------- operator #5/#6: start_pos / end_pos soft-clip arithmetic ----------
+
+  /** CIGARs with every op class (S/M/I/D/N/X, all components >= 1):
+   *  the Column CIGAR parsers run against real strings; the oracle knows
+   *  the answer from the generating arithmetic. */
+  def samClipPositions(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    def part(c: Column, op: String) = concat(c.cast("string"), lit(op))
+    val lead = id % 5 + 1
+    val m1 = id % 40 + 10
+    val ins = id % 3 + 1
+    val del = id % 4 + 1
+    val skip = id % 6 + 1
+    val m2 = id % 7 + 1
+    val trail = id % 2 + 1
+    val pos = (id % 100000 + 1000).cast("int")
+    val cigar = concat(part(lead, "S"), part(m1, "M"), part(ins, "I"),
+      part(del, "D"), part(skip, "N"), part(m2, "X"), part(trail, "S"))
+    events(spark, dir)
+      .select(id.as("read_id"), cigar.as("cigar"), pos.as("pos"))
+      .select(col("read_id"), col("cigar"),
+        SamOps.startPosCol(col("pos"), col("cigar")).as("start_pos"),
+        SamOps.endPosCol(col("pos"), col("cigar")).as("end_pos"))
+  }
+
+  val SamClipPositionsSql: String =
+    """SELECT event_id AS read_id,
+      |  (event_id % 5 + 1) || 'S' || (event_id % 40 + 10) || 'M' ||
+      |  (event_id % 3 + 1) || 'I' || (event_id % 4 + 1) || 'D' ||
+      |  (event_id % 6 + 1) || 'N' || (event_id % 7 + 1) || 'X' ||
+      |  (event_id % 2 + 1) || 'S' AS cigar,
+      |  CAST(event_id % 100000 + 1000 - (event_id % 5 + 1) AS INT) AS start_pos,
+      |  CAST(event_id % 100000 + 1000 + (event_id % 40 + 10) + (event_id % 4 + 1)
+      |       + (event_id % 6 + 1) + (event_id % 7 + 1) + (event_id % 2 + 1) AS INT) AS end_pos
+      |FROM events""".stripMargin
+
+  // ---------- operator #2/#4: header-vs-record routing + lazy field parse ----------
+
+  /** Raw SAM-shaped text lines (headers every 97th id) routed on the '@'
+   *  prefix and field-parsed by position — the reference's line-scan path
+   *  (streammd `src/markdups.cxx:27-30`, `src/markdups.h:59-106`). */
+  def samRouteParse(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val isHdr = id % 97 === 0
+    val line = when(isHdr,
+      concat(lit("@SQ\tSN:chr"), (id % 5).cast("string"), lit("\tLN:248956422")))
+      .otherwise(concat_ws("\t",
+        concat(lit("q"), id.cast("string")),
+        (id % 256).cast("string"),
+        concat(lit("chr"), (id % 5).cast("string")),
+        (id % 100000 + 1).cast("string"),
+        lit("60"), lit("50M")))
+    val f = split(col("line"), "\t")
+    val hdr = substring(col("line"), 1, 1) === "@"
+    events(spark, dir)
+      .select(id.as("event_id"), line.as("line"))
+      .select(col("event_id"), hdr.as("is_header"),
+        when(!hdr, element_at(f, 1)).as("qname"),
+        when(!hdr, element_at(f, 2).cast("int")).as("flag"),
+        when(!hdr, element_at(f, 3)).as("rname"),
+        when(!hdr, element_at(f, 4).cast("int")).as("pos"))
+  }
+
+  val SamRouteParseSql: String =
+    """SELECT event_id,
+      |  (event_id % 97 = 0) AS is_header,
+      |  CASE WHEN event_id % 97 <> 0 THEN 'q' || event_id END AS qname,
+      |  CASE WHEN event_id % 97 <> 0 THEN CAST(event_id % 256 AS INT) END AS flag,
+      |  CASE WHEN event_id % 97 <> 0 THEN 'chr' || (event_id % 5) END AS rname,
+      |  CASE WHEN event_id % 97 <> 0 THEN CAST(event_id % 100000 + 1 AS INT) END AS pos
+      |FROM events""".stripMargin
+
+  // ---------- operators #7/#8/#11/#19: SAM template dedup end-to-end ----------
+
+  /** Deterministic paired-read corpus: one template per event, FR/RF
+   *  orientation by parity, soft clips from id mods, plus unmapped
+   *  variants (both reads unmapped every 11th id — the never-tested
+   *  "unmapped template"; read2 unmapped every other 13th id — the
+   *  SAMBLASTER orphan rule path, streammd `src/markdups.cxx:174-176`).
+   *  Positions repeat mod 350 so signatures genuinely collide. */
+  private def samReads(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[SamRead] = {
+    import spark.implicits._
+    val id = col("eid")
+    val e = events(spark, dir).select(col("event_id").as("eid"))
+    val rname = concat(lit("chr"), (id % 5).cast("string"))
+    val qname = concat(lit("t"), id.cast("string"))
+    val lead = id % 4
+    val trail = id % 3
+    val pos1 = (id % 350) * 8 + 1000
+    val pos2 = pos1 + 200
+    val bothUnm = id % 11 === 0
+    val r2Unm = !bothUnm && id % 13 === 0
+    val cigar1 = when(lead > 0,
+      concat(lead.cast("string"), lit("S"), (lit(50) - lead).cast("string"), lit("M")))
+      .otherwise(lit("50M"))
+    val cigar2 = when(trail > 0,
+      concat(lit("40M"), trail.cast("string"), lit("S"))).otherwise(lit("40M"))
+    val flag1 = when(bothUnm, 4).when(id % 2 === 1, 16).otherwise(0)
+    val flag2 = when(bothUnm || r2Unm, 4).when(id % 2 === 0, 16).otherwise(0)
+    val r1 = e.select((id * 2).as("order"), qname.as("qname"), flag1.as("flag"),
+      rname.as("rname"), pos1.cast("int").as("pos"), cigar1.as("cigar"))
+    val r2 = e.select((id * 2 + 1).as("order"), qname.as("qname"), flag2.as("flag"),
+      rname.as("rname"), pos2.cast("int").as("pos"), cigar2.as("cigar"))
+    r1.unionAll(r2).as[SamRead]
+  }
+
+  /** Full SAM-semantics duplicate marking (adjacency grouping, ordered
+   *  template ends, first-seen-wins, 0x400 flag rewrite) driven from the
+   *  synthesized corpus. */
+  def samMarkdup(spark: SparkSession, dir: String): DataFrame =
+    SamOps.markSamDuplicates(samReads(spark, dir))
+      .select(col("order").as("ord"), col("qname"), col("flag"),
+        col("is_duplicate"), col("out_flag"))
+
+  val SamMarkdupSql: String =
+    """WITH t AS (
+      |  SELECT event_id AS eid,
+      |    'chr' || (event_id % 5) AS rname,
+      |    (event_id % 350) * 8 + 1000 AS pos1,
+      |    (event_id % 350) * 8 + 1200 AS pos2,
+      |    event_id % 4 AS lead,
+      |    event_id % 3 AS trail,
+      |    (event_id % 11 = 0) AS both_unm,
+      |    (event_id % 11 <> 0 AND event_id % 13 = 0) AS r2_unm,
+      |    event_id % 2 AS parity
+      |  FROM events
+      |), sig AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN both_unm THEN chr(127) || '_' || chr(127)
+      |      WHEN r2_unm THEN rname || 'F' || (pos1 - lead) || '_' || chr(127)
+      |      WHEN parity = 0 THEN rname || 'F' || (pos1 - lead) || '_' || rname || 'R' || (pos2 + 40 + trail)
+      |      ELSE rname || 'R' || (pos1 + 50 - lead) || '_' || rname || 'F' || pos2
+      |    END AS s,
+      |    CASE WHEN both_unm THEN 4 WHEN parity = 1 THEN 16 ELSE 0 END AS flag1,
+      |    CASE WHEN both_unm OR r2_unm THEN 4 WHEN parity = 0 THEN 16 ELSE 0 END AS flag2
+      |  FROM t
+      |), md AS (
+      |  SELECT eid, flag1, flag2,
+      |    (NOT both_unm AND row_number() OVER (PARTITION BY s ORDER BY eid) > 1) AS is_duplicate
+      |  FROM sig
+      |), reads AS (
+      |  SELECT eid * 2 AS ord, 't' || eid AS qname, flag1 AS flag, is_duplicate FROM md
+      |  UNION ALL
+      |  SELECT eid * 2 + 1, 't' || eid, flag2, is_duplicate FROM md
+      |)
+      |SELECT ord, qname, CAST(flag AS INT) AS flag, is_duplicate,
+      |  CAST(CASE WHEN is_duplicate THEN flag | 1024 ELSE flag END AS INT) AS out_flag
+      |FROM reads""".stripMargin
+
+  // ---------- operator #9: arity assertion (queryable report form) ----------
+
+  /** Templates with a third primary read every 10th id (arity violation)
+   *  and an extra supplementary read every (10k+5)th id (must NOT count —
+   *  secondary/supplementary are skipped, streammd `src/markdups.cxx:165-166`). */
+  def samArity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("eid")
+    val e = events(spark, dir).select(col("event_id").as("eid"))
+    val qname = concat(lit("t"), id.cast("string"))
+    val rname = concat(lit("chr"), (id % 5).cast("string"))
+    def read(ordOff: Int, flag: Column, posOff: Int) =
+      e.select((id * 4 + ordOff).as("order"), qname.as("qname"), flag.as("flag"),
+        rname.as("rname"), (id % 1000 + 100 + posOff).cast("int").as("pos"),
+        lit("50M").as("cigar"))
+    val r1 = read(0, lit(0), 0)
+    val r2 = read(1, lit(16), 200)
+    val extraPrimary = read(2, lit(0), 400).where(id % 10 === 0)
+    val extraSupp = read(3, lit(2048), 600).where(id % 10 === 5)
+    val reads = r1.unionAll(r2).unionAll(extraPrimary).unionAll(extraSupp).as[SamRead]
+    SamOps.arityReport(reads, readsPerTemplate = 2)
+  }
+
+  val SamAritySql: String =
+    """SELECT 't' || event_id AS qname,
+      |  CAST(CASE WHEN event_id % 10 = 0 THEN 3 ELSE 2 END AS INT) AS n_primary_ends,
+      |  (event_id % 10 <> 0) AS arity_ok
+      |FROM events""".stripMargin
+
+  // ---------- operator #3: @PG provenance lineage ----------
+
+  /** The injected @PG provenance line, chained to a prior @PG via PP:
+   *  when one exists (every even region key has a prior tool line). */
+  def pgLineage(spark: SparkSession, dir: String): DataFrame = {
+    val mkLine = udf { (prev: String) =>
+      Lineage.pgLine(Lineage.lastPgId(Option(prev).toSeq),
+        Seq("dedup", "--fp-rate", "1e-6"))
+    }
+    val prior = when(col("r_regionkey") % 2 === 0,
+      concat(lit("@PG\tID:tool_"), col("r_name")))
+    spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey"), mkLine(prior).as("pg_line"))
+  }
+
+  val PgLineageSql: String = {
+    val base = s"'@PG' || chr(9) || 'ID:${Lineage.Tool}' || chr(9) || 'PN:${Lineage.Tool}'" +
+      s" || chr(9) || 'CL:dedup --fp-rate 1e-6' || chr(9) || 'VN:${Lineage.Version}'"
+    s"""SELECT r_regionkey,
+       |  CASE WHEN r_regionkey % 2 = 0
+       |    THEN $base || chr(9) || 'PP:tool_' || r_name
+       |    ELSE $base
+       |  END AS pg_line
+       |FROM region""".stripMargin
+  }
+
+  // ---------- operator #17: post-run capacity guard ----------
+
+  private val GuardP = 1e-3
+  private val GuardMem = "2KiB" // m = 16384 bits, k = 10
+  private val GuardM = 8L * 2048L
+  private val GuardCapacity = BloomSizing.capacity(GuardP, GuardM, 10)
+
+  /** The reference's post-run guard values (streammd `src/streammd.cxx:
+   *  142-160`) from a deliberately tiny filter: under capacity at sf0.01,
+   *  OVER capacity at sf0.1 (allowOvercapacity keeps the job alive, as
+   *  `--allow-overcapacity` does). Fixed-point outputs keep the
+   *  cross-engine compare exact. */
+  def capacityGuard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = DedupConfig(contentCol = "text", orderCols = Seq("id"),
+      p = GuardP, mem = Some(GuardMem), allowOvercapacity = true)
+    val res = MarkDuplicates.run(DedupQueries.corpus(spark, dir), cfg)
+    res.unpersistAll()
+    val sm = res.metrics.sketch.get
+    // fixed-point encodings use the exact operation order of the oracle SQL
+    Seq((sm.m, sm.k, sm.n, sm.inserted, sm.capacityUsed > 1.0,
+      math.round(sm.inserted * 1000000.0 / sm.n),
+      math.round(BloomSizing.marginalFpr(sm.m, sm.k, sm.inserted) * 1000000000.0)))
+      .toDF("m", "k", "capacity_n", "n_added", "over_capacity",
+        "capacity_used_ppm", "marginal_fpr_x1e9")
+  }
+
+  val CapacityGuardSql: String =
+    s"""${DedupQueries.CorpusSql}, added AS (
+       |  SELECT count(DISTINCT sha256(text)) AS n_added
+       |  FROM corpus WHERE text IS NOT NULL AND text <> ''
+       |)
+       |SELECT $GuardM AS m, 10 AS k, $GuardCapacity AS capacity_n, n_added,
+       |  (n_added > $GuardCapacity) AS over_capacity,
+       |  CAST(round(n_added * 1000000.0 / $GuardCapacity) AS BIGINT) AS capacity_used_ppm,
+       |  CAST(round(power(1 - exp(-10.0 * n_added / $GuardM), 10) * 1000000000.0) AS BIGINT)
+       |    AS marginal_fpr_x1e9
+       |FROM added""".stripMargin
+
+  // ---------- skew handling: two-stage salted aggregation ----------
+
+  /** The salted two-stage aggregation produces exactly the plain groupBy
+   *  answer — correctness of the skew path, driver-checked. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Skew.saltedGroupAgg(
+      events(spark, dir)
+        .withColumn("micros", round(col("value") * 1000000.0).cast("long")),
+      keys = Seq("event_type"),
+      saltFromCols = Seq("event_id"),
+      saltBuckets = 16,
+      partialAggs = Seq(count(lit(1)).as("pn"), sum(col("micros")).as("ps")),
+      finalAggs = Seq(sum(col("pn")).as("n_events"),
+        sum(col("ps")).as("value_sum_micros")))
+
+  val SkewSaltedAggSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_sum_micros
+      |FROM events GROUP BY event_type""".stripMargin
+}

@@ -1,0 +1,28 @@
+package graft.sam
+
+/**
+ * Run-provenance lineage — the @PG header-line analog of streammd's
+ * `pgline` (reference `src/markdups.cxx:62-83`): a new `@PG` record naming
+ * the tool, program name, command line and version, chained to the
+ * previous program via `PP:` when a prior `@PG` line exists (previous ID
+ * located by regex, reference `src/markdups.h:26` `re_pgid`).
+ */
+object Lineage {
+
+  val Tool = "graft"
+  val Version = "0.2.0"
+
+  private val PgIdRe = "(?:^|\t)ID:([^\t]+)".r
+
+  /** ID of the last @PG line in a header block, if any. */
+  def lastPgId(headerLines: Seq[String]): Option[String] =
+    headerLines.reverseIterator
+      .find(_.startsWith("@PG"))
+      .flatMap(l => PgIdRe.findFirstMatchIn(l).map(_.group(1)))
+
+  /** The injected @PG provenance line (streammd `src/markdups.cxx:62-83`):
+   *  `@PG  ID:graft  PN:graft  CL:<args>  VN:<version>  [PP:<prev ID>]`. */
+  def pgLine(prevPgId: Option[String], cliArgs: Seq[String]): String =
+    (Seq("@PG", s"ID:$Tool", s"PN:$Tool", s"CL:${cliArgs.mkString(" ")}",
+      s"VN:$Version") ++ prevPgId.map(p => s"PP:$p")).mkString("\t")
+}

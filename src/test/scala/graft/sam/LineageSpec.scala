@@ -1,0 +1,51 @@
+package graft.sam
+
+import graft.SparkSpecBase
+
+/** @PG provenance lineage + arity report — the operator surfaces behind
+ *  the pg_lineage / sam_arity driver queries. */
+class LineageSpec extends SparkSpecBase {
+
+  test("pgLine without prior @PG has no PP field") {
+    val line = Lineage.pgLine(None, Seq("dedup", "--fp-rate", "1e-6"))
+    assert(line ===
+      s"@PG\tID:graft\tPN:graft\tCL:dedup --fp-rate 1e-6\tVN:${Lineage.Version}")
+  }
+
+  test("pgLine chains PP to the last @PG ID in the header") {
+    val header = Seq(
+      "@HD\tVN:1.6",
+      "@PG\tID:bwa\tPN:bwa",
+      "@PG\tID:samtools.1\tPN:samtools\tPP:bwa",
+      "@SQ\tSN:chr1\tLN:1000")
+    assert(Lineage.lastPgId(header) === Some("samtools.1"))
+    val line = Lineage.pgLine(Lineage.lastPgId(header), Seq("x"))
+    assert(line.endsWith("\tPP:samtools.1"))
+  }
+
+  test("lastPgId finds ID mid-line and returns None when no @PG exists") {
+    assert(Lineage.lastPgId(Seq("@PG\tPN:x\tID:mid\tVN:1")) === Some("mid"))
+    assert(Lineage.lastPgId(Seq("@HD\tVN:1.6")) === None)
+  }
+
+  test("arityReport counts primary ends only (secondary/supplementary skipped)") {
+    import spark.implicits._
+    val reads = Seq(
+      SamRead(0, "ok", 0, "chr1", 100, "50M"),
+      SamRead(1, "ok", 16, "chr1", 300, "50M"),
+      SamRead(2, "tri", 0, "chr1", 100, "50M"),
+      SamRead(3, "tri", 16, "chr1", 300, "50M"),
+      SamRead(4, "tri", 0, "chr1", 500, "50M"),
+      SamRead(5, "supp", 0, "chr1", 100, "50M"),
+      SamRead(6, "supp", 16, "chr1", 300, "50M"),
+      SamRead(7, "supp", 2048, "chr1", 500, "50M"),
+      SamRead(8, "sec", 0, "chr1", 100, "50M"),
+      SamRead(9, "sec", 256, "chr1", 300, "50M")).toDS()
+    val rep = SamOps.arityReport(reads, readsPerTemplate = 2)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(rep("ok") === ((2, true)))
+    assert(rep("tri") === ((3, false)))
+    assert(rep("supp") === ((2, true)))
+    assert(rep("sec") === ((1, false)))
+  }
+}
