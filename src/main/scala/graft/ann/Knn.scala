@@ -90,8 +90,12 @@ object Knn {
       }.reduce(_ + _)
       struct(lit(t).as("t"), key.as("key"))
     }: _*)
-    val allBucketed = v.select(col("__id"), col("__vec"), explode(buckets).as("b"))
-      .select(col("__id"), col("__vec"), col("b.t").as("t"), col("b.key").as("key"))
+    // only slim (t, key, id) triples enter the self-join — the vectors are
+    // re-attached AFTER pair dedup (same discipline as
+    // MinHashLsh.candidatePairs: the deduped pair set is orders of
+    // magnitude smaller than the band-expanded rows)
+    val allBucketed = v.select(col("__id"), explode(buckets).as("b"))
+      .select(col("__id"), col("b.t").as("t"), col("b.key").as("key"))
     // only buckets that can produce pairs (>= 2) and aren't hot (<= cap)
     // survive; the slim (t, key, n) aggregate shuffles instead of vectors
     val liveBuckets = allBucketed.groupBy(col("t"), col("key"))
@@ -99,14 +103,14 @@ object Knn {
       .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
       .select(col("t"), col("key"))
     val bucketed = allBucketed.join(liveBuckets, Seq("t", "key"), "left_semi")
-    val a = bucketed.select(col("t"), col("key"),
-      col("__id").as("id_a"), col("__vec").as("__vec_a"))
-    val b = bucketed.select(col("t"), col("key"),
-      col("__id").as("id_b"), col("__vec").as("__vec_b"))
+    val a = bucketed.select(col("t"), col("key"), col("__id").as("id_a"))
+    val b = bucketed.select(col("t"), col("key"), col("__id").as("id_b"))
     a.join(b, Seq("t", "key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__vec_a"), col("__vec_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(v.select(col("__id").as("id_a"), col("__vec").as("__vec_a")), Seq("id_a"))
+      .join(v.select(col("__id").as("id_b"), col("__vec").as("__vec_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("__vec_a"), col("__vec_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
