@@ -48,6 +48,7 @@ object SparkEntry {
     "pg_lineage" -> SamQueries.pgLineage,
     "capacity_guard" -> SamQueries.capacityGuard,
     "skew_salted_agg" -> SamQueries.skewSaltedAgg,
+    "heavy_hitters" -> SketchQueries.heavyHitters,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -85,5 +86,6 @@ object SparkEntry {
     "pg_lineage" -> SamQueries.PgLineageSql,
     "capacity_guard" -> SamQueries.CapacityGuardSql,
     "skew_salted_agg" -> SamQueries.SkewSaltedAggSql,
+    "heavy_hitters" -> SketchQueries.HeavyHittersSql,
   )
 }

@@ -106,6 +106,42 @@ object SketchQueries {
     "SELECT * FROM (VALUES ('q0.01', true), ('q0.25', true), ('q0.50', true), " +
       "('q0.75', true), ('q0.99', true)) AS t(quantile, tdigest_within_bound)"
 
+  /** Heavy hitters via Misra-Gries candidates + exact confirm — the
+   *  at-scale top-key pattern: one map-side sketch pass yields <= k
+   *  candidate keys (every key above n/(k+1) = 1.54% of mass is
+   *  GUARANTEED present at k = 64), then one slim pass exactly counts
+   *  only the candidates — the long tail (planted here: ~10k cold keys)
+   *  never shuffles per-key. Keys are planted skewed: 30% of rows land on
+   *  7 hot keys (~4.3% each), the rest spread over ~10k cold keys, and
+   *  the report keeps keys with >= 2% of rows — above the MG guarantee
+   *  threshold, so the answer is exact and oracle-reproducible. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = events(spark, dir).select(
+      when(col("event_id") % 10 < 3, col("event_id") % 7)
+        .otherwise(col("event_id") % 9973 + 7).as("key"))
+    val first = keyed.agg(count(lit(1)).as("n"),
+      GraftFunctions.frequentItems(col("key"), k = 64).as("sk")).head()
+    val n = first.getLong(0)
+    val candidates = FrequentItems.deserialize(first.getAs[Array[Byte]](1))
+      .items.map(_._1)
+    keyed.where(col("key").isin(candidates: _*))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .where(col("n_exact") * 50 >= n) // exact >= 2% cut on exact counts
+  }
+
+  val HeavyHittersSql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN event_id % 10 < 3 THEN event_id % 7
+      |              ELSE event_id % 9973 + 7 END AS key
+      |  FROM events
+      |), tot AS (SELECT count(*) AS n FROM keyed)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n_exact
+      |FROM keyed, tot
+      |GROUP BY key, n
+      |HAVING count(*) * 50 >= n""".stripMargin
+
   /** SQL surface: the registered UDAFs callable from spark.sql — computes
    *  the HLL estimate via SQL and checks it against the exact count. */
   def sqlSketchCheck(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,162 @@
+package graft.sketch
+
+/**
+ * Misra-Gries frequent-items summary over long keys (Misra & Gries 1982;
+ * mergeable form per Agarwal et al., "Mergeable Summaries", PODS'12) —
+ * the heavy-hitters member of the sketch library, complementing the
+ * count-min sketch: CMS answers point queries over ANY key, Misra-Gries
+ * returns the candidate SET of heavy keys without knowing them up front.
+ *
+ * Guarantees with k counters over a stream of n items:
+ *  - every key with true count > n/(k+1) is present in the summary;
+ *  - each stored estimate is a lower bound, short by at most n/(k+1).
+ *
+ * Merge = counter-wise sum, then subtract the (k+1)-th largest value and
+ * drop non-positive counters; the error bounds add, so partial summaries
+ * built map-side per partition and merged at the exchange carry the same
+ * global guarantee — the property the whole sketch library is built on.
+ *
+ * State is two flat primitive arrays (k <= a few hundred): the linear
+ * scan per add is branch-predictable and cache-resident, there is no
+ * boxing in the hot path, and the layout is trivially safe under the
+ * UDAF buffer's Kryo round-trip.
+ *
+ * The at-scale usage pattern (see the `heavy_hitters` driver query): ONE
+ * map-side pass builds the candidate set (<= k keys), a second slim pass
+ * exactly counts only the candidates — no full groupBy over 10^12 rows'
+ * long tail.
+ */
+final class FrequentItems private (
+    val k: Int,
+    private val keys: Array[Long],
+    private val vals: Array[Long],
+    private var used: Int,
+    private var total: Long) extends Serializable {
+
+  /** Items observed (stream length n in the error bound). */
+  def n: Long = total
+
+  /** Upper bound on how far any stored estimate is below the true count. */
+  def maxError: Long = total / (k + 1)
+
+  private def indexOf(x: Long): Int = {
+    var i = 0
+    while (i < used) {
+      if (keys(i) == x) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Drop zero-valued slots in place, keeping the arrays dense. */
+  private def compact(): Unit = {
+    var w = 0
+    var i = 0
+    while (i < used) {
+      if (vals(i) > 0L) {
+        keys(w) = keys(i); vals(w) = vals(i); w += 1
+      }
+      i += 1
+    }
+    used = w
+  }
+
+  def add(x: Long): this.type = {
+    total += 1
+    val i = indexOf(x)
+    if (i >= 0) vals(i) += 1L
+    else if (used < k) {
+      keys(used) = x; vals(used) = 1L; used += 1
+    } else {
+      // decrement-all: one unit of every counter cancels against this
+      // item's unit (k+1 distinct items retire together)
+      var j = 0
+      while (j < used) { vals(j) -= 1L; j += 1 }
+      compact()
+    }
+    this
+  }
+
+  /** Lower-bound estimate of x's count (0 if not tracked). */
+  def estimate(x: Long): Long = {
+    val i = indexOf(x)
+    if (i >= 0) vals(i) else 0L
+  }
+
+  /** Tracked (key, lower-bound count) pairs — the heavy-key candidates. */
+  def items: Seq[(Long, Long)] =
+    (0 until used).map(i => (keys(i), vals(i))).sortBy { case (key, c) => (-c, key) }
+
+  /** Mergeable-summaries merge: sum counters, then reduce back to k by
+   *  subtracting the (k+1)-th largest value from every counter. */
+  def mergeInPlace(o: FrequentItems): this.type = {
+    require(o.k == k, s"cannot merge k=${o.k} into k=$k")
+    // combined counter set (<= 2k entries) in scratch space
+    val ck = new Array[Long](used + o.used)
+    val cv = new Array[Long](used + o.used)
+    System.arraycopy(keys, 0, ck, 0, used)
+    System.arraycopy(vals, 0, cv, 0, used)
+    var cn = used
+    var i = 0
+    while (i < o.used) {
+      val x = o.keys(i)
+      var j = 0
+      var found = -1
+      while (j < cn && found < 0) {
+        if (ck(j) == x) found = j
+        j += 1
+      }
+      if (found >= 0) cv(found) += o.vals(i)
+      else { ck(cn) = x; cv(cn) = o.vals(i); cn += 1 }
+      i += 1
+    }
+    total += o.total
+    if (cn > k) {
+      val sorted = java.util.Arrays.copyOf(cv, cn)
+      java.util.Arrays.sort(sorted)
+      val sub = sorted(cn - (k + 1)) // (k+1)-th largest
+      var w = 0
+      var j = 0
+      while (j < cn) {
+        if (cv(j) - sub > 0L) { keys(w) = ck(j); vals(w) = cv(j) - sub; w += 1 }
+        j += 1
+      }
+      used = w
+    } else {
+      System.arraycopy(ck, 0, keys, 0, cn)
+      System.arraycopy(cv, 0, vals, 0, cn)
+      used = cn
+    }
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 + 4 + used * 16)
+    buf.putInt(k)
+    buf.putLong(total)
+    buf.putInt(used)
+    var i = 0
+    while (i < used) { buf.putLong(keys(i)); buf.putLong(vals(i)); i += 1 }
+    buf.array()
+  }
+}
+
+object FrequentItems {
+
+  def apply(k: Int): FrequentItems = {
+    require(k >= 1, s"k must be >= 1: $k")
+    new FrequentItems(k, new Array[Long](k), new Array[Long](k), 0, 0L)
+  }
+
+  def deserialize(bytes: Array[Byte]): FrequentItems = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val k = buf.getInt
+    val total = buf.getLong
+    val size = buf.getInt
+    val keys = new Array[Long](k)
+    val vals = new Array[Long](k)
+    var i = 0
+    while (i < size) { keys(i) = buf.getLong; vals(i) = buf.getLong; i += 1 }
+    new FrequentItems(k, keys, vals, size, total)
+  }
+}

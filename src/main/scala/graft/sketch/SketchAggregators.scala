@@ -60,6 +60,20 @@ class KllAggregator(k: Int) extends Aggregator[java.lang.Double, KllSketch, Arra
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Misra-Gries heavy-hitters candidates over long keys (k counters:
+ *  every key with count > n/(k+1) is guaranteed present). */
+class FrequentItemsAggregator(k: Int) extends Aggregator[java.lang.Long, FrequentItems, Array[Byte]] {
+  override def zero: FrequentItems = FrequentItems(k)
+  override def reduce(buf: FrequentItems, v: java.lang.Long): FrequentItems = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  override def finish(buf: FrequentItems): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[FrequentItems] = Encoders.kryo[FrequentItems]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 class TDigestAggregator(compression: Double) extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
   override def zero: TDigest = TDigest(compression)
   override def reduce(buf: TDigest, v: java.lang.Double): TDigest = {
@@ -93,6 +107,9 @@ object GraftFunctions {
   def tdigestSketch(c: Column, compression: Double = 100.0): Column =
     udaf(new TDigestAggregator(compression)).apply(c)
 
+  def frequentItems(c: Column, k: Int = 64): Column =
+    udaf(new FrequentItemsAggregator(k)).apply(c)
+
   /** Register SQL-callable versions: graft_bloom, graft_hll, graft_cms,
    *  graft_kll (fixed default shapes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -102,5 +119,6 @@ object GraftFunctions {
     spark.udf.register("graft_cms", udaf(new CmsAggregator(5, 65536)))
     spark.udf.register("graft_kll", udaf(new KllAggregator(200)))
     spark.udf.register("graft_tdigest", udaf(new TDigestAggregator(100.0)))
+    spark.udf.register("graft_freq", udaf(new FrequentItemsAggregator(64)))
   }
 }

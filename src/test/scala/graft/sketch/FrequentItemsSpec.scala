@@ -1,0 +1,68 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Misra-Gries heavy-hitters summary: retention guarantee, lower-bound
+ *  estimates, mergeability under arbitrary partitioning, serialization. */
+class FrequentItemsSpec extends AnyFunSuite {
+
+  private def exactCounts(xs: Seq[Long]): Map[Long, Long] =
+    xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  /** Zipf-ish skewed stream: key j with weight ~ 1/(j+1). */
+  private def skewedStream(n: Int, seed: Long): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(math.floor(math.pow(50.0, rnd.nextDouble()) - 1.0).toLong)
+  }
+
+  test("every key above n/(k+1) is retained; estimates are lower bounds within n/(k+1)") {
+    val xs = skewedStream(20000, seed = 7L)
+    val k = 16
+    val sk = xs.foldLeft(FrequentItems(k))(_.add(_))
+    val exact = exactCounts(xs)
+    val bound = xs.size.toLong / (k + 1)
+    assert(sk.n === xs.size.toLong)
+    assert(sk.maxError === bound)
+    exact.foreach { case (key, c) =>
+      val est = sk.estimate(key)
+      assert(est <= c, s"estimate must never exceed the true count ($key)")
+      assert(est >= c - bound, s"estimate short by more than n/(k+1) ($key)")
+      if (c > bound) assert(est > 0L, s"heavy key $key (count $c > $bound) lost")
+    }
+  }
+
+  test("merge of arbitrary partitions preserves the guarantee (mergeable summaries)") {
+    val xs = skewedStream(30000, seed = 13L)
+    val k = 24
+    Seq(2, 3, 5, 8, 12, 64).foreach { parts =>
+      val merged = xs.grouped(math.max(1, xs.size / parts)).toSeq
+        .map(chunk => chunk.foldLeft(FrequentItems(k))(_.add(_)))
+        .reduce(_.mergeInPlace(_))
+      val exact = exactCounts(xs)
+      val bound = xs.size.toLong / (k + 1)
+      assert(merged.n === xs.size.toLong)
+      exact.foreach { case (key, c) =>
+        val est = merged.estimate(key)
+        assert(est <= c && est >= c - bound, s"parts=$parts key=$key")
+        if (c > bound) assert(est > 0L, s"parts=$parts heavy key $key lost")
+      }
+      assert(merged.items.size <= k)
+    }
+  }
+
+  test("serialization round-trips") {
+    val sk = skewedStream(5000, seed = 3L).foldLeft(FrequentItems(8))(_.add(_))
+    val rt = FrequentItems.deserialize(sk.serialize())
+    assert(rt.k === sk.k)
+    assert(rt.n === sk.n)
+    assert(rt.items === sk.items)
+  }
+
+  test("uniform all-distinct stream keeps at most k counters and no false guarantees") {
+    val sk = (0L until 10000L).foldLeft(FrequentItems(4))(_.add(_))
+    assert(sk.items.size <= 4)
+    // no key exceeds n/(k+1) here, so the guarantee asserts nothing; the
+    // estimates must still be valid lower bounds
+    sk.items.foreach { case (_, c) => assert(c >= 1L && c <= 10000L) }
+  }
+}
