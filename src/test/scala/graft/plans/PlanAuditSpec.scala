@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.queries.{SamQueries, TextQueries}
+
+/** Plan-shape regression tests: the scale properties the queries rely on
+ *  (map-side-only execution, column pruning reaching the scan) asserted
+ *  against the optimized physical plan so they cannot silently regress. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("sam_clip_positions is pure map-side: no Exchange") {
+    val p = plan(SamQueries.samClipPositions(spark, sf))
+    assert(!p.contains("Exchange"), s"CIGAR arithmetic must not shuffle:\n$p")
+  }
+
+  test("sam_route_parse is pure map-side: no Exchange") {
+    val p = plan(SamQueries.samRouteParse(spark, sf))
+    assert(!p.contains("Exchange"), s"header routing must not shuffle:\n$p")
+  }
+
+  test("skew_salted_agg runs exactly the two salted aggregation exchanges") {
+    val p = plan(SamQueries.skewSaltedAgg(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 2, s"expected stage-1 (key,salt) + stage-2 (key):\n$p")
+  }
+
+  test("token_stats scan is pruned to exactly the consumed columns") {
+    val p = spark.sessionState.executePlan(
+      TextQueries.tokenStats(spark, sf).queryExecution.logical).executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only (doc_id, text):\n$p")
+  }
+
+  test("dedup_mark shuffles only the slim signature projection, never content") {
+    val df = graft.queries.DedupQueries.dedupMark(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every Exchange in the mark plan carries the 32-byte __sig + order
+    // key — the wide text column must not appear in any exchange output
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach { l =>
+      assert(!l.contains("text"), s"content column in a shuffle:\n$l")
+    }
+  }
+}
