@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions (WITH `doGenCode`) for the two hottest
+ * map-side text computations. A ScalaUDF in these spots pays a per-row
+ * catalyst<->Scala converter round-trip — for MinHash that means boxing
+ * all 128 signature longs into a Seq per row. These compile to one static
+ * call inside whole-stage codegen and return unsafe primitive arrays.
+ */
+
+/** MinHash signature of a text column: null when the text yields no
+ *  shingles (the "unmapped" analog). Math in `MinHashLsh.signature` —
+ *  identical values to the UDF it replaces. */
+case class MinHashSigExpr(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.sim.MinHashLsh.sigOrNull(v.asInstanceOf[UTF8String], shingleSize, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} =
+            graft.sim.MinHashLsh.sigOrNull(${c.value}, $shingleSize, $numHashes);
+        }
+        boolean ${ev.isNull} = (${ev.value} == null);
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** 64-bit SimHash fingerprint of a text column (0 for null/empty text,
+ *  matching `SimHash.simhash64`). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else graft.sim.SimHash.simhash64Utf8(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.sim.SimHash.simhash64Utf8(${c.value});
+        }
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+object TextSketchExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
+    toColumn(MinHashSigExpr(exprOf(text), numHashes, shingleSize))
+
+  def simhash64(text: Column): Column =
+    toColumn(SimHash64Expr(exprOf(text)))
+}

@@ -24,6 +24,15 @@ object MinHashLsh {
   val DefaultNumHashes = 128
   val DefaultBands = 32 // r = 128/32 = 4 rows per band
 
+  /** Per-numHashes coefficient cache: the affine permutation constants are
+   *  deterministic in k, so computing them once per JVM (not once per row)
+   *  keeps the signature loop pure multiply-add. */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def cachedCoeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, (kk: Int) => coeffs(kk))
+
   /** Seeded affine coefficients for the k permutations. */
   private def coeffs(k: Int): (Array[Long], Array[Long]) = {
     val a = new Array[Long](k)
@@ -61,9 +70,24 @@ object MinHashLsh {
     out
   }
 
+  /** Codegen entry point (see `graft.plans.MinHashSigExpr`): UTF8String in,
+   *  unsafe long-array signature out, null when the text has no shingles —
+   *  a static call inside whole-stage codegen, no boxed 128-long round-trip
+   *  through a ScalaUDF row converter. */
+  def sigOrNull(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      shingleSize: Int,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (text == null) return null
+    val sh = shingleHashes(text.toString, shingleSize)
+    if (sh.isEmpty) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(signature(sh, numHashes))
+  }
+
   /** MinHash signature: component i = min over shingles of a_i*h + b_i. */
   def signature(shingles: Array[Long], numHashes: Int): Array[Long] = {
-    val (a, b) = coeffs(numHashes)
+    val (a, b) = cachedCoeffs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var s = 0
     while (s < shingles.length) {
@@ -131,10 +155,6 @@ object MinHashLsh {
       maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigUdf = udf { (text: String) =>
-      val sh = shingleHashes(text, shingleSize)
-      if (sh.isEmpty) null else signature(sh, numHashes)
-    }
     val bandsUdf = udf { (sig: Seq[Long]) =>
       val arr = sig.toArray
       (0 until bands).map(bi => bandHash(arr, bi, r))
@@ -144,11 +164,13 @@ object MinHashLsh {
     }
 
     // signature pass is the expensive map-side work (numHashes affine
-    // transforms per shingle); localCheckpoint materializes it once so the
-    // bucket-count pass, the join and the two re-attach joins don't each
-    // recompute it (lazy: first action materializes)
+    // transforms per shingle), computed by a native codegen'd expression
+    // (graft.plans.MinHashSigExpr — no per-row UDF converter);
+    // localCheckpoint materializes it once so the bucket-count pass, the
+    // join and the two re-attach joins don't each recompute it
     val sigs = df
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.plans.TextSketchExprs.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
       .where(col("sig").isNotNull)
       .localCheckpoint(false)
     val banded = sigs

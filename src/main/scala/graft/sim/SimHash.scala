@@ -43,6 +43,11 @@ object SimHash {
     out
   }
 
+  /** Codegen entry point (see `graft.plans.SimHash64Expr`): UTF8String in,
+   *  fingerprint out (0 for null/empty, matching simhash64(null)). */
+  def simhash64Utf8(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (text == null) 0L else simhash64(text.toString)
+
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Block boundaries: 64 bits split into nBlocks near-equal spans. */
@@ -85,7 +90,6 @@ object SimHash {
     val spans = blockSpans(nBlocks)
     val combos: IndexedSeq[IndexedSeq[Int]] =
       (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toIndexedSeq).toIndexedSeq
-    val shUdf = udf((t: String) => simhash64(t))
     // key of combo c = FNV fold of the exact block values in that combo
     val keysUdf = udf { (h: Long) =>
       combos.map { combo =>
@@ -101,7 +105,10 @@ object SimHash {
     }
     val hamUdf = udf((a: Long, b: Long) => hamming(a, b))
 
-    val hashed = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    // fingerprint via the native codegen'd expression (graft.plans
+    // .SimHash64Expr) — no per-row ScalaUDF converter in the scan pass
+    val hashed = df.select(col(idCol).as("id"),
+        graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh"))
       .localCheckpoint(false)
     val keyed = hashed
       .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("combo", "key")))

@@ -36,6 +36,34 @@ class PlanAuditSpec extends SparkSpecBase {
       s"scan must read only (doc_id, text):\n$p")
   }
 
+  test("MinHash/SimHash native expressions compile under codegen (no fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextSketchExprs
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // Janino error -> throw
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]), (3L, ""))
+        .toDF("id", "text")
+      val out = df.select(col("id"),
+        TextSketchExprs.minhashSig(col("text"), 16, 3).as("sig"),
+        TextSketchExprs.simhash64(col("text")).as("sh")).collect()
+      val byId = out.map(r => r.getLong(0) -> r).toMap
+      // values equal the Scala reference implementations
+      val refSig = graft.sim.MinHashLsh.signature(
+        graft.sim.MinHashLsh.shingleHashes("a b c d e f", 3), 16).toSeq
+      assert(byId(1L).getSeq[Long](1) === refSig)
+      assert(byId(1L).getLong(2) === graft.sim.SimHash.simhash64("a b c d e f"))
+      assert(byId(2L).isNullAt(1) && byId(2L).getLong(2) === 0L)
+      assert(byId(3L).isNullAt(1) && byId(3L).getLong(2) === 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("dedup_mark shuffles only the slim signature projection, never content") {
     val df = graft.queries.DedupQueries.dedupMark(spark, sf)
     val p = df.queryExecution.executedPlan.toString
