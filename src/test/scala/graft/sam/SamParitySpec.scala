@@ -97,6 +97,18 @@ class SamParitySpec extends SparkSpecBase {
     assert(e.getMessage.contains("not paired or not qname-grouped"))
   }
 
+  test("arity violation with eagerArityCheck=false fails in-pass (single shuffle)") {
+    val bad = SamOps.parseSamLines(spark, Seq(
+      "q1\t0\tchr1\t1000\t60\t100M\t*\t0\t0\tA\tF"))
+    val e = intercept[Exception](
+      SamOps.markSamDuplicates(bad, readsPerTemplate = 2, eagerArityCheck = false)
+        .collect())
+    // executor-side throw arrives wrapped in Spark's task-failure exception
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not paired or not qname-grouped")), e.toString)
+  }
+
   // ---- full-fixture Picard concordance (test_markdups.cxx:429-440) ----
 
   test("full concordance: 2027 templates, 1018 dup templates, 2039 dup alignments, per-record flag parity") {
