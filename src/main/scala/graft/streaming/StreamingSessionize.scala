@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event for streaming sessionization. `us` carries exact
+ *  event-time microseconds (the watermark column `ts` is millisecond-
+ *  resolution; sessions are cut on integer micros so results are
+ *  bit-equal to the batch `EventQueries.sessionize`). */
+case class SessionEvent(
+    user_id: Long, ts: java.sql.Timestamp, us: Long, value_micros: Long)
+
+/** Per-user state kept between micro-batches: the running session counter
+ *  plus the open session (when `open`). The counter survives session
+ *  close so session_id numbering stays cumulative per user — exactly the
+ *  batch window's `sum(new_sess)` numbering. */
+case class SessState(
+    sessionId: Long, startUs: Long, lastUs: Long,
+    nEvents: Long, sumMicros: Long, open: Boolean)
+
+/** A closed session — same shape as the batch sessionize output. */
+case class ClosedSession(
+    user_id: Long, session_id: Long, n_events: Long,
+    session_start_us: Long, value_sum_micros: Long)
+
+/**
+ * Streaming sessionization with CUSTOM state — the reference's adjacency
+ * grouping (consecutive records of one key, streammd
+ * `src/markdups.cxx:38-49`) as a true unbounded-stream operator via
+ * `flatMapGroupsWithState`: per-user open-session state, sessions cut at
+ * inactivity gaps > `gapUs`, closed sessions emitted either when a later
+ * event proves the gap or when the EVENT-TIME TIMEOUT fires (watermark
+ * passed last event + gap — no more qualifying events can arrive).
+ *
+ * Scale shape: state is ONE small fixed record per user (not per event)
+ * in the state store, keyed/partitioned by user — the stream analog of
+ * the batch window's per-user partition. Emission is append-mode (each
+ * closed session exactly once), and the watermark bounds lateness and
+ * the open-session horizon. The record is retained after a session
+ * closes because cumulative per-user session numbering (batch parity)
+ * requires remembering the counter; dropping closed-user state would
+ * restart numbering per activity epoch.
+ */
+object StreamingSessionize {
+
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapUs: Long,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(
+        userId: Long,
+        it: Iterator[SessionEvent],
+        state: GroupState[SessState]): Iterator[ClosedSession] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      def close(s: SessState): SessState = {
+        closed += ClosedSession(userId, s.sessionId, s.nEvents, s.startUs, s.sumMicros)
+        s.copy(open = false)
+      }
+
+      if (it.isEmpty && state.hasTimedOut) {
+        // watermark passed last event + gap: no qualifying event can
+        // arrive, so the open session is provably closed. Keep the
+        // counter (open = false), set no further timeout.
+        state.getOption.filter(_.open).foreach(s => state.update(close(s)))
+      } else {
+        // micro-batches deliver a user's events unordered; session cutting
+        // is order-sensitive, so sort the batch slice by event time
+        val evs = it.toArray.sortBy(e => (e.us, e.value_micros))
+        var cur = state.getOption.orNull
+        evs.foreach { e =>
+          if (cur == null) {
+            cur = SessState(1L, e.us, e.us, 1L, e.value_micros, open = true)
+          } else if (!cur.open) {
+            cur = SessState(cur.sessionId + 1, e.us, e.us, 1L, e.value_micros, open = true)
+          } else if (e.us - cur.lastUs > gapUs) {
+            cur = close(cur)
+            cur = SessState(cur.sessionId + 1, e.us, e.us, 1L, e.value_micros, open = true)
+          } else {
+            cur = cur.copy(lastUs = math.max(cur.lastUs, e.us),
+              nEvents = cur.nEvents + 1, sumMicros = cur.sumMicros + e.value_micros)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          if (cur.open) {
+            // close the open session once the watermark proves the gap;
+            // the timeout must be strictly beyond the current watermark
+            val timeoutMs = cur.lastUs / 1000L + gapUs / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
+          }
+        }
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
+  }
+}

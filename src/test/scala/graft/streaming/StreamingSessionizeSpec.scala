@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpecBase
+
+class StreamingSessionizeSpec extends SparkSpecBase {
+
+  private val GapUs = 1800L * 1000000L // 30 min, same as batch sessionize
+
+  // keep event times clear of the epoch: the initial watermark is 0 and
+  // stateful operators drop rows at/under it
+  private val BaseUs = 30L * 86400L * 1000000L
+
+  private def ev(user: Long, relUs: Long, micros: Long): SessionEvent = {
+    val us = BaseUs + relUs
+    SessionEvent(user, new java.sql.Timestamp(us / 1000L), us, micros)
+  }
+
+  test("gap-split sessions emit once, survive micro-batch boundaries, close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minUs = 60L * 1000000L
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingSessionize.sessionize(input.toDS(), GapUs, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // inside the SAME batch -> session 1 closes in-batch. The batch
+      // advances the watermark to 45 min, so user 2's 30-min timeout
+      // fires in the follow-up timeout batch and closes its session too;
+      // user 1's open session (timeout 75 min) must stay open.
+      input.addData(
+        ev(1L, 0L, 10L), ev(1L, 5L * minUs, 20L), ev(1L, 45L * minUs, 30L),
+        ev(2L, 0L, 7L))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess_out").as[ClosedSession].collect()
+      assert(inBatch.toSet === Set(
+        ClosedSession(1L, 1L, 2L, BaseUs, 30L),
+        ClosedSession(2L, 1L, 1L, BaseUs, 7L)),
+        s"user 1 session 1 (gap-proven) + user 2 (timeout-proven): ${inBatch.toSeq}")
+
+      // next batch: user 1 extends session 2 (10 min after its start);
+      // user 2 stays silent — still open, nothing new closes yet
+      input.addData(ev(1L, 55L * minUs, 40L))
+      q.processAllAvailable()
+
+      // watermark jumps far ahead via a fresh user -> event-time timeouts
+      // close every open session exactly once
+      input.addData(ev(99L, 1000L * minUs, 1L))
+      q.processAllAvailable()
+      input.addData(ev(99L, 2000L * minUs, 1L)) // push watermark again
+      q.processAllAvailable()
+
+      val all = spark.table("sess_out").as[ClosedSession].collect().toSet
+      assert(all.contains(ClosedSession(1L, 2L, 2L, BaseUs + 45L * minUs, 70L)),
+        s"user 1 session 2 must close by timeout: $all")
+      assert(all.contains(ClosedSession(2L, 1L, 1L, BaseUs, 7L)),
+        s"user 2's single-event session must close by timeout: $all")
+      assert(all.count(_.user_id == 1L) === 2, s"no duplicate emissions: $all")
+    } finally q.stop()
+  }
+
+  test("streaming sessions equal the batch sessionize on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic multi-user event set, arriving over three batches in
+    // event-time order (streaming emits only watermark-closed sessions,
+    // so feed everything then close with a far-future sentinel)
+    val rnd = new scala.util.Random(17L)
+    val raw = (0 until 300).map { i =>
+      val user = (i % 7).toLong
+      val us = i.toLong * 7L * 60L * 1000000L + rnd.nextInt(1000000)
+      ev(user, us, rnd.nextInt(1000).toLong)
+    }.sortBy(_.us)
+
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingSessionize.sessionize(input.toDS(), GapUs, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_eq_out")
+      .outputMode("append").start()
+    try {
+      raw.grouped(100).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val farRelUs = (raw.last.us - BaseUs) + 1000L * GapUs
+      input.addData(ev(999L, farRelUs, 0L))
+      q.processAllAvailable()
+      input.addData(ev(999L, farRelUs + 1000L * GapUs, 0L))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_eq_out").as[ClosedSession].collect()
+        .filter(_.user_id != 999L).toSet
+
+      // batch reference: same gap-cut logic via the window query shape
+      val batch = raw.groupBy(_.user_id).flatMap { case (user, evs) =>
+        val sorted = evs.sortBy(_.us)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[SessionEvent]]
+        sorted.foreach { e =>
+          if (sessions.nonEmpty && e.us - sessions.last.last.us <= GapUs)
+            sessions(sessions.size - 1) = sessions.last :+ e
+          else sessions += Vector(e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          ClosedSession(user, i + 1L, s.size.toLong, s.head.us, s.map(_.value_micros).sum)
+        }
+      }.toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
