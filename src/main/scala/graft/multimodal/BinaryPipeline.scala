@@ -68,4 +68,53 @@ object BinaryPipeline {
       }
     }
   }
+
+  /**
+   * STUB resize standing in for an image scaler: deterministically
+   * re-samples the byte stream to `targetBytes` by striding (a real
+   * scaler drops in with the same bytes -> bytes signature). Plumbing is
+   * the production shape: per-partition single pass, no shuffle, blob
+   * column stays opaque binary.
+   */
+  def resizeStub(blob: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (blob.isEmpty || targetBytes <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](targetBytes)
+    var i = 0
+    while (i < targetBytes) {
+      out(i) = blob((i.toLong * blob.length / targetBytes).toInt)
+      i += 1
+    }
+    out
+  }
+
+  def resize(docs: Dataset[BinaryDoc], targetBytes: Int): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map(d => d.copy(blob = resizeStub(d.blob, targetBytes))))
+  }
+
+  /** One sampled frame of a multi-frame blob. */
+  case class SampledFrame(doc_id: Long, modality: String, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Frame sampling for video-like blobs: the blob is treated as
+   * consecutive fixed-size frames (`frameBytes`); every `everyN`-th frame
+   * (0, N, 2N, ...) is emitted as its own row — the flatMap row-explosion
+   * shape a real video sampler needs (one input row -> many frame rows),
+   * still map-side only. A trailing partial frame is kept.
+   */
+  def sampleFrames(
+      docs: Dataset[BinaryDoc], frameBytes: Int, everyN: Int): Dataset[SampledFrame] = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val nFrames = (d.blob.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by everyN).map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, d.blob.length)
+        SampledFrame(d.doc_id, d.modality, f, java.util.Arrays.copyOfRange(d.blob, from, until))
+      }
+    }
+  }
 }

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.SparkSpecBase
+
+/** Multimodal plumbing: opaque-binary schema, per-partition decode,
+ *  resize and frame-sample dataflow shapes (decoders are honest stubs —
+ *  no codecs in this sandbox; the Spark-side shapes are real). */
+class BinaryPipelineSpec extends SparkSpecBase {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      BinaryDoc(i.toLong, "video/fake", Array.tabulate(100 + i * 37)(b => (b * 7 + i).toByte))
+    }.toDS()
+  }
+
+  test("extractFeatures: deterministic features, byte_len preserved, map-side only") {
+    val d = docs(10)
+    val out = BinaryPipeline.extractFeatures(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+    val rows = out.collect()
+    assert(rows.length === 10)
+    rows.foreach { f =>
+      assert(f.byte_len === 100L + f.doc_id * 37)
+      assert(f.feature.length === BinaryPipeline.FeatureDim)
+      assert(f.feature.toSeq ===
+        BinaryPipeline.decodeStub(Array.tabulate(100 + f.doc_id.toInt * 37)(b =>
+          (b * 7 + f.doc_id.toInt).toByte)).toSeq)
+    }
+  }
+
+  test("resize re-samples every blob to the target size deterministically") {
+    val out = BinaryPipeline.resize(docs(5), targetBytes = 64).collect()
+    assert(out.forall(_.blob.length === 64))
+    // strided sampling keeps first byte and is reproducible
+    val d0 = Array.tabulate(100)(b => (b * 7).toByte)
+    assert(out.find(_.doc_id == 0L).get.blob.toSeq ===
+      BinaryPipeline.resizeStub(d0, 64).toSeq)
+    assert(BinaryPipeline.resizeStub(Array.emptyByteArray, 16).isEmpty)
+  }
+
+  test("sampleFrames explodes every Nth fixed-size frame, keeping the partial tail") {
+    import spark.implicits._
+    val blob = Array.tabulate(1000)(_.toByte) // 4 frames of 256 + partial 232
+    val d = Seq(BinaryDoc(7L, "video/fake", blob)).toDS()
+    val frames = BinaryPipeline.sampleFrames(d, frameBytes = 256, everyN = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(frames(0).frame.toSeq === blob.slice(0, 256).toSeq)
+    assert(frames(1).frame.toSeq === blob.slice(512, 768).toSeq)
+    val all = BinaryPipeline.sampleFrames(d, frameBytes = 256, everyN = 1).collect()
+    assert(all.length === 4 && all.map(_.frame.length).sum === 1000)
+  }
+}
