@@ -140,13 +140,18 @@ object MarkDuplicates {
     df.withColumn(cfg.outputCol,
       graft.plans.GraftExpressions.bloomContains(sketch, signature(col(cfg.contentCol))))
 
-  /** The Bloom UDAF column (binary signature input), shaped from cfg. */
+  /** The Bloom aggregation column (binary signature input), shaped from
+   *  cfg — the native TypedImperativeAggregate, whose partials serialize
+   *  through the sketch wire format instead of Kryo (a p=1e-6 sketch past
+   *  ~14M expected rows exceeds Kryo's default 64 MB output buffer). */
   def sketchAggColumn(cfg: DedupConfig): Column = {
-    val agg = cfg.mem match {
-      case Some(spec) => BloomSketchAggregator.bytesFromMemSpec(cfg.p, spec, cfg.mpow2)
-      case None => BloomSketchAggregator.bytesFromN(cfg.p, cfg.expectedN)
+    val (m, k, n) = cfg.mem match {
+      case Some(spec) => BloomSizing.fromMemSpec(cfg.p, spec, cfg.mpow2)
+      case None =>
+        val (m0, k0) = BloomSizing.mkMin(cfg.p, cfg.expectedN)
+        (m0, k0, cfg.expectedN)
     }
-    udaf(agg).apply(col(SigCol))
+    graft.plans.GraftExpressions.bloomSketchAgg(col(SigCol), cfg.p, m, k, n)
   }
 
   /**

@@ -41,4 +41,9 @@ object GraftExpressions {
   /** Column-level Bloom membership probe against a fixed sketch. */
   def bloomContains(sketch: BloomSketch, sig: Column): Column =
     toColumn(BloomContainsExpr(exprOf(sig), sketch.serialize()))
+
+  /** Column-level large-sketch Bloom aggregation over a binary signature
+   *  column (see [[BloomSketchAgg]] — no Kryo buffer cap). */
+  def bloomSketchAgg(sig: Column, p: Double, m: Long, k: Int, n: Long): Column =
+    toColumn(BloomSketchAgg(exprOf(sig), p, m, k, n).toAggregateExpression())
 }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import graft.sketch.BloomSketch
+
+/**
+ * The Bloom sketch as a native `TypedImperativeAggregate` — the scale
+ * path for LARGE sketches. The `Aggregator`-based UDAF ships its buffer
+ * through `Encoders.kryo`, whose output buffer is capped (default 64 MB):
+ * a p=1e-6 / n=20M sketch is already 72 MB and the reference's production
+ * shape (4 GiB of filter) could never cross an exchange. This aggregate
+ * serializes the partial with the sketch's OWN wire format
+ * (`BloomSketch.serialize`, a length-prefixed word array) — no Kryo, no
+ * buffer cap, one copy.
+ *
+ * Same dataflow as the UDAF: per-partition live-object partial
+ * (ObjectHashAggregate), bitwise-OR merge at the exchange, binary
+ * serialized sketch out.
+ *
+ * Input: binary signature column (e.g. 32-byte sha256); nulls skipped —
+ * the "unmapped template" analog (streammd `src/markdups.cxx:110-112`).
+ */
+case class BloomSketchAgg(
+    child: Expression,
+    p: Double,
+    m: Long,
+    k: Int,
+    n: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomSketch] {
+
+  override def createAggregationBuffer(): BloomSketch =
+    BloomSketch.withCapacity(p, n, m, k)
+
+  override def update(buffer: BloomSketch, input: InternalRow): BloomSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(buffer: BloomSketch, other: BloomSketch): BloomSketch =
+    buffer.orInPlace(other)
+
+  override def eval(buffer: BloomSketch): Any = buffer.serialize()
+
+  override def serialize(buffer: BloomSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_bloom_sketch_agg"
+}

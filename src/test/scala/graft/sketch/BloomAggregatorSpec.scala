@@ -41,4 +41,39 @@ class BloomAggregatorSpec extends SparkSpecBase {
     assert(rows("g1").contains("x") && rows("g1").contains("y"))
     assert(rows("g2").contains("z") && !rows("g2").contains("x"))
   }
+
+  test("TypedImperativeAggregate equals single-threaded insertion for any partition count") {
+    import spark.implicits._
+    val items = (0 until 5000).map(i => s"item-$i")
+    for (np <- Seq(1, 4, 9)) {
+      val df = items.toDF("s")
+        .select(unhex(sha2($"s", 256)).as("sig")).repartition(np)
+      // the native agg hashes the BINARY signature; build the reference
+      // the same way
+      val refBin = BloomSketch.withCapacity(1e-4, 5000L, 1L << 16, 10)
+      items.foreach { s =>
+        refBin.add(java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8")))
+      }
+      val bytes = df.agg(graft.plans.GraftExpressions
+        .bloomSketchAgg($"sig", 1e-4, 1L << 16, 10, 5000L)).head().getAs[Array[Byte]](0)
+      assert(BloomSketch.deserialize(bytes) === refBin, s"np=$np")
+    }
+  }
+
+  test("native agg carries a >64MB sketch across the exchange (Kryo cap regression)") {
+    import spark.implicits._
+    // m = 2^30 bits = 128 MB of words — over Encoders.kryo's default
+    // 64 MB output-buffer cap that broke the UDAF path at p=1e-6/n=20M
+    val m = 1L << 30
+    val df = (0 until 1000).map(i => s"big-$i").toDF("s")
+      .select(unhex(sha2($"s", 256)).as("sig")).repartition(4)
+    val bytes = df.agg(graft.plans.GraftExpressions
+      .bloomSketchAgg($"sig", 1e-6, m, 10, 1000000L)).head().getAs[Array[Byte]](0)
+    val got = BloomSketch.deserialize(bytes)
+    assert(got.m === m)
+    val probe = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("big-0".getBytes("UTF-8"))
+    assert(got.contains(probe))
+  }
 }
