@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, SamQueries, SimQueries, SketchQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, MixQueries, SamQueries, SimQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *  Every entry in `queries` has a DuckDB-equivalent in `oracleSql` unless
@@ -49,6 +49,7 @@ object SparkEntry {
     "capacity_guard" -> SamQueries.capacityGuard,
     "skew_salted_agg" -> SamQueries.skewSaltedAgg,
     "heavy_hitters" -> SketchQueries.heavyHitters,
+    "quota_sample" -> MixQueries.quotaSample,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -87,5 +88,6 @@ object SparkEntry {
     "capacity_guard" -> SamQueries.CapacityGuardSql,
     "skew_salted_agg" -> SamQueries.SkewSaltedAggSql,
     "heavy_hitters" -> SketchQueries.HeavyHittersSql,
+    "quota_sample" -> MixQueries.QuotaSampleSql,
   )
 }

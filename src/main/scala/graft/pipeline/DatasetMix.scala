@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deterministic dataset composition for training pipelines: quota
+ * sampling per stratum (e.g. N documents per language for a training
+ * mix) and stable hash-based splits (train/test membership that survives
+ * reruns, repartitioning and engine versions — nothing is random at job
+ * time, so a row's assignment can be reproduced from its key alone).
+ */
+object DatasetMix {
+
+  /**
+   * The first `quota` rows of every stratum, by a deterministic order —
+   * reproducible per-class quotas. One shuffle (the per-stratum window);
+   * a hot stratum concentrates on one reducer, so for heavily skewed
+   * strata at extreme scale pre-filter with `approxQuotaGate` first.
+   */
+  def quotaSample(
+      df: DataFrame, strataCol: String, orderCol: String, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Deterministic split bucket in [0, 1000) from key columns: stable
+   *  across runs, partitioning and cluster size. */
+  def splitBucket(seed: Long, keys: Column*): Column =
+    pmod(xxhash64((lit(seed) +: keys): _*), lit(1000L))
+
+  /**
+   * Stable train/test split: a row is in TEST iff its key's hash bucket
+   * falls below `testPerMille`. Map-side only (no shuffle, no RNG state);
+   * the same key always lands on the same side.
+   */
+  def hashSplit(
+      df: DataFrame, testPerMille: Int, seed: Long,
+      keyCols: String*): (DataFrame, DataFrame) = {
+    require(testPerMille >= 0 && testPerMille <= 1000)
+    val bucket = splitBucket(seed, keyCols.map(col): _*)
+    (df.where(bucket >= testPerMille), df.where(bucket < testPerMille))
+  }
+}

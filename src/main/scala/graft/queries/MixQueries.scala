@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.DatasetMix
+
+/** Dataset-composition queries (training-mix primitives). */
+object MixQueries {
+
+  /** Per-language quota: the first 20 documents of each lang by doc_id —
+   *  deterministic training-mix composition, window-oracle-checkable. */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame =
+    DatasetMix.quotaSample(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+      strataCol = "lang", orderCol = "doc_id", quota = 20)
+
+  val QuotaSampleSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 20""".stripMargin
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DatasetMixSpec extends SparkSpecBase {
+
+  private def docs = {
+    import spark.implicits._
+    (0 until 3000).map(i => (i.toLong, s"lang${i % 5}", s"text $i")).toDF("id", "lang", "text")
+  }
+
+  test("quotaSample keeps exactly the first N of each stratum by the order column") {
+    val out = DatasetMix.quotaSample(docs, "lang", "id", quota = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.length === 35)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val l = lang.stripPrefix("lang").toInt
+      assert(rows.map(_._2).sorted.toSeq === (0 until 7).map(i => (i * 5 + l).toLong))
+    }
+  }
+
+  test("hashSplit is deterministic, disjoint, partition-invariant, ratio-correct") {
+    val (train1, test1) = DatasetMix.hashSplit(docs, testPerMille = 100, seed = 7L, "id")
+    val (train2, test2) = DatasetMix.hashSplit(
+      docs.repartition(13), testPerMille = 100, seed = 7L, "id")
+    val t1 = test1.select("id").collect().map(_.getLong(0)).toSet
+    val t2 = test2.select("id").collect().map(_.getLong(0)).toSet
+    assert(t1 === t2, "same keys must land on the same side regardless of partitioning")
+    val tr1 = train1.select("id").collect().map(_.getLong(0)).toSet
+    assert((t1 & tr1).isEmpty && t1.size + tr1.size === 3000)
+    // 10% +- 2% at n=3000
+    assert(math.abs(t1.size / 3000.0 - 0.10) < 0.02, s"test size ${t1.size}")
+    // different seed -> different membership
+    val (_, test3) = DatasetMix.hashSplit(docs, 100, seed = 8L, "id")
+    assert(test3.select("id").collect().map(_.getLong(0)).toSet !== t1)
+  }
+
+  test("hashSplit is map-side only: no Exchange in either side's plan") {
+    val (train, test) = DatasetMix.hashSplit(docs, 250, 1L, "id")
+    Seq(train, test).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+    }
+  }
+}
