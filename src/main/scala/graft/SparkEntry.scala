@@ -31,6 +31,7 @@ object SparkEntry {
     "minhash_exact_pairs" -> SimQueries.minhashExactPairs,
     "minhash_near_dup" -> SimQueries.minhashNearDup,
     "simhash_exact_pairs" -> SimQueries.simhashExactPairs,
+    "simhash_near_dup" -> SimQueries.simhashNearDup,
     "jaccard_consecutive" -> SimQueries.jaccardConsecutive,
     "ann_brute_force" -> SimQueries.annBruteForce,
     "ann_ivf_recall" -> SimQueries.annIvfRecall,
@@ -50,6 +51,9 @@ object SparkEntry {
     "skew_salted_agg" -> SamQueries.skewSaltedAgg,
     "heavy_hitters" -> SketchQueries.heavyHitters,
     "quota_sample" -> MixQueries.quotaSample,
+    "pii_scrub" -> TextQueries.piiScrub,
+    "repetition_stats" -> TextQueries.repetitionStats,
+    "decontaminate" -> MixQueries.decontaminate,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -70,6 +74,7 @@ object SparkEntry {
     "minhash_exact_pairs" -> SimQueries.MinhashExactPairsSql,
     "minhash_near_dup" -> SimQueries.MinhashNearDupSql,
     "simhash_exact_pairs" -> SimQueries.SimhashExactPairsSql,
+    "simhash_near_dup" -> SimQueries.SimhashNearDupSql,
     "jaccard_consecutive" -> SimQueries.JaccardConsecutiveSql,
     "ann_brute_force" -> SimQueries.AnnBruteForceSql,
     "ann_ivf_recall" -> SimQueries.AnnIvfRecallSql,
@@ -89,5 +94,8 @@ object SparkEntry {
     "skew_salted_agg" -> SamQueries.SkewSaltedAggSql,
     "heavy_hitters" -> SketchQueries.HeavyHittersSql,
     "quota_sample" -> MixQueries.QuotaSampleSql,
+    "pii_scrub" -> TextQueries.PiiScrubSql,
+    "repetition_stats" -> TextQueries.RepetitionStatsSql,
+    "decontaminate" -> MixQueries.DecontaminateSql,
   )
 }

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe): flag
+ * every training document that shares at least one full n-token word
+ * gram (n=13 by default, the published choice) with a held-out
+ * benchmark/eval set, so eval answers can be excluded from training.
+ *
+ * Scale shape: the benchmark side collapses to DISTINCT 64-bit gram
+ * hashes — even a large eval suite is ~1e6-1e8 grams x 8 B, comfortably
+ * broadcastable — and the corpus side explodes to slim
+ * (doc_id, gram_hash) longs only, consumed by a broadcast LEFT SEMI
+ * join with an early per-partition `distinct` on doc_id. No gram string
+ * ever shuffles; the corpus text is read exactly once; work is linear in
+ * corpus tokens. A 64-bit hash false positive flags (never un-flags) a
+ * document at ~n_grams^2/2^64 probability — the conservative direction
+ * for decontamination.
+ */
+object Decontaminate {
+
+  /** All n-token word grams of a text as an array column (empty when the
+   *  text has fewer than n tokens). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    when(text.isNull || size(words) < n, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /**
+   * (idCol, contaminated: boolean) for every corpus row: true iff the
+   * document shares >= 1 full n-gram with any benchmark text.
+   */
+  def contaminated(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordGrams(col(benchTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val docGrams = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    val hits = docGrams
+      .join(broadcast(benchGrams), Seq("__gh"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__hit"), lit(false)).as("contaminated"))
+  }
+}

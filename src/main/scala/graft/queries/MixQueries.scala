@@ -20,4 +20,41 @@ object MixQueries {
       |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
       |  FROM documents
       |) WHERE rk <= 20""".stripMargin
+
+  /** Benchmark decontamination (13-gram overlap, the GPT-3 recipe):
+   *  doc_id % 101 == 0 documents act as the held-out benchmark; the
+   *  training corpus is every other document PLUS a planted full-text
+   *  copy of each benchmark doc under id + DupOffset (guaranteed
+   *  13-gram overlap when the doc has >= 13 tokens — both engines
+   *  compute the same gram relation, so shorter docs stay consistent
+   *  too). Flags exactly the contaminated rows. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Decontaminate
+    val d = DedupQueries.docs(spark, dir)
+    val bench = d.where(col("doc_id") % 101 === 0)
+    val corpus = d.where(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(bench.select(
+        (col("doc_id") + DedupQueries.DupOffset).as("doc_id"), col("text")))
+    Decontaminate.contaminated(corpus, "doc_id", "text", bench, "text", n = 13)
+  }
+
+  val DecontaminateSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) < 13 THEN []
+       |         ELSE [array_to_string(w[i:i+12], ' ') for i in generate_series(1, len(w)-12)] END AS gs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+       |), corpus AS (
+       |  SELECT doc_id, gs FROM g WHERE doc_id % 101 <> 0
+       |  UNION ALL SELECT doc_id + ${DedupQueries.DupOffset}, gs FROM g WHERE doc_id % 101 = 0
+       |), bench AS (
+       |  SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 101 = 0
+       |), hits AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(gs) AS dg FROM corpus)
+       |  WHERE dg IN (SELECT bg FROM bench)
+       |)
+       |SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
 }

@@ -95,6 +95,47 @@ object SimQueries {
        |WHERE doc_id % 11 = 0
        |  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 50""".stripMargin
 
+  /** SimHash blocking-COMPLETENESS over a planted perturbed corpus,
+   *  exercising the hamming > 0 path the exact-pair query cannot reach.
+   *  Every doc_id % 7 == 0 document gets a copy with one token appended;
+   *  unlike MinHash (where the planted pair's similarity is engineered
+   *  near 1), SimHash's bit flips under a one-token edit depend on the
+   *  document's hash-vote margins, so the planted pair's Hamming distance
+   *  is data-dependent — sometimes <= 3 (must be found), sometimes > 3
+   *  (must NOT be emitted). What IS exact is the Manku block-subset
+   *  guarantee: a pair within maxHamming flips shares at least one
+   *  (nBlocks - maxHamming)-block combo key, so for every planted pair
+   *  `found == (bit_count(sh_a ^ sh_b) <= maxHamming)` must hold, with
+   *  the direct Hamming side computed map-side from the same fingerprint
+   *  expression. The oracle asserts the consistency bit is true for the
+   *  whole planted relation — any blocking recall loss (a dropped combo,
+   *  an over-eager bucket cap) or precision loss flips a row to false. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val perturbed = concat(col("text"), lit(" qqsimhashflip"))
+    val corpus = d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + DedupQueries.DupOffset).as("id"),
+          perturbed.as("text")))
+    val found = SimHash.nearDupPairs(corpus, "id", "text", maxHamming = 3)
+      .where(col("id_b") === col("id_a") + DedupQueries.DupOffset)
+      .select(col("id_a"), lit(true).as("found"))
+    val planted = d.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id_a"),
+        graft.plans.TextSketchExprs.simhash64(col("text")).as("sh_a"),
+        graft.plans.TextSketchExprs.simhash64(perturbed).as("sh_b"))
+    planted.join(found, Seq("id_a"), "left_outer")
+      .select(col("id_a"), (col("id_a") + DedupQueries.DupOffset).as("id_b"),
+        (coalesce(col("found"), lit(false)) ===
+          (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3))
+          .as("blocking_consistent"))
+  }
+
+  val SimhashNearDupSql: String =
+    s"""SELECT doc_id AS id_a, doc_id + ${DedupQueries.DupOffset} AS id_b,
+       |       true AS blocking_consistent
+       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   /** Exact word-3-gram Jaccard between consecutive documents, as integer
    *  intersection/union sizes (cross-engine exact). */
   def jaccardConsecutive(spark: SparkSession, dir: String): DataFrame = {

@@ -52,6 +52,68 @@ object TextQueries {
       |  , 100.0)) AS BIGINT) AS quality_score
       |FROM documents""".stripMargin
 
+  /** PII scrub (C4/Dolma-style redaction pass) over a planted corpus:
+   *  every doc_id % 13 == 0 text gets an email + IPv4 + phone appended.
+   *  Emits per-category match counts plus the sha256 of the scrubbed
+   *  text — byte-identical redaction across engines is the actual
+   *  correctness bar (a near-miss regex leaks PII into training data). */
+  val PiiSuffix = " reach admin@example.com or 10.0.0.1 or 555-123-4567 now"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Pii
+    val planted = when(col("doc_id") % 13 === 0,
+      concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        Pii.emailCount(col("t")).as("email_n"),
+        Pii.ipv4Count(col("t")).as("ip_n"),
+        Pii.phoneCount(col("t")).as("phone_n"),
+        sha2(Pii.scrub(col("t")), 256).as("scrubbed_sha"))
+  }
+
+  val PiiScrubSql: String = {
+    import graft.text.Pii
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 0 THEN text || '$PiiSuffix'
+       |              ELSE text END AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS email_n,
+       |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS ip_n,
+       |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS phone_n,
+       |  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${Pii.EmailRe}', '${Pii.EmailToken}', 'g'),
+       |    '${Pii.Ipv4Re}', '${Pii.Ipv4Token}', 'g'),
+       |    '${Pii.PhoneRe}', '${Pii.PhoneToken}', 'g')) AS scrubbed_sha
+       |FROM c""".stripMargin
+  }
+
+  /** Within-document repetition signal (Gopher-style repetition filter):
+   *  total vs distinct word-bigram counts per document — the duplicate
+   *  fraction (total - distinct) / total is the filter input; exact
+   *  integers cross-engine. Pure map work (codegen'd higher-order fns). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val gs = graft.pipeline.Decontaminate.wordGrams(col("text"), 2)
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"),
+      size(gs).cast("long").as("bigram_total"),
+      size(array_distinct(gs)).cast("long").as("bigram_distinct"))
+  }
+
+  val RepetitionStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(gs) AS BIGINT) AS bigram_total,
+      |  CAST(len(list_distinct(gs)) AS BIGINT) AS bigram_distinct
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 2 THEN []
+      |         ELSE [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w)-1)] END AS gs
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |)""".stripMargin
+
   /** Language-ID by stopword voting (prediction compared, not accuracy). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.docs(spark, dir).select(

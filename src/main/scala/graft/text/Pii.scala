@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * PII redaction for training corpora (the C4/Dolma-style scrub pass):
+ * emails, IPv4 addresses and phone numbers replaced by typed placeholder
+ * tokens, plus per-document match counts for audit metrics.
+ *
+ * Everything is built from codegen'd `regexp_replace` /
+ * `regexp_extract_all` — no UDF, no driver work, scales as a pure map
+ * stage. Patterns are deliberately RE2-compatible (no lookarounds, no
+ * backreferences) so Java-regex engines (Spark) and RE2 engines
+ * (DuckDB, Trino, Go tooling) agree byte-for-byte on the scrubbed text —
+ * a scrub that differs between the counting engine and the training-data
+ * writer silently leaks PII.
+ *
+ * Replacement order is fixed email -> IPv4 -> phone: an email's local
+ * part may contain digit runs that look phone-like, and replacing emails
+ * first keeps such substrings out of the later passes. Counts are taken
+ * on the ORIGINAL text, independently per category.
+ */
+object Pii {
+
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe: String = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  val EmailToken = "<EMAIL>"
+  val Ipv4Token = "<IP>"
+  val PhoneToken = "<PHONE>"
+
+  /** Scrubbed text: all three categories redacted, in the fixed order. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, EmailToken),
+        Ipv4Re, Ipv4Token),
+      PhoneRe, PhoneToken)
+
+  /** Number of matches of `re` in the original text (0 for null). */
+  def matchCount(text: Column, re: String): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(re), lit(0))).cast("long"))
+
+  def emailCount(text: Column): Column = matchCount(text, EmailRe)
+  def ipv4Count(text: Column): Column = matchCount(text, Ipv4Re)
+  def phoneCount(text: Column): Column = matchCount(text, PhoneRe)
+}

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val benchText =
+    "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+
+  test("a doc sharing a full 13-gram with the benchmark is flagged") {
+    val bench = Seq(benchText).toDF("text")
+    val corpus = Seq(
+      // shares the first 13 tokens verbatim inside a longer doc
+      (1L, s"prefix tokens then $benchText and a suffix"),
+      // shares only 12 consecutive tokens (13th differs) -> clean
+      (2L, "one two three four five six seven eight nine ten eleven twelve XXX"),
+      (3L, "totally unrelated text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("docs shorter than n tokens are never flagged") {
+    val bench = Seq("a b c").toDF("text")
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "text", n = 13)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false))
+    // ...but with n = 3 the same pair is contaminated
+    val got3 = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got3 === Map(1L -> true))
+  }
+
+  test("gram relation is whitespace-normalized and empty-safe") {
+    val df = Seq("  a   b\tc  ", "", "a b").toDF("t")
+      .select(Decontaminate.wordGrams(col("t"), 2).as[Seq[String]])
+    assert(df.collect().toSeq === Seq(Seq("a b", "b c"), Seq.empty, Seq("a b")))
+  }
+
+  test("every corpus row appears exactly once in the output") {
+    val bench = Seq(benchText).toDF("text")
+    val corpus = (1L to 50L).map(i => (i, s"doc $i $benchText")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "text")
+    assert(out.count() === 50)
+    assert(out.where(col("contaminated")).count() === 50)
+  }
+}

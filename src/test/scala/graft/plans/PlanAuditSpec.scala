@@ -64,6 +64,26 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("pii_scrub and repetition_stats are pure map-side: no Exchange") {
+    val scrub = plan(TextQueries.piiScrub(spark, sf))
+    assert(!scrub.contains("Exchange"), s"PII redaction must not shuffle:\n$scrub")
+    val rep = plan(TextQueries.repetitionStats(spark, sf))
+    assert(!rep.contains("Exchange"), s"repetition stats must not shuffle:\n$rep")
+  }
+
+  test("decontaminate gram probe is a broadcast semi-join; no gram string shuffles") {
+    val df = graft.queries.MixQueries.decontaminate(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark gram set must broadcast into a semi-join:\n$p")
+    // the corpus side reduces to (doc_id, gram-hash) longs before any
+    // exchange — the gram text itself must never shuffle
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("__g,") && !l.contains("__g#"),
+        s"gram string in a shuffle:\n$l")
+    }
+  }
+
   test("dedup_mark shuffles only the slim signature projection, never content") {
     val df = graft.queries.DedupQueries.dedupMark(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def scrubOne(s: String): String =
+    Seq(s).toDF("t").select(Pii.scrub(col("t"))).as[String].head()
+
+  private def counts(s: String): (Long, Long, Long) =
+    Seq(s).toDF("t")
+      .select(Pii.emailCount(col("t")), Pii.ipv4Count(col("t")),
+        Pii.phoneCount(col("t")))
+      .as[(Long, Long, Long)].head()
+
+  test("emails, IPv4s and phones are redacted to typed tokens") {
+    assert(scrubOne("mail a.b+c@x-y.example.org today") ===
+      "mail <EMAIL> today")
+    assert(scrubOne("host 192.168.1.254 down") === "host <IP> down")
+    assert(scrubOne("call 555-123-4567 or 555.123.4567 or 555 123 4567") ===
+      "call <PHONE> or <PHONE> or <PHONE>")
+  }
+
+  test("an email's digit runs are not re-matched as phone/ip") {
+    // replacement order email -> ip -> phone keeps the local part's
+    // digits out of the later passes
+    assert(scrubOne("x 123.456.7890@example.com y") === "x <EMAIL> y")
+  }
+
+  test("clean text passes through byte-identical with zero counts") {
+    val s = "no pii here just words and 42 numbers"
+    assert(scrubOne(s) === s)
+    assert(counts(s) === ((0L, 0L, 0L)))
+  }
+
+  test("counts are per-category on the original text") {
+    assert(counts("a@b.co and c@d.io via 10.0.0.1 call 555-123-4567") ===
+      ((2L, 1L, 1L)))
+  }
+
+  test("null text: zero counts, null scrub") {
+    val df = Seq[(Integer, String)]((1, null)).toDF("id", "t")
+    val r = df.select(Pii.emailCount(col("t")).as[Long],
+      Pii.scrub(col("t")).isNull.as[Boolean]).head()
+    assert(r === ((0L, true)))
+  }
+
+  test("plain version strings and decimals are not IPv4s") {
+    assert(scrubOne("v1.2.3 released, pi is 3.14") ===
+      "v1.2.3 released, pi is 3.14")
+  }
+}
