@@ -82,11 +82,65 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 object TextSketchExprs {
-  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import ColumnBridge.{exprOf, toColumn}
 
   def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(exprOf(text), numHashes, shingleSize))
 
   def simhash64(text: Column): Column =
     toColumn(SimHash64Expr(exprOf(text)))
+
+  private def foldedInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval(null) match {
+      case i: Int => i
+      case other =>
+        throw new IllegalArgumentException(s"$fn: $arg must be INT, got $other")
+    }
+  }
+
+  /** SQL registration for the scalar surface. The native expressions go
+   *  in directly; the Column-composition functions (text stats, quality,
+   *  language-ID, PII scrub, word grams) are registered as expression
+   *  BUILDERS — the SQL call expands to the same built-in expression
+   *  tree the Column API produces, so everything stays inside
+   *  whole-stage codegen (no ScalaUDF converter anywhere). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def one(name: String)(f: Expression => Expression): Unit =
+      ColumnBridge.registerExprFunction(spark, name, { args =>
+        require(args.length == 1, s"$name expects 1 argument")
+        f(args.head)
+      })
+    def viaColumn(name: String)(f: Column => Column): Unit =
+      one(name)(e => exprOf(f(toColumn(e))))
+
+    one("graft_simhash64")(SimHash64Expr(_))
+    ColumnBridge.registerExprFunction(spark, "graft_minhash_sig", {
+      case Seq(t) => MinHashSigExpr(t, 128, 3)
+      case Seq(t, n, s) =>
+        MinHashSigExpr(t,
+          foldedInt(n, "graft_minhash_sig", "num_hashes"),
+          foldedInt(s, "graft_minhash_sig", "shingle_size"))
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash_sig expects (text[, num_hashes, shingle_size]), got ${args.length} args")
+    })
+    viaColumn("graft_token_count")(graft.text.TextFunctions.tokenCount)
+    viaColumn("graft_bpeish_token_count")(graft.text.TextFunctions.bpeishTokenCount)
+    viaColumn("graft_punct_count")(graft.text.TextFunctions.punctCount)
+    viaColumn("graft_stopword_count")(graft.text.TextFunctions.stopwordCount)
+    viaColumn("graft_quality_score")(graft.text.TextFunctions.qualityScore)
+    viaColumn("graft_lang_id")(graft.text.TextFunctions.languageId)
+    viaColumn("graft_pii_scrub")(graft.text.Pii.scrub)
+    viaColumn("graft_pii_email_count")(graft.text.Pii.emailCount)
+    viaColumn("graft_pii_ipv4_count")(graft.text.Pii.ipv4Count)
+    viaColumn("graft_pii_phone_count")(graft.text.Pii.phoneCount)
+    ColumnBridge.registerExprFunction(spark, "graft_word_grams", {
+      case Seq(t, n) =>
+        exprOf(graft.pipeline.Decontaminate.wordGrams(toColumn(t),
+          foldedInt(n, "graft_word_grams", "n")))
+      case args => throw new IllegalArgumentException(
+        s"graft_word_grams expects (text, n), got ${args.length} args")
+    })
+  }
 }

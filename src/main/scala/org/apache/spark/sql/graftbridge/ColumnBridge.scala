@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
 object ColumnBridge {
   def exprOf(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def toColumn(e: Expression): Column = Column(ExpressionColumnNode(e))
+
+  /** Register a SQL-callable function from an Expression builder
+   *  (`sessionState.functionRegistry` is private[sql], hence here).
+   *  Unlike `spark.udf.register`, the built expression tree keeps full
+   *  whole-stage codegen — there is no ScalaUDF converter in the plan. */
+  def registerExprFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The SQL-registered scalar surface must (a) agree with the Column API
+ *  and (b) plan as native/composed expression trees — no ScalaUDF
+ *  converter anywhere in the physical plan. */
+class SqlSurfaceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val registered = {
+    graft.sketch.GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox, contact a@b.co or 10.0.0.1 now!"),
+      (2L, "a b a b a b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("sql_surface_docs")
+    true
+  }
+
+  test("SQL scalar functions agree with the Column API") {
+    assert(registered)
+    val viaSql = spark.sql(
+      """SELECT id, graft_simhash64(text) AS sh,
+        |  graft_minhash_sig(text) AS sig,
+        |  graft_token_count(text) AS toks,
+        |  graft_quality_score(text) AS q,
+        |  graft_lang_id(text) AS lang,
+        |  graft_pii_scrub(text) AS scrubbed,
+        |  graft_pii_email_count(text) AS emails,
+        |  graft_word_grams(text, 2) AS grams
+        |FROM sql_surface_docs""".stripMargin)
+    val viaColumns = spark.table("sql_surface_docs").select(col("id"),
+      TextSketchExprs.simhash64(col("text")).as("sh"),
+      TextSketchExprs.minhashSig(col("text"), 128, 3).as("sig"),
+      graft.text.TextFunctions.tokenCount(col("text")).as("toks"),
+      graft.text.TextFunctions.qualityScore(col("text")).as("q"),
+      graft.text.TextFunctions.languageId(col("text")).as("lang"),
+      graft.text.Pii.scrub(col("text")).as("scrubbed"),
+      graft.text.Pii.emailCount(col("text")).as("emails"),
+      graft.pipeline.Decontaminate.wordGrams(col("text"), 2).as("grams"))
+    assert(viaSql.collect().toSeq.sortBy(_.getLong(0)) ===
+      viaColumns.collect().toSeq.sortBy(_.getLong(0)))
+    // spot-check a value against the plain-Scala reference
+    val sh1 = viaSql.where(col("id") === 1).select(col("sh")).as[Long].head()
+    assert(sh1 === graft.sim.SimHash.simhash64(
+      "the quick brown fox, contact a@b.co or 10.0.0.1 now!"))
+  }
+
+  test("SQL calls plan without any ScalaUDF (stay codegen'd)") {
+    assert(registered)
+    val p = spark.sql(
+      """SELECT graft_simhash64(text), graft_pii_scrub(text),
+        |  graft_token_count(text), graft_word_grams(text, 3)
+        |FROM sql_surface_docs""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"scalar surface must not plan a UDF:\n$p")
+  }
+
+  test("literal-argument validation rejects non-literal sizes") {
+    assert(registered)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(text, id + 1, 3) FROM sql_surface_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("3-arg minhash form matches the Column API shape") {
+    assert(registered)
+    val sql = spark.sql(
+      "SELECT graft_minhash_sig(text, 16, 3) AS s FROM sql_surface_docs WHERE id = 2")
+      .select(col("s")).as[Seq[Long]].head()
+    val api = spark.table("sql_surface_docs").where(col("id") === 2)
+      .select(TextSketchExprs.minhashSig(col("text"), 16, 3).as[Seq[Long]]).head()
+    assert(sql === api && sql.length === 16)
+  }
+}
