@@ -54,6 +54,7 @@ object SparkEntry {
     "pii_scrub" -> TextQueries.piiScrub,
     "repetition_stats" -> TextQueries.repetitionStats,
     "decontaminate" -> MixQueries.decontaminate,
+    "corpus_pipeline" -> MixQueries.corpusPipeline,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -97,5 +98,6 @@ object SparkEntry {
     "pii_scrub" -> TextQueries.PiiScrubSql,
     "repetition_stats" -> TextQueries.RepetitionStatsSql,
     "decontaminate" -> MixQueries.DecontaminateSql,
+    "corpus_pipeline" -> MixQueries.CorpusPipelineSql,
   )
 }

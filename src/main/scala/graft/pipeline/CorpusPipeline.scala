@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{DedupConfig, MarkDuplicates}
+
+/**
+ * End-to-end training-corpus cleaning: the standard published recipe
+ * (C4/Gopher/Dolma-style) as ONE composed, lazy Catalyst plan —
+ *
+ *   PII scrub -> quality filter -> language filter -> exact dedup ->
+ *   benchmark decontamination -> per-stratum quota
+ *
+ * Every stage is optional. Nothing materializes between stages: the
+ * scrub + quality + language stages fuse into a single whole-stage-
+ * codegen map over the scan; dedup adds its one slim (sig, key)
+ * exchange; decontamination adds a broadcast gram-hash semi-join; the
+ * quota adds the per-stratum window. At 10^12-row scale the plan's
+ * shuffle bytes are dominated by the dedup signature exchange alone —
+ * the wide text column shuffles only if the quota stage is enabled
+ * (its window needs the full surviving rows; run it last, after the
+ * heavy filters, which this ordering guarantees).
+ *
+ * Stage order is fixed and deliberate: scrubbing runs FIRST so that
+ * documents differing only in PII dedup together and quality is scored
+ * on what would actually be trained on; decontamination runs on the
+ * deduped survivors (cheaper, same result); the quota samples from the
+ * fully cleaned pool.
+ */
+object CorpusPipeline {
+
+  def clean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      scrubPii: Boolean = true,
+      minQuality: Option[Int] = None,
+      langAllow: Option[Seq[String]] = None,
+      langCol: String = "lang",
+      exactDedup: Boolean = true,
+      benchmark: Option[DataFrame] = None,
+      benchTextCol: String = "text",
+      nGram: Int = 13,
+      quotaPerStratum: Option[(String, Int)] = None): DataFrame = {
+    var df = docs
+    if (scrubPii)
+      df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
+    minQuality.foreach { q =>
+      df = df.where(graft.text.TextFunctions.qualityScore(col(textCol)) >= q)
+    }
+    langAllow.foreach { ls =>
+      df = df.where(col(langCol).isin(ls: _*))
+    }
+    if (exactDedup) {
+      val cfg = DedupConfig(contentCol = textCol, orderCols = Seq(idCol),
+        buildSketch = false, removeDuplicates = true)
+      df = MarkDuplicates.mark(df, cfg).drop(cfg.outputCol)
+    }
+    benchmark.foreach { b =>
+      val keep = Decontaminate
+        .contaminated(df, idCol, textCol, b, benchTextCol, nGram)
+        .where(!col("contaminated")).select(col(idCol))
+      df = df.join(keep, Seq(idCol), "left_semi")
+    }
+    quotaPerStratum.foreach { case (stratum, quota) =>
+      df = DatasetMix.quotaSample(df, stratum, idCol, quota)
+    }
+    df
+  }
+}

@@ -57,4 +57,68 @@ object MixQueries {
        |)
        |SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** The full corpus-cleaning pipeline (CorpusPipeline.clean) end-to-end
+   *  as one oracle-checked query: a corpus with planted exact duplicates
+   *  (doc_id % 3 copies) and planted PII (id % 13 suffix) goes through
+   *  scrub -> quality >= 45 -> lang in (en, de, es) -> exact dedup ->
+   *  13-gram decontamination vs the doc_id % 101 benchmark -> 50-per-lang
+   *  quota. Every stage is SQL-expressible, so the oracle replays the
+   *  whole recipe and the survivor set must match row-for-row. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val base = d.select(col("doc_id"), col("text"), col("lang"))
+      .unionAll(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + DedupQueries.DupOffset).as("doc_id"),
+          col("text"), col("lang")))
+    val planted = base.withColumn("text",
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(TextQueries.PiiSuffix))).otherwise(col("text")))
+    val bench = d.where(col("doc_id") % 101 === 0).select(col("text"))
+    graft.pipeline.CorpusPipeline.clean(planted,
+      minQuality = Some(45),
+      langAllow = Some(Seq("en", "de", "es")),
+      benchmark = Some(bench),
+      quotaPerStratum = Some(("lang", 50)))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val CorpusPipelineSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + ${DedupQueries.DupOffset}, lang, text
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), scrubbed AS (
+       |  SELECT doc_id, lang,
+       |    ${TextQueries.scrubSqlExpr(
+             s"CASE WHEN doc_id % 13 = 0 THEN text || '${TextQueries.PiiSuffix}' ELSE text END")} AS t
+       |  FROM base
+       |), filtered AS (
+       |  SELECT * FROM scrubbed
+       |  WHERE ${TextQueries.qualitySqlExpr("t")} >= 45
+       |    AND lang IN ('en', 'de', 'es')
+       |), deduped AS (
+       |  SELECT doc_id, lang, t FROM (
+       |    SELECT *, (t IS NOT NULL AND t <> '' AND
+       |               row_number() OVER (PARTITION BY sha256(t) ORDER BY doc_id) > 1) AS dup
+       |    FROM filtered) WHERE NOT dup
+       |), dg AS (
+       |  SELECT doc_id, CASE WHEN len(w) < 13 THEN []
+       |    ELSE [array_to_string(w[i:i+12], ' ') for i in generate_series(1, len(w)-12)] END AS gs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM deduped)
+       |), bg AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(w) < 13 THEN []
+       |    ELSE [array_to_string(w[i:i+12], ' ') for i in generate_series(1, len(w)-12)] END) AS g
+       |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM documents WHERE doc_id % 101 = 0)
+       |), contaminated_ids AS (
+       |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(gs) AS g FROM dg)
+       |  WHERE g IN (SELECT g FROM bg)
+       |)
+       |SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+       |  FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated_ids)
+       |) WHERE rk <= 50""".stripMargin
 }

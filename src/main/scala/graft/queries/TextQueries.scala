@@ -36,21 +36,24 @@ object TextQueries {
       col("doc_id"),
       qualityScore(col("text")).as("quality_score"))
 
+  /** The quality formula as DuckDB SQL over an arbitrary text expression
+   *  (mirrors `TextFunctions.qualityScore` exactly). */
+  def qualitySqlExpr(t: String): String =
+    s"""CAST(round(least(
+       |    25.0 * least(len(coalesce($t,'')), 2000) / 2000.0
+       |  + 25.0 * least(CASE WHEN $t IS NULL OR trim($t)='' THEN 0
+       |                      ELSE len(regexp_split_to_array(trim($t), '\\s+')) END, 300) / 300.0
+       |  + 25.0 * (CASE WHEN $t IS NULL OR trim($t)='' THEN 0
+       |                 ELSE len(list_distinct(regexp_split_to_array(lower(trim($t)), '\\s+'))) END)
+       |         / greatest(CASE WHEN $t IS NULL OR trim($t)='' THEN 0
+       |                         ELSE len(regexp_split_to_array(trim($t), '\\s+')) END, 1)
+       |  + 25.0 * (1.0 - (CASE WHEN $t IS NULL THEN 0
+       |                        ELSE len($t) - len(regexp_replace($t, '[.,!?;:''"()\\[\\]{}]', '', 'g')) END)
+       |                  / greatest(len(coalesce($t,'')), 1))
+       |  , 100.0)) AS BIGINT)""".stripMargin
+
   val QualityScoresSql: String =
-    """SELECT doc_id,
-      |  CAST(round(least(
-      |    25.0 * least(len(coalesce(text,'')), 2000) / 2000.0
-      |  + 25.0 * least(CASE WHEN text IS NULL OR trim(text)='' THEN 0
-      |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 300) / 300.0
-      |  + 25.0 * (CASE WHEN text IS NULL OR trim(text)='' THEN 0
-      |                 ELSE len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) END)
-      |         / greatest(CASE WHEN text IS NULL OR trim(text)='' THEN 0
-      |                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
-      |  + 25.0 * (1.0 - (CASE WHEN text IS NULL THEN 0
-      |                        ELSE len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}]', '', 'g')) END)
-      |                  / greatest(len(coalesce(text,'')), 1))
-      |  , 100.0)) AS BIGINT) AS quality_score
-      |FROM documents""".stripMargin
+    s"SELECT doc_id, ${qualitySqlExpr("text")} AS quality_score FROM documents"
 
   /** PII scrub (C4/Dolma-style redaction pass) over a planted corpus:
    *  every doc_id % 13 == 0 text gets an email + IPv4 + phone appended.
@@ -72,6 +75,16 @@ object TextQueries {
         sha2(Pii.scrub(col("t")), 256).as("scrubbed_sha"))
   }
 
+  /** The scrub chain as DuckDB SQL over an arbitrary text expression
+   *  (mirrors `Pii.scrub` exactly: email -> IPv4 -> phone). */
+  def scrubSqlExpr(t: String): String = {
+    import graft.text.Pii
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       |    '${Pii.EmailRe}', '${Pii.EmailToken}', 'g'),
+       |    '${Pii.Ipv4Re}', '${Pii.Ipv4Token}', 'g'),
+       |    '${Pii.PhoneRe}', '${Pii.PhoneToken}', 'g')""".stripMargin
+  }
+
   val PiiScrubSql: String = {
     import graft.text.Pii
     s"""WITH c AS (
@@ -84,10 +97,7 @@ object TextQueries {
        |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS email_n,
        |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS ip_n,
        |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS phone_n,
-       |  sha256(regexp_replace(regexp_replace(regexp_replace(t,
-       |    '${Pii.EmailRe}', '${Pii.EmailToken}', 'g'),
-       |    '${Pii.Ipv4Re}', '${Pii.Ipv4Token}', 'g'),
-       |    '${Pii.PhoneRe}', '${Pii.PhoneToken}', 'g')) AS scrubbed_sha
+       |  sha256(${scrubSqlExpr("t")}) AS scrubbed_sha
        |FROM c""".stripMargin
   }
 

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val thirteen =
+    "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+
+  test("stages compose: scrub merges PII-only variants, bench doc removed, quota caps") {
+    val docs = Seq(
+      // 1 and 2 differ ONLY in PII -> identical after scrub -> dedup keeps 1
+      (1L, s"$thirteen mail a@b.co", "en"),
+      (2L, s"$thirteen mail c@d.io", "en"),
+      // contains the benchmark 13-gram -> decontaminated away
+      (3L, s"prefix $thirteen suffix words here", "en"),
+      // different lang -> filtered
+      (4L, s"$thirteen extra", "zh"),
+      // clean survivor
+      (5L, "totally different tokens making a clean doc", "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq(thirteen).toDF("text")
+    val out = CorpusPipeline.clean(docs,
+      langAllow = Some(Seq("en")),
+      benchmark = Some(bench),
+      quotaPerStratum = Some(("lang", 10)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // doc 1 survives (keeper of the scrub-merged pair), 2 deduped, 3
+    // decontaminated (shares the 13-gram with bench), 4 lang-filtered.
+    // NOTE: docs 1/2 also contain the benchmark gram inside their text?
+    // they share tokens w1..w13 -> yes, they contain the exact 13-gram,
+    // so they are decontaminated too. Only 5 survives.
+    assert(ids === Set(5L))
+    // scrubbed text is what flows through
+    val t5 = out.where(col("doc_id") === 5).select("text").as[String].head()
+    assert(t5 === "totally different tokens making a clean doc")
+  }
+
+  test("no benchmark, no lang filter: dedup alone keeps min-id per scrubbed text") {
+    val docs = Seq(
+      (10L, "same text mail a@b.co", "en"),
+      (11L, "same text mail z@q.org", "de"),
+      (12L, "unique text", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(10L, 12L))
+  }
+
+  test("quality gate drops low-score docs") {
+    val docs = Seq(
+      // 8x the same token: diversity term collapses to 25/8 -> score 29
+      (1L, "a a a a a a a a", "en"),
+      (2L, "many distinct tokens one two three four five six seven eight nine ten", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs, minQuality = Some(30))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("whole pipeline is one lazy plan (no eager materialization)") {
+    val docs = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs,
+      minQuality = Some(0),
+      benchmark = Some(Seq("zz yy").toDF("text")),
+      quotaPerStratum = Some(("lang", 5)))
+    // composing must not have triggered a job; the plan exists and runs
+    assert(out.queryExecution.logical != null)
+    assert(out.count() === 1)
+  }
+}
