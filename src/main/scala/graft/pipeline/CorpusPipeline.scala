@@ -11,15 +11,19 @@ import graft.dedup.{DedupConfig, MarkDuplicates}
  *   PII scrub -> quality filter -> language filter -> exact dedup ->
  *   benchmark decontamination -> per-stratum quota
  *
- * Every stage is optional. Nothing materializes between stages: the
- * scrub + quality + language stages fuse into a single whole-stage-
- * codegen map over the scan; dedup adds its one slim (sig, key)
- * exchange; decontamination adds a broadcast gram-hash semi-join; the
- * quota adds the per-stratum window. At 10^12-row scale the plan's
- * shuffle bytes are dominated by the dedup signature exchange alone —
- * the wide text column shuffles only if the quota stage is enabled
- * (its window needs the full surviving rows; run it last, after the
- * heavy filters, which this ordering guarantees).
+ * Every stage is optional and composition is lazy (no job runs until
+ * the caller acts). The scrub + quality + language stages fuse into a
+ * single whole-stage-codegen map over the scan; dedup adds its one slim
+ * (sig, key) exchange; decontamination adds a broadcast gram-hash
+ * anti-join; the quota adds the per-stratum window. The one deliberate
+ * materialization is a lazy `localCheckpoint` at the decontamination
+ * branch point (`materializeAtBranch`), where the cleaned frame feeds
+ * two consumers — without it every upstream stage re-executes per
+ * consumer. At 10^12-row scale the plan's shuffle bytes are dominated
+ * by the dedup signature exchange alone — the wide text column shuffles
+ * only if the quota stage is enabled (its window needs the full
+ * surviving rows; run it last, after the heavy filters, which this
+ * ordering guarantees).
  *
  * Stage order is fixed and deliberate: scrubbing runs FIRST so that
  * documents differing only in PII dedup together and quality is scored
@@ -41,7 +45,8 @@ object CorpusPipeline {
       benchmark: Option[DataFrame] = None,
       benchTextCol: String = "text",
       nGram: Int = 13,
-      quotaPerStratum: Option[(String, Int)] = None): DataFrame = {
+      quotaPerStratum: Option[(String, Int)] = None,
+      materializeAtBranch: Boolean = true): DataFrame = {
     var df = docs
     if (scrubPii)
       df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
@@ -57,10 +62,15 @@ object CorpusPipeline {
       df = MarkDuplicates.mark(df, cfg).drop(cfg.outputCol)
     }
     benchmark.foreach { b =>
-      val keep = Decontaminate
-        .contaminated(df, idCol, textCol, b, benchTextCol, nGram)
-        .where(!col("contaminated")).select(col(idCol))
-      df = df.join(keep, Seq(idCol), "left_semi")
+      // branch point: the cleaned-so-far frame feeds both the gram scan
+      // and the anti-join probe. Truncate lineage here so the scrub /
+      // quality / dedup stages execute once, not once per consumer (at
+      // cluster scale, writing the deduped survivors to storage between
+      // these two heavy stages achieves the same and adds restartability)
+      if (materializeAtBranch) df = df.localCheckpoint(false)
+      val hits = Decontaminate
+        .contaminationHits(df, idCol, textCol, b, benchTextCol, nGram)
+      df = df.join(hits, Seq(idCol), "left_anti")
     }
     quotaPerStratum.foreach { case (stratum, quota) =>
       df = DatasetMix.quotaSample(df, stratum, idCol, quota)

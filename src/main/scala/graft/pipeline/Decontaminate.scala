@@ -30,11 +30,12 @@ object Decontaminate {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /**
-   * (idCol, contaminated: boolean) for every corpus row: true iff the
-   * document shares >= 1 full n-gram with any benchmark text.
-   */
-  def contaminated(
+  /** Distinct ids of corpus documents sharing >= 1 full n-gram with any
+   *  benchmark text — the single-consumption core (reads the corpus
+   *  ONCE): explode to (id, gram-hash) longs, broadcast-semi-join the
+   *  benchmark gram-hash set, distinct the surviving ids. Compose with
+   *  `left_anti` to drop contaminated docs without a second flag join. */
+  def contaminationHits(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
@@ -45,12 +46,28 @@ object Decontaminate {
       .select(explode(wordGrams(col(benchTextCol), n)).as("__g"))
       .select(xxhash64(col("__g")).as("__gh"))
       .distinct()
-    val docGrams = corpus
+    corpus
       .select(col(idCol), explode(wordGrams(col(textCol), n)).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__gh"))
-    val hits = docGrams
       .join(broadcast(benchGrams), Seq("__gh"), "left_semi")
       .select(col(idCol)).distinct()
+  }
+
+  /**
+   * (idCol, contaminated: boolean) for every corpus row: true iff the
+   * document shares >= 1 full n-gram with any benchmark text. Note this
+   * consumes `corpus` twice (gram scan + output join) — cache or
+   * checkpoint the corpus at this branch point if its lineage is
+   * expensive, or use `contaminationHits` + an anti-join directly.
+   */
+  def contaminated(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val hits = contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol, n)
       .withColumn("__hit", lit(true))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left_outer")

@@ -75,7 +75,14 @@ object MixQueries {
       when(col("doc_id") % 13 === 0,
         concat(col("text"), lit(TextQueries.PiiSuffix))).otherwise(col("text")))
     val bench = d.where(col("doc_id") % 101 === 0).select(col("text"))
-    graft.pipeline.CorpusPipeline.clean(planted,
+    // the sf documents table is ONE tiny parquet file = one input split,
+    // so the pipeline's fused map stages (scrub + quality scoring) would
+    // run on a single core. A real corpus arrives in thousands of splits;
+    // recreate that parallelism explicitly (the shuffle here moves only
+    // the ~MB-scale test corpus — a production source's native splits
+    // make this repartition unnecessary and undesirable).
+    val parallel = planted.repartition(spark.sparkContext.defaultParallelism)
+    graft.pipeline.CorpusPipeline.clean(parallel,
       minQuality = Some(45),
       langAllow = Some(Seq("en", "de", "es")),
       benchmark = Some(bench),
