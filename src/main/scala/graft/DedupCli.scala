@@ -79,11 +79,12 @@ object DedupCli {
         if (opts.contains("--single")) 1
         else opts.get("--reads-per-template").map(_.toInt).getOrElse(2)
       val reads = graft.sam.SamOps.parseSamFile(spark, input)
-      val marked = graft.sam.SamOps.markSamDuplicates(
+      val res = graft.sam.SamOps.markSamDuplicatesResult(
         reads, readsPerTemplate = rpt,
         removeDuplicates = opts.contains("--remove-duplicates"),
         stripPrevious = opts.contains("--strip-previous"))
-      marked.write.mode("overwrite").parquet(output)
+      res.marked.write.mode("overwrite").parquet(output)
+      res.unpersistAll()
       spark.stop()
       return
     }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import graft.sketch.BloomSketch
@@ -31,7 +31,13 @@ case class BloomSketchAgg(
     n: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BloomSketch] {
+  extends TypedImperativeAggregate[BloomSketch] with ExpectsInputTypes {
+
+  // binary signatures only — a string child would otherwise pass analysis
+  // and die with a ClassCastException inside update() on an executor.
+  // (Seq[DataType] covariantly satisfies the Seq[AbstractDataType]
+  // signature; AbstractDataType itself is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override def createAggregationBuffer(): BloomSketch =
     BloomSketch.withCapacity(p, n, m, k)

@@ -81,6 +81,94 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
 }
 
+/** LSH band hashes of a MinHash signature (array<long> in, array<long>
+ *  of `bands` FNV band folds out; null signature -> null). Math in
+ *  `MinHashLsh.bandHashesData` — identical values to the ScalaUDF it
+ *  replaces, minus the per-row Seq boxing on the corpus-wide pass. */
+case class MinHashBandsExpr(child: Expression, bands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(sig: Any): Any =
+    graft.sim.MinHashLsh.bandHashesData(sig.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sim.MinHashLsh.bandHashesData($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_bands"
+}
+
+/** Estimated Jaccard of two MinHash signatures (fraction of equal
+ *  components), computed over the unsafe arrays without boxing. */
+case class MinHashEstExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.sim.MinHashLsh.estimatedJaccardData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sim.MinHashLsh.estimatedJaccardData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_minhash_est"
+}
+
+/** Manku block-subset keys of a 64-bit SimHash fingerprint: all
+ *  C(nBlocks, nBlocks - maxHamming) combo keys as one long array. Math in
+ *  `SimHash.comboKeysData` (combo table cached per JVM). */
+case class SimHashKeysExpr(child: Expression, maxHamming: Int, nBlocks: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(h: Any): Any =
+    graft.sim.SimHash.comboKeysData(h.asInstanceOf[Long], maxHamming, nBlocks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sim.SimHash.comboKeysData($c, $maxHamming, $nBlocks)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_keys"
+}
+
+/** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken 2003) of a
+ *  text column as a long array; empty for null/short text, matching
+ *  `Fingerprint.winnow`. */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.text.Fingerprint.winnowHashes(
+      if (v == null) null else v.asInstanceOf[UTF8String], k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} =
+          graft.text.Fingerprint.winnowHashes(${c.isNull} ? null : ${c.value}, $k, $w);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow"
+}
+
 object TextSketchExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import ColumnBridge.{exprOf, toColumn}
@@ -90,6 +178,18 @@ object TextSketchExprs {
 
   def simhash64(text: Column): Column =
     toColumn(SimHash64Expr(exprOf(text)))
+
+  def minhashBands(sig: Column, bands: Int): Column =
+    toColumn(MinHashBandsExpr(exprOf(sig), bands))
+
+  def minhashEst(sigA: Column, sigB: Column): Column =
+    toColumn(MinHashEstExpr(exprOf(sigA), exprOf(sigB)))
+
+  def simhashKeys(fingerprint: Column, maxHamming: Int, nBlocks: Int): Column =
+    toColumn(SimHashKeysExpr(exprOf(fingerprint), maxHamming, nBlocks))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowExpr(exprOf(text), k, w))
 
   private def foldedInt(e: Expression, fn: String, arg: String): Int = {
     require(e.foldable, s"$fn: $arg must be a literal integer")
@@ -124,6 +224,14 @@ object TextSketchExprs {
           foldedInt(s, "graft_minhash_sig", "shingle_size"))
       case args => throw new IllegalArgumentException(
         s"graft_minhash_sig expects (text[, num_hashes, shingle_size]), got ${args.length} args")
+    })
+    ColumnBridge.registerExprFunction(spark, "graft_winnow", {
+      case Seq(t) => WinnowExpr(t, graft.text.Fingerprint.DefaultK,
+        graft.text.Fingerprint.DefaultW)
+      case Seq(t, k, w) =>
+        WinnowExpr(t, foldedInt(k, "graft_winnow", "k"), foldedInt(w, "graft_winnow", "w"))
+      case args => throw new IllegalArgumentException(
+        s"graft_winnow expects (text[, k, w]), got ${args.length} args")
     })
     viaColumn("graft_token_count")(graft.text.TextFunctions.tokenCount)
     viaColumn("graft_bpeish_token_count")(graft.text.TextFunctions.bpeishTokenCount)

@@ -131,7 +131,10 @@ object SamQueries {
    *  template ends, first-seen-wins, 0x400 flag rewrite) driven from the
    *  synthesized corpus. */
   def samMarkdup(spark: SparkSession, dir: String): DataFrame =
-    SamOps.markSamDuplicates(samReads(spark, dir))
+    // eagerArityCheck=false: the synthesized corpus is arity-clean by
+    // construction (samArity covers the check), so the query stays a
+    // single lazy plan with no session-lifetime cache
+    SamOps.markSamDuplicates(samReads(spark, dir), eagerArityCheck = false)
       .select(col("order").as("ord"), col("qname"), col("flag"),
         col("is_duplicate"), col("out_flag"))
 
@@ -151,6 +154,10 @@ object SamQueries {
       |  SELECT *,
       |    CASE
       |      WHEN both_unm THEN chr(127) || '_' || chr(127)
+      |      -- SAMBLASTER orphan rule (markdups.cxx:174-180): with the mate
+      |      -- unmapped, the mapped end uses 'F' + start_pos REGARDLESS of
+      |      -- strand, so odd-parity (reverse, flag1=16) read1 correctly
+      |      -- takes the same F branch as forward read1 here
       |      WHEN r2_unm THEN rname || 'F' || (pos1 - lead) || '_' || chr(127)
       |      WHEN parity = 0 THEN rname || 'F' || (pos1 - lead) || '_' || rname || 'R' || (pos2 + 40 + trail)
       |      ELSE rname || 'R' || (pos1 + 50 - lead) || '_' || rname || 'F' || pos2

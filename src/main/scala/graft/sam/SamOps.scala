@@ -10,6 +10,14 @@ import org.apache.spark.sql.expressions.Window
 case class SamRead(
     order: Long, qname: String, flag: Int, rname: String, pos: Int, cigar: String)
 
+/** Output of `SamOps.markSamDuplicatesResult`: the marked frame plus the
+ *  release handle for the per-template cache the eager arity check shares
+ *  with the marking window. */
+case class SamMarkResult(
+    marked: DataFrame, private val cached: Option[Dataset[_]]) {
+  def unpersistAll(): Unit = cached.foreach(_.unpersist())
+}
+
 /**
  * SAM-semantics duplicate marking re-expressed Spark-first — the parity
  * layer proving this engine reproduces streammd's original domain
@@ -145,10 +153,12 @@ object SamOps {
    * exactly like the reference.
    *
    * `eagerArityCheck = true` (default) surfaces the violation as a
-   * driver-side IllegalStateException before any result is produced; the
-   * slim per-template GroupSig dataset is persisted so the eager pass and
-   * the marking window share ONE qname-grouping shuffle (caching ~60 B
-   * per template beats re-shuffling every wide read). At full scale pass
+   * driver-side IllegalStateException before any result is produced (in
+   * `markSamDuplicatesResult` the slim per-template GroupSig dataset is
+   * persisted so the eager pass and the marking window share ONE
+   * qname-grouping shuffle — caching ~60 B per template beats
+   * re-shuffling every wide read; this convenience overload releases
+   * that cache immediately instead of leaking it). At full scale pass
    * `false`: the check then throws INSIDE the grouping pass — the
    * reference's own fail-mid-stream behavior, zero extra pass, zero
    * cache — and arrives wrapped in Spark's task-failure exception.
@@ -159,6 +169,29 @@ object SamOps {
       removeDuplicates: Boolean = false,
       stripPrevious: Boolean = false,
       eagerArityCheck: Boolean = true): DataFrame = {
+    val r = markSamDuplicatesResult(reads, readsPerTemplate, removeDuplicates,
+      stripPrevious, eagerArityCheck)
+    // convenience surface: no handle to return, so release the shared
+    // grouping cache now (the marking window recomputes its grouping on
+    // consumption — correct, never leaks). Callers that want the eager
+    // check AND the shared shuffle use markSamDuplicatesResult + explicit
+    // unpersistAll() after materializing, like MarkDuplicates.run.
+    r.unpersistAll()
+    r.marked
+  }
+
+  /** Like `markSamDuplicates` but returns the cached per-template GroupSig
+   *  handle for explicit release: the eager arity pass and the marking
+   *  window share ONE persisted grouping shuffle, so the caller must call
+   *  `unpersistAll()` once the output is materialized (the plain
+   *  `markSamDuplicates` would otherwise leak that cache for the session
+   *  lifetime — same contract as `MarkDuplicates.run`/`DedupResult`). */
+  def markSamDuplicatesResult(
+      reads: Dataset[SamRead],
+      readsPerTemplate: Int = 2,
+      removeDuplicates: Boolean = false,
+      stripPrevious: Boolean = false,
+      eagerArityCheck: Boolean = true): SamMarkResult = {
     val spark = reads.sparkSession
     import spark.implicits._
 
@@ -176,6 +209,7 @@ object SamOps {
         GroupSig(qn, group.head.order, sig, ends.headOption.contains(Del), ends.size)
       }
 
+    var cached: Option[Dataset[GroupSig]] = None
     val groups =
       if (!eagerArityCheck) groupsRaw
       else {
@@ -185,6 +219,7 @@ object SamOps {
           g.unpersist()
           throw arityError(bad.head.qname, bad.head.nEnds, readsPerTemplate)
         }
+        cached = Some(g)
         g
       }
 
@@ -200,7 +235,7 @@ object SamOps {
       .withColumn("out_flag",
         when($"is_duplicate", $"flag".bitwiseOR(FlagDuplicate))
           .otherwise(if (stripPrevious) $"flag".bitwiseAND(~FlagDuplicate) else $"flag"))
-    if (removeDuplicates) out.where(!$"is_duplicate") else out
+    SamMarkResult(if (removeDuplicates) out.where(!$"is_duplicate") else out, cached)
   }
 
   /** Per-template arity report — the queryable form of the reference's

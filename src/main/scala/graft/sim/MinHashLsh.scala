@@ -103,6 +103,41 @@ object MinHashLsh {
     sig
   }
 
+  /** Codegen entry point (see `graft.plans.MinHashBandsExpr`): unsafe
+   *  long-array signature in, unsafe long-array of band hashes out — the
+   *  banded-LSH key expansion as one static call inside whole-stage
+   *  codegen (the ScalaUDF it replaces boxed a Seq per row). */
+  def bandHashesData(
+      sig: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var bi = 0
+    while (bi < bands) {
+      var h = 0xCBF29CE484222325L ^ bi
+      var i = bi * r
+      val end = i + r
+      while (i < end) { h = (h ^ sig.getLong(i)) * 0x100000001B3L; i += 1 }
+      out(bi) = h
+      bi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Codegen entry point (see `graft.plans.MinHashEstExpr`): estimated
+   *  Jaccard over two unsafe signature arrays, no boxing. */
+  def estimatedJaccardData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), "signature length mismatch")
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   /** Estimated Jaccard = fraction of equal signature components. */
   def estimatedJaccard(s1: Array[Long], s2: Array[Long]): Double = {
     require(s1.length == s2.length)
@@ -119,15 +154,6 @@ object MinHashLsh {
     if (a.isEmpty && b.isEmpty) return 1.0
     val inter = a.intersect(b).size
     inter.toDouble / (a.size + b.size - inter)
-  }
-
-  /** Hash of one band (rows [bandIdx*r, (bandIdx+1)*r)). */
-  private def bandHash(sig: Array[Long], bandIdx: Int, r: Int): Long = {
-    var h = 0xCBF29CE484222325L ^ bandIdx
-    var i = bandIdx * r
-    val end = i + r
-    while (i < end) { h = (h ^ sig(i)) * 0x100000001B3L; i += 1 }
-    h
   }
 
   /**
@@ -154,14 +180,6 @@ object MinHashLsh {
       shingleSize: Int = 3,
       maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val bandsUdf = udf { (sig: Seq[Long]) =>
-      val arr = sig.toArray
-      (0 until bands).map(bi => bandHash(arr, bi, r))
-    }
-    val estUdf = udf { (s1: Seq[Long], s2: Seq[Long]) =>
-      estimatedJaccard(s1.toArray, s2.toArray)
-    }
 
     // signature pass is the expensive map-side work (numHashes affine
     // transforms per shingle), computed by a native codegen'd expression
@@ -174,7 +192,9 @@ object MinHashLsh {
       .where(col("sig").isNotNull)
       .localCheckpoint(false)
     val banded = sigs
-      .select(col("id"), posexplode(bandsUdf(col("sig"))).as(Seq("band", "bucket")))
+      .select(col("id"),
+        posexplode(graft.plans.TextSketchExprs.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
     // only buckets that can produce pairs (>= 2 members) and aren't hot
     // survive; the aggregate shuffles slim (band, bucket, n) rows with
     // map-side combine — same discipline as Knn.cosineNearDupPairs /
@@ -193,7 +213,8 @@ object MinHashLsh {
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard", estUdf(col("sig_a"), col("sig_b")))
+      .withColumn("est_jaccard",
+        graft.plans.TextSketchExprs.minhashEst(col("sig_a"), col("sig_b")))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 }

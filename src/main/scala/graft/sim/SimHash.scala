@@ -58,6 +58,50 @@ object SimHash {
     widths.scanLeft(0)(_ + _).zip(widths).take(nBlocks)
   }
 
+  /** Per-(maxHamming, nBlocks) combo table: (block subsets, span lows,
+   *  span masks) — deterministic in the parameters, so computed once per
+   *  JVM (not once per row) like `MinHashLsh.coeffCache`. */
+  private val comboCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Array[Array[Int]], Array[Int], Array[Long])]()
+
+  private def cachedCombos(
+      maxHamming: Int, nBlocks: Int): (Array[Array[Int]], Array[Int], Array[Long]) =
+    comboCache.computeIfAbsent((maxHamming << 8) | nBlocks, { _ =>
+      val spans = blockSpans(nBlocks)
+      val lo = spans.map(_._1).toArray
+      val mask = spans.map { case (_, width) =>
+        if (width == 64) -1L else (1L << width) - 1
+      }.toArray
+      val combos = (0 until nBlocks).combinations(nBlocks - maxHamming)
+        .map(_.toArray).toArray
+      (combos, lo, mask)
+    })
+
+  /** Codegen entry point (see `graft.plans.SimHashKeysExpr`): combo keys
+   *  of one fingerprint as an unsafe long array — FNV fold of the exact
+   *  block values of every (nBlocks - maxHamming)-subset, identical values
+   *  (and order) to the ScalaUDF it replaces. */
+  def comboKeysData(
+      h: Long, maxHamming: Int, nBlocks: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (combos, lo, mask) = cachedCombos(maxHamming, nBlocks)
+    val out = new Array[Long](combos.length)
+    var ci = 0
+    while (ci < combos.length) {
+      val combo = combos(ci)
+      var k = 0xCBF29CE484222325L
+      var j = 0
+      while (j < combo.length) {
+        val b = combo(j)
+        k = (k ^ ((h >>> lo(b)) & mask(b))) * 0x100000001B3L
+        k = (k ^ b) * 0x100000001B3L
+        j += 1
+      }
+      out(ci) = k
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /**
    * Near-duplicate candidate pairs (id_a < id_b) with Hamming distance <=
    * maxHamming. df must have (idCol: long, textCol: string).
@@ -87,31 +131,17 @@ object SimHash {
       maxBucketSize: Long = 10000L): DataFrame = {
     require(nBlocks > maxHamming, "need more blocks than allowed bit flips")
     require(nBlocks <= 16, "block count beyond 16 explodes the combo count")
-    val spans = blockSpans(nBlocks)
-    val combos: IndexedSeq[IndexedSeq[Int]] =
-      (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toIndexedSeq).toIndexedSeq
-    // key of combo c = FNV fold of the exact block values in that combo
-    val keysUdf = udf { (h: Long) =>
-      combos.map { combo =>
-        var k = 0xCBF29CE484222325L
-        combo.foreach { b =>
-          val (lo, width) = spans(b)
-          val mask = if (width == 64) -1L else (1L << width) - 1
-          k = (k ^ ((h >>> lo) & mask)) * 0x100000001B3L
-          k = (k ^ b) * 0x100000001B3L
-        }
-        k
-      }
-    }
-    val hamUdf = udf((a: Long, b: Long) => hamming(a, b))
 
-    // fingerprint via the native codegen'd expression (graft.plans
-    // .SimHash64Expr) — no per-row ScalaUDF converter in the scan pass
+    // fingerprint + combo-key expansion via native codegen'd expressions
+    // (graft.plans.SimHash64Expr / SimHashKeysExpr) — no per-row ScalaUDF
+    // converter anywhere in the corpus-wide passes
     val hashed = df.select(col(idCol).as("id"),
         graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh"))
       .localCheckpoint(false)
     val keyed = hashed
-      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("combo", "key")))
+      .select(col("id"),
+        posexplode(graft.plans.TextSketchExprs.simhashKeys(col("sh"), maxHamming, nBlocks))
+          .as(Seq("combo", "key")))
     val liveBuckets = keyed.groupBy(col("combo"), col("key"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
@@ -126,7 +156,7 @@ object SimHash {
     pairs
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions.udaf
  */
 class BloomSketchAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
     extends Aggregator[String, BloomSketch, Array[Byte]] {
+  BloomSketchAggregator.requireKryoSafe(m)
 
   // keep the user-requested capacity when sized from (p, n) — the reference's
   // (p, n) constructor does the same (src/bloomfilter.cxx:13-16), so inserting
@@ -49,6 +50,7 @@ class BloomSketchAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
  *  string round-trip in the hot path. */
 class BloomSketchBytesAggregator(p: Double, m: Long, k: Int, n: Option[Long] = None)
     extends Aggregator[Array[Byte], BloomSketch, Array[Byte]] {
+  BloomSketchAggregator.requireKryoSafe(m)
   override def zero: BloomSketch = n match {
     case Some(n0) => BloomSketch.withCapacity(p, n0, m, k)
     case None => BloomSketch(p, m, k)
@@ -64,6 +66,23 @@ class BloomSketchBytesAggregator(p: Double, m: Long, k: Int, n: Option[Long] = N
 }
 
 object BloomSketchAggregator {
+
+  /** Largest filter this Kryo-buffered `Aggregator` accepts: its partials
+   *  ship through `Encoders.kryo`, whose output buffer is capped (64 MB by
+   *  default), so a bigger sketch would die mid-exchange with an opaque
+   *  KryoException. Big-sketch callers must use the native
+   *  `graft.plans.BloomSketchAgg` (`GraftExpressions.bloomSketchAgg`),
+   *  which serializes through the sketch's own wire format with no cap. */
+  val KryoSafeMaxBytes: Long = 50L << 20
+
+  private[sketch] def requireKryoSafe(m: Long): Unit =
+    require(m / 8 <= KryoSafeMaxBytes,
+      s"Bloom filter of m=$m bits (${m / 8 / (1 << 20)} MB) exceeds the " +
+        s"Kryo-buffered UDAF ceiling (${KryoSafeMaxBytes / (1 << 20)} MB); " +
+        "use the native graft.plans.BloomSketchAgg " +
+        "(GraftExpressions.bloomSketchAgg / MarkDuplicates.sketchAggColumn) " +
+        "for sketches this large")
+
   /** Aggregator sized from (p, n) via `BloomSizing.mkMin`; n kept as given. */
   def fromN(p: Double, n: Long): BloomSketchAggregator = {
     val (m, k) = BloomSizing.mkMin(p, n)

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.functions.col
 
 /**
  * Document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken,
@@ -93,13 +93,23 @@ object Fingerprint {
     def result(): Array[(Long, Int)] = buf.toArray
   }
 
+  /** Codegen entry point (see `graft.plans.WinnowExpr`): UTF8String in,
+   *  unsafe long array of winnowed fingerprint hashes out (empty for
+   *  null/short text, matching `winnow`) — one static call inside
+   *  whole-stage codegen, no boxed Seq round-trip through a ScalaUDF. */
+  def winnowHashes(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = if (text == null) Array.empty[Long] else winnow(text.toString, k, w).map(_._1)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
   /** (idCol, fingerprint hashes array, fingerprint count) per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
-    val fpUdf = udf((t: String) => winnow(t, k, w).map(_._1))
-    df.select(col(idCol), fpUdf(col(textCol)).as("fingerprints"))
+                   k: Int = DefaultK, w: Int = DefaultW): DataFrame =
+    df.select(col(idCol),
+        graft.plans.TextSketchExprs.winnow(col(textCol), k, w).as("fingerprints"))
       .withColumn("n_fingerprints", org.apache.spark.sql.functions.size(col("fingerprints")))
-  }
 
   /** Fingerprint-overlap candidate pairs: documents sharing >= minShared
    *  winnowed hashes (explode -> self-join on hash -> count).

@@ -84,6 +84,20 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("minhash/simhash/fingerprint corpus passes plan zero ScalaUDF") {
+    // the banding / combo-key / winnow / est-jaccard expansions are native
+    // codegen'd expressions; a ScalaUDF here would put a per-row
+    // catalyst<->Scala converter back on the corpus-wide hot path
+    val sim = graft.queries.SimQueries
+    for ((name, df) <- Seq(
+        "minhash_exact_pairs" -> sim.minhashExactPairs(spark, sf),
+        "simhash_near_dup" -> sim.simhashNearDup(spark, sf),
+        "fingerprint_exact_pairs" -> sim.fingerprintExactPairs(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), s"$name plans a ScalaUDF:\n$p")
+    }
+  }
+
   test("dedup_mark shuffles only the slim signature projection, never content") {
     val df = graft.queries.DedupQueries.dedupMark(spark, sf)
     val p = df.queryExecution.executedPlan.toString

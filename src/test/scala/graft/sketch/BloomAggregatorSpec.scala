@@ -61,6 +61,34 @@ class BloomAggregatorSpec extends SparkSpecBase {
     }
   }
 
+  test("Kryo-buffered UDAF refuses filters past the 64MB-buffer danger zone") {
+    // a sketch this size would die mid-exchange inside Kryo; the guard
+    // must fail fast at construction and point at the native agg
+    val bigM = (BloomSketchAggregator.KryoSafeMaxBytes + 1) * 8
+    val e1 = intercept[IllegalArgumentException] {
+      new BloomSketchAggregator(1e-6, bigM, 10)
+    }
+    assert(e1.getMessage.contains("BloomSketchAgg"))
+    val e2 = intercept[IllegalArgumentException] {
+      new BloomSketchBytesAggregator(1e-6, bigM, 10)
+    }
+    assert(e2.getMessage.contains("BloomSketchAgg"))
+    // at the ceiling it still constructs
+    new BloomSketchAggregator(1e-6, BloomSketchAggregator.KryoSafeMaxBytes * 8, 10)
+  }
+
+  test("native agg (ExpectsInputTypes) rejects a non-binary child at analysis") {
+    import spark.implicits._
+    val df = Seq("hexsig").toDF("s")
+    val err = intercept[Exception] {
+      df.agg(graft.plans.GraftExpressions
+        .bloomSketchAgg($"s", 1e-4, 1L << 16, 10, 100L)).collect()
+    }
+    // analysis-time type error, not an executor-side ClassCastException
+    assert(err.getMessage.toLowerCase.contains("binary")
+      || err.getMessage.contains("DATATYPE_MISMATCH"), err.getMessage)
+  }
+
   test("native agg carries a >64MB sketch across the exchange (Kryo cap regression)") {
     import spark.implicits._
     // m = 2^30 bits = 128 MB of words — over Encoders.kryo's default
