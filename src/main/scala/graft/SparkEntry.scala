@@ -55,6 +55,7 @@ object SparkEntry {
     "repetition_stats" -> TextQueries.repetitionStats,
     "decontaminate" -> MixQueries.decontaminate,
     "corpus_pipeline" -> MixQueries.corpusPipeline,
+    "corpus_neardup" -> MixQueries.corpusNearDup,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -99,5 +100,6 @@ object SparkEntry {
     "repetition_stats" -> TextQueries.RepetitionStatsSql,
     "decontaminate" -> MixQueries.DecontaminateSql,
     "corpus_pipeline" -> MixQueries.CorpusPipelineSql,
+    "corpus_neardup" -> MixQueries.CorpusNearDupSql,
   )
 }

@@ -9,13 +9,15 @@ import graft.dedup.{DedupConfig, MarkDuplicates}
  * (C4/Gopher/Dolma-style) as ONE composed, lazy Catalyst plan —
  *
  *   PII scrub -> quality filter -> language filter -> exact dedup ->
- *   benchmark decontamination -> per-stratum quota
+ *   MinHash near-dedup -> benchmark decontamination -> per-stratum quota
  *
  * Every stage is optional and composition is lazy (no job runs until
  * the caller acts). The scrub + quality + language stages fuse into a
  * single whole-stage-codegen map over the scan; dedup adds its one slim
  * (sig, key) exchange; decontamination adds a broadcast gram-hash
- * anti-join; the quota adds the per-stratum window. The one deliberate
+ * anti-join; the quota adds the salted `approxQuotaGate` plus the exact
+ * per-stratum window over its survivors (no reducer sorts a whole hot
+ * stratum). The one deliberate
  * materialization is a lazy `localCheckpoint` at the decontamination
  * branch point (`materializeAtBranch`), where the cleaned frame feeds
  * two consumers — without it every upstream stage re-executes per
@@ -42,6 +44,13 @@ object CorpusPipeline {
       langAllow: Option[Seq[String]] = None,
       langCol: String = "lang",
       exactDedup: Boolean = true,
+      // near-duplicate removal threshold (estimated word-shingle Jaccard):
+      // Some(t) inserts the MinHash-LSH -> clusters -> representative-keep
+      // stage AFTER exact dedup (exact first is cheaper and protects the
+      // LSH hot-bucket cap from giant exact-dup clusters) and BEFORE
+      // decontamination (fewer survivors to gram-scan)
+      nearDedup: Option[Double] = None,
+      nearDedupShingleSize: Int = 3,
       benchmark: Option[DataFrame] = None,
       benchTextCol: String = "text",
       nGram: Int = 13,
@@ -60,6 +69,15 @@ object CorpusPipeline {
       val cfg = DedupConfig(contentCol = textCol, orderCols = Seq(idCol),
         buildSketch = false, removeDuplicates = true)
       df = MarkDuplicates.mark(df, cfg).drop(cfg.outputCol)
+    }
+    nearDedup.foreach { minJaccard =>
+      // branch point: the cleaned-so-far frame feeds both the signature
+      // pass and the representative anti-join — truncate lineage so the
+      // upstream stages run once (candidatePairs checkpoints its slim
+      // signature frame separately; this checkpoint covers the wide rows)
+      if (materializeAtBranch) df = df.localCheckpoint(false)
+      df = graft.sim.Clustering.removeNearDuplicates(
+        df, idCol, textCol, minJaccard, shingleSize = nearDedupShingleSize)
     }
     benchmark.foreach { b =>
       // branch point: the cleaned-so-far frame feeds both the gram scan

@@ -14,15 +14,48 @@ import org.apache.spark.sql.expressions.Window
 object DatasetMix {
 
   /**
+   * Salted pre-gate for `quotaSample`: per-(stratum, salt-bucket) partial
+   * `row_number() <= quota` over the same order. The answer is unchanged —
+   * a row in the global first-quota of its stratum has global rank <=
+   * quota, and its rank within its own salt bucket can only be smaller,
+   * so every true quota row survives the gate. What changes is scale: a
+   * 10^12-row stratum fans out over `gateBuckets` reducers here, and the
+   * exact window then sorts at most gateBuckets * quota survivors per
+   * stratum instead of the whole stratum through ONE reducer.
+   *
+   * The salt is a deterministic hash of `orderCol` (no RNG state, stable
+   * across runs/partitionings). `orderCol` must be a total order (unique
+   * values) — the same requirement `quotaSample` already has for its
+   * result to be well-defined.
+   */
+  def approxQuotaGate(
+      df: DataFrame, strataCol: String, orderCol: String, quota: Int,
+      gateBuckets: Int = 64): DataFrame = {
+    require(gateBuckets >= 1, "gateBuckets must be >= 1")
+    val salt = pmod(xxhash64(col(orderCol)), lit(gateBuckets.toLong))
+    val w = Window.partitionBy(col(strataCol), salt).orderBy(col(orderCol))
+    df.withColumn("__gate_rk", row_number().over(w))
+      .where(col("__gate_rk") <= quota)
+      .drop("__gate_rk")
+  }
+
+  /**
    * The first `quota` rows of every stratum, by a deterministic order —
-   * reproducible per-class quotas. One shuffle (the per-stratum window);
-   * a hot stratum concentrates on one reducer, so for heavily skewed
-   * strata at extreme scale pre-filter with `approxQuotaGate` first.
+   * reproducible per-class quotas. Two shuffles: the salted
+   * `approxQuotaGate` (each stratum spread over `gateBuckets` reducers)
+   * followed by the exact per-stratum window over the <= gateBuckets *
+   * quota survivors — so no reducer ever sorts a whole hot stratum.
+   * `gateBuckets = 1` skips the gate (single-window plan) for inputs
+   * already known to be small.
    */
   def quotaSample(
-      df: DataFrame, strataCol: String, orderCol: String, quota: Int): DataFrame = {
+      df: DataFrame, strataCol: String, orderCol: String, quota: Int,
+      gateBuckets: Int = 64): DataFrame = {
+    val gated =
+      if (gateBuckets > 1) approxQuotaGate(df, strataCol, orderCol, quota, gateBuckets)
+      else df
     val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-    df.withColumn("__rk", row_number().over(w))
+    gated.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= quota)
       .drop("__rk")
   }

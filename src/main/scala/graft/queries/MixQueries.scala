@@ -90,6 +90,37 @@ object MixQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Near-duplicate dedup stage of the pipeline, end-to-end with an EXACT
+   *  oracle. The construction makes the survivor set provable: every word
+   *  of every document is tagged with its doc_id, so two DISTINCT
+   *  documents share zero 3-gram shingles (every gram contains id-tagged
+   *  words — true Jaccard 0, est_jaccard ~ 0, never >= the 0.7 cut);
+   *  every long (>= 50 words) doc_id % 11 == 0 document gets a planted
+   *  copy with ONE extra token appended — true Jaccard >= 48/49 ~ 0.98
+   *  (est sigma ~ 0.012, 23 sigma above the cut; per-band miss
+   *  probability (1 - 0.98^4)^32 ~ 1e-35). Clusters are therefore exactly
+   *  the planted {original, copy} pairs, the min-id representative is
+   *  always the original, and the pipeline's survivor set is provably ALL
+   *  originals and NO copies — which the oracle enumerates directly. */
+  def corpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val words = split(trim(col("text")), "\\s+")
+    val tagged = concat_ws(" ", transform(words, w => concat(w, lit("_"), col("doc_id"))))
+    val base = d.select(col("doc_id"), tagged.as("text"), size(words).as("__w"))
+    val originals = base.select(col("doc_id"), col("text"))
+    val copies = base.where(col("doc_id") % 11 === 0 && col("__w") >= 50)
+      .select((col("doc_id") + DedupQueries.DupOffset).as("doc_id"),
+        concat(col("text"), lit(" qqcorpusneardup")).as("text"))
+    // same small-file parallelism note as corpusPipeline above
+    val corpus = originals.unionAll(copies)
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.pipeline.CorpusPipeline.clean(corpus,
+      scrubPii = false, nearDedup = Some(0.7))
+      .select(col("doc_id"))
+  }
+
+  val CorpusNearDupSql: String = "SELECT doc_id FROM documents"
+
   val CorpusPipelineSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, text FROM documents

@@ -68,4 +68,58 @@ object Clustering {
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     connectedComponents(pairs, docs.select(col(idCol)))
       .withColumnRenamed("id", idCol)
+
+  /**
+   * The ids a representative-keep dedup REMOVES: every member of a
+   * near-dup cluster except its minimum id. Components are computed over
+   * the pair graph only (vertices = ids appearing in a pair) — at corpus
+   * scale the pair graph is orders of magnitude smaller than the corpus,
+   * so the iterative CC never touches singleton documents at all.
+   */
+  def nonRepresentatives(pairs: DataFrame): DataFrame = {
+    val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
+    val vertices = pairs.select(col(sCol).as("id"))
+      .unionAll(pairs.select(col(dCol).as("id")))
+      .distinct()
+    connectedComponents(pairs, vertices)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id"))
+  }
+
+  /**
+   * Keep one representative (the minimum id) per near-duplicate cluster —
+   * the standard final step of corpus near-dedup (the LLM-corpus analog of
+   * streammd's first-seen-wins keeper, `/root/reference/src/markdups.cxx:
+   * 110-122`: "first" made deterministic by the id order).
+   *
+   * Scale shape: only the slim non-representative id set (≈ the number of
+   * near-duplicate documents, tiny next to the corpus) reaches the
+   * anti-join, which AQE broadcasts at realistic duplicate fractions —
+   * the corpus itself never shuffles.
+   */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(nonRepresentatives(pairs).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+
+  /**
+   * End-to-end MinHash near-duplicate removal: LSH candidate pairs ->
+   * est_jaccard >= minJaccard confirm -> connected components -> keep the
+   * min-id representative of every cluster. The composed form of the
+   * pipeline every published cleaning recipe (C4 / Gopher / Dolma) runs.
+   */
+  def removeNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      numHashes: Int = MinHashLsh.DefaultNumHashes,
+      bands: Int = MinHashLsh.DefaultBands,
+      shingleSize: Int = 3,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val pairs = MinHashLsh
+      .candidatePairs(docs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize)
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    keepRepresentatives(docs, idCol, pairs)
+  }
 }

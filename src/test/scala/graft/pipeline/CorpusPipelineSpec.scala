@@ -48,6 +48,22 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(10L, 12L))
   }
 
+  test("nearDedup stage: exact dups exact-deduped, near-dups cluster-deduped") {
+    // 20/21 are EXACT duplicates (exact stage keeps 20); 30/31 are near
+    // duplicates (one-token edit over 60 disjoint-vocab words — the near
+    // stage keeps 30); 40 is a clean singleton
+    val base = (0 until 60).map(j => s"tok_$j").mkString(" ")
+    val docs = Seq(
+      (20L, base, "en"),
+      (21L, base, "en"),
+      (30L, (0 until 60).map(j => s"other_$j").mkString(" "), "en"),
+      (31L, (0 until 60).map(j => s"other_$j").mkString(" ") + " perturbed", "en"),
+      (40L, (0 until 60).map(j => s"third_$j").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs, scrubPii = false, nearDedup = Some(0.7))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(20L, 30L, 40L))
+  }
+
   test("quality gate drops low-score docs") {
     val docs = Seq(
       // 8x the same token: diversity term collapses to 25/8 -> score 29

@@ -20,6 +20,42 @@ class DatasetMixSpec extends SparkSpecBase {
     }
   }
 
+  test("approxQuotaGate never changes the quotaSample answer (skewed strata)") {
+    import spark.implicits._
+    // heavily skewed: one stratum holds ~90% of rows
+    val skewed = (0 until 5000).map { i =>
+      (i.toLong, if (i % 10 == 0) s"small${i % 3}" else "hot", s"t $i")
+    }.toDF("id", "lang", "text").repartition(8)
+    val exact = DatasetMix.quotaSample(skewed, "lang", "id", quota = 25, gateBuckets = 1)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    for (buckets <- Seq(2, 16, 64)) {
+      val gated = DatasetMix.quotaSample(skewed, "lang", "id", quota = 25, gateBuckets = buckets)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+      assert(gated === exact, s"gateBuckets=$buckets changed the sample")
+    }
+  }
+
+  test("quotaSample plans the salted gate BEFORE the exact per-stratum window") {
+    val df = DatasetMix.quotaSample(docs, "lang", "id", quota = 7)
+    val p = df.queryExecution.executedPlan.toString
+    // two window operators: the salted partial gate, then the exact window
+    assert("Window \\[row_number".r.findAllIn(p).size === 2,
+      s"expected gate + exact windows:\n$p")
+    // the gate's exchange partitions on (stratum, salt) — the salt shows
+    // up as a projected _w0 key; the exact window's exchange is (stratum)
+    // only, and it must sit ABOVE the gate filter in the tree
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.size === 2 && exch.exists(_.contains("_w0")) &&
+      exch.exists(l => !l.contains("_w0")),
+      s"expected salted + unsalted exchanges:\n$p")
+    assert(p.indexOf("__gate_rk") > p.indexOf("__rk"),
+      s"gate must be the exact window's input:\n$p")
+    // Spark 4's rank-limit pushdown adds map-side WindowGroupLimit
+    // partials on both windows — keep that pruning pinned too
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected map-side window group limits:\n$p")
+  }
+
   test("hashSplit is deterministic, disjoint, partition-invariant, ratio-correct") {
     val (train1, test1) = DatasetMix.hashSplit(docs, testPerMille = 100, seed = 7L, "id")
     val (train2, test2) = DatasetMix.hashSplit(

@@ -29,6 +29,36 @@ class ClusteringSpec extends SparkSpecBase {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("keepRepresentatives keeps min id per cluster, all singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Clustering.keepRepresentatives(docs, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 20L))
+    val removed = Clustering.nonRepresentatives(pairs)
+      .as[Long].collect().toSet
+    assert(removed === Set(2L, 3L, 4L, 11L))
+  }
+
+  test("removeNearDuplicates: planted near-dup copies removed, originals kept") {
+    import spark.implicits._
+    // disjoint-vocabulary originals (no cross-doc shingles) + one-token-
+    // perturbed copies of every even id: clusters are exactly the planted
+    // pairs, so survivors = originals
+    val originals = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val copies = originals.collect { case (i, t) if i % 2 == 0 =>
+      (i + 1000L, s"$t extraToken")
+    }
+    val df = (originals ++ copies).toDF("id", "text").repartition(4)
+    val kept = Clustering.removeNearDuplicates(df, "id", "text", minJaccard = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept === (0 until 40).map(_.toLong).toSet)
+  }
+
   test("cluster count equals distinct content count on a dup corpus") {
     val docs = graft.io.RepoTableGen.repositories(spark, 2000L,
       dupFraction = 0.5, nullFraction = 0.0, seed = 77L)
