@@ -36,6 +36,7 @@ object SparkEntry {
     "ann_brute_force" -> SimQueries.annBruteForce,
     "ann_ivf_recall" -> SimQueries.annIvfRecall,
     "embedding_near_dup" -> SimQueries.embeddingNearDup,
+    "embedding_near_threshold" -> SimQueries.embeddingNearThreshold,
     "multimodal_features" -> SimQueries.multimodalFeatures,
     "tdigest_quantiles" -> SketchQueries.tdigestQuantiles,
     "sql_sketch_check" -> SketchQueries.sqlSketchCheck,
@@ -81,6 +82,7 @@ object SparkEntry {
     "ann_brute_force" -> SimQueries.AnnBruteForceSql,
     "ann_ivf_recall" -> SimQueries.AnnIvfRecallSql,
     "embedding_near_dup" -> SimQueries.EmbeddingNearDupSql,
+    "embedding_near_threshold" -> SimQueries.EmbeddingNearThresholdSql,
     "multimodal_features" -> SimQueries.MultimodalFeaturesSql,
     "tdigest_quantiles" -> SketchQueries.TdigestQuantilesSql,
     "sql_sketch_check" -> SketchQueries.SqlSketchCheckSql,

@@ -16,9 +16,9 @@ import org.apache.spark.sql.expressions.Window
  *  - `ivfTopK`: IVF-style bucketed ANN — vectors are assigned to their
  *    nearest centroid once (map-side vs broadcast centroids); a query
  *    probes only the `nprobe` nearest centroid buckets, so the scan cost
- *    drops by ~nClusters/nprobe at some recall cost. Centroids here are a
- *    deterministic sample of the data (first `nClusters` by id) — a
- *    k-means refinement would slot in without changing the dataflow.
+ *    drops by ~nClusters/nprobe at some recall cost. Centroids are
+ *    trained deterministically: hash-ordered uniform sample ->
+ *    farthest-first seeding -> Lloyd's refinement (see `trainCentroids`).
  */
 object Knn {
 
@@ -34,6 +34,34 @@ object Knn {
     Array.tabulate(dim) { d =>
       if (splitmix64(table.toLong * 1000003L + bit.toLong * 1009L + d) < 0L) -1.0 else 1.0
     }
+  }
+
+  /**
+   * (nTables, bitsPerTable) sized for `targetRecall` at cosine threshold
+   * `c` from the collision model P(bit match) = 1 - acos(c)/pi:
+   * per-table collision p_table = p_bit^bits, recall = 1 - (1 -
+   * p_table)^nTables. Picks the LARGEST bits whose required table count
+   * fits `maxTables` — wide keys keep buckets small (candidate cost
+   * scales with bucket size squared), tables are the linear-cost knob.
+   * Falls back to (maxTables, 1) when even 1-bit keys cannot reach the
+   * target — the caller asked for recall the budget cannot buy, and
+   * 1-bit buckets degrade to a half-corpus scan, so at scale prefer
+   * raising maxTables over lowering threshold.
+   */
+  def lshParamsForThreshold(
+      threshold: Double, targetRecall: Double,
+      maxTables: Int = 64, maxBits: Int = 24): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0, "threshold must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    var bits = maxBits
+    while (bits >= 1) {
+      val pTable = math.pow(pBit, bits)
+      val need = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+      if (need <= maxTables) return (math.max(1, need), bits)
+      bits -= 1
+    }
+    (maxTables, 1)
   }
 
   /**
@@ -61,16 +89,25 @@ object Knn {
       threshold: Double,
       nTables: Int = 2,
       bitsPerTable: Int = 16,
-      maxBucketSize: Long = 10000L): DataFrame = {
+      maxBucketSize: Long = 10000L,
+      // Some(r): size (nTables, bitsPerTable) for recall r at `threshold`
+      // via `lshParamsForThreshold`, overriding the two explicit knobs —
+      // the calibrated default path for general near-threshold search
+      targetRecall: Option[Double] = None): DataFrame = {
     // Recall calibration (candidates are confirmed by exact cosine, so
     // precision is always 1; these knobs only set RECALL): a pair at
     // cosine c collides per table with prob (1 - acos(c)/pi)^bitsPerTable,
-    // overall 1 - (1 - p_table)^nTables. Defaults (2 x 16) give ~5% recall
-    // at c = 0.8 — sized for EXACT/parallel near-dups (p_table = 1), which
-    // always collide. For general near-threshold search pick e.g.
-    // nTables = 16, bitsPerTable = 10 (~83% recall at c = 0.8) and pay the
-    // proportional bucket-row cost. All vectors must share one dimension
-    // (taken from the first row; shorter/longer rows would zip-truncate).
+    // overall 1 - (1 - p_table)^nTables. The explicit defaults (2 x 16)
+    // give ~5% recall at c = 0.8 — sized for EXACT/parallel near-dups
+    // (p_table = 1), which always collide. General callers pass
+    // targetRecall and pay the proportional table-count cost (e.g. 0.99
+    // at c = 0.8 -> 55 tables x 11 bits). All vectors must share one
+    // dimension (taken from the first row; shorter/longer rows would
+    // zip-truncate).
+    val (nT, bits) = targetRecall match {
+      case Some(r) => lshParamsForThreshold(threshold, r)
+      case None => (nTables, bitsPerTable)
+    }
     val dimRow = vectors.select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) {
       // empty input: empty result with the right schema, no job run
@@ -81,8 +118,8 @@ object Knn {
     val v = vectors.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
     // bucket of table t: bitsPerTable sign bits packed into a long
-    val buckets = array((0 until nTables).map { t =>
-      val key = (0 until bitsPerTable).map { b =>
+    val buckets = array((0 until nT).map { t =>
+      val key = (0 until bits).map { b =>
         val plane = typedLit(hyperplane(t, b, dim).toSeq)
         val dot = aggregate(zip_with(col("__vec"), plane, (x, r) => x * r),
           lit(0.0), (acc, x) => acc + x)
@@ -209,16 +246,64 @@ object Knn {
     }
   }
 
-  /** Deterministic initial centroids (first nClusters by id, unit-norm)
-   *  refined by `lloydIters` Lloyd's iterations. */
+  /**
+   * Centroid training worth the name, still fully deterministic:
+   *
+   *  1. SAMPLE — the `nClusters * sampleFactor` rows with the smallest
+   *     `xxhash64(id)`: a uniform pseudo-random sample of the corpus
+   *     (id-hash order is uncorrelated with insertion/content order,
+   *     unlike the old first-N-by-id init which took whatever the head
+   *     of the table happened to be), stable across runs/partitionings,
+   *     and a TakeOrdered top-k — no full sort shuffles.
+   *  2. SEED — farthest-first traversal over the sample (Gonzalez 1985,
+   *     the deterministic k-means++ analog): start from the smallest id,
+   *     repeatedly add the sample point with the smallest maximum cosine
+   *     to the already-chosen centers (ties to smaller id). Spread-out
+   *     seeds avoid k-means++'s RNG while keeping its no-two-seeds-in-
+   *     one-true-cluster property.
+   *  3. REFINE — `lloydIters` (default 3) Lloyd's iterations, each
+   *     shuffling only nClusters * dim partial sums (map-side combine).
+   */
   private[graft] def trainCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, lloydIters: Int = 1): Array[(Long, Array[Double])] = {
-    val init = vectors.orderBy(col(idCol)).limit(nClusters)
-      .select(col(idCol).cast("long"),
-        transform(col(vecCol), x => x.cast("double")))
+      nClusters: Int, lloydIters: Int = 3,
+      sampleFactor: Int = 20): Array[(Long, Array[Double])] = {
+    val sample = vectors
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nClusters * sampleFactor)
       .collect()
       .map(r => (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
+      .sortBy(_._1)
+    if (sample.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val maxCos = Array.fill(sample.length)(-2.0)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    while (chosen.length < math.min(nClusters, sample.length)) {
+      val last = chosen.last._2
+      var best = -1
+      var bestCos = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val c = dot(sample(i)._2, last)
+        if (c > maxCos(i)) maxCos(i) = c
+        // farthest-first: minimize the max cosine to chosen centers;
+        // strict < keeps the smallest-id winner on ties (sample is
+        // id-sorted)
+        if (!chosen.exists(_._1 == sample(i)._1) && maxCos(i) < bestCos) {
+          bestCos = maxCos(i); best = i
+        }
+        i += 1
+      }
+      if (best < 0) return chosen.toArray
+      chosen += sample(best)
+    }
+    val init = chosen.toArray
     (0 until lloydIters).foldLeft(init)((c, _) => lloydStep(vectors, idCol, vecCol, c))
   }
 
@@ -243,7 +328,7 @@ object Knn {
       k: Int,
       nClusters: Int = 64,
       nprobe: Int = 8,
-      lloydIters: Int = 1): DataFrame = {
+      lloydIters: Int = 3): DataFrame = {
     val centroids = trainCentroids(vectors, idCol, vecCol, nClusters, lloydIters)
     if (centroids.isEmpty) {
       return vectors.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),

@@ -188,25 +188,39 @@ object SimQueries {
       |  WHERE a.vec_id < 10
       |) WHERE rnk <= 5""".stripMargin
 
-  /** IVF-bucketed ANN recall vs the brute-force baseline (both in Spark);
-   *  emits per-query recall@5 as exact tenths + a bound flag. */
+  /** IVF-bucketed ANN recall vs the brute-force baseline (both in Spark).
+   *  Two oracle-pinned bounds: per-query recall@5 >= 0.4 AND mean
+   *  recall@5 >= 0.8 over the query set (measured 0.88-0.92 across sf
+   *  0.001/0.01/0.1 at nClusters=32, nprobe=16, 3 Lloyd rounds over the
+   *  farthest-first-seeded sample init). The synthetic embeddings are
+   *  STRUCTURELESS (pairwise cosine ~ N(0, 1/sqrt(64)), max ~0.5), so
+   *  true neighbors spread nearly uniformly over buckets and a per-query
+   *  0.8 floor is unattainable for ANY sublinear probe — the mean bound
+   *  is the honest tightened criterion; on real clustered embeddings the
+   *  same code's per-query recall rises with the cluster structure. */
   def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
     val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Knn.ivfTopK(emb, queries, "vec_id", "embedding", 5, nClusters = 16, nprobe = 8)
+    val approx = Knn.ivfTopK(emb, queries, "vec_id", "embedding", 5, nClusters = 32, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     // keep zero-hit queries in the output (left join from the query set)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     exact.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left_outer")
-      .select(col("query_id"), (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ge_04"))
+      .withColumn("__h", coalesce(col("hits"), lit(0L)))
+      .withColumn("__tot", sum(col("__h")).over(w))
+      .select(col("query_id"),
+        (col("__h") >= 2).as("recall_ge_04"),
+        (col("__tot") >= 40).as("mean_recall_ge_08"))
   }
 
   val AnnIvfRecallSql: String =
-    """SELECT a.vec_id AS query_id, true AS recall_ge_04
+    """SELECT a.vec_id AS query_id, true AS recall_ge_04,
+      |       true AS mean_recall_ge_08
       |FROM embeddings a WHERE a.vec_id < 10""".stripMargin
 
   /** Multimodal plumbing: opaque blob -> per-partition batched stub
@@ -287,6 +301,40 @@ object SimQueries {
       |SELECT a.id AS id_a, b.id AS id_b
       |FROM corpus a JOIN corpus b ON a.id < b.id
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin
+
+  /** Threshold-calibrated hyperplane LSH over planted NON-parallel
+   *  near-threshold pairs — the general-recall path the exact-parallel
+   *  `embedding_near_dup` query cannot reach (parallel vectors collide in
+   *  every table; these must survive probabilistic bucketing). Every
+   *  vec_id % 3 == 0 unit vector v gets a planted copy 2v + r with r a
+   *  deterministic per-coordinate hash noise scaled so cosine(v, 2v+r)
+   *  lands in ~[0.90, 0.95] — above the 0.8 search threshold with margin,
+   *  strictly below 1 (non-parallel, non-equal-norm). The LSH runs with
+   *  `targetRecall = 0.99` at c = 0.8 (sized by `lshParamsForThreshold`
+   *  to 55 tables x 11 bits); at the planted pairs' cosine the per-pair
+   *  miss probability is ~1e-5, and the planes are deterministic, so the
+   *  emitted set equals the planted relation exactly. Background pairs
+   *  top out at cosine ~0.51 on this corpus, far under the confirm cut;
+   *  the output is projected onto the planted relation for oracle
+   *  enumerability (same rationale as `minhash_near_dup`). */
+  def embeddingNearThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pert = transform(col("embedding"), (x, i) =>
+      (x.cast("double") * 2.0 +
+        (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.369)
+        .cast("float"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + DedupQueries.DupOffset).as("id"), pert.as("embedding")))
+    Knn.cosineNearDupPairs(corpus, "id", "embedding", threshold = 0.8,
+        targetRecall = Some(0.99))
+      .where(col("id_b") === col("id_a") + DedupQueries.DupOffset)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val EmbeddingNearThresholdSql: String =
+    s"""SELECT vec_id AS id_a, vec_id + ${DedupQueries.DupOffset} AS id_b
+       |FROM embeddings WHERE vec_id % 3 = 0""".stripMargin
 
   /** JSON scalar extraction (training pipelines routinely parse metadata
    *  JSON): props -> k as bigint, aggregated per event_type. */

@@ -207,6 +207,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Knn.cosineNearDupPairs(empty, "vec_id", "embedding", 0.8).count() === 0L)
   }
 
+  test("lshParamsForThreshold: collision model, monotonicity, budget fallback") {
+    // pinned value: recall 0.99 at c = 0.8 sizes to 55 tables x 11 bits
+    assert(Knn.lshParamsForThreshold(0.8, 0.99) === ((55, 11)))
+    // the returned params actually deliver the target recall
+    def recall(c: Double, nT: Int, bits: Int): Double = {
+      val pTable = math.pow(1.0 - math.acos(c) / math.Pi, bits)
+      1.0 - math.pow(1.0 - pTable, nT)
+    }
+    for (c <- Seq(0.6, 0.8, 0.95); r <- Seq(0.9, 0.99)) {
+      val (nT, bits) = Knn.lshParamsForThreshold(c, r)
+      assert(recall(c, nT, bits) >= r, s"c=$c r=$r -> ($nT, $bits)")
+    }
+    // higher threshold -> wider keys affordable (bits maxes out first:
+    // buckets shrink exponentially in bits, tables are the linear cost)
+    val (t95, b95) = Knn.lshParamsForThreshold(0.95, 0.99)
+    assert(b95 === 24 && t95 <= 64, s"($t95, $b95)")
+    // unreachable target within budget -> the documented (maxTables, 1)
+    assert(Knn.lshParamsForThreshold(0.05, 0.999999, maxTables = 4) === ((4, 1)))
+  }
+
   test("multimodal pipeline: blob plumbing + deterministic stub features") {
     import spark.implicits._
     import graft.multimodal._
