@@ -16,7 +16,7 @@ import graft.sketch.BloomSizing
  *     [--checkpoint-dir <dir>] [--partitions N] \
  *     [--metrics-format graft|streammd] \
  *     [--input-format parquet|sam] [--single | --reads-per-template N] \
- *     [--show-capacity]
+ *     [--output-format parquet|sam] [--show-capacity]
  *
  * Flag parity with streammd (`src/streammd.cxx:34-90`):
  *   --strip-previous       clear stale is_duplicate flags on re-marking
@@ -78,13 +78,23 @@ object DedupCli {
       val rpt =
         if (opts.contains("--single")) 1
         else opts.get("--reads-per-template").map(_.toInt).getOrElse(2)
-      val reads = graft.sam.SamOps.parseSamFile(spark, input)
-      val res = graft.sam.SamOps.markSamDuplicatesResult(
-        reads, readsPerTemplate = rpt,
-        removeDuplicates = opts.contains("--remove-duplicates"),
-        stripPrevious = opts.contains("--strip-previous"))
-      res.marked.write.mode("overwrite").parquet(output)
-      res.unpersistAll()
+      if (opts.get("--output-format").contains("sam")) {
+        // the reference's own artifact: header passthrough + @PG + flag-
+        // rewritten records in input order (streammd src/markdups.cxx)
+        graft.sam.SamSink.writeSamText(spark, input, output,
+          readsPerTemplate = rpt,
+          removeDuplicates = opts.contains("--remove-duplicates"),
+          stripPrevious = opts.contains("--strip-previous"),
+          cliArgs = args.toSeq)
+      } else {
+        val reads = graft.sam.SamOps.parseSamFile(spark, input)
+        val res = graft.sam.SamOps.markSamDuplicatesResult(
+          reads, readsPerTemplate = rpt,
+          removeDuplicates = opts.contains("--remove-duplicates"),
+          stripPrevious = opts.contains("--strip-previous"))
+        res.marked.write.mode("overwrite").parquet(output)
+        res.unpersistAll()
+      }
       spark.stop()
       return
     }

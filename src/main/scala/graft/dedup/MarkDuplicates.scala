@@ -36,6 +36,33 @@ object MarkDuplicates {
   private val KeeperCol = "__sig_keeper"
   private val PrevCol = "__prev_dup"
 
+  /** Serialized signature width (32-byte sha256) in the keeper relation. */
+  private val SigBytes = 32L
+  /** Per-row overhead of the driver-built broadcast hash relation
+   *  (UnsafeRow header + map entry + pointer), conservative. */
+  private val BroadcastRowOverheadBytes = 48L
+
+  /** Estimated serialized bytes of ONE keeper key, as a Column over the
+   *  counts frame — mirrors `keyExpr`'s type cases: measured
+   *  (octet_length) for string/binary keys (the widths that actually
+   *  vary), fixed defaultSize for scalar primitives, and a conservative
+   *  64 B for the struct fallback (nullable non-string order columns),
+   *  whose per-field widths a Column expression cannot cheaply observe. */
+  private def keeperBytesPerRow(withSig: DataFrame, cfg: DedupConfig): Column = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    def nullable(c: String) = withSig.schema(c).nullable
+    def isString(c: String) = withSig.schema(c).dataType == StringType
+    cfg.orderCols match {
+      case Seq(single) if !nullable(single) =>
+        withSig.schema(single).dataType match {
+          case StringType | BinaryType => octet_length(col(KeeperCol)).cast("long")
+          case dt => lit(dt.defaultSize.toLong)
+        }
+      case cols if cols.forall(isString) => octet_length(col(KeeperCol)).cast("long")
+      case _ => lit(64L)
+    }
+  }
+
   /** sha256 signature as 32-byte binary (half the shuffle/broadcast bytes
    *  of the hex string); null for null/empty content (the unmapped analog). */
   def signature(content: Column): Column =
@@ -188,16 +215,24 @@ object MarkDuplicates {
 
     // one pass over the per-signature counts: derived metrics AND the
     // Bloom sketch over distinct signatures (mixed declarative + typed
-    // imperative aggregation — a single job and plan)
+    // imperative aggregation — a single job and plan). The keeper-byte
+    // sum prices the would-be broadcast relation EXACTLY where row counts
+    // mislead: keeper-key width varies with orderCols (a single long vs a
+    // repo/path/commit concat differ ~10x per row).
+    val keeperWidth = keeperBytesPerRow(withSig, cfg)
     val baseAggs = Seq(
       coalesce(sum(col(CntCol)), lit(0L)).as("rows_non_null"),
       coalesce(sum(col(CntCol) - 1), lit(0L)).as("dups"),
       count(lit(1)).as("distinct_sigs"),
-      count(when(col(CntCol) > 1, 1)).as("dup_groups"))
+      count(when(col(CntCol) > 1, 1)).as("dup_groups"),
+      coalesce(sum(when(col(CntCol) > 1,
+        keeperWidth + lit(SigBytes + BroadcastRowOverheadBytes))), lit(0L))
+        .as("keeper_bytes"))
     val aggs = if (cfg.buildSketch) baseAggs :+ sketchAggColumn(cfg).as("sketch") else baseAggs
     val row = counts.agg(aggs.head, aggs.tail: _*).head()
     val rowsNonNull = row.getLong(0)
     val dups = row.getLong(1)
+    val keeperBytes = row.getAs[Long]("keeper_bytes")
     // exact count of inserted (distinct) signatures — streammd's
     // nadded = templates - unmapped - dups (src/streammd.cxx:143)
     val nAdded = row.getLong(2)
@@ -239,7 +274,8 @@ object MarkDuplicates {
     //    This is the streammd probe re-purposed as a semi-join gate.
     val keepers0 = counts.where(col(CntCol) > 1)
     val marked =
-      if (dupGroupRows <= cfg.broadcastKeeperMaxRows) {
+      if (dupGroupRows <= cfg.broadcastKeeperMaxRows &&
+          keeperBytes <= cfg.broadcastKeeperMaxBytes) {
         joinMark(withSig, broadcast(keepers0), cfg)
       } else {
         val gate = sketchFromSigs(
@@ -272,10 +308,15 @@ case class DedupConfig(
     buildSketch: Boolean = true,
     keepSignature: Boolean = false,
     outputCol: String = "is_duplicate",
-    // max keeper-set rows to broadcast in run()'s mark join (~300 B/row
-    // in the driver hash relation: 2M rows ~ 600 MB — size to the driver);
-    // above this, the bloom-gated mark path is used instead
-    broadcastKeeperMaxRows: Long = 2000000L,
+    // broadcast the keeper set in run()'s mark join only while BOTH caps
+    // hold; otherwise the bloom-gated mark path is used. The byte cap is
+    // the real limit (driver + per-executor relation memory) and is
+    // checked against the measured keeper byte sum (sig + key +
+    // per-row relation overhead); the row cap remains as a coarse guard
+    // for the struct-key fallback where key width is estimated, not
+    // measured
+    broadcastKeeperMaxRows: Long = 20000000L,
+    broadcastKeeperMaxBytes: Long = 1L << 30,
     // FPR of the dup-signature gate bloom in the bloom-gated mark path:
     // false positives only cost a wasted join probe, so a loose p keeps
     // the broadcast tiny (p=1e-3 -> ~1.8 bytes per duplicated signature)

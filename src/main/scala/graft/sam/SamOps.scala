@@ -228,13 +228,21 @@ object SamOps {
     val marked = groups.toDF()
       .withColumn("is_duplicate",
         !$"unmappedFirst" && row_number().over(w) > 1)
-      .select($"qname", $"is_duplicate")
+      .select($"qname", $"is_duplicate", $"unmappedFirst")
 
+    // strip-previous clears 0x400 only on TESTED non-dup groups — the
+    // reference's unmapped templates return before the strip branch
+    // (process_qname_group, streammd src/markdups.cxx:110-131), so a
+    // prior flag on an unmapped-first template passes through unchanged
+    val nonDupFlag =
+      if (stripPrevious)
+        when(!$"unmappedFirst", $"flag".bitwiseAND(~FlagDuplicate)).otherwise($"flag")
+      else $"flag"
     val out = reads.toDF()
       .join(marked, Seq("qname"))
       .withColumn("out_flag",
-        when($"is_duplicate", $"flag".bitwiseOR(FlagDuplicate))
-          .otherwise(if (stripPrevious) $"flag".bitwiseAND(~FlagDuplicate) else $"flag"))
+        when($"is_duplicate", $"flag".bitwiseOR(FlagDuplicate)).otherwise(nonDupFlag))
+      .drop("unmappedFirst")
     SamMarkResult(if (removeDuplicates) out.where(!$"is_duplicate") else out, cached)
   }
 

@@ -1,0 +1,108 @@
+package graft.sam
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * SAM TEXT sink — the reference's primary output artifact (streammd
+ * writes the rewritten record stream to stdout/file: header passthrough,
+ * one injected @PG provenance line, then every record in input order with
+ * the 0x400 flag set/cleared in place; `src/markdups.cxx:25-36` header
+ * echo + pgline-before-first-record, `:62-83` @PG construction, `:111-134`
+ * flag rewrite and duplicate removal). With this sink a drop-in workflow
+ * that consumes streammd's output.sam can consume graft's.
+ *
+ * Scale shape: header lines are driver-side (headers are KBs); records
+ * are marked by the distributed `SamOps.markSamDuplicates` pipeline and
+ * only the (order, out_flag) pair joins back to the raw line for in-place
+ * field-2 rewrite — the line text itself never enters the dedup shuffle.
+ * `writeSamText` materializes ONE text file in exact input order (the
+ * reference's stream contract); at cluster scale call `samTextLines` and
+ * write sharded text sorted by (section, order), then concatenate shards
+ * in filename order.
+ */
+object SamSink {
+
+  /**
+   * The composed output as a (section, order, line) frame:
+   * section 0 = original header lines, 1 = the injected @PG line,
+   * 2 = rewritten records. Sorting by (section, order) reproduces the
+   * reference's byte stream line-for-line.
+   */
+  def samTextLines(
+      spark: SparkSession,
+      inputPath: String,
+      readsPerTemplate: Int = 2,
+      removeDuplicates: Boolean = false,
+      stripPrevious: Boolean = false,
+      cliArgs: Seq[String] = Seq.empty): (DataFrame, SamMarkResult) = {
+    import spark.implicits._
+
+    val raw = spark.read.textFile(inputPath)
+      .select(monotonically_increasing_id().as("order"), col("value"))
+      .where(length(col("value")) > 0)
+    val headers = raw.where(substring(col("value"), 1, 1) === "@")
+    val records = raw.where(substring(col("value"), 1, 1) =!= "@")
+
+    val f = split(col("value"), "\t")
+    val reads = records.select(col("order"),
+      element_at(f, 1).as("qname"),
+      element_at(f, 2).cast("int").as("flag"),
+      element_at(f, 3).as("rname"),
+      element_at(f, 4).cast("int").as("pos"),
+      element_at(f, 6).as("cigar")).as[SamRead]
+    val res = SamOps.markSamDuplicatesResult(
+      reads, readsPerTemplate, removeDuplicates, stripPrevious)
+
+    // rewrite field 2 (FLAG) in place, all other fields byte-identical;
+    // removed duplicates drop out of the inner join
+    val nf = split(col("value"), "\t")
+    val rewritten = records
+      .join(res.marked.select(col("order"), col("out_flag")), Seq("order"))
+      .select(col("order"),
+        concat_ws("\t",
+          concat(
+            array(element_at(nf, 1), col("out_flag").cast("string")),
+            slice(nf, lit(3), greatest(size(nf) - 2, lit(0))))).as("line"))
+
+    // @PG chains PP: only when the LAST header line is a @PG — the
+    // reference inspects header_prev, not the whole block
+    // (src/markdups.cxx:70-77)
+    val headerLines = headers.orderBy(col("order"))
+      .select(col("order"), col("value")).collect()
+    val prevPgId = headerLines.lastOption.map(_.getString(1))
+      .filter(_.startsWith("@PG\t"))
+      .flatMap(h => Lineage.lastPgId(Seq(h)))
+    val pgLine = Lineage.pgLine(prevPgId, cliArgs)
+
+    val headerDf = headerLines
+      .map(r => (0, r.getLong(0), r.getString(1))).toSeq
+      .toDF("section", "order", "line")
+    val pgDf = Seq((1, 0L, pgLine)).toDF("section", "order", "line")
+    val out = headerDf
+      .unionAll(pgDf)
+      .unionAll(rewritten.select(lit(2).as("section"), col("order"), col("line")))
+    (out, res)
+  }
+
+  /** Mark duplicates over a SAM text file and write the reference's
+   *  output.sam equivalent as a single text file under `outputDir`
+   *  (Spark text sink: `part-*` file inside the directory). */
+  def writeSamText(
+      spark: SparkSession,
+      inputPath: String,
+      outputDir: String,
+      readsPerTemplate: Int = 2,
+      removeDuplicates: Boolean = false,
+      stripPrevious: Boolean = false,
+      cliArgs: Seq[String] = Seq.empty): Unit = {
+    val (lines, res) = samTextLines(spark, inputPath, readsPerTemplate,
+      removeDuplicates, stripPrevious, cliArgs)
+    lines
+      .repartition(1)
+      .sortWithinPartitions(col("section"), col("order"))
+      .select(col("line"))
+      .write.mode("overwrite").text(outputDir)
+    res.unpersistAll()
+  }
+}

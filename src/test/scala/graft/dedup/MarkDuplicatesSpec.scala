@@ -85,6 +85,28 @@ class MarkDuplicatesSpec extends SparkSpecBase {
     gated.unpersistAll()
   }
 
+  test("byte cap routes wide-key keeper sets to the gate even under the row cap") {
+    // the gate path's plan is a union of the bloom-cleared and joined
+    // branches; the broadcast path has no union
+    def isGatePlan(res: DedupResult): Boolean =
+      res.marked.queryExecution.executedPlan.toString.contains("Union")
+    // measured keeper bytes ~ (32 sig + 48 overhead + ~40 key) x dup
+    // groups; a 1 KB byte cap must force the gate though rows are allowed
+    val byBytes = MarkDuplicates.run(repos, cfg.copy(broadcastKeeperMaxBytes = 1024L))
+    assert(isGatePlan(byBytes), "tiny byte cap must route to the bloom gate")
+    byBytes.unpersistAll()
+    val byDefault = MarkDuplicates.run(repos, cfg)
+    assert(!isGatePlan(byDefault), "small keeper set must broadcast")
+    byDefault.unpersistAll()
+    // and the answers agree regardless of path
+    val a = byBytes.marked.select(col("repo"), col("path"), col("commit"),
+      col("is_duplicate").as("d1"))
+    val b = byDefault.marked.select(col("repo"), col("path"), col("commit"),
+      col("is_duplicate").as("d2"))
+    assert(a.join(b, Seq("repo", "path", "commit"))
+      .where(col("d1") =!= col("d2")).count() === 0L)
+  }
+
   test("deterministic across partition counts (local shuffle invariance)") {
     def runAt(np: Int): Set[(String, String, String, Boolean)] =
       MarkDuplicates.mark(repos.repartition(np), cfg)

@@ -1,0 +1,131 @@
+package graft.sam
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.SparkSpecBase
+
+/**
+ * The SAM text sink against the reference's own golden corpus: output is
+ * a byte-faithful SAM stream — header passthrough, injected @PG, records
+ * in input order with ONLY field 2 rewritten — whose flags match Picard's
+ * output.sam exactly on a concordant case (the same comparison as the
+ * reference's own harness, streammd `tests/test_util.cxx:12-50`).
+ */
+class SamSinkSpec extends SparkSpecBase {
+
+  private val Root = "/root/reference/tests/resources/picard_tests"
+  private val Case = "MarkDuplicatesTestQueryNameSorted.testBulkPairsWithDuplicates[0]"
+
+  private def readOut(dir: String): Seq[String] = {
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(part.size === 1, s"expected one text part file, got $part")
+    Files.readAllLines(part.head).asScala.toSeq
+  }
+
+  private def flagsOf(lines: Seq[String]): Map[(String, String, Int), Seq[Int]] =
+    lines.filter(l => l.nonEmpty && l.charAt(0) != '@').map { l =>
+      val f = l.split("\t")
+      (f(0), f(2), f(3).toInt) -> f(1).toInt
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+  test("golden case: flags match Picard's output.sam; stream structure faithful") {
+    assume(Files.exists(Paths.get(Root)))
+    val dir = Paths.get(Root, Case)
+    val outDir = "/tmp/graft_samsink_golden"
+    // the fixture dir name contains glob metachars ([0]) that Hadoop path
+    // resolution would expand — read from a metachar-free copy
+    val inCopy = Paths.get("/tmp/graft_samsink_golden_input.sam")
+    Files.copy(dir.resolve("input.sam"), inCopy,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cliArgs = Seq("--input", inCopy.toString,
+      "--output", outDir, "--input-format", "sam", "--output-format", "sam")
+    SamSink.writeSamText(spark, inCopy.toString, outDir, cliArgs = cliArgs)
+    val out = readOut(outDir)
+    val input = Files.readAllLines(dir.resolve("input.sam")).asScala
+      .filter(_.nonEmpty).toSeq
+
+    // 1. header passthrough in order, then exactly one injected @PG
+    val inHeaders = input.takeWhile(_.startsWith("@"))
+    val outHeaders = out.takeWhile(_.startsWith("@"))
+    assert(outHeaders.init === inHeaders, "original headers must pass through")
+    val pg = outHeaders.last
+    assert(pg.startsWith(s"@PG\tID:${Lineage.Tool}\tPN:${Lineage.Tool}\tCL:"))
+    assert(pg.contains(cliArgs.mkString(" ")) && pg.contains(s"VN:${Lineage.Version}"))
+    // PP chains to the prior @PG exactly when the input's LAST header
+    // line is one (this fixture ends its header with @PG ID:samtools.1)
+    inHeaders.last match {
+      case h if h.startsWith("@PG\t") =>
+        val prev = Lineage.lastPgId(Seq(h)).get
+        assert(pg.endsWith(s"\tPP:$prev"), pg)
+      case _ => assert(!pg.contains("\tPP:"), pg)
+    }
+
+    // 2. record flags equal Picard's golden output
+    assert(flagsOf(out) === flagsOf(
+      Files.readAllLines(dir.resolve("output.sam")).asScala.toSeq))
+
+    // 3. records in input order with ONLY field 2 changed
+    val inRecs = input.dropWhile(_.startsWith("@"))
+    val outRecs = out.dropWhile(_.startsWith("@"))
+    assert(outRecs.size === inRecs.size)
+    inRecs.zip(outRecs).foreach { case (i, o) =>
+      val fi = i.split("\t"); val fo = o.split("\t")
+      assert(fi.length === fo.length)
+      assert(fi.patch(1, Nil, 1).toSeq === fo.patch(1, Nil, 1).toSeq,
+        s"non-flag fields changed:\n in=$i\nout=$o")
+    }
+  }
+
+  test("@PG chains PP: to a prior @PG only when it is the LAST header line") {
+    import java.nio.file.Files
+    val tmp = Files.createTempFile("samsink", ".sam")
+    Files.writeString(tmp,
+      "@HD\tVN:1.6\tSO:queryname\n" +
+        "@SQ\tSN:chr1\tLN:1000\n" +
+        "@PG\tID:bwa\tPN:bwa\n" +
+        "r1\t0\tchr1\t100\t60\t5M\t*\t0\t0\tAAAAA\t*\n" +
+        "r1\t16\tchr1\t200\t60\t5M\t*\t0\t0\tAAAAA\t*\n")
+    val outDir = "/tmp/graft_samsink_pp"
+    SamSink.writeSamText(spark, tmp.toString, outDir, cliArgs = Seq("x"))
+    val out = readOut(outDir)
+    val pg = out.filter(_.startsWith(s"@PG\tID:${Lineage.Tool}"))
+    assert(pg.size === 1 && pg.head.endsWith("\tPP:bwa"), out.mkString("\n"))
+  }
+
+  test("remove-duplicates drops dup records from the text stream") {
+    val tmp = Files.createTempFile("samsink_rm", ".sam")
+    // two identical-signature pairs -> second pair removed
+    Files.writeString(tmp,
+      "@HD\tVN:1.6\tSO:queryname\n" +
+        "a\t0\tchr1\t100\t60\t10M\t*\t0\t0\t*\t*\n" +
+        "a\t16\tchr1\t300\t60\t10M\t*\t0\t0\t*\t*\n" +
+        "b\t0\tchr1\t100\t60\t10M\t*\t0\t0\t*\t*\n" +
+        "b\t16\tchr1\t300\t60\t10M\t*\t0\t0\t*\t*\n")
+    val outDir = "/tmp/graft_samsink_rm"
+    SamSink.writeSamText(spark, tmp.toString, outDir, removeDuplicates = true)
+    val recs = readOut(outDir).filterNot(_.startsWith("@"))
+    assert(recs.size === 2 && recs.forall(_.startsWith("a\t")), recs.mkString("\n"))
+  }
+
+  test("strip-previous clears stale 0x400 on tested groups, not on unmapped templates") {
+    import org.apache.spark.sql.functions.col
+    // u: both unmapped with stale 0x400 -> untouched (reference returns
+    // before the strip branch); m: mapped non-dup with stale 0x400 -> cleared
+    val lines = Seq(
+      "u\t1101\t*\t0\t0\t*\t*\t0\t0\t*\t*", // 1+4+8+64+1024: unmapped + stale dup
+      "u\t1165\t*\t0\t0\t*\t*\t0\t0\t*\t*", // 1+4+8+128+1024
+
+      "m\t1024\tchr1\t100\t60\t10M\t*\t0\t0\t*\t*",
+      "m\t1040\tchr1\t300\t60\t10M\t*\t0\t0\t*\t*")
+    val reads = SamOps.parseSamLines(spark, lines)
+    val out = SamOps.markSamDuplicates(reads, stripPrevious = true)
+      .select(col("qname"), col("flag"), col("out_flag"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    out.foreach {
+      case ("u", f, of) => assert(of === f, "unmapped template must pass through")
+      case ("m", f, of) => assert(of === (f & ~SamOps.FlagDuplicate), "stale flag must clear")
+      case other => fail(other.toString)
+    }
+  }
+}
