@@ -57,4 +57,89 @@ object StreamingDedup {
       graft.plans.GraftExpressions.bloomContains(
         sketch, MarkDuplicates.signature(col(contentCol))))
   }
+
+  /** Empty sketch shaped from the job config (memspec if given, else
+   *  mkMin(p, expectedN)) — the epoch accumulator's zero. */
+  private def emptySketch(cfg: graft.dedup.DedupConfig): BloomSketch = {
+    val (m, k, n) = cfg.mem match {
+      case Some(spec) => graft.sketch.BloomSizing.fromMemSpec(cfg.p, spec, cfg.mpow2)
+      case None =>
+        val (m0, k0) = graft.sketch.BloomSizing.mkMin(cfg.p, cfg.expectedN)
+        (m0, k0, cfg.expectedN)
+    }
+    BloomSketch.withCapacity(cfg.p, n, m, k)
+  }
+
+  /**
+   * The frozen-sketch probe pattern DRIVEN as a `foreachBatch` epoch
+   * loop — streammd's single-pass probe-and-insert re-expressed for an
+   * unbounded table with CONSTANT driver memory:
+   *
+   *  - each micro-batch is marked MAP-SIDE against the current frozen
+   *    sketch (zero state store, FPR <= the sketch's p) and handed to
+   *    `sink`;
+   *  - the batch's signatures are folded into the accumulator by the
+   *    distributed mergeable aggregation (`MarkDuplicates.buildSketch`)
+   *    and a driver-side bitwise OR — associative, so epoch contents are
+   *    partition- and batch-order-independent;
+   *  - every `refreshEvery` batches the frozen probe sketch is replaced
+   *    by a snapshot of the accumulator (the epoch boundary).
+   *
+   * Marks lag the corpus by at most one epoch: a duplicate of a row
+   * first seen in the SAME epoch can escape marking (bounded staleness —
+   * the price of a map-only probe); false positives stay within the
+   * sketch's configured p at every epoch because the accumulator only
+   * ever contains genuinely inserted signatures. For exactly-once
+   * first-seen semantics use `dedupExactStream` instead.
+   *
+   * Returns the started query plus a handle exposing the live sketches
+   * (for capacity monitoring — the streammd post-run guard's streaming
+   * analog).
+   */
+  def dedupStreamWithEpochSketch(
+      stream: DataFrame,
+      contentCol: String,
+      cfg: graft.dedup.DedupConfig = graft.dedup.DedupConfig(),
+      refreshEvery: Int = 1,
+      outputCol: String = "is_duplicate")(
+      sink: (DataFrame, Long) => Unit): EpochSketchQuery = {
+    require(refreshEvery >= 1)
+    val handle = new EpochSketchQuery(emptySketch(cfg), emptySketch(cfg))
+    val query = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(markAgainstSketchStream(batch, handle.frozen, contentCol, outputCol), batchId)
+        val batchSketch = MarkDuplicates.buildSketch(batch, cfg)
+        handle.learn(batchSketch, refreshEvery)
+      }
+      .start()
+    handle.query = query
+    handle
+  }
+}
+
+/** Live handle on an epoch-refreshed streaming dedup: the frozen probe
+ *  sketch (what marks are computed against) and the accumulator (all
+ *  signatures seen). `insertedEstimate` supports capacity monitoring. */
+final class EpochSketchQuery private[streaming] (
+    @volatile private[streaming] var frozenSketch: BloomSketch,
+    private var acc: BloomSketch) {
+
+  var query: org.apache.spark.sql.streaming.StreamingQuery = _
+  private var batches = 0L
+
+  private[streaming] def frozen: BloomSketch = frozenSketch
+
+  private[streaming] def learn(batchSketch: BloomSketch, refreshEvery: Int): Unit =
+    synchronized {
+      acc = acc.orInPlace(batchSketch)
+      batches += 1
+      if (batches % refreshEvery == 0) {
+        // immutable snapshot: the probe plan must not see later inserts
+        frozenSketch = BloomSketch.deserialize(acc.serialize())
+      }
+    }
+
+  def epochsCompleted(refreshEvery: Int): Long = synchronized(batches / refreshEvery)
+  def insertedEstimate: Long = synchronized(acc.countEstimate)
 }

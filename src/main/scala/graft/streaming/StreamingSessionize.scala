@@ -11,13 +11,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SessionEvent(
     user_id: Long, ts: java.sql.Timestamp, us: Long, value_micros: Long)
 
-/** Per-user state kept between micro-batches: the running session counter
- *  plus the open session (when `open`). The counter survives session
- *  close so session_id numbering stays cumulative per user — exactly the
- *  batch window's `sum(new_sess)` numbering. */
-case class SessState(
-    sessionId: Long, startUs: Long, lastUs: Long,
-    nEvents: Long, sumMicros: Long, open: Boolean)
+/** One buffered event inside the watermark horizon. */
+case class PendingEvent(us: Long, micros: Long)
+
+/** Per-user state between micro-batches: the cumulative session counter
+ *  plus the events still inside the watermark horizon (not yet provably
+ *  final). The counter survives emptiness so session_id numbering stays
+ *  cumulative per user — exactly the batch window's `sum(new_sess)`. */
+case class SessBufState(nextSessionId: Long, pending: Seq[PendingEvent])
 
 /** A closed session — same shape as the batch sessionize output. */
 case class ClosedSession(
@@ -28,19 +29,26 @@ case class ClosedSession(
  * Streaming sessionization with CUSTOM state — the reference's adjacency
  * grouping (consecutive records of one key, streammd
  * `src/markdups.cxx:38-49`) as a true unbounded-stream operator via
- * `flatMapGroupsWithState`: per-user open-session state, sessions cut at
- * inactivity gaps > `gapUs`, closed sessions emitted either when a later
- * event proves the gap or when the EVENT-TIME TIMEOUT fires (watermark
- * passed last event + gap — no more qualifying events can arrive).
+ * `flatMapGroupsWithState`, BIT-EQUAL to the batch `EventQueries
+ * .sessionize` for ANY arrival order the watermark admits.
  *
- * Scale shape: state is ONE small fixed record per user (not per event)
- * in the state store, keyed/partitioned by user — the stream analog of
- * the batch window's per-user partition. Emission is append-mode (each
- * closed session exactly once), and the watermark bounds lateness and
- * the open-session horizon. The record is retained after a session
- * closes because cumulative per-user session numbering (batch parity)
- * requires remembering the counter; dropping closed-user state would
- * restart numbering per activity epoch.
+ * Correctness model (why buffering, not eager folding): an event may
+ * arrive out of order across micro-batches as long as its time is >= the
+ * watermark. An eagerly-folded open session would mis-place such an
+ * event (it can belong to an EARLIER position, even a different
+ * session). So events are buffered per user until the watermark proves
+ * them final: a gap-cut session is emitted only once `last_event + gap <
+ * watermark` — no admissible future event can land inside the session or
+ * in its closing gap (any future event time is >= watermark > last +
+ * gap) — and sessions are closed strictly left-to-right so cumulative
+ * numbering matches the batch window.
+ *
+ * Scale shape: state per user = counter + the events inside the
+ * watermark horizon (bounded by delay x per-user rate — the price of
+ * out-of-order correctness; with in-order input the horizon holds at
+ * most the open session's tail). Keyed/partitioned by user, append-mode
+ * emission exactly once, event-time timeout flushes the final sessions
+ * when the stream goes quiet.
  */
 object StreamingSessionize {
 
@@ -54,46 +62,43 @@ object StreamingSessionize {
     def fn(
         userId: Long,
         it: Iterator[SessionEvent],
-        state: GroupState[SessState]): Iterator[ClosedSession] = {
-      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      def close(s: SessState): SessState = {
-        closed += ClosedSession(userId, s.sessionId, s.nEvents, s.startUs, s.sumMicros)
-        s.copy(open = false)
-      }
+        state: GroupState[SessBufState]): Iterator[ClosedSession] = {
+      val prior = state.getOption.getOrElse(SessBufState(1L, Nil))
+      val pending = (prior.pending.iterator ++
+        it.map(e => PendingEvent(e.us, e.value_micros)))
+        .toIndexedSeq.sortBy(p => (p.us, p.micros))
+      if (pending.isEmpty) return Iterator.empty
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
 
-      if (it.isEmpty && state.hasTimedOut) {
-        // watermark passed last event + gap: no qualifying event can
-        // arrive, so the open session is provably closed. Keep the
-        // counter (open = false), set no further timeout.
-        state.getOption.filter(_.open).foreach(s => state.update(close(s)))
-      } else {
-        // micro-batches deliver a user's events unordered; session cutting
-        // is order-sensitive, so sort the batch slice by event time
-        val evs = it.toArray.sortBy(e => (e.us, e.value_micros))
-        var cur = state.getOption.orNull
-        evs.foreach { e =>
-          if (cur == null) {
-            cur = SessState(1L, e.us, e.us, 1L, e.value_micros, open = true)
-          } else if (!cur.open) {
-            cur = SessState(cur.sessionId + 1, e.us, e.us, 1L, e.value_micros, open = true)
-          } else if (e.us - cur.lastUs > gapUs) {
-            cur = close(cur)
-            cur = SessState(cur.sessionId + 1, e.us, e.us, 1L, e.value_micros, open = true)
-          } else {
-            cur = cur.copy(lastUs = math.max(cur.lastUs, e.us),
-              nEvents = cur.nEvents + 1, sumMicros = cur.sumMicros + e.value_micros)
-          }
-        }
-        if (cur != null) {
-          state.update(cur)
-          if (cur.open) {
-            // close the open session once the watermark proves the gap;
-            // the timeout must be strictly beyond the current watermark
-            val timeoutMs = cur.lastUs / 1000L + gapUs / 1000L + 1L
-            state.setTimeoutTimestamp(
-              math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
-          }
-        }
+      // split the sorted horizon into gap-cut sessions
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[PendingEvent]]
+      pending.foreach { e =>
+        if (sessions.nonEmpty && e.us - sessions.last.last.us <= gapUs)
+          sessions(sessions.size - 1) = sessions.last :+ e
+        else sessions += Vector(e)
+      }
+      // close the longest PREFIX of provably-final sessions (left-to-right
+      // numbering; a non-final session blocks everything after it)
+      var nextId = prior.nextSessionId
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var i = 0
+      while (i < sessions.length && sessions(i).last.us + gapUs < wmUs) {
+        val s = sessions(i)
+        closed += ClosedSession(userId, nextId, s.size.toLong, s.head.us,
+          s.map(_.micros).sum)
+        nextId += 1
+        i += 1
+      }
+      val remaining = sessions.drop(i).flatten.toSeq
+      state.update(SessBufState(nextId, remaining))
+      if (i < sessions.length) {
+        // re-arm for the EARLIEST moment pending work can become final:
+        // when the watermark passes the FIRST pending session's closing
+        // gap (later sessions flush on subsequent re-arms); must be
+        // strictly beyond the current watermark to be schedulable
+        val timeoutMs = sessions(i).last.us / 1000L + gapUs / 1000L + 1L
+        state.setTimeoutTimestamp(
+          math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
       }
       closed.iterator
     }

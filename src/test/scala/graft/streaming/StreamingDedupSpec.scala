@@ -52,4 +52,48 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(!res(2L), "fresh content should not hit (p=1e-3)")
     } finally q.stop()
   }
+
+  test("epoch-refreshed sketch: cross-epoch dups marked, FPR bound holds over 3 epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = 1e-3
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "content")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val handle = StreamingDedup.dedupStreamWithEpochSketch(
+      stream, "content",
+      DedupConfig(contentCol = "content", p = p, expectedN = 10000L),
+      refreshEvery = 1) { (marked, _) =>
+      sunk.synchronized {
+        sunk ++= marked.select("id", "is_duplicate").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1))
+      }
+    }
+    val q = handle.query
+    try {
+      // epoch 1: all content fresh, frozen sketch empty -> nothing marked
+      input.addData((1L, "e1 alpha"), (2L, "e1 beta"))
+      q.processAllAvailable()
+      // epoch 2: one cross-epoch dup + fresh rows
+      input.addData((3L, "e1 alpha"), (4L, "e2 gamma"))
+      q.processAllAvailable()
+      // epoch 3: dups of epoch-1 AND epoch-2 content + a fresh-uniques
+      // volley that prices the FPR bound
+      val fresh = (0 until 500).map(i => (1000L + i, s"fresh unique $i"))
+      input.addData(Seq((5L, "e1 beta"), (6L, "e2 gamma")) ++ fresh: _*)
+      q.processAllAvailable()
+
+      val marks = sunk.synchronized(sunk.toMap)
+      assert(!marks(1L) && !marks(2L), "epoch-1 rows are first occurrences")
+      assert(marks(3L), "epoch-2 dup of epoch-1 content must be marked")
+      assert(!marks(4L), "epoch-2 fresh content must pass")
+      assert(marks(5L) && marks(6L), "epoch-3 dups of both prior epochs must be marked")
+      // FPR across epochs: 500 fresh uniques against a 4-item corpus at
+      // p=1e-3 sized for 10000 -> observed false marks far under 2p bound
+      val falseMarks = fresh.map(_._1).count(id => marks(id))
+      assert(falseMarks <= math.max(1L, (2 * p * fresh.size).toLong),
+        s"$falseMarks false positives in ${fresh.size} fresh rows exceeds 2p")
+      assert(handle.epochsCompleted(1) === 3L)
+    } finally q.stop()
+  }
 }

@@ -61,6 +61,110 @@ class StreamingSessionizeSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cross-batch OUT-OF-ORDER events: late-but-admissible event merges sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minUs = 60L * 1000000L
+    val input = MemoryStream[SessionEvent]
+    // 1-hour watermark delay admits disorder up to an hour
+    val out = StreamingSessionize.sessionize(input.toDS(), GapUs, "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at 0 and 40 min — a naive eager fold would cut a
+      // session here (gap 40 > 30 min)
+      input.addData(ev(1L, 0L, 1L), ev(1L, 40L * minUs, 2L))
+      q.processAllAvailable()
+      // batch 2: the BRIDGE event at 20 min arrives late (admissible:
+      // within the 1h delay) — chains 0 -> 20 -> 40 into ONE session
+      input.addData(ev(1L, 20L * minUs, 4L))
+      q.processAllAvailable()
+      // close everything via far-future watermark pushes
+      input.addData(ev(99L, 3000L * minUs, 0L))
+      q.processAllAvailable()
+      input.addData(ev(99L, 6000L * minUs, 0L))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").as[ClosedSession].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got === Set(ClosedSession(1L, 1L, 3L, BaseUs, 7L)),
+        s"bridge event must merge the would-be split sessions: $got")
+    } finally q.stop()
+  }
+
+  test("cross-batch OUT-OF-ORDER: pre-start event extends session backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minUs = 60L * 1000000L
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingSessionize.sessionize(input.toDS(), GapUs, "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_ooo2")
+      .outputMode("append").start()
+    try {
+      // batch 1: session seed at 30 min; batch 2: an EARLIER event at
+      // 10 min (before the seed, gap 20 <= 30 min) must extend the
+      // session backward — session_start_us becomes the earlier time
+      input.addData(ev(1L, 30L * minUs, 5L))
+      q.processAllAvailable()
+      input.addData(ev(1L, 10L * minUs, 3L))
+      q.processAllAvailable()
+      input.addData(ev(99L, 3000L * minUs, 0L))
+      q.processAllAvailable()
+      input.addData(ev(99L, 6000L * minUs, 0L))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo2").as[ClosedSession].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got === Set(ClosedSession(1L, 1L, 2L, BaseUs + 10L * minUs, 8L)),
+        s"session must start at the late-arriving earlier event: $got")
+    } finally q.stop()
+  }
+
+  test("streaming equals batch sessionize under shuffled intra-chunk arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same 300-event corpus as the in-order parity test, but each
+    // time-contiguous chunk arrives internally SHUFFLED — disorder up to
+    // the chunk span (~11.7 h), admitted by a 12-hour watermark delay
+    val rnd = new scala.util.Random(17L)
+    val raw = (0 until 300).map { i =>
+      val user = (i % 7).toLong
+      val us = i.toLong * 7L * 60L * 1000000L + rnd.nextInt(1000000)
+      ev(user, us, rnd.nextInt(1000).toLong)
+    }.sortBy(_.us)
+
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingSessionize.sessionize(input.toDS(), GapUs, "12 hours")
+    val q = out.writeStream.format("memory").queryName("sess_ooo_eq")
+      .outputMode("append").start()
+    try {
+      val shuffler = new scala.util.Random(23L)
+      raw.grouped(100).foreach { chunk =>
+        input.addData(shuffler.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      val farRelUs = (raw.last.us - BaseUs) + 1000L * GapUs
+      input.addData(ev(999L, farRelUs, 0L))
+      q.processAllAvailable()
+      input.addData(ev(999L, farRelUs + 1000L * GapUs, 0L))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_ooo_eq").as[ClosedSession].collect()
+        .filter(_.user_id != 999L).toSet
+      val batch = raw.groupBy(_.user_id).flatMap { case (user, evs) =>
+        val sorted = evs.sortBy(_.us)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[SessionEvent]]
+        sorted.foreach { e =>
+          if (sessions.nonEmpty && e.us - sessions.last.last.us <= GapUs)
+            sessions(sessions.size - 1) = sessions.last :+ e
+          else sessions += Vector(e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          ClosedSession(user, i + 1L, s.size.toLong, s.head.us, s.map(_.value_micros).sum)
+        }
+      }.toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessions equal the batch sessionize on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
