@@ -62,13 +62,33 @@ object Bench {
     val rps = dedupRows / dedupSec
     val mbps = contentBytes / 1e6 / dedupSec
 
-    val qs = (results :+ ("dedup_2m_rows" -> dedupSec))
+    // second-scale flagship (default 8M rows): keeps the headline number
+    // honest where fixed costs dominate the small run — rows scale 4x, so
+    // a near-4x time ratio means the engine is throughput-bound, not
+    // overhead-bound. One rep (it is a scale signal, not a min-of-N race).
+    val dedupRows2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS2", "8000000").toLong
+    val (dedup2Sec, rps2) = if (dedupRows2 > 0) {
+      val repos2 = graft.io.RepoTableGen.repositories(
+        spark, dedupRows2, dupFraction = 0.3, nullFraction = 0.01,
+        numPartitions = Some(cpus.toInt * 2))
+      repos2.write.mode("overwrite").parquet("/tmp/graft_bench_repos2.parquet")
+      val table2 = spark.read.parquet("/tmp/graft_bench_repos2.parquet")
+      val cfg2 = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows2)
+      val t0 = System.nanoTime()
+      val res2 = graft.dedup.MarkDuplicates.run(table2, cfg2)
+      res2.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked2.parquet")
+      val sec = (System.nanoTime() - t0) / 1e9
+      res2.unpersistAll()
+      (sec, dedupRows2 / sec)
+    } else (0.0, 0.0)
+
+    val qs = (results ++ Seq("dedup_2m_rows" -> dedupSec, "dedup_8m_rows" -> dedup2Sec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + dedupSec
+    val total = results.map(_._2).sum + dedupSec + dedup2Sec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"failed":$failedJson%s}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"dedup2_rows":$dedupRows2%d,"dedup2_rows_per_sec":$rps2%.0f,"failed":$failedJson%s}"""
     println(line)
     // also persist to a file so the line survives any log-prefixing wrapper
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")

@@ -36,6 +36,51 @@ object Knn {
     }
   }
 
+  /** Per-(nTables, bits, dim) flattened plane cache — deterministic in the
+   *  parameters, computed once per JVM (plane (t, b) at offset
+   *  (t*bits + b)*dim). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def cachedPlanes(nTables: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nTables, bits, dim), { _ =>
+      val out = new Array[Double](nTables * bits * dim)
+      for (t <- 0 until nTables; b <- 0 until bits) {
+        System.arraycopy(hyperplane(t, b, dim), 0, out, (t * bits + b) * dim, dim)
+      }
+      out
+    })
+
+  /** Codegen entry point (see `graft.plans.HyperplaneKeysExpr`): ALL
+   *  nTables bucket keys of one double vector as an unsafe long array —
+   *  identical keys (same planes, same left-to-right summation order) to
+   *  the nTables*bits `aggregate(zip_with(...))` column expressions this
+   *  replaces, which at calibrated sizes (55 tables x 11 bits) made the
+   *  plan a 600-aggregate expression forest. */
+  def bucketKeysData(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      nTables: Int, bits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = vec.numElements()
+    val planes = cachedPlanes(nTables, bits, dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += vec.getDouble(d) * planes(base + d); d += 1 }
+        if (dot > 0) key |= (1L << b)
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /**
    * (nTables, bitsPerTable) sized for `targetRecall` at cosine threshold
    * `c` from the collision model P(bit match) = 1 - acos(c)/pi:
@@ -114,25 +159,18 @@ object Knn {
       return vectors.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos")).where(lit(false))
     }
-    val dim = dimRow(0).getInt(0)
     val v = vectors.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
-    // bucket of table t: bitsPerTable sign bits packed into a long
-    val buckets = array((0 until nT).map { t =>
-      val key = (0 until bits).map { b =>
-        val plane = typedLit(hyperplane(t, b, dim).toSeq)
-        val dot = aggregate(zip_with(col("__vec"), plane, (x, r) => x * r),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), key.as("key"))
-    }: _*)
-    // only slim (t, key, id) triples enter the self-join — the vectors are
+    // all nT bucket keys per row in ONE native codegen'd call (each key =
+    // `bits` hyperplane sign bits packed into a long); only slim
+    // (t, key, id) triples enter the self-join — the vectors are
     // re-attached AFTER pair dedup (same discipline as
     // MinHashLsh.candidatePairs: the deduped pair set is orders of
     // magnitude smaller than the band-expanded rows)
-    val allBucketed = v.select(col("__id"), explode(buckets).as("b"))
-      .select(col("__id"), col("b.t").as("t"), col("b.key").as("key"))
+    val allBucketed = v
+      .select(col("__id"),
+        posexplode(graft.plans.TextSketchExprs.hyperplaneKeys(col("__vec"), nT, bits))
+          .as(Seq("t", "key")))
     // only buckets that can produce pairs (>= 2) and aren't hot (<= cap)
     // survive; the slim (t, key, n) aggregate shuffles instead of vectors
     val liveBuckets = allBucketed.groupBy(col("t"), col("key"))

@@ -169,6 +169,26 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   override def prettyName: String = "graft_winnow"
 }
 
+/** All nTables random-hyperplane LSH bucket keys of a double vector
+ *  (array<double> in, array<long> of packed sign-bit keys out). Math in
+ *  `graft.ann.Knn.bucketKeysData` (flattened plane table cached per JVM) —
+ *  identical keys to the aggregate(zip_with) column forest it replaces. */
+case class HyperplaneKeysExpr(child: Expression, nTables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(vec: Any): Any =
+    graft.ann.Knn.bucketKeysData(vec.asInstanceOf[ArrayData], nTables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ann.Knn.bucketKeysData($c, $nTables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_keys"
+}
+
 object TextSketchExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import ColumnBridge.{exprOf, toColumn}
@@ -190,6 +210,9 @@ object TextSketchExprs {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowExpr(exprOf(text), k, w))
+
+  def hyperplaneKeys(vec: Column, nTables: Int, bits: Int): Column =
+    toColumn(HyperplaneKeysExpr(exprOf(vec), nTables, bits))
 
   private def foldedInt(e: Expression, fn: String, arg: String): Int = {
     require(e.foldable, s"$fn: $arg must be a literal integer")

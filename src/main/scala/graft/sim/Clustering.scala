@@ -50,13 +50,16 @@ object Clustering {
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nb_cluster"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      // fold the old label into the checkpointed frame so the change
+      // count is a cheap scan of checkpoint blocks, not a second
+      // join+shuffle per round
+      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = stepped.where(col("cluster") =!= col("__old")).count()
+      labels = stepped.drop("__old")
       iter += 1
     }
     sym.unpersist()
