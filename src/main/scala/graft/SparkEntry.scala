@@ -57,6 +57,8 @@ object SparkEntry {
     "decontaminate" -> MixQueries.decontaminate,
     "corpus_pipeline" -> MixQueries.corpusPipeline,
     "corpus_neardup" -> MixQueries.corpusNearDup,
+    "paragraph_dedup" -> MixQueries.paragraphDedup,
+    "embedding_dedup" -> SimQueries.embeddingDedup,
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables). */
@@ -103,5 +105,7 @@ object SparkEntry {
     "decontaminate" -> MixQueries.DecontaminateSql,
     "corpus_pipeline" -> MixQueries.CorpusPipelineSql,
     "corpus_neardup" -> MixQueries.CorpusNearDupSql,
+    "paragraph_dedup" -> MixQueries.ParagraphDedupSql,
+    "embedding_dedup" -> SimQueries.EmbeddingDedupSql,
   )
 }

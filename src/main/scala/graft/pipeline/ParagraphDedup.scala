@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{DedupConfig, MarkDuplicates}
+
+/**
+ * Paragraph-level exact deduplication (the Dolma recipe's second dedup
+ * granularity: boilerplate paragraphs — headers, footers, license
+ * blocks, navigation — repeat across millions of documents that are NOT
+ * document-level duplicates): each document is split on `sep`, every
+ * paragraph is deduplicated CORPUS-WIDE by sha256 with first-seen-wins
+ * on (document order, position), and surviving paragraphs are
+ * reassembled in their original order.
+ *
+ * Scale shape: reuses `MarkDuplicates.mark`, so the corpus-wide dedup
+ * decision shuffles only the slim (sig, (doc, pos)) projection with
+ * map-side combine — exploded paragraph TEXT never enters the dedup
+ * exchange; the only wide shuffle is the per-document reassembly
+ * (groupBy doc), which any per-document reconstruction needs. The
+ * keeper relation broadcasts under the same byte-priced cap as
+ * document-level dedup.
+ */
+object ParagraphDedup {
+
+  /**
+   * @param sep  paragraph separator, literal (not regex)
+   * @return df with `textCol` rewritten to the deduplicated text
+   *         (documents whose every paragraph was removed keep an empty
+   *         string — filter afterwards if desired)
+   */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__para")))
+    val cfg = DedupConfig(contentCol = "__para", orderCols = Seq(idCol, "__pos"),
+      buildSketch = false, removeDuplicates = true)
+    val kept = MarkDuplicates.mark(paras, cfg).drop(cfg.outputCol)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        sep).as(textCol))
+    // a document whose every paragraph was removed must survive as ''
+    // (it has no rows in `kept`), so restore ids from the input side
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+}

@@ -121,6 +121,63 @@ object MixQueries {
 
   val CorpusNearDupSql: String = "SELECT doc_id FROM documents"
 
+  /** Paragraph-level dedup (the Dolma recipe's second granularity) with
+   *  a FULL-replay oracle: documents are given deterministic paragraph
+   *  structure (10-word chunks joined by newlines) plus a planted
+   *  boilerplate paragraph on every doc_id % 4 == 0 document (the
+   *  repeated-license-header scenario); paragraphs are deduplicated
+   *  corpus-wide by sha256 with first-seen-wins on (doc_id, position)
+   *  and documents reassembled. The oracle replays the whole
+   *  construction and dedup in SQL, so every kept/removed paragraph and
+   *  the exact reassembled text are compared string-for-string. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val Boiler = "qq common license header boilerplate paragraph shared by many documents"
+    val d = DedupQueries.docs(spark, dir)
+      .where(col("text").isNotNull && trim(col("text")) =!= "")
+    val words = split(trim(col("text")), "\\s+")
+    val nChunks = ceil(size(words) / 10.0).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * 10 + 1, lit(10))))
+    val para = array_join(chunks, "\n")
+    val withBoiler = when(col("doc_id") % 4 === 0,
+      concat(para, lit("\n" + Boiler))).otherwise(para)
+    val corpus = d.select(col("doc_id"), withBoiler.as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.pipeline.ParagraphDedup.dedupParagraphs(corpus, "doc_id", "text", "\n")
+      .select(col("doc_id"), col("text").as("deduped_text"))
+  }
+
+  val ParagraphDedupSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      |), chunked AS (
+      |  SELECT doc_id,
+      |    [array_to_string(w[i*10+1:i*10+10], ' ')
+      |     for i in generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)] AS chunks
+      |  FROM src
+      |), paras0 AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(chunks)-1)) AS pos,
+      |         unnest(chunks) AS para
+      |  FROM chunked
+      |), paras AS (
+      |  SELECT * FROM paras0
+      |  UNION ALL
+      |  SELECT doc_id, 1000000,
+      |         'qq common license header boilerplate paragraph shared by many documents'
+      |  FROM src WHERE doc_id % 4 = 0
+      |), marked AS (
+      |  SELECT doc_id, pos, para,
+      |    (para <> '' AND
+      |     row_number() OVER (PARTITION BY sha256(para) ORDER BY doc_id, pos) > 1) AS dup
+      |  FROM paras
+      |)
+      |SELECT s.doc_id, coalesce(a.t, '') AS deduped_text
+      |FROM src s LEFT JOIN (
+      |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS t
+      |  FROM marked WHERE NOT dup GROUP BY doc_id
+      |) a USING (doc_id)""".stripMargin
+
   val CorpusPipelineSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, text FROM documents

@@ -302,6 +302,25 @@ object SimQueries {
       |FROM corpus a JOIN corpus b ON a.id < b.id
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin
 
+  /** SemDeDup-style semantic dedup end-to-end: embedding near-dup pairs
+   *  -> clusters -> min-id representative kept. The planted corpus is the
+   *  `embedding_near_dup` construction (exactly-parallel x2 copies, so
+   *  LSH recall on the pairs is exactly 1 and background pairs top out at
+   *  cosine ~0.51 << 0.8), hence clusters are provably the planted
+   *  {original, copy} pairs and the survivor set is all originals. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + DedupQueries.DupOffset).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    graft.sim.Clustering
+      .removeEmbeddingNearDuplicates(corpus, "id", "embedding", threshold = 0.8)
+      .select(col("id"))
+  }
+
+  val EmbeddingDedupSql: String = "SELECT vec_id AS id FROM embeddings"
+
   /** Threshold-calibrated hyperplane LSH over planted NON-parallel
    *  near-threshold pairs — the general-recall path the exact-parallel
    *  `embedding_near_dup` query cannot reach (parallel vectors collide in

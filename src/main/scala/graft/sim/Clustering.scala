@@ -125,4 +125,27 @@ object Clustering {
       .select(col("id_a"), col("id_b"))
     keepRepresentatives(docs, idCol, pairs)
   }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
+   * simplified): embedding-cosine near-duplicate pairs (hyperplane LSH
+   * candidates, exact-cosine confirmed, precision 1) -> connected
+   * components -> keep the min-id representative per semantic cluster.
+   * Pass `targetRecall` to size the LSH for general near-threshold
+   * pairs; the default (2x16) tables catch exact/parallel duplicates
+   * with recall 1 at minimal cost.
+   */
+  def removeEmbeddingNearDuplicates(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetRecall: Option[Double] = None,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val pairs = graft.ann.Knn
+      .cosineNearDupPairs(vectors, idCol, vecCol, threshold,
+        maxBucketSize = maxBucketSize, targetRecall = targetRecall)
+      .select(col("id_a"), col("id_b"))
+    keepRepresentatives(vectors, idCol, pairs)
+  }
 }

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("corpus-wide paragraph dedup: first occurrence kept, order preserved") {
+    val docs = Seq(
+      (1L, "alpha one\nshared boilerplate\nalpha two"),
+      (2L, "beta one\nshared boilerplate\nbeta two"),
+      (3L, "shared boilerplate"), // loses its only paragraph -> ''
+      (4L, "gamma only")
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha one\nshared boilerplate\nalpha two")
+    assert(out(2L) === "beta one\nbeta two")
+    assert(out(3L) === "")
+    assert(out(4L) === "gamma only")
+  }
+
+  test("within-document repeats dedup too; empty paragraphs pass through") {
+    val docs = Seq(
+      (1L, "x\n\nx\ny"), // second 'x' removed; the empty paragraph between survives
+      (2L, "y\nz")       // 'y' already seen in doc 1 (earlier order) -> removed
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "x\n\ny")
+    assert(out(2L) === "z")
+  }
+
+  test("paragraph text never enters the dedup exchange (slim shuffle)") {
+    val docs = (0 until 200).map(i => (i.toLong, s"p$i one\ncommon\np$i two"))
+      .toDF("doc_id", "text")
+    val plan = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .queryExecution.executedPlan.toString
+    // the dedup decision's exchanges carry __sig + keeper key only; the
+    // reassembly groupBy legitimately shuffles (__pos, __para) per doc
+    val dedupExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("__sig")).toSeq
+    assert(dedupExchanges.nonEmpty)
+    dedupExchanges.foreach(l =>
+      assert(!l.contains("__para"), s"paragraph text in the dedup shuffle:\n$l"))
+  }
+}
