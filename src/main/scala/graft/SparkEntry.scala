@@ -58,6 +58,7 @@ object SparkEntry {
     "corpus_pipeline" -> MixQueries.corpusPipeline,
     "corpus_neardup" -> MixQueries.corpusNearDup,
     "paragraph_dedup" -> MixQueries.paragraphDedup,
+    "sequence_pack" -> MixQueries.sequencePack,
     "embedding_dedup" -> SimQueries.embeddingDedup,
   )
 
@@ -106,6 +107,7 @@ object SparkEntry {
     "corpus_pipeline" -> MixQueries.CorpusPipelineSql,
     "corpus_neardup" -> MixQueries.CorpusNearDupSql,
     "paragraph_dedup" -> MixQueries.ParagraphDedupSql,
+    "sequence_pack" -> MixQueries.SequencePackSql,
     "embedding_dedup" -> SimQueries.EmbeddingDedupSql,
   )
 }

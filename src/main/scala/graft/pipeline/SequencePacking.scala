@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * GPT-style sequence packing — the standard pre-training prep step:
+ * documents are concatenated in a deterministic order and the token
+ * stream is split into fixed-length context windows; each document's
+ * global token offset decides its pack id and in-pack offset (documents
+ * crossing a boundary span two+ packs).
+ *
+ * The global token offset is an exclusive PREFIX SUM over the document
+ * order — the textbook one-reducer trap (a window over a global ORDER BY
+ * sorts the whole corpus on one reducer). Here it is the scale-safe
+ * two-phase shape instead, same discipline as `DatasetMix
+ * .approxQuotaGate` / `Skew.saltedGroupAgg`:
+ *
+ *   phase 1: per-BUCKET token sums (bucket = orderCol / bucketSize) — a
+ *            slim map-side-combined aggregate, one tiny row per bucket;
+ *   driver:  exclusive cumulative sum over the sorted bucket sums
+ *            (10^6 buckets cover 10^12 docs — trivially driver-sized);
+ *   phase 2: per-bucket window (partitionBy bucket, orderBy orderCol)
+ *            adds the in-bucket running sum to the broadcast bucket
+ *            offset — each reducer sorts ONE bucket, never the corpus.
+ *
+ * `orderCol` must be numeric with a total order (e.g. a dense doc id);
+ * determinism of the packing comes from it alone.
+ */
+object SequencePacking {
+
+  /**
+   * @param nTokensCol precomputed per-document token count column name
+   * @param contextLen the fixed sequence length L
+   * @return input columns + `start_token` (global exclusive prefix sum),
+   *         `pack_id` (= start_token / L), `pack_offset` (= start mod L),
+   *         `spans_packs` (document crosses a pack boundary)
+   */
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      nTokensCol: String,
+      contextLen: Long,
+      bucketSize: Long = 100000L): DataFrame = {
+    require(contextLen > 0 && bucketSize > 0)
+    val bucket = floor(col(orderCol) / bucketSize).cast("long")
+    val withBucket = df.withColumn("__bucket", bucket)
+
+    // phase 1: slim per-bucket sums; driver-side exclusive cumsum
+    val bucketSums = withBucket.groupBy(col("__bucket"))
+      .agg(sum(col(nTokensCol)).as("__bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = bucketSums.map { case (b, s) =>
+      val off = running; running += s; (b, off)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__bucket", "__boffset"))
+
+    // phase 2: in-bucket exclusive running sum + broadcast bucket offset
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = col("__boffset") + coalesce(sum(col(nTokensCol)).over(w), lit(0L))
+    withBucket
+      .join(offsetsDf, Seq("__bucket"))
+      .withColumn("start_token", start)
+      .withColumn("pack_id", floor(col("start_token") / contextLen).cast("long"))
+      .withColumn("pack_offset", pmod(col("start_token"), lit(contextLen)).cast("long"))
+      .withColumn("spans_packs",
+        col(nTokensCol) > 0 &&
+          floor((col("start_token") + col(nTokensCol) - 1) / contextLen) > col("pack_id"))
+      .drop("__bucket", "__boffset")
+  }
+}

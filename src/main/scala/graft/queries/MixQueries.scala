@@ -178,6 +178,41 @@ object MixQueries {
       |  FROM marked WHERE NOT dup GROUP BY doc_id
       |) a USING (doc_id)""".stripMargin
 
+  /** GPT-style sequence packing: whitespace token counts -> global
+   *  exclusive prefix sum in document order (two-phase bucket cumsum —
+   *  no global-order single-reducer window) -> fixed-2048 context
+   *  assignment. The oracle recomputes the prefix sum with a plain
+   *  global window (exact integer arithmetic, so the two shapes must
+   *  agree row-for-row). */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val withTok = d.select(col("doc_id"),
+      graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.SequencePacking
+      .packSequences(withTok, "doc_id", "n_tokens", contextLen = 2048L, bucketSize = 100L)
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("pack_id"), col("pack_offset"), col("spans_packs"))
+  }
+
+  val SequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, start_token,
+      |  CAST(floor(start_token / 2048.0) AS BIGINT) AS pack_id,
+      |  CAST(start_token % 2048 AS BIGINT) AS pack_offset,
+      |  (n_tokens > 0 AND
+      |   floor((start_token + n_tokens - 1) / 2048.0) > floor(start_token / 2048.0)) AS spans_packs
+      |FROM s""".stripMargin
+
   val CorpusPipelineSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, text FROM documents

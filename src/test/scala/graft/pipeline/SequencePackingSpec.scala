@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SequencePackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, (i % 7 + 1).toLong * 100L)).toDF("id", "n_tokens")
+
+  test("two-phase prefix sum equals the naive global window, any bucket size") {
+    val df = docs(500).repartition(8)
+    val naive = df
+      .withColumn("start_token",
+        coalesce(sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("id"), col("start_token"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (bs <- Seq(1L, 7L, 100L, 1000L)) {
+      val got = SequencePacking.packSequences(df, "id", "n_tokens", 2048L, bs)
+        .select(col("id"), col("start_token"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === naive, s"bucketSize=$bs")
+    }
+  }
+
+  test("pack assignment: boundaries, offsets, span flags") {
+    val df = Seq((0L, 2000L), (1L, 100L), (2L, 0L), (3L, 2048L))
+      .toDF("id", "n_tokens")
+    val got = SequencePacking.packSequences(df, "id", "n_tokens", 2048L, 2L)
+      .select(col("id"), col("start_token"), col("pack_id"), col("pack_offset"),
+        col("spans_packs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(0L) === ((0L, 0L, 0L, false)))       // ends at 1999, inside pack 0
+    assert(got(1L) === ((2000L, 0L, 2000L, true)))  // 2000..2099 crosses 2048
+    assert(got(2L) === ((2100L, 1L, 52L, false)))   // zero-length never spans
+    assert(got(3L) === ((2100L, 1L, 52L, true)))    // 2100..4147 crosses 4096
+  }
+
+  test("no global-order single-reducer window in the plan") {
+    val p = SequencePacking.packSequences(docs(300), "id", "n_tokens", 2048L, 50L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"prefix sum must not funnel the corpus through one reducer:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+  }
+}
