@@ -59,6 +59,7 @@ object SparkEntry {
     "corpus_neardup" -> MixQueries.corpusNearDup,
     "paragraph_dedup" -> MixQueries.paragraphDedup,
     "sequence_pack" -> MixQueries.sequencePack,
+    "temperature_mix" -> MixQueries.temperatureMix,
     "embedding_dedup" -> SimQueries.embeddingDedup,
   )
 
@@ -108,6 +109,7 @@ object SparkEntry {
     "corpus_neardup" -> MixQueries.CorpusNearDupSql,
     "paragraph_dedup" -> MixQueries.ParagraphDedupSql,
     "sequence_pack" -> MixQueries.SequencePackSql,
+    "temperature_mix" -> MixQueries.TemperatureMixSql,
     "embedding_dedup" -> SimQueries.EmbeddingDedupSql,
   )
 }

@@ -60,6 +60,58 @@ object DatasetMix {
       .drop("__rk")
   }
 
+  /**
+   * Temperature-resampled mixture quotas at tau = 2 (the sqrt rule used
+   * for multilingual training mixes, Conneau et al. XLM-R style:
+   * sampling weight proportional to n_s^(1/2) upweights low-resource
+   * strata). All arithmetic is INTEGER so the quotas are bit-identical
+   * across engines: weight_s = floor(sqrt(n_s * 10^6)), quota_s =
+   * totalTarget * weight_s / sum(weights) in integer division.
+   *
+   * One slim aggregate (stratum, count) + a driver-side weight table —
+   * stratum cardinality is tiny next to the corpus.
+   *
+   * @return (stratum, n_rows, weight, quota)
+   */
+  def sqrtTemperatureQuotas(
+      df: DataFrame, strataCol: String, totalTarget: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("weight", floor(sqrt(col("n_rows") * lit(1000000L))).cast("long"))
+    val w = Window.partitionBy()
+    // exact integer division via decimal (long `/` would go through
+    // double and can mis-floor at precision boundaries)
+    counts
+      .withColumn("quota",
+        floor((lit(totalTarget) * col("weight")).cast("decimal(38,0)") /
+          sum(col("weight")).over(w).cast("decimal(38,0)")).cast("long"))
+      .select(col(strataCol), col("n_rows"), col("weight"), col("quota"))
+  }
+
+  /**
+   * Temperature-resampled mixture: the first `quota_s` rows of each
+   * stratum by `orderCol`, where quota_s comes from
+   * `sqrtTemperatureQuotas`. Scale shape: the salted `approxQuotaGate`
+   * (sized by the LARGEST stratum quota — a safe superset) bounds every
+   * reducer before the exact per-stratum window; the tiny quota table
+   * broadcasts into the final filter.
+   */
+  def sqrtTemperatureSample(
+      df: DataFrame, strataCol: String, orderCol: String, totalTarget: Long,
+      gateBuckets: Int = 64): DataFrame = {
+    val quotas = sqrtTemperatureQuotas(df, strataCol, totalTarget)
+    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
+    val gated =
+      if (gateBuckets > 1 && maxQuota <= Int.MaxValue)
+        approxQuotaGate(df, strataCol, orderCol, maxQuota.toInt, gateBuckets)
+      else df
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+    gated.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas.select(col(strataCol), col("quota"))), Seq(strataCol))
+      .where(col("__rk") <= col("quota"))
+      .drop("__rk", "quota")
+  }
+
   /** Deterministic split bucket in [0, 1000) from key columns: stable
    *  across runs, partitioning and cluster size. */
   def splitBucket(seed: Long, keys: Column*): Column =

@@ -21,6 +21,31 @@ object MixQueries {
       |  FROM documents
       |) WHERE rk <= 20""".stripMargin
 
+  /** Temperature-resampled training mix (tau = 2 sqrt rule): exact
+   *  integer-arithmetic quotas per language, then the first quota_s docs
+   *  of each — every step (floor(sqrt(n*10^6)), integer division,
+   *  row_number) is bit-identical across engines, so the oracle replays
+   *  the whole computation. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    DatasetMix.sqrtTemperatureSample(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+      strataCol = "lang", orderCol = "doc_id", totalTarget = 200L)
+
+  val TemperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n,
+      |         CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang
+      |), q AS (
+      |  SELECT lang, 200 * w // (SELECT sum(w) FROM c) AS quota FROM c
+      |)
+      |SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+      |  FROM documents
+      |) r JOIN q USING (lang)
+      |WHERE rk <= quota""".stripMargin
+
   /** Benchmark decontamination (13-gram overlap, the GPT-3 recipe):
    *  doc_id % 101 == 0 documents act as the held-out benchmark; the
    *  training corpus is every other document PLUS a planted full-text

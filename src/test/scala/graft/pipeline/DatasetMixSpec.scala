@@ -56,6 +56,28 @@ class DatasetMixSpec extends SparkSpecBase {
       s"expected map-side window group limits:\n$p")
   }
 
+  test("sqrt temperature quotas upweight low-resource strata, integer-exact") {
+    import spark.implicits._
+    // strata of 9000 / 900 / 100 rows: proportional sampling would give
+    // 90% / 9% / 1%; sqrt temperature flattens toward the small strata
+    val skewed = ((0 until 9000).map(i => (i.toLong, "big")) ++
+      (0 until 900).map(i => (10000L + i, "mid")) ++
+      (0 until 100).map(i => (20000L + i, "small")))
+      .toDF("id", "lang").repartition(8)
+    val q = DatasetMix.sqrtTemperatureQuotas(skewed, "lang", totalTarget = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // weights: floor(sqrt(n * 1e6)) = 94868 / 30000 / 10000
+    assert(q("big") === ((9000L, 94868L, 703L)))
+    assert(q("mid") === ((900L, 30000L, 222L)))
+    assert(q("small") === ((100L, 10000L, 74L)))
+    val sampled = DatasetMix.sqrtTemperatureSample(skewed, "lang", "id", 1000L)
+      .select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = sampled.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byLang("big") === (0 until 703).map(_.toLong))
+    assert(byLang("mid") === (0 until 222).map(i => 10000L + i))
+    assert(byLang("small") === (0 until 74).map(i => 20000L + i))
+  }
+
   test("hashSplit is deterministic, disjoint, partition-invariant, ratio-correct") {
     val (train1, test1) = DatasetMix.hashSplit(docs, testPerMille = 100, seed = 7L, "id")
     val (train2, test2) = DatasetMix.hashSplit(
