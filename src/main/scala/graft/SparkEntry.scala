@@ -60,6 +60,7 @@ object SparkEntry {
     "paragraph_dedup" -> MixQueries.paragraphDedup,
     "sequence_pack" -> MixQueries.sequencePack,
     "temperature_mix" -> MixQueries.temperatureMix,
+    "span_dup_stats" -> MixQueries.spanDupStats,
     "embedding_dedup" -> SimQueries.embeddingDedup,
   )
 
@@ -110,6 +111,7 @@ object SparkEntry {
     "paragraph_dedup" -> MixQueries.ParagraphDedupSql,
     "sequence_pack" -> MixQueries.SequencePackSql,
     "temperature_mix" -> MixQueries.TemperatureMixSql,
+    "span_dup_stats" -> MixQueries.SpanDupStatsSql,
     "embedding_dedup" -> SimQueries.EmbeddingDedupSql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Span-level duplication measurement and filtering — the remaining dedup
+ * granularity between paragraph and document (Lee et al. 2021
+ * "Deduplicating Training Data Makes Language Models Better" measure
+ * duplicated substrings; Gopher/Dolma FILTER documents whose text is
+ * dominated by corpus-duplicated n-gram spans): a token position is
+ * DUPLICATED-COVERED when at least one word n-gram containing it occurs
+ * more than once corpus-wide.
+ *
+ * Scale shape: the corpus-wide duplicated-gram set is found on a slim
+ * (gram-hash) aggregate with map-side combine (count > 1 survivors
+ * only); per-document gram rows carry (id, pos, hash) — never gram TEXT;
+ * the coverage expansion (pos .. pos+n-1) explodes ONLY duplicated grams
+ * (a small fraction of a clean corpus); document text never shuffles at
+ * all (stats join back to ids).
+ */
+object SpanDedup {
+
+  /**
+   * Per-document duplicated-span statistics:
+   * (idCol, n_tokens, dup_grams, covered_tokens, covered_ppm).
+   * `covered_ppm` = covered_tokens * 10^6 / n_tokens (0 for docs with
+   * fewer than n tokens — they have no grams and are never covered).
+   */
+  def duplicatedSpanStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nTokens = when(col(textCol).isNull || length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(words))
+    val base = df.select(col(idCol), nTokens.as("n_tokens"), words.as("__w"))
+
+    // (id, pos, gram hash) — gram text is hashed map-side, never shuffled
+    val grams = base
+      .where(col("n_tokens") >= n)
+      .select(col(idCol), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - n),
+          i => xxhash64(concat_ws(" ", slice(col("__w"), i + 1, lit(n))))))
+          .as(Seq("__pos", "__gh")))
+
+    // corpus-wide duplicated grams: slim hash-only aggregate
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .select(col("__gh"))
+
+    val dupHits = grams.join(dupGrams, Seq("__gh"), "left_semi")
+
+    // coverage: expand each duplicated gram to its n token positions,
+    // dedup overlaps per document
+    val covered = dupHits
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("covered_tokens"))
+    val dupGramCounts = dupHits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_grams"))
+
+    base.select(col(idCol), col("n_tokens"))
+      .join(dupGramCounts, Seq(idCol), "left_outer")
+      .join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor((col("covered_tokens") * 1000000L).cast("decimal(38,0)") /
+            col("n_tokens").cast("decimal(38,0)")).cast("long")))
+  }
+
+  /** Gopher-style span-duplication filter: drop documents whose
+   *  duplicated-covered token fraction exceeds `maxCoveredPpm` (the
+   *  published recipe uses ~30% for duplicated 13-grams). */
+  def filterDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, maxCoveredPpm: Long = 300000L): DataFrame = {
+    val flagged = duplicatedSpanStats(df, idCol, textCol, n)
+      .where(col("covered_ppm") > maxCoveredPpm)
+      .select(col(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
+}

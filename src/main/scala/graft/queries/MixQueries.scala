@@ -203,6 +203,57 @@ object MixQueries {
       |  FROM marked WHERE NOT dup GROUP BY doc_id
       |) a USING (doc_id)""".stripMargin
 
+  /** Span-level duplication stats (duplicated 13-gram coverage per doc —
+   *  the Lee et al. measurement behind the Gopher-style span filter),
+   *  fully replayed by the oracle over the gram strings. The Spark side
+   *  hashes grams to 64-bit map-side (gram text never shuffles; same
+   *  treatment as Decontaminate); the oracle groups the strings
+   *  themselves, so any hash collision would surface as a mismatch. */
+  def spanDupStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    graft.pipeline.SpanDedup.duplicatedSpanStats(
+        d.repartition(spark.sparkContext.defaultParallelism), "doc_id", "text", n = 13)
+      .select(col("doc_id"), col("n_tokens"), col("dup_grams"),
+        col("covered_tokens"), col("covered_ppm"))
+  }
+
+  val SpanDupStatsSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |), glist AS (
+      |  SELECT doc_id, n_tokens,
+      |    [array_to_string(w[i:i+12], ' ') for i in generate_series(1, n_tokens - 12)] AS gs
+      |  FROM src WHERE n_tokens >= 13
+      |), grams AS (
+      |  SELECT doc_id, n_tokens, unnest(generate_series(0, len(gs)-1)) AS pos,
+      |         unnest(gs) AS g
+      |  FROM glist
+      |), dupg AS (
+      |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+      |), hits AS (
+      |  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + u AS t
+      |  FROM hits, generate_series(0, 12) AS s(u)
+      |), covc AS (
+      |  SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id
+      |), dgc AS (
+      |  SELECT doc_id, count(*) AS dup_grams FROM hits GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(dgc.dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  CAST(coalesce(covc.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(CASE WHEN s.n_tokens = 0 THEN 0
+      |       ELSE coalesce(covc.covered_tokens, 0) * 1000000 // s.n_tokens END AS BIGINT)
+      |    AS covered_ppm
+      |FROM src s
+      |LEFT JOIN dgc USING (doc_id)
+      |LEFT JOIN covc USING (doc_id)""".stripMargin
+
   /** GPT-style sequence packing: whitespace token counts -> global
    *  exclusive prefix sum in document order (two-phase bucket cumsum —
    *  no global-order single-reducer window) -> fixed-2048 context

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("coverage semantics: overlaps merge, short docs never covered") {
+    // n = 3; docs 1 and 2 share the span "a b c d" (two overlapping dup
+    // 3-grams: "a b c", "b c d" -> 4 covered tokens each, not 6)
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "q q q a b c d"),
+      (3L, "unique tokens only here"),
+      (4L, "a b"), // < n tokens: no grams, never covered
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((7L, 2L, 4L, 571428L)))
+    assert(got(2L) === ((7L, 2L, 4L, 571428L)))
+    assert(got(3L) === ((4L, 0L, 0L, 0L)))
+    assert(got(4L) === ((2L, 0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("exact full-copy docs are 100% covered; filter drops them") {
+    val copy = (0 until 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, copy), (2L, copy),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val stats = SpanDedup.duplicatedSpanStats(docs, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(stats(1L) === 1000000L && stats(2L) === 1000000L && stats(3L) === 0L)
+    val kept = SpanDedup.filterDuplicatedSpans(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
+  test("gram text never enters a shuffle (hash-only dedup aggregate)") {
+    val docs = (0 until 100).map(i => (i.toLong, s"d$i " + (0 until 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = SpanDedup.duplicatedSpanStats(docs, "doc_id", "text", n = 13)
+      .queryExecution.executedPlan.toString
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("concat_ws") && !l.contains("slice"),
+        s"gram string in a shuffle:\n$l")
+    }
+  }
+}
