@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deterministic global shuffle + sharding for training-data export — the
+ * last step of every corpus pipeline: examples must reach the trainer in
+ * a pseudo-random order that is REPRODUCIBLE (re-running the job, or
+ * re-reading one lost shard, must yield byte-identical output; job-time
+ * RNG state cannot). The standard petabyte-scale recipe: order by a
+ * deterministic hash of the example key, bucket the hash into shards,
+ * sort within shard — one shuffle, every shard independently
+ * re-derivable from keys alone.
+ *
+ * Scale shape: ONE exchange (hash-partition by shard) followed by a
+ * per-shard sort; choose `nShards` well above the executor count so no
+ * reducer sorts more than `|corpus| / nShards` rows. This is exactly the
+ * plan `ORDER BY hash(key)` + sharded write would produce, made explicit.
+ */
+object GlobalShuffle {
+
+  /** Lehmer / MINSTD parameters: h -> h * 48271 mod (2^31 - 1). Chosen
+   *  because two rounds of pure int64 arithmetic (operands < 2^47, no
+   *  overflow, no engine-specific hash) make the order replayable in ANY
+   *  engine — the oracle recomputes it bit-exactly in SQL. Production
+   *  callers wanting a stronger mix pass `orderKey = xxhash64(...)`. */
+  val LcgMod = 2147483647L
+  val LcgMul = 48271L
+
+  /** Two-round Lehmer permutation of a non-negative integer key; the +1
+   *  shift keeps key % mod == 0 off the zero fixed point. */
+  def lcgKey(key: Column): Column = {
+    val h0 = pmod(key, lit(LcgMod)) + lit(1L)
+    val h1 = pmod(h0 * LcgMul, lit(LcgMod))
+    pmod(h1 * LcgMul, lit(LcgMod))
+  }
+
+  /**
+   * Assigns `(shard, pos)` to every row: `shard = order-key mod nShards`,
+   * `pos` = rank within the shard by `(order-key, keyCol)` (the key
+   * breaks hash ties so the order is total). Output is the input plus
+   * the two columns — a sharded writer partitions by `shard` and writes
+   * rows in `pos` order.
+   */
+  def shuffleShards(
+      df: DataFrame, keyCol: String, nShards: Int,
+      orderKey: Option[Column] = None): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val ord = orderKey.getOrElse(lcgKey(col(keyCol)))
+    val withOrd = df.withColumn("__ord", ord)
+      .withColumn("shard", pmod(col("__ord"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(keyCol))
+    withOrd.withColumn("pos", row_number().over(w) - 1).drop("__ord")
+  }
+
+  /** Writes the shuffled corpus as `nShards` parquet shard directories
+   *  (partitioned by `shard`, rows in `pos` order within each file). */
+  def writeShards(
+      df: DataFrame, keyCol: String, nShards: Int, outDir: String): Unit =
+    shuffleShards(df, keyCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+}

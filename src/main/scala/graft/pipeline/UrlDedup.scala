@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL-level deduplication — the standard FIRST stage of web-corpus
+ * cleaning (C4 dedups pages by URL; RefinedWeb/Dolma normalize URLs
+ * before fetch-dedup), and the cheapest dedup the engine offers: it
+ * never touches document content at all, mirroring the reference's
+ * signature-only dedup discipline (streammd keys on template ends, not
+ * record bytes — `/root/reference/src/markdups.cxx:110-122`).
+ *
+ * Normalization (each rule is a pure codegen'd string expression — the
+ * whole chain stays inside one WholeStageCodegen span, no UDFs):
+ *   1. lowercase, trim
+ *   2. strip the scheme (`https://`, `http://`, any `scheme://`)
+ *   3. strip a leading `www.`
+ *   4. drop the `#fragment`
+ *   5. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`),
+ *      sort the survivors so param order never splits a group
+ *   6. strip trailing `/` from the path
+ *
+ * Scale shape: only the slim `(id, normalized-url)` projection ever
+ * shuffles — content stays where it was scanned. The keeper per group is
+ * found with a map-side-combining `min` aggregate (a hot URL duplicated
+ * 10^7 times contributes ONE row per mapper to the shuffle, where a
+ * window-min would shuffle every occurrence into a single reducer), then
+ * joined back to the slim projection; AQE's skew-join split handles the
+ * hot-group compare side.
+ */
+object UrlDedup {
+
+  /** Tracking params dropped by rule 5 (anchored prefix match). */
+  val TrackingParamRegex = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+  /** The normalization chain, rules 1-6, as one column expression. */
+  def normalizeUrl(url: Column): Column = {
+    val l = lower(trim(url))
+    val noScheme = regexp_replace(l, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val path = regexp_replace(split_part(noFrag, lit("?"), lit(1)), "/+$", "")
+    val q = split_part(noFrag, lit("?"), lit(2))
+    val kept = filter(split(q, "&"),
+      p => !p.rlike(TrackingParamRegex) && p =!= "")
+    val qs = array_join(array_sort(kept), "&")
+    concat(path, when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /**
+   * First-seen-wins URL dedup: emits `(idCol, norm_url, keeper_id,
+   * is_url_dup)` — the minimum id per normalized URL is the keeper,
+   * every other member is a duplicate (the reference's deterministic
+   * min-key keeper rule applied to URLs).
+   */
+  def markUrlDuplicates(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val slim = df.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
+    val keepers = slim.groupBy(col("norm_url"))
+      .agg(min(col(idCol)).as("keeper_id"))
+    slim.join(keepers, "norm_url")
+      .select(col(idCol), col("norm_url"), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_url_dup"))
+  }
+
+  /** `markUrlDuplicates` keeping only the canonical page per URL. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.join(
+      markUrlDuplicates(df, idCol, urlCol)
+        .where(!col("is_url_dup")).select(col(idCol)),
+      idCol)
+}

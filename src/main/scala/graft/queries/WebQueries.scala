@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{GlobalShuffle, UrlDedup}
+import graft.text.LmQuality
+
+/** Web-corpus pipeline queries: URL dedup, deterministic corpus
+ *  shuffling, and unigram-LM quality — each with an exact DuckDB oracle
+ *  replaying the whole recipe. */
+object WebQueries {
+
+  // ---------- URL normalization + dedup (C4/RefinedWeb stage 1) ----------
+
+  /** Synthesized URL surface forms: four variants per canonical page
+   *  `example.com/p/K` (K = doc_id % 97) exercising every normalization
+   *  rule — scheme/case/www/trailing-slash (v1), dropped tracking params
+   *  (v2), and param reordering with a REAL param kept (v3 normalizes to
+   *  its own `?a=1&b=2` group, distinct from v0-v2's bare path). */
+  def syntheticUrl(id: Column): Column = {
+    val k = (id % 97).cast("string")
+    when(id % 4 === 0, concat(lit("https://example.com/p/"), k))
+      .when(id % 4 === 1, concat(lit("HTTP://WWW.Example.com/p/"), k, lit("/")))
+      .when(id % 4 === 2,
+        concat(lit("https://example.com/p/"), k, lit("?utm_source=feed&gclid=1")))
+      .otherwise(concat(lit("example.com/p/"), k, lit("?b=2&a=1&utm_medium=x")))
+  }
+
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    UrlDedup.markUrlDuplicates(
+      DedupQueries.docs(spark, dir)
+        .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url")),
+      "doc_id", "url")
+      .select(col("doc_id"), col("norm_url"), col("keeper_id"), col("is_url_dup"))
+
+  val UrlDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://example.com/p/' || (doc_id % 97)
+      |      WHEN 1 THEN 'HTTP://WWW.Example.com/p/' || (doc_id % 97) || '/'
+      |      WHEN 2 THEN 'https://example.com/p/' || (doc_id % 97) || '?utm_source=feed&gclid=1'
+      |      ELSE 'example.com/p/' || (doc_id % 97) || '?b=2&a=1&utm_medium=x'
+      |    END AS url
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+      |      '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '#.*$', '') AS bare
+      |  FROM u
+      |), n AS (
+      |  SELECT doc_id,
+      |    regexp_replace(split_part(bare, '?', 1), '/+$', '')
+      |    || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS norm_url
+      |  FROM (
+      |    SELECT doc_id, bare,
+      |      -- coalesce: DuckDB's array_to_string(NULL-from-empty-sort) is
+      |      -- NULL where Spark's array_join of an empty array is ''
+      |      coalesce(array_to_string(list_sort(list_filter(
+      |        string_split(split_part(bare, '?', 2), '&'),
+      |        p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=') AND p <> '')),
+      |        '&'), '') AS qs
+      |    FROM s
+      |  )
+      |), k AS (
+      |  SELECT norm_url, min(doc_id) AS keeper_id FROM n GROUP BY norm_url
+      |)
+      |SELECT n.doc_id, n.norm_url, k.keeper_id,
+      |       n.doc_id <> k.keeper_id AS is_url_dup
+      |FROM n JOIN k USING (norm_url)""".stripMargin
+
+  // ---------- deterministic global shuffle / sharding ----------
+
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame =
+    GlobalShuffle.shuffleShards(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      keyCol = "doc_id", nShards = 16)
+
+  val GlobalShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (((doc_id % 2147483647) + 1) * 48271 % 2147483647) * 48271 % 2147483647 AS ord
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(ord % 16 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY ord % 16 ORDER BY ord, doc_id) - 1 AS INT) AS pos
+      |FROM h""".stripMargin
+
+  // ---------- unigram LM quality (CCNet-style train -> score) ----------
+
+  val LmVocabSize = 64
+
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    LmQuality.unigramScores(
+      DedupQueries.docs(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", vocabSize = LmVocabSize)
+
+  val LmQualitySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE trim(coalesce(text, '')) <> ''
+       |), c AS (
+       |  SELECT word, count(*) AS cnt FROM w GROUP BY word
+       |), t AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+       |), v AS (
+       |  SELECT word,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM t)) * 1000000) AS BIGINT) AS lp
+       |  FROM c ORDER BY cnt DESC, word LIMIT ${LmVocabSize}
+       |), o AS (
+       |  SELECT CAST(round(ln(0.5 / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM t
+       |), s AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(coalesce(v.lp, (SELECT lp FROM o))) AS BIGINT) AS sum_logp_micro
+       |  FROM w LEFT JOIN v USING (word) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       |       coalesce(s.sum_logp_micro, 0) AS sum_logp_micro
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+}

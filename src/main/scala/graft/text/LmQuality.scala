@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram language-model quality scoring — the CCNet/RedPajama quality
+ * gate reduced to its scalable core: score every document by the mean
+ * negative log-probability of its tokens under a corpus-trained unigram
+ * model (low = fluent/common language, high = gibberish or rare-token
+ * soup). CCNet uses a KenLM 5-gram; the unigram variant keeps the exact
+ * same pipeline shape (train pass -> broadcast model -> map-side score)
+ * while staying oracle-checkable.
+ *
+ * Determinism: probabilities are fixed-point (`round(ln(cnt/total) *
+ * 10^6)` as int64, computed once per vocab entry); per-document scores
+ * are integer SUMS of those — no floating accumulation order anywhere,
+ * so any engine replaying the recipe matches bit-for-bit.
+ *
+ * Scale shape: the train pass is a word-count (map-side combining
+ * aggregate over exploded tokens — the canonical scalable shuffle) with
+ * a `TakeOrdered` top-V (no global sort); the model (V rows) broadcasts
+ * into the scoring join, so scoring is map-side; the only other exchange
+ * is the slim `(doc_id, int64)` per-document sum.
+ */
+object LmQuality {
+
+  /** Sentinel OOV pseudo-count (0.5 — Laplace-half smoothing). */
+  val OovCount = 0.5
+
+  private def tokens(textCol: String) =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  private def nonEmpty(textCol: String) =
+    length(trim(coalesce(col(textCol), lit("")))) > 0
+
+  /** Top-`vocabSize` unigram model: `(word, cnt, total, logp_micro)` —
+   *  ties broken by word so the vocab cut is deterministic. The
+   *  word-count frame is persisted for its two actions (corpus total +
+   *  top-V TakeOrdered) and unpersisted before returning; the model
+   *  itself is materialized driver-side (it is V rows — CCNet ships its
+   *  model as a file for the same reason) so downstream scoring reuses
+   *  it without recomputing the train pass. */
+  def trainVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(nonEmpty(textCol))
+      .select(explode(tokens(textCol)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = counts.agg(sum(col("cnt"))).first()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val top = counts.orderBy(col("cnt").desc, col("word").asc)
+        .limit(vocabSize).as[(String, Long)].collect()
+      top.toSeq
+        .map { case (w, c) =>
+          (w, c, total, math.round(math.log(c.toDouble / total) * 1e6)) }
+        .toDF("word", "cnt", "total", "logp_micro")
+    } finally { counts.unpersist(); () }
+  }
+
+  /** Fixed-point OOV log-prob for a model with token total `total`. */
+  def oovLogpMicro(total: Long): Long =
+    math.round(math.log(OovCount / total) * 1e6)
+
+  /**
+   * Scores `(idCol, n_tokens, sum_logp_micro)` for every document (0/0
+   * for empty docs): `sum_logp_micro` is the exact int64 sum of the
+   * fixed-point token log-probs; callers derive mean NLL as
+   * `-sum_logp_micro / (n_tokens * 10^6)`.
+   */
+  def scoreDocs(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame = {
+    val totalRow = vocab.select(max(col("total"))).first()
+    val oov = if (totalRow.isNullAt(0)) 0L else oovLogpMicro(totalRow.getLong(0))
+    val tok = df.where(nonEmpty(textCol))
+      .select(col(idCol), explode(tokens(textCol)).as("word"))
+    val scored = tok
+      .join(broadcast(vocab.select(col("word"), col("logp_micro"))), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("logp_micro"), lit(oov))).as("sum_logp_micro"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_logp_micro"), lit(0L)).as("sum_logp_micro"))
+  }
+
+  /** Train-then-score in one call (the CCNet shape). */
+  def unigramScores(
+      df: DataFrame, idCol: String, textCol: String, vocabSize: Int = 64): DataFrame =
+    scoreDocs(df, idCol, textCol, trainVocab(df, textCol, vocabSize))
+}

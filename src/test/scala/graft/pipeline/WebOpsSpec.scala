@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import graft.text.LmQuality
+import org.apache.spark.sql.functions._
+
+/** URL dedup, deterministic global shuffle, unigram-LM quality. */
+class WebOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("normalizeUrl applies every rule") {
+    val in = Seq(
+      "https://example.com/p/7",
+      "HTTP://WWW.Example.com/p/7/",
+      "https://example.com/p/7?utm_source=feed&gclid=1",
+      "example.com/p/7#section-2",
+      "ftp://example.com/p/7",
+      "example.com/p/7?b=2&a=1&utm_medium=x",
+      "example.com/p/7?a=1&b=2&fbclid=zzz").toDF("url")
+    val out = in.select(UrlDedup.normalizeUrl(col("url")).as("n"))
+      .as[String].collect()
+    assert(out.take(5).forall(_ == "example.com/p/7"))
+    assert(out(5) == "example.com/p/7?a=1&b=2")
+    assert(out(6) == "example.com/p/7?a=1&b=2")
+  }
+
+  test("markUrlDuplicates keeps the min-id page per normalized URL") {
+    val docs = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "HTTP://www.example.com/a/"),
+      (3L, "example.com/a?utm_source=x"),
+      (4L, "example.com/b"),
+      (5L, "example.com/a?real=1")).toDF("doc_id", "url")
+    val m = UrlDedup.markUrlDuplicates(docs, "doc_id", "url")
+      .orderBy("doc_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+        (4L, 4L, false), (5L, 5L, false)))
+    val kept = UrlDedup.dedupByUrl(docs, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("shuffleShards is a deterministic permutation with dense per-shard positions") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = GlobalShuffle.shuffleShards(df, "id", nShards = 8)
+    val b = GlobalShuffle.shuffleShards(df, "id", nShards = 8)
+    val rowsA = a.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val rowsB = b.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(rowsA == rowsB)                      // reproducible
+    assert(rowsA.map(_._1).distinct.size == 1000) // permutation: every row once
+    rowsA.groupBy(_._2).foreach { case (_, rows) => // dense 0..n-1 per shard
+      assert(rows.map(_._3).sorted == rows.indices.toSeq)
+    }
+    // not the identity order: the LCG actually permutes
+    assert(rowsA.sortBy(r => (r._2, r._3)).map(_._1).toSeq != (0L until 1000L).toSeq)
+  }
+
+  test("unigram LM scores: exact fixed-point sums, OOV floor, empty docs") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the the"),
+      (3L, "zyzzyva"),  // OOV once vocab is capped below distinct words
+      (4L, "")).toDF("doc_id", "text")
+    val vocab = LmQuality.trainVocab(docs, "text", vocabSize = 2)
+    val v = vocab.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // counts: the=4, cat=1, sat=1, zyzzyva=1; total=7; top-2 = the, cat (tie by word)
+    assert(v == Map("the" -> 4L, "cat" -> 1L))
+    val total = vocab.select(max(col("total"))).first().getLong(0)
+    assert(total == 7L)
+    val lpThe = math.round(math.log(4.0 / 7) * 1e6)
+    val lpCat = math.round(math.log(1.0 / 7) * 1e6)
+    val lpOov = LmQuality.oovLogpMicro(7)
+    val s = LmQuality.scoreDocs(docs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(s(1L) == ((3L, lpThe + lpCat + lpOov)))  // sat is OOV under V=2
+    assert(s(2L) == ((3L, 3 * lpThe)))
+    assert(s(3L) == ((1L, lpOov)))
+    assert(s(4L) == ((0L, 0L)))
+  }
+}
