@@ -71,6 +71,67 @@ object SpanDedup {
             col("n_tokens").cast("decimal(38,0)")).cast("long")))
   }
 
+  /**
+   * ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2021 cut
+   * duplicated substrings out of the corpus rather than dropping whole
+   * documents): a token is cut when some duplicated n-gram covering it
+   * is NOT that gram's corpus-wide first occurrence (first = minimum
+   * (doc, position) — so exactly one copy of every duplicated span
+   * survives, the deterministic first-seen-wins keeper rule the
+   * reference applies to whole templates, here applied to spans).
+   *
+   * Documents with no cut tokens pass through BYTE-IDENTICAL; rewritten
+   * documents are re-joined with single spaces (the tokenizer's
+   * canonical form).
+   *
+   * Scale shape: the first-occurrence table is a map-side-combining
+   * `min(struct(doc, pos))` over slim (hash, doc, pos) rows; only
+   * non-first occurrences of duplicated grams explode into covered
+   * positions; document text crosses exactly ONE join — against its own
+   * (small, per-doc) cut-position set.
+   *
+   * Returns `(idCol, n_tokens, cut_tokens, text_out)`.
+   */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nTokens = when(col(textCol).isNull || length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(words))
+    val base = df.select(col(idCol), col(textCol), nTokens.as("n_tokens"),
+      words.as("__w"))
+
+    val grams = base
+      .where(col("n_tokens") >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - n),
+          i => xxhash64(concat_ws(" ", slice(col("__w"), i + 1, lit(n))))))
+          .as(Seq("__pos", "__gh")))
+
+    val firstOcc = grams.groupBy(col("__gh"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__f"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .select(col("__gh"), col("__f").getField(idCol).as("__fid"),
+        col("__f").getField("__pos").as("__fpos"))
+
+    val cutPos = grams.join(firstOcc, Seq("__gh"))
+      .where(col(idCol) =!= col("__fid") || col("__pos") =!= col("__fpos"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__t"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__t")).as("__cut"))
+
+    base.join(cutPos, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(size(col("__cut")), lit(0)).cast("long").as("cut_tokens"),
+        when(col("__cut").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("__w"), (_, i) => !array_contains(col("__cut"), i)),
+            " "))
+          .as("text_out"))
+  }
+
   /** Gopher-style span-duplication filter: drop documents whose
    *  duplicated-covered token fraction exceeds `maxCoveredPpm` (the
    *  published recipe uses ~30% for duplicated 13-grams). */

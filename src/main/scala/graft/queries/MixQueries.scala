@@ -254,6 +254,73 @@ object MixQueries {
       |LEFT JOIN dgc USING (doc_id)
       |LEFT JOIN covc USING (doc_id)""".stripMargin
 
+  /** ExactSubstr-style duplicated-span removal over a corpus with
+   *  planted partial copies: every doc_id % 7 == 0 document reappears
+   *  under id + DupOffset with a 2-token prefix — its grams duplicate
+   *  the original's, so the original (first occurrence) survives intact
+   *  and the copy loses its covered span. Output proves byte-level
+   *  rewrite parity via sha256 of the cleaned text. */
+  def spanRemove(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val planted = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + DedupQueries.DupOffset).as("doc_id"),
+        concat(lit("xq zz "), col("text")).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.pipeline.SpanDedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 13)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        sha2(col("text_out"), 256).as("out_sha"))
+  }
+
+  val SpanRemoveSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupQueries.DupOffset}, 'xq zz ' || text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |), src AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM corpus
+       |), glist AS (
+       |  SELECT doc_id, n_tokens,
+       |    [array_to_string(w[i:i+12], ' ') for i in generate_series(1, n_tokens - 12)] AS gs
+       |  FROM src WHERE n_tokens >= 13
+       |), grams AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(gs)-1)) AS pos, unnest(gs) AS g
+       |  FROM glist
+       |), occ AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY g) AS c,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+       |  FROM grams
+       |), cut AS (
+       |  SELECT DISTINCT doc_id, pos + u AS t
+       |  FROM occ, generate_series(0, 12) AS s(u)
+       |  WHERE c > 1 AND rk > 1
+       |), cutc AS (
+       |  SELECT doc_id, count(*) AS cutn FROM cut GROUP BY doc_id
+       |), tok AS (
+       |  SELECT doc_id, unnest(generate_series(0, n_tokens - 1)) AS j, unnest(w) AS tokn
+       |  FROM src WHERE n_tokens > 0
+       |), keep AS (
+       |  SELECT tok.doc_id, tok.j, tok.tokn
+       |  FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.j = cut.t
+       |  WHERE cut.t IS NULL
+       |), re AS (
+       |  SELECT doc_id, string_agg(tokn, ' ' ORDER BY j) AS cleaned
+       |  FROM keep GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(cutc.cutn, 0) AS BIGINT) AS cut_tokens,
+       |  sha256(CASE WHEN cutc.cutn IS NULL THEN s.text
+       |              ELSE coalesce(re.cleaned, '') END) AS out_sha
+       |FROM src s
+       |LEFT JOIN cutc USING (doc_id)
+       |LEFT JOIN re USING (doc_id)""".stripMargin
+
   /** GPT-style sequence packing: whitespace token counts -> global
    *  exclusive prefix sum in document order (two-phase bucket cumsum —
    *  no global-order single-reducer window) -> fixed-2048 context

@@ -50,4 +50,32 @@ class SpanDedupSpec extends SparkSpecBase {
         s"gram string in a shuffle:\n$l")
     }
   }
+
+  test("removeDuplicatedSpans keeps the first occurrence, cuts the rest") {
+    // n = 3; doc 2 repeats doc 1's "a b c d" span; doc 1 is first (min id)
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d r"),
+      (3L, "untouched text stays byte  identical"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // doc 1: first occurrence of both dup grams -> nothing cut
+    assert(got(1L) === ((7L, 0L, Some("a b c d x y z"))))
+    // doc 2: grams "a b c"(pos 2) and "b c d"(pos 3) are non-first ->
+    // covered tokens 2..5 cut, "p q r" survives
+    assert(got(2L) === ((7L, 4L, Some("p q r"))))
+    // untouched doc passes through byte-identical (double space kept)
+    assert(got(3L) === ((5L, 0L, Some("untouched text stays byte  identical"))))
+    assert(got(4L) === ((0L, 0L, None)))
+  }
+
+  test("removeDuplicatedSpans: intra-document repeats keep only the first copy") {
+    val docs = Seq((9L, "w1 w2 w3 u1 u2 w1 w2 w3")).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got === ((8L, 3L, "w1 w2 w3 u1 u2")))
+  }
 }
