@@ -84,11 +84,15 @@ object SpanDedup {
    * documents are re-joined with single spaces (the tokenizer's
    * canonical form).
    *
-   * Scale shape: the first-occurrence table is a map-side-combining
-   * `min(struct(doc, pos))` over slim (hash, doc, pos) rows; only
-   * non-first occurrences of duplicated grams explode into covered
-   * positions; document text crosses exactly ONE join — against its own
-   * (small, per-doc) cut-position set.
+   * Scale shape: ONE pass over the slim (hash, doc, pos) gram rows — a
+   * single exchange on the gram hash feeds a `row_number` window whose
+   * `rk > 1` rows ARE the non-first occurrences (no separate
+   * first-occurrence aggregate, no second gram scan); only those explode
+   * into covered positions; document text crosses exactly ONE join —
+   * against its own (small, per-doc) cut-position set. A boilerplate
+   * gram duplicated 10^6 times lands on one reducer for its window sort
+   * — the same skew a first-occurrence join would have, since every
+   * occurrence must meet the keeper anyway.
    *
    * Returns `(idCol, n_tokens, cut_tokens, text_out)`.
    */
@@ -107,15 +111,13 @@ object SpanDedup {
           i => xxhash64(concat_ws(" ", slice(col("__w"), i + 1, lit(n))))))
           .as(Seq("__pos", "__gh")))
 
-    val firstOcc = grams.groupBy(col("__gh"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__f"),
-        count(lit(1)).as("__c"))
-      .where(col("__c") > 1)
-      .select(col("__gh"), col("__f").getField(idCol).as("__fid"),
-        col("__f").getField("__pos").as("__fpos"))
-
-    val cutPos = grams.join(firstOcc, Seq("__gh"))
-      .where(col(idCol) =!= col("__fid") || col("__pos") =!= col("__fpos"))
+    // rk == 1 is the gram's corpus-wide first occurrence; rk > 1 exists
+    // only for duplicated grams, so no occurrence count is needed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gh")).orderBy(col(idCol), col("__pos"))
+    val cutPos = grams
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__t"))
       .distinct()

@@ -109,4 +109,43 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!l.contains("text"), s"content column in a shuffle:\n$l")
     }
   }
+
+  test("url_dedup reads only doc_id and never shuffles document text") {
+    val df = graft.queries.WebQueries.urlDedup(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"URL dedup must not read content columns:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"content column in a shuffle:\n$l")
+    }
+  }
+
+  test("global_shuffle is a single exchange (the shard partition)") {
+    val p = plan(graft.queries.WebQueries.globalShuffle(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly the shard exchange:\n$p")
+  }
+
+  test("lm_quality scores map-side through a broadcast vocab; text never shuffles") {
+    val p = plan(graft.queries.WebQueries.lmQuality(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast into the scoring join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"lm_quality plans a ScalaUDF:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), s"content column in a shuffle:\n$l")
+    }
+  }
+
+  test("span removal runs ONE gram pass: a single exchange on the gram hash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plain (un-repartitioned) input: every Exchange in the plan belongs
+    // to the operator itself
+    val docs = Seq((1L, "a b c d x"), (2L, "p a b c d")).toDF("doc_id", "text")
+    val p = plan(graft.pipeline.SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3))
+    val ghExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(__gh"))
+    assert(ghExchanges === 1,
+      s"gram rows must shuffle exactly once (window rk>1, no first-occ join):\n$p")
+  }
 }
