@@ -8,8 +8,16 @@ import graft.dedup.{DedupConfig, MarkDuplicates}
  * End-to-end training-corpus cleaning: the standard published recipe
  * (C4/Gopher/Dolma-style) as ONE composed, lazy Catalyst plan —
  *
- *   PII scrub -> quality filter -> language filter -> exact dedup ->
- *   MinHash near-dedup -> benchmark decontamination -> per-stratum quota
+ *   URL dedup -> PII scrub -> quality filter -> language filter ->
+ *   LM-quality gate -> exact dedup -> MinHash near-dedup ->
+ *   duplicated-span removal -> benchmark decontamination ->
+ *   per-stratum quota
+ *
+ * URL dedup runs before anything touches content (it reads only the URL
+ * column — the cheapest possible row cut); the unigram-LM gate runs
+ * after the heuristic quality filter (its train pass then scores only
+ * plausible text); span removal runs after document-level dedup so
+ * whole-document copies don't flood the gram table.
  *
  * Every stage is optional and composition is lazy (no job runs until
  * the caller acts). The scrub + quality + language stages fuse into a
@@ -39,10 +47,16 @@ object CorpusPipeline {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      // Some(urlCol): first-seen-wins URL dedup before any content work
+      urlDedupCol: Option[String] = None,
       scrubPii: Boolean = true,
       minQuality: Option[Int] = None,
       langAllow: Option[Seq[String]] = None,
       langCol: String = "lang",
+      // Some(maxMeanNllMicro): drop docs whose mean unigram NLL (micro-
+      // nats/token) exceeds the bound — the CCNet perplexity gate
+      lmMaxMeanNllMicro: Option[Long] = None,
+      lmVocabSize: Int = 4096,
       exactDedup: Boolean = true,
       // near-duplicate removal threshold (estimated word-shingle Jaccard):
       // Some(t) inserts the MinHash-LSH -> clusters -> representative-keep
@@ -51,12 +65,18 @@ object CorpusPipeline {
       // decontamination (fewer survivors to gram-scan)
       nearDedup: Option[Double] = None,
       nearDedupShingleSize: Int = 3,
+      // Some(n): cut non-first occurrences of corpus-duplicated n-gram
+      // spans out of the surviving text (ExactSubstr granularity)
+      spanRemoveNGram: Option[Int] = None,
       benchmark: Option[DataFrame] = None,
       benchTextCol: String = "text",
       nGram: Int = 13,
       quotaPerStratum: Option[(String, Int)] = None,
       materializeAtBranch: Boolean = true): DataFrame = {
     var df = docs
+    urlDedupCol.foreach { u =>
+      df = UrlDedup.dedupByUrl(df, idCol, u)
+    }
     if (scrubPii)
       df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
     minQuality.foreach { q =>
@@ -64,6 +84,19 @@ object CorpusPipeline {
     }
     langAllow.foreach { ls =>
       df = df.where(col(langCol).isin(ls: _*))
+    }
+    lmMaxMeanNllMicro.foreach { bound =>
+      // branch point: the filtered frame feeds the vocab train pass and
+      // the scoring pass
+      if (materializeAtBranch) df = df.localCheckpoint(false)
+      val scores = graft.text.LmQuality
+        .unigramScores(df, idCol, textCol, lmVocabSize)
+        // mean NLL in micro-nats/token; empty docs score 0 (kept —
+        // length filtering is the quality stage's job)
+        .where(col("n_tokens") > 0 &&
+          -col("sum_logp_micro") > col("n_tokens") * bound)
+        .select(col(idCol))
+      df = df.join(scores, Seq(idCol), "left_anti")
     }
     if (exactDedup) {
       val cfg = DedupConfig(contentCol = textCol, orderCols = Seq(idCol),
@@ -78,6 +111,16 @@ object CorpusPipeline {
       if (materializeAtBranch) df = df.localCheckpoint(false)
       df = graft.sim.Clustering.removeNearDuplicates(
         df, idCol, textCol, minJaccard, shingleSize = nearDedupShingleSize)
+    }
+    spanRemoveNGram.foreach { n =>
+      // branch point: the deduped frame feeds the gram pass and the
+      // rewrite join
+      if (materializeAtBranch) df = df.localCheckpoint(false)
+      val rewritten = SpanDedup.removeDuplicatedSpans(df, idCol, textCol, n)
+        .select(col(idCol), col("text_out"))
+      df = df.drop(textCol)
+        .join(rewritten, Seq(idCol))
+        .withColumnRenamed("text_out", textCol)
     }
     benchmark.foreach { b =>
       // branch point: the cleaned-so-far frame feeds both the gram scan

@@ -84,4 +84,51 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(out.queryExecution.logical != null)
     assert(out.count() === 1)
   }
+
+  test("url dedup stage cuts same-page rows before any content work") {
+    val docs = Seq(
+      (1L, "first fetch of the page", "en", "https://example.com/a"),
+      (2L, "second fetch, different text", "en", "http://www.example.com/a/"),
+      (3L, "another page entirely", "en", "example.com/b")
+    ).toDF("doc_id", "text", "lang", "url")
+    val out = CorpusPipeline.clean(docs, urlDedupCol = Some("url"),
+      exactDedup = false)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("LM gate drops the rare-token doc, keeps fluent ones") {
+    val common = "the cat sat on the mat and the dog ran to the cat"
+    val docs = (
+      (1 to 8).map(i => (i.toLong, common, "en")) :+
+      (99L, "qzx vbn mlk jhg fds", "en")   // all OOV under a tiny vocab
+    ).toDF("doc_id", "text", "lang")
+    // vocab of 4 covers the common words; every token of doc 99 is OOV.
+    // mean NLL of doc 99 >> common docs; bound between them
+    val scored = graft.text.LmQuality.unigramScores(docs, "doc_id", "text", 4)
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), (-col("sum_logp_micro") / col("n_tokens")).as("nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(99L) > scored(1L))
+    val bound = ((scored(99L) + scored(1L)) / 2).toLong
+    val out = CorpusPipeline.clean(docs, lmMaxMeanNllMicro = Some(bound),
+      lmVocabSize = 4, exactDedup = false)
+    assert(out.select("doc_id").as[Long].collect().toSet === (1L to 8L).toSet)
+  }
+
+  test("span removal stage rewrites the surviving text in place") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12 s13"
+    val docs = Seq(
+      (1L, s"$span unique tail one", "en"),
+      (2L, s"other head $span", "en"),
+      (3L, "independent little document", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs, exactDedup = false,
+      spanRemoveNGram = Some(13))
+    val texts = out.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) === s"$span unique tail one")  // first occurrence kept
+    assert(texts(2L) === "other head")              // duplicated span cut
+    assert(texts(3L) === "independent little document")
+    assert(out.columns.contains("lang"))            // other columns survive
+  }
 }
