@@ -46,4 +46,10 @@ object GraftExpressions {
    *  column (see [[BloomSketchAgg]] — no Kryo buffer cap). */
   def bloomSketchAgg(sig: Column, p: Double, m: Long, k: Int, n: Long): Column =
     toColumn(BloomSketchAgg(exprOf(sig), p, m, k, n).toAggregateExpression())
+
+  /** Column-level KMV (bottom-k) distinct sketch over an int64 hash
+   *  column (see [[KmvSketchAgg]]): sorted ascending array of the k
+   *  minimum distinct values. */
+  def kmvSketchAgg(hash: Column, k: Int): Column =
+    toColumn(KmvSketchAgg(exprOf(hash), k).toAggregateExpression())
 }

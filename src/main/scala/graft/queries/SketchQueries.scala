@@ -159,4 +159,60 @@ object SketchQueries {
 
   val SqlSketchCheckSql: String =
     "SELECT count(DISTINCT user_id) AS n_exact, true AS sql_hll_within_4se FROM events"
+
+  /** KMV set algebra: distinct-user union/intersection estimates across
+   *  two event-type audiences — the set operations HLL cannot express.
+   *  k = 64 so the sf0.01+ audiences (150 distinct users each) exercise
+   *  the estimation branch, not just the exact-below-k path; the oracle
+   *  replays the sha256-based 52-bit hashing and the integer estimator
+   *  bit-for-bit. */
+  val KmvK = 64
+
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    graft.sketch.KmvOps.setOps(
+      e.where(col("event_type") === "click").select(col("user_id")),
+      e.where(col("event_type") === "purchase").select(col("user_id")),
+      "user_id", KmvK)
+  }
+
+  val KmvSetOpsSql: String = {
+    val d = graft.sketch.KmvOps.Domain
+    val k = KmvK
+    s"""WITH ha AS (
+       |  SELECT DISTINCT CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 13) AS h
+       |        FROM events WHERE event_type = 'click')
+       |), hb AS (
+       |  SELECT DISTINCT CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 13) AS h
+       |        FROM events WHERE event_type = 'purchase')
+       |), ka AS (
+       |  SELECT list(v ORDER BY v) AS s FROM (SELECT v FROM ha ORDER BY v LIMIT $k)
+       |), kb AS (
+       |  SELECT list(v ORDER BY v) AS s FROM (SELECT v FROM hb ORDER BY v LIMIT $k)
+       |), m AS (
+       |  SELECT ka.s AS sa, kb.s AS sb,
+       |    (list_sort(list_distinct(list_concat(ka.s, kb.s))))[1:$k] AS su,
+       |    least(CASE WHEN len(ka.s) < $k THEN $d ELSE ka.s[$k] END,
+       |          CASE WHEN len(kb.s) < $k THEN $d ELSE kb.s[$k] END) AS th
+       |  FROM ka, kb
+       |)
+       |SELECT
+       |  CAST(CASE WHEN len(sa) < $k THEN len(sa)
+       |            ELSE (${(k - 1).toLong} * $d) // sa[$k] END AS BIGINT) AS est_a,
+       |  CAST(CASE WHEN len(sb) < $k THEN len(sb)
+       |            ELSE (${(k - 1).toLong} * $d) // sb[$k] END AS BIGINT) AS est_b,
+       |  CAST(CASE WHEN len(su) < $k THEN len(su)
+       |            ELSE (${(k - 1).toLong} * $d) // su[$k] END AS BIGINT) AS est_union,
+       |  CAST(CASE WHEN th = $d
+       |            THEN len(list_filter(list_intersect(sa, sb), x -> x < th))
+       |            ELSE len(list_filter(list_intersect(sa, sb), x -> x < th)) * $d // th
+       |       END AS BIGINT) AS est_intersection
+       |FROM m""".stripMargin
+  }
 }

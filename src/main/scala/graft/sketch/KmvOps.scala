@@ -1,0 +1,82 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * KMV (k-minimum-values / bottom-k) distinct-count SET ALGEBRA over
+ * the native `graft.plans.KmvSketchAgg` sketch: distinct estimates per
+ * group, plus union / intersection estimates across two sets — the
+ * theta-sketch operations HLL registers cannot express (Beyer et al.
+ * 2007 "On Synopses for Distinct-Value Estimation under Multiset
+ * Operations").
+ *
+ * The hash domain is [0, 2^52): by default the first 13 hex digits of
+ * sha256 — chosen over xxhash64 because 52-bit values and their
+ * positional parse are bit-replayable in ANY engine's SQL (the estimate
+ * arithmetic below is integer-exact, so an oracle can replay the whole
+ * computation). Production callers on wider domains can pass their own
+ * `hasher` and `domain`.
+ */
+object KmvOps {
+
+  /** 16^13 = 2^52: the sha-13-hex-digit hash domain. */
+  val Domain: Long = 1L << 52
+
+  /** Uniform 52-bit hash: first 13 hex digits of sha256 of the key's
+   *  string form (cross-engine replayable, unlike xxhash64). */
+  def sha52(key: Column): Column =
+    conv(substring(sha2(key.cast("string"), 256), 1, 13), 16, 10).cast("long")
+
+  /** Exact integer floor-division (decimal-exact quotient, positive
+   *  operands) — `a // b` without a double round-trip. */
+  private def divFloor(a: Column, b: Column): Column =
+    floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+
+  /** theta of a sketch array: the k-th minimum, or Domain when the set
+   *  had fewer than k distinct values (sketch is exact there). */
+  def theta(sketch: Column, k: Int, domain: Long = Domain): Column =
+    when(size(sketch) < k, lit(domain)).otherwise(element_at(sketch, k))
+
+  /** Distinct estimate from a sketch array: exact below k, else
+   *  (k-1) * domain / kthMin (the classic unbiased KMV estimator). */
+  def estimate(sketch: Column, k: Int, domain: Long = Domain): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(divFloor(lit((k - 1).toLong * domain), element_at(sketch, k)))
+
+  /** Union sketch: k smallest of the merged distinct values — a valid
+   *  KMV sketch of the union, so `estimate` applies to it directly. */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Intersection estimate: common values below the joint threshold,
+   *  scaled by the threshold fraction (exact when both sets were below
+   *  k — both sketches then hold every value). */
+  def intersectionEstimate(
+      a: Column, b: Column, k: Int, domain: Long = Domain): Column = {
+    val th = least(theta(a, k, domain), theta(b, k, domain))
+    val common = size(filter(array_intersect(a, b), x => x < th)).cast("long")
+    when(th === domain, common).otherwise(divFloor(common * domain, th))
+  }
+
+  /** Per-group sketches + distinct estimates:
+   *  `(groupCols*, kmv array<long>, distinct_est long)`. */
+  def distinctEstimates(
+      df: DataFrame, groupCols: Seq[String], keyCol: String, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(sha52(col(keyCol)), k).as("kmv"))
+      .withColumn("distinct_est", estimate(col("kmv"), k))
+
+  /** One-row set algebra over two keyed sets:
+   *  `(est_a, est_b, est_union, est_intersection)`. */
+  def setOps(dfA: DataFrame, dfB: DataFrame, keyCol: String, k: Int): DataFrame = {
+    def sk(d: DataFrame, name: String) =
+      d.agg(graft.plans.GraftExpressions.kmvSketchAgg(sha52(col(keyCol)), k).as(name))
+    sk(dfA, "ka").crossJoin(sk(dfB, "kb"))
+      .select(
+        estimate(col("ka"), k).as("est_a"),
+        estimate(col("kb"), k).as("est_b"),
+        estimate(unionSketch(col("ka"), col("kb"), k), k).as("est_union"),
+        intersectionEstimate(col("ka"), col("kb"), k).as("est_intersection"))
+  }
+}

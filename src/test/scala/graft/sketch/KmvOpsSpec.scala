@@ -1,0 +1,74 @@
+package graft.sketch
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketch: exactness below k, estimator accuracy above it,
+ *  partition-order invariance, and set-algebra consistency. */
+class KmvOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def sketchOf(ids: Seq[Long], k: Int) =
+    ids.toDF("id")
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(KmvOps.sha52(col("id")), k).as("s"))
+
+  test("below k the sketch holds every distinct value: estimate is exact") {
+    val df = sketchOf((1L to 40L) ++ (1L to 40L), k = 64)
+      .select(col("s"), KmvOps.estimate(col("s"), 64).as("est"))
+    val r = df.head()
+    assert(r.getSeq[Long](0).size === 40)
+    assert(r.getLong(1) === 40L)
+    // sorted ascending
+    val s = r.getSeq[Long](0)
+    assert(s === s.sorted)
+  }
+
+  test("estimator accuracy above k: within 3/sqrt(k) of truth at n=20000") {
+    val n = 20000L
+    val k = 256
+    val est = sketchOf(1L to n, k)
+      .select(KmvOps.estimate(col("s"), k)).head().getLong(0)
+    val rse = 3.0 / math.sqrt(k) // ~0.19
+    assert(math.abs(est.toDouble / n - 1.0) <= rse, s"est=$est n=$n")
+  }
+
+  test("sketch is partition-order invariant (merge law)") {
+    val ids = (1L to 5000L)
+    val a = ids.toDF("id").repartition(13)
+    val b = ids.reverse.toDF("id").repartition(3)
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(KmvOps.sha52(col("id")), 64))
+      .head().getSeq[Long](0)
+    assert(sk(a) === sk(b))
+  }
+
+  test("set algebra: disjoint sets add, identical sets intersect fully") {
+    val k = 64
+    val a = (1L to 150L).toDF("user_id")
+    val b = (101L to 250L).toDF("user_id") // overlap 50
+    val r = KmvOps.setOps(a, b, "user_id", k).head()
+    val (ea, eb, eu, ei) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // estimates of 150-element sets with k=64: within ~40% w.h.p.
+    assert(math.abs(ea - 150.0) / 150 < 0.4 && math.abs(eb - 150.0) / 150 < 0.4)
+    assert(math.abs(eu - 250.0) / 250 < 0.4)
+    assert(ei >= 0 && ei < 150) // intersection is 50; loose sanity + bounds
+    // identical sets: intersection == union == set estimate
+    val same = KmvOps.setOps(a, a, "user_id", k).head()
+    assert(same.getLong(0) === same.getLong(2))
+    assert(same.getLong(0) === same.getLong(3))
+    // exact path: below-k sets are computed exactly
+    val sa = (1L to 30L).toDF("user_id")
+    val sb = (21L to 50L).toDF("user_id")
+    val ex = KmvOps.setOps(sa, sb, "user_id", k).head()
+    assert((ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3)) ===
+      ((30L, 30L, 50L, 10L)))
+  }
+
+  test("nulls are skipped, not hashed") {
+    val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(
+        KmvOps.sha52(col("id")), 8).as("s"))
+    assert(df.head().getSeq[Long](0).size === 2)
+  }
+}
