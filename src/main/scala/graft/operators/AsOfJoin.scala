@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * As-of join — the time-series lookup operator Spark has no native form
+ * of (every probe row is matched to the single reference row of the same
+ * key with the greatest time <= — or, strict, < — the probe time; e.g.
+ * "the latest price quote at each trade", "the most recent page view
+ * before each purchase").
+ *
+ * NOT executed as a join at all: the inequality-join formulation
+ * (`r.t <= p.t`) degenerates to a per-key cross product — O(|P|·|R|)
+ * comparisons per key. Instead probes and references UNION into one
+ * stream, ONE exchange hash-partitions it by key, and a carry-forward
+ * window (`last(ref, ignoreNulls)` over preceding rows, references
+ * sorted before/after equal-time probes per the inclusive flag) threads
+ * the latest reference to each probe in a single per-partition sort —
+ * O((|P|+|R|) log) and the only shuffle is the key partition. This is
+ * the shape kdb/Flink/QuestDB implement natively; here it is composed
+ * from Catalyst primitives so the optimizer sees ordinary operators.
+ *
+ * Determinism: references are pre-collapsed to one row per (key, time)
+ * — the lexicographically greatest value tuple wins — so ties cannot
+ * make the answer depend on partition order.
+ */
+object AsOfJoin {
+
+  /**
+   * @param probes    left side; all its columns pass through
+   * @param refs      reference side: keyCols ++ (timeCol) ++ valueCols
+   * @param keyCols   equi-join key
+   * @param timeCol   ordering column (numeric or timestamp), same name
+   *                  on both sides
+   * @param valueCols reference payload carried to the probe
+   * @param strict    false: match time <= probe time (inclusive);
+   *                  true: match time < probe time
+   * @param suffix    appended to carried reference column names
+   * @return probes plus `timeCol+suffix` and `valueCols.map(_+suffix)`
+   *         (nulls where no reference precedes — left-join semantics)
+   */
+  def asOf(
+      probes: DataFrame,
+      refs: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      strict: Boolean = false,
+      suffix: String = "_ref"): DataFrame = {
+    require(keyCols.nonEmpty, "asOf needs at least one key column")
+    val spark = probes.sparkSession
+
+    // one reference per (key, time): greatest value tuple wins (ties
+    // cannot depend on partition order)
+    val refSlim = refs
+      .groupBy((keyCols :+ timeCol).map(col): _*)
+      .agg(max(struct(valueCols.map(col): _*)).as("__rv"))
+      .select(keyCols.map(col) ++ Seq(
+        col(timeCol),
+        struct((col(timeCol).as(timeCol + suffix)) +:
+          valueCols.map(v => col("__rv").getField(v).as(v + suffix)): _*).as("__ref")): _*)
+
+    val refStructType = refSlim.schema("__ref").dataType
+    val probeStructType = probes.select(struct(probes.columns.map(col): _*)).schema.head.dataType
+
+    // inclusive: refs sort BEFORE equal-time probes (they are visible);
+    // strict: probes first (equal-time refs invisible)
+    val (refOrd, probeOrd) = if (strict) (1, 0) else (0, 1)
+
+    val refSide = refSlim.select(keyCols.map(col) ++ Seq(
+      col(timeCol).as("__t"), lit(refOrd).as("__ord"),
+      col("__ref"),
+      lit(null).cast(probeStructType).as("__p")): _*)
+    val probeSide = probes.select(keyCols.map(col) ++ Seq(
+      col(timeCol).as("__t"), lit(probeOrd).as("__ord"),
+      lit(null).cast(refStructType).as("__ref"),
+      struct(probes.columns.map(col): _*).as("__p")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    refSide.unionAll(probeSide)
+      .withColumn("__carried", last(col("__ref"), ignoreNulls = true).over(w))
+      .where(col("__p").isNotNull)
+      .select(col("__p.*") +:
+        ((timeCol + suffix) +: valueCols.map(_ + suffix))
+          .map(f => col("__carried").getField(f).as(f)): _*)
+  }
+}

@@ -38,6 +38,37 @@ object EventQueries {
         sum(round(col("value") * 1000000.0).cast("long")).as("value_sum_micros"))
   }
 
+  /** As-of join: every purchase matched to the user's most recent
+   *  prior-or-equal view (the time-series lookup DuckDB runs natively as
+   *  ASOF JOIN and graft composes scale-safe from a union + one keyed
+   *  carry-forward window — see `graft.operators.AsOfJoin`). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val probes = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val refs = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("event_id").as("view_id"))
+    graft.operators.AsOfJoin.asOf(
+      probes, refs, keyCols = Seq("user_id"), timeCol = "us",
+      valueCols = Seq("view_id"))
+      .select(col("event_id"), col("user_id"), col("view_id_ref"),
+        (col("us") - col("us_ref")).as("gap_us"))
+  }
+
+  val AsofJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS us, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, epoch_us(ts)
+      |), p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, v.view_id AS view_id_ref,
+      |       p.us - v.us AS gap_us
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin
+
   val SessionizeSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

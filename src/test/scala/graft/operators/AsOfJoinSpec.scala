@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val refs = Seq(
+    (1L, 10L, 100L), // user 1: refs at t=10, 20
+    (1L, 20L, 200L),
+    (2L, 15L, 300L)
+  ).toDF("user", "t", "ref_id")
+
+  private val probes = Seq(
+    (1L, 5L, 900L),  // before any ref -> null
+    (1L, 10L, 901L), // equal time: inclusive matches 100, strict does not
+    (1L, 25L, 902L), // after both -> 200
+    (2L, 15L, 903L),
+    (3L, 99L, 904L)  // keyless user -> null
+  ).toDF("user", "t", "probe_id")
+
+  test("inclusive as-of: greatest ref time <= probe time; left semantics") {
+    val out = AsOfJoin.asOf(probes, refs, Seq("user"), "t", Seq("ref_id"))
+      .select(col("probe_id"), col("t_ref"), col("ref_id_ref"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out === Set(
+      (900L, None, None),
+      (901L, Some(10L), Some(100L)),
+      (902L, Some(20L), Some(200L)),
+      (903L, Some(15L), Some(300L)),
+      (904L, None, None)))
+  }
+
+  test("strict as-of: equal-time reference is invisible") {
+    val out = AsOfJoin.asOf(probes, refs, Seq("user"), "t", Seq("ref_id"),
+        strict = true)
+      .select(col("probe_id"), col("ref_id_ref"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(901L) === None)       // t=10 ref no longer visible at t=10
+    assert(out(902L) === Some(200L))
+  }
+
+  test("equal-time reference ties collapse deterministically (max tuple)") {
+    val dupRefs = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L))
+      .toDF("user", "t", "ref_id")
+    val p = Seq((1L, 11L, 1L)).toDF("user", "t", "probe_id")
+    val got = AsOfJoin.asOf(p, dupRefs, Seq("user"), "t", Seq("ref_id"))
+      .select("ref_id_ref").as[Long].head()
+    assert(got === 9L)
+  }
+
+  test("plan: one keyed exchange over the union, no cross product") {
+    val df = AsOfJoin.asOf(probes, refs, Seq("user"), "t", Seq("ref_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not degenerate to a cross product:\n$p")
+    // exchanges: the ref-dedup aggregate + the union window partition —
+    // never more (the probe side rides the window exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <= 2 keyed exchanges:\n$p")
+  }
+}
