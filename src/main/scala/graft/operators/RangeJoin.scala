@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval) join — match point rows to the intervals containing
+ * them (`start <= t <= end`, same key): "clicks inside a promo window",
+ * "reads overlapping a gene", "trades during a halt".
+ *
+ * Spark plans a raw inequality join as a per-key nested loop —
+ * O(|points|·|intervals|) per key. The scale shape here is BUCKETIZED:
+ * time is tiled into fixed `bucketWidth` cells; every interval explodes
+ * to the cells it overlaps (≈ length/bucketWidth + 1 rows — choose the
+ * width near the typical interval length so this stays ~2), every point
+ * maps to exactly ONE cell, and the match becomes an equi-join on
+ * (key, cell) plus a residual containment filter. One hash exchange per
+ * side, no nested loop, and a point can never match the same interval
+ * twice (it lives in one cell).
+ *
+ * Bucket ids use `(t - t mod w) / w` — exact integer arithmetic (a
+ * plain `floor(t / w)` on int64 microseconds can round across a cell
+ * boundary in double precision).
+ */
+object RangeJoin {
+
+  private def bucketOf(t: Column, w: Long): Column =
+    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+
+  /**
+   * @param points     point side; all columns pass through
+   * @param intervals  interval side: keyCols ++ startCol ++ endCol ++ payload
+   * @param keyCols    equi-join key
+   * @param timeCol    point time (int64; microseconds in this engine)
+   * @param startCol   interval start (inclusive)
+   * @param endCol     interval end (inclusive); must be >= start
+   * @param bucketWidth tile width in `timeCol` units
+   * @return inner-join rows: points.* ++ interval payload columns
+   */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val payload = intervals.columns
+      .filterNot(c => keyCols.contains(c)).toSeq
+
+    val tiled = intervals.withColumn("__cell",
+      explode(sequence(bucketOf(col(startCol), bucketWidth),
+        bucketOf(col(endCol), bucketWidth))))
+
+    points.withColumn("__cell", bucketOf(col(timeCol), bucketWidth))
+      .join(tiled, keyCols :+ "__cell")
+      .where(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
+      .drop("__cell")
+  }
+}

@@ -69,6 +69,44 @@ object EventQueries {
       |       p.us - v.us AS gap_us
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin
 
+  /** Range join: clicks inside the 2-hour window after any signup of the
+   *  same user (bucketized interval join — `graft.operators.RangeJoin`;
+   *  the oracle is the plain inequality join, which must agree row-set
+   *  for row-set). */
+  val PromoWindowUs: Long = 7200L * 1000000L
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val points = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val intervals = e.where(col("event_type") === "signup")
+      .select(col("user_id"), col("us").as("start_us"),
+        (col("us") + PromoWindowUs).as("end_us"),
+        col("event_id").as("promo_id"))
+    graft.operators.RangeJoin.rangeJoin(
+      points, intervals, keyCols = Seq("user_id"), timeCol = "us",
+      startCol = "start_us", endCol = "end_us",
+      bucketWidth = PromoWindowUs)
+      .select(col("event_id"), col("user_id"), col("promo_id"),
+        (col("us") - col("start_us")).as("offset_us"))
+  }
+
+  val RangeJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us
+       |  FROM events WHERE event_type = 'click'
+       |), i AS (
+       |  SELECT user_id, epoch_us(ts) AS start_us,
+       |         epoch_us(ts) + ${PromoWindowUs} AS end_us,
+       |         event_id AS promo_id
+       |  FROM events WHERE event_type = 'signup'
+       |)
+       |SELECT p.event_id, p.user_id, i.promo_id,
+       |       p.us - i.start_us AS offset_us
+       |FROM p JOIN i ON p.user_id = i.user_id
+       |             AND p.us >= i.start_us AND p.us <= i.end_us""".stripMargin
+
   val SessionizeSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

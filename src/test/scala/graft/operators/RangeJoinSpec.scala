@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val intervals = Seq(
+    (1L, 10L, 20L, 100L),  // user 1: [10,20]
+    (1L, 18L, 30L, 101L),  // overlapping [18,30]
+    (2L, 0L, 5L, 102L)
+  ).toDF("user", "s", "e", "iv_id")
+
+  private val points = Seq(
+    (1L, 9L, 900L),   // before both
+    (1L, 10L, 901L),  // start boundary of 100
+    (1L, 19L, 902L),  // inside BOTH -> two rows
+    (1L, 30L, 903L),  // end boundary of 101
+    (1L, 31L, 904L),  // after both
+    (2L, 3L, 905L),
+    (3L, 3L, 906L)    // keyless
+  ).toDF("user", "t", "p_id")
+
+  private def run(width: Long) = RangeJoin.rangeJoin(
+    points, intervals, Seq("user"), "t", "s", "e", bucketWidth = width)
+    .select(col("p_id"), col("iv_id"))
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val expected = Set(
+    (901L, 100L), (902L, 100L), (902L, 101L), (903L, 101L), (905L, 102L))
+
+  test("containment is inclusive on both ends; overlaps yield all matches") {
+    assert(run(width = 16L) === expected)
+  }
+
+  test("answer is bucket-width invariant (tiling is pure mechanism)") {
+    for (w <- Seq(1L, 3L, 7L, 100L)) assert(run(w) === expected, s"width=$w")
+  }
+
+  test("plan: equi-join on (key, cell), no nested-loop join") {
+    val df = RangeJoin.rangeJoin(
+      points, intervals, Seq("user"), "t", "s", "e", bucketWidth = 16L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$p")
+  }
+}
