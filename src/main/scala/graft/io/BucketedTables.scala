@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Bucketed-table layout for SHUFFLE-FREE repeated joins — the standard
+ * petabyte answer to "this join runs every day on the same key": pay the
+ * hash partition ONCE at write time (`bucketBy` + `sortBy` on the join
+ * key), and every later equi-join or aggregation on that key plans with
+ * zero Exchange on the bucketed side (Spark trusts the on-disk hash
+ * layout; with both sides bucketed to the same count, a sort-merge join
+ * needs neither shuffle nor sort).
+ *
+ * This is the Spark-native analog of pre-partitioning a corpus by
+ * document id so that dedup marks, cluster labels, quality scores and
+ * embeddings can be joined back repeatedly without ever re-shuffling
+ * the 100 TB text column.
+ */
+object BucketedTables {
+
+  /** Writes `df` as a parquet table bucketed+sorted on `keyCols` (the
+   *  table replaces any previous contents). */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty)
+    df.write
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Bucketed layout kills the join shuffle: the 100 TB repeated-join
+ *  story, pinned against the physical plan. */
+class BucketedTablesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("equi-join of two same-bucketed tables plans ZERO Exchange") {
+    val docs = (1L to 1000L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    val marks = (1L to 1000L).map(i => (i, i % 3 == 0)).toDF("doc_id", "is_dup")
+    BucketedTables.writeBucketed(docs, "graft_b_docs", 4, Seq("doc_id"))
+    BucketedTables.writeBucketed(marks, "graft_b_marks", 4, Seq("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("graft_b_docs")
+        .join(spark.table("graft_b_marks"), "doc_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join must reuse the on-disk hash layout:\n$p")
+      assert(joined.count() === 1000L)
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_b_docs").groupBy("doc_id").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_b_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_b_marks")
+    }
+  }
+}
