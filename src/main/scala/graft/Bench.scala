@@ -31,7 +31,13 @@ object Bench {
           failed += name
           System.err.println(s"BENCH FAILURE in $name: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries are self-contained: drop persisted/localCheckpoint blocks
+      // (corpus pipelines, CC rounds) so query K+1 is not timed under
+      // query K's block-manager pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> sec
     }
 
     // flagship: duplicate-marking throughput (rows/s) on the generated

@@ -273,5 +273,22 @@ object TextSketchExprs {
       case args => throw new IllegalArgumentException(
         s"graft_word_grams expects (text, n), got ${args.length} args")
     })
+    viaColumn("graft_normalize_url")(graft.pipeline.UrlDedup.normalizeUrl)
+    viaColumn("graft_sha52")(graft.sketch.KmvOps.sha52)
+    viaColumn("graft_shuffle_key")(graft.pipeline.GlobalShuffle.lcgKey)
+    // KMV bottom-k: aggregate (sketch array) + scalar estimator over it
+    ColumnBridge.registerExprFunction(spark, "graft_kmv", {
+      case Seq(h, k) =>
+        KmvSketchAgg(h, foldedInt(k, "graft_kmv", "k")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"graft_kmv expects (hash, k), got ${args.length} args")
+    })
+    ColumnBridge.registerExprFunction(spark, "graft_kmv_estimate", {
+      case Seq(s, k) =>
+        exprOf(graft.sketch.KmvOps.estimate(toColumn(s),
+          foldedInt(k, "graft_kmv_estimate", "k")))
+      case args => throw new IllegalArgumentException(
+        s"graft_kmv_estimate expects (sketch, k), got ${args.length} args")
+    })
   }
 }

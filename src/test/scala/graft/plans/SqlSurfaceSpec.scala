@@ -73,4 +73,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .select(TextSketchExprs.minhashSig(col("text"), 16, 3).as[Seq[Long]]).head()
     assert(sql === api && sql.length === 16)
   }
+
+  test("url/shuffle/kmv SQL surface agrees with the Column API and aggregates") {
+    assert(registered)
+    val urls = Seq((1L, "HTTPS://WWW.Ex.com/a/?utm_source=x&b=1"),
+      (2L, "ex.com/a?b=1"), (3L, "ex.com/other")).toDF("id", "url")
+    urls.createOrReplaceTempView("sql_surface_urls")
+    val viaSql = spark.sql(
+      """SELECT id, graft_normalize_url(url) AS n, graft_sha52(id) AS h,
+        |  graft_shuffle_key(id) AS sk FROM sql_surface_urls""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val viaCol = urls.select(col("id"),
+      graft.pipeline.UrlDedup.normalizeUrl(col("url")).as("n"),
+      graft.sketch.KmvOps.sha52(col("id")).as("h"),
+      graft.pipeline.GlobalShuffle.lcgKey(col("id")).as("sk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(viaSql.toSeq === viaCol.toSeq)
+    assert(viaSql(0)._2 === "ex.com/a?b=1" && viaSql(1)._2 === "ex.com/a?b=1")
+    // KMV aggregate + estimator through pure SQL: below-k set is exact
+    val est = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv(graft_sha52(id), 64), 64)
+        |FROM (SELECT explode(sequence(1, 40)) AS id)""".stripMargin)
+      .head().getLong(0)
+    assert(est === 40L)
+  }
 }
