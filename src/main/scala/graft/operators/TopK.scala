@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Top-k rows per group WITHOUT sorting whole groups: the naive
+ * `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` funnels every
+ * row of a group through ONE reducer — a hot group of 10^10 rows is a
+ * single-task sort. The scale shape (same correctness argument as
+ * `DatasetMix.approxQuotaGate`): a salted pre-gate takes the per-
+ * (group, salt-bucket) top-k first — any row in the global top-k of its
+ * group ranks <= k within its own bucket too, so no true result row is
+ * lost — then the exact window ranks the <= buckets*k survivors.
+ */
+object TopK {
+
+  /**
+   * @param df         input
+   * @param groupCols  grouping key
+   * @param sortExprs  total order WITHIN each group, directions included
+   *                   (e.g. `Seq(col("score").desc, col("id").asc)`);
+   *                   must be a total order for a well-defined answer
+   * @param saltCol    any column whose hash spreads a group's rows
+   *                   across gate buckets (a unique id is ideal)
+   * @param k          rows kept per group
+   * @param gateBuckets buckets per group in the pre-gate; 1 skips it
+   */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortExprs: Seq[Column],
+      saltCol: String,
+      k: Int,
+      gateBuckets: Int = 64): DataFrame = {
+    require(k >= 1 && gateBuckets >= 1)
+    val gated = if (gateBuckets > 1) {
+      val salt = pmod(xxhash64(col(saltCol)), lit(gateBuckets.toLong))
+      val gw = Window.partitionBy((groupCols.map(col) :+ salt): _*)
+        .orderBy(sortExprs: _*)
+      df.withColumn("__gate_rk", row_number().over(gw))
+        .where(col("__gate_rk") <= k).drop("__gate_rk")
+    } else df
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortExprs: _*)
+    gated.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -129,4 +129,28 @@ object DatasetMix {
     val bucket = splitBucket(seed, keyCols.map(col): _*)
     (df.where(bucket >= testPerMille), df.where(bucket < testPerMille))
   }
+
+  /**
+   * Weighted Bernoulli (Poisson) sampling with NO job-time RNG: row kept
+   * iff `lehmerKey(key) <= P * min(1, weight_ppm/10^6)` — each row's
+   * inclusion is an exact integer compare on a deterministic permutation
+   * of its own key, so the sample is reproducible from keys alone,
+   * map-side only (zero shuffles), and any engine can replay it. This is
+   * how per-source mixing weights (e.g. "sample Common Crawl at 0.31,
+   * books at 1.9 epochs" — the GPT-3 recipe's fractional-epoch weights,
+   * capped at 1 here) are applied to a 10^12-row corpus: a filter, not a
+   * sort.
+   *
+   * `weightPpm` is inclusion probability in parts-per-million (int64
+   * column or literal), clamped to [0, 10^6].
+   */
+  def weightedBernoulliSample(
+      df: DataFrame, keyCol: String, weightPpm: Column): DataFrame = {
+    val p = graft.pipeline.GlobalShuffle.LcgMod
+    val w = greatest(lit(0L), least(lit(1000000L), weightPpm))
+    // threshold = floor(P * w / 10^6) exactly (P*10^6 ~ 2.1e15 < 2^63)
+    val threshold = (lit(p) * w - pmod(lit(p) * w, lit(1000000L))) / lit(1000000L)
+    df.where(graft.pipeline.GlobalShuffle.lcgKey(col(keyCol)) <=
+      threshold.cast("long"))
+  }
 }

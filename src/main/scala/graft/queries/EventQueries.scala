@@ -69,6 +69,28 @@ object EventQueries {
       |       p.us - v.us AS gap_us
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us""".stripMargin
 
+  /** Top-3 events per type by value — through the salted-gate TopK
+   *  operator (no reducer ever sorts a whole event type), ranked output
+   *  proven identical to the plain global window the oracle runs. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 1000000.0).cast("long").as("value_micros"))
+    graft.operators.TopK.perGroup(e, Seq("event_type"),
+      Seq(col("value_micros").desc, col("event_id").asc),
+      saltCol = "event_id", k = 3)
+  }
+
+  val TopkPerGroupSql: String =
+    """SELECT event_type, event_id, value_micros, CAST(rk AS INT) AS rank
+      |FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS value_micros,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(round(value * 1000000.0) AS BIGINT) DESC,
+      |                                event_id) AS rk
+      |  FROM events
+      |) WHERE rk <= 3""".stripMargin
+
   /** Range join: clicks inside the 2-hour window after any signup of the
    *  same user (bucketized interval join — `graft.operators.RangeJoin`;
    *  the oracle is the plain inequality join, which must agree row-set

@@ -254,6 +254,28 @@ object MixQueries {
       |LEFT JOIN dgc USING (doc_id)
       |LEFT JOIN covc USING (doc_id)""".stripMargin
 
+  /** Per-source mixing weights applied as deterministic weighted
+   *  Bernoulli sampling (zero shuffles, zero RNG — inclusion is an
+   *  integer compare on a Lehmer permutation of doc_id; the oracle
+   *  replays it exactly). Weight ramps with the source index, so every
+   *  weight bracket is exercised including the keep-all cap. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val wPpm = (substring(col("source"), 4, 10).cast("long") + 1L) * 50000L
+    graft.pipeline.DatasetMix.weightedBernoulliSample(d, "doc_id", wPpm)
+  }
+
+  val WeightedSampleSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    (CAST(substr(source, 4) AS BIGINT) + 1) * 50000 AS w0,
+      |    ((doc_id % 2147483647) + 1) * 48271 % 2147483647 AS h1
+      |  FROM documents
+      |)
+      |WHERE h1 * 48271 % 2147483647
+      |      <= (2147483647 * least(1000000, greatest(0, w0))) // 1000000""".stripMargin
+
   /** ExactSubstr-style duplicated-span removal over a corpus with
    *  planted partial copies: every doc_id % 7 == 0 document reappears
    *  under id + DupOffset with a 2-token prefix — its grams duplicate

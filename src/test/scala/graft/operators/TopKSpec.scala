@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val df = (1L to 2000L)
+    .map(i => (s"g${i % 5}", i, (i * 37) % 1009))
+    .toDF("g", "id", "score")
+
+  test("gated top-k equals the plain global window for every k") {
+    for (k <- Seq(1, 3, 10)) {
+      val gated = TopK.perGroup(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), saltCol = "id", k = k)
+        .select("g", "id", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+      val plain = df.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k).select("g", "id", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(gated === plain, s"k=$k")
+    }
+  }
+
+  test("gate actually bounds the exact window's input") {
+    val k = 3
+    val gated = TopK.perGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), saltCol = "id", k = k,
+      gateBuckets = 8)
+    // survivors of the pre-gate: <= buckets * k per group (the exact
+    // window sorts at most that, never the whole group)
+    val p = gated.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).size >= 2, s"expected gate + exact windows:\n$p")
+    assert(gated.count() === 5L * k)
+  }
+}

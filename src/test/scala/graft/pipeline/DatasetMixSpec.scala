@@ -101,4 +101,27 @@ class DatasetMixSpec extends SparkSpecBase {
       assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
     }
   }
+
+  test("weighted Bernoulli sample: deterministic, monotone in weight, exact caps") {
+    import spark.implicits._
+    val df = spark.range(1, 20001).toDF("id")
+    def kept(ppm: Long) =
+      DatasetMix.weightedBernoulliSample(df, "id", lit(ppm))
+        .count()
+    assert(kept(0L) === 0L)
+    assert(kept(1000000L) === 20000L)       // cap: keep-all
+    assert(kept(2000000L) === 20000L)       // clamped above the cap
+    val half = kept(500000L)
+    assert(math.abs(half - 10000.0) / 10000 < 0.05, s"half=$half")
+    // monotone: a heavier weight keeps a superset
+    val a = DatasetMix.weightedBernoulliSample(df, "id", lit(300000L))
+      .select("id").as[Long].collect().toSet
+    val b = DatasetMix.weightedBernoulliSample(df, "id", lit(600000L))
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(b))
+    // reproducible
+    val a2 = DatasetMix.weightedBernoulliSample(df, "id", lit(300000L))
+      .select("id").as[Long].collect().toSet
+    assert(a === a2)
+  }
 }
