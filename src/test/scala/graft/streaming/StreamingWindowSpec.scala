@@ -53,4 +53,41 @@ class StreamingWindowSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](TableSource.requireRepoShape(bad))
     assert(e.getMessage.contains("missing/mistyped"))
   }
+
+  test("mergeable sketches compose with streaming windows: HLL + KMV per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // (epoch-second, user) events over two 10s windows; distinct users
+    // per window via the HLL UDAF and the KMV native agg — the mergeable
+    // state machinery must hold under incremental micro-batch execution
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("sec", "user")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val agg = stream.groupBy(window(col("ts"), "10 seconds"))
+      .agg(graft.sketch.GraftFunctions.hllSketchLong(col("user"), 12).as("hll_sk"),
+        graft.plans.GraftExpressions.kmvSketchAgg(
+          graft.sketch.KmvOps.sha52(col("user")), 64).as("kmv_sk"))
+    val q = agg.writeStream.format("memory").queryName("sk_win")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L), (2L, 2L), (3L, 1L), (11L, 7L))
+      q.processAllAvailable()
+      input.addData((4L, 3L), (12L, 8L), (13L, 7L))
+      q.processAllAvailable()
+      val rows = spark.table("sk_win")
+        .selectExpr("window.start", "hll_sk", "kmv_sk")
+        .collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+          graft.sketch.HllSketch.deserialize(r.getAs[Array[Byte]](1)).estimate,
+          r.getSeq[Long](2).size))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last }.toMap
+      // window [0,10): users {1,2,3}; window [10,20): users {7,8}
+      assert(rows(0L)._2 === 3L)
+      assert(rows(10L)._2 === 2L)
+      assert(rows(0L)._3 === 3)   // KMV below k holds every distinct value
+      assert(rows(10L)._3 === 2)
+    } finally q.stop()
+  }
 }
