@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC + control-char-strip normalization as a native codegen'd
+ *  expression (semantics in `graft.text.TextNormalize.nfcClean`). */
+case class NormalizeTextExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.text.TextNormalize.nfcClean(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.TextNormalize.nfcClean($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_normalize_text"
+}
+
+object NormalizeTextExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  def normalizeText(text: Column): Column =
+    toColumn(NormalizeTextExpr(exprOf(text)))
+}

@@ -274,6 +274,7 @@ object TextSketchExprs {
         s"graft_word_grams expects (text, n), got ${args.length} args")
     })
     viaColumn("graft_normalize_url")(graft.pipeline.UrlDedup.normalizeUrl)
+    one("graft_normalize_text")(NormalizeTextExpr(_))
     viaColumn("graft_sha52")(graft.sketch.KmvOps.sha52)
     viaColumn("graft_shuffle_key")(graft.pipeline.GlobalShuffle.lcgKey)
     // KMV bottom-k: aggregate (sketch array) + scalar estimator over it

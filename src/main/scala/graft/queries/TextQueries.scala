@@ -7,6 +7,32 @@ import graft.text.TextFunctions._
 /** Text-analysis queries over `documents` with exact DuckDB oracles. */
 object TextQueries {
 
+  /** Unicode NFC + control-strip normalization (the ingestion cleanup
+   *  that keeps dedup signatures and shingles from fragmenting on
+   *  byte-different equal-looking text) over a corpus planted with a
+   *  combining accent (e + U+0301 -> must compose to é) and control
+   *  characters (BEL, CR -> must vanish). Byte parity proven via sha256
+   *  of the normalized text. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(coalesce(col("text"), lit("")),
+      lit(" e\u0301 a\u0007b\rc")) // decomposed accent, BEL, CR
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id"),
+        graft.plans.NormalizeTextExpr.normalizeText(planted).as("n"))
+      .select(col("doc_id"), sha2(col("n"), 256).as("norm_sha"),
+        length(col("n")).cast("long").as("n_chars_norm"))
+  }
+
+  val TextNormalizeSql: String =
+    """SELECT doc_id, sha256(n) AS norm_sha, len(n) AS n_chars_norm FROM (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      nfc_normalize(coalesce(text, '')
+      |        || ' e' || chr(769) || ' a' || chr(7) || 'b' || chr(13) || 'c'),
+      |      '[\x00-\x08\x0b-\x1f\x7f]', '', 'g') AS n
+      |  FROM documents
+      |)""".stripMargin
+
   /** Token counting: whitespace + BPE-ish regex tokens (operator family:
    *  training-data token accounting). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

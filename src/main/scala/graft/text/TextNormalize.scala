@@ -1,0 +1,45 @@
+package graft.text
+
+import java.text.Normalizer
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Unicode text normalization for corpus ingestion (the C4/Dolma cleanup
+ * nobody can skip: the same visible string must produce the same bytes,
+ * or dedup signatures, shingles and token counts silently fragment):
+ * NFC canonical composition (é as one codepoint, not e + combining
+ * accent) followed by control-character removal (everything below 0x20
+ * except tab and newline, plus DEL 0x7F).
+ *
+ * Exposed as a native Catalyst expression
+ * (`graft.plans.NormalizeTextExpr` / SQL `graft_normalize_text`) — one
+ * static call inside whole-stage codegen, no ScalaUDF converter.
+ */
+object TextNormalize {
+
+  private def keep(c: Char): Boolean =
+    (c >= 0x20 && c != 0x7f) || c == '\n' || c == '\t'
+
+  def nfcClean(s: String): String = {
+    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+    var i = 0
+    var clean = true
+    while (clean && i < nfc.length) { clean = keep(nfc.charAt(i)); i += 1 }
+    if (clean) nfc
+    else {
+      val b = new java.lang.StringBuilder(nfc.length)
+      var j = 0
+      while (j < nfc.length) {
+        val c = nfc.charAt(j)
+        if (keep(c)) b.append(c)
+        j += 1
+      }
+      b.toString
+    }
+  }
+
+  /** Codegen entry point (null in, null out). */
+  def nfcClean(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(nfcClean(s.toString))
+}

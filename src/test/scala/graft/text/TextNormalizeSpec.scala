@@ -1,0 +1,31 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextNormalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("NFC composes, controls stripped, tab/newline kept, null passes") {
+    assert(TextNormalize.nfcClean("é") === "é") // e + acute -> é
+    assert(TextNormalize.nfcClean("abc\rd") === "abcd")
+    assert(TextNormalize.nfcClean("a\tb\nc") === "a\tb\nc")
+    assert(TextNormalize.nfcClean("plain ascii") === "plain ascii")
+    val out = Seq(("é x", 1), (null.asInstanceOf[String], 2))
+      .toDF("t", "i")
+      .select(graft.plans.NormalizeTextExpr.normalizeText(col("t")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some("\u00e9 x"), None))
+  }
+
+  test("expression compiles under codegen (no interpreted fallback)") {
+    val df = spark.range(100).toDF("id")
+      .select(graft.plans.NormalizeTextExpr.normalizeText(
+        concat(lit("vé"), col("id").cast("string"))).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // * = inside WholeStageCodegen
+    val vals = df.collect().map(_.getString(0))
+    assert(vals.forall(_.startsWith("v\u00e9")))
+    assert(vals.distinct.length === 100)
+  }
+}
