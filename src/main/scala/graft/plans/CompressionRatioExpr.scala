@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deflate-ratio quality signal (ppm) as a native codegen'd expression
+ *  (semantics in `graft.text.CompressionSignal.deflatePpm`). */
+case class CompressionRatioExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.text.CompressionSignal.deflatePpm(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.CompressionSignal.deflatePpm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_deflate_ppm"
+}
+
+object CompressionRatioExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  def deflatePpm(text: Column): Column =
+    toColumn(CompressionRatioExpr(exprOf(text)))
+}

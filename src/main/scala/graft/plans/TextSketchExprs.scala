@@ -275,6 +275,7 @@ object TextSketchExprs {
     })
     viaColumn("graft_normalize_url")(graft.pipeline.UrlDedup.normalizeUrl)
     one("graft_normalize_text")(NormalizeTextExpr(_))
+    one("graft_deflate_ppm")(CompressionRatioExpr(_))
     viaColumn("graft_sha52")(graft.sketch.KmvOps.sha52)
     viaColumn("graft_shuffle_key")(graft.pipeline.GlobalShuffle.lcgKey)
     // KMV bottom-k: aggregate (sketch array) + scalar estimator over it

@@ -1,0 +1,43 @@
+package graft.text
+
+import java.util.zip.Deflater
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Compression-ratio quality signal (the Dolma/RedPajama heuristic:
+ * machine-generated or template text deflates far below natural prose,
+ * random noise barely deflates at all — both tails get filtered):
+ * `deflate_ppm = deflated_bytes * 10^6 / raw_bytes` of the UTF-8 text,
+ * zlib level 6.
+ *
+ * Map-only per-row work (no shuffle anywhere); exposed as the native
+ * codegen'd `plans.CompressionRatioExpr` / SQL `graft_deflate_ppm`. No
+ * DuckDB oracle — deflate output is zlib-build-specific — so the
+ * contract is pinned by property tests (repetition < prose < noise,
+ * monotonicity, bounds) rather than golden bytes.
+ */
+object CompressionSignal {
+
+  private val deflaters = ThreadLocal.withInitial[Deflater](() =>
+    new Deflater(Deflater.DEFAULT_COMPRESSION, false))
+
+  /** Parts-per-million deflated size; 10^6 for empty text (nothing to
+   *  compress — callers filter on the tails, and empty is "keep for the
+   *  length filter to handle", same convention as `LmQuality`). */
+  def deflatePpm(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 1000000L
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out * 1000000L / bytes.length
+  }
+
+  /** Codegen entry point (null in, -1 out is never produced: null maps
+   *  to null at the expression layer). */
+  def deflatePpm(s: UTF8String): Long = deflatePpm(s.getBytes)
+}

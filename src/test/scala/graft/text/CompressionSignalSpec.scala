@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CompressionSignalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ordering: repetitive << prose << noise; bounds hold") {
+    val rep = "the same line again. " * 200
+    val prose = (1 to 200).map(i =>
+      s"sentence $i talks about topic ${i % 17} in plain words").mkString(". ")
+    // deterministic pseudo-noise (no RNG): chained 64-bit LCG, top bits
+    var s = 0x123456789abcdefL
+    val noise = (1 to 4000).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (java.lang.Long.remainderUnsigned(s >>> 16, 94L) + 33).toChar
+    }.mkString
+    val r = CompressionSignal.deflatePpm(rep.getBytes("UTF-8"))
+    val p = CompressionSignal.deflatePpm(prose.getBytes("UTF-8"))
+    val n = CompressionSignal.deflatePpm(noise.getBytes("UTF-8"))
+    assert(r < p && p < n, s"rep=$r prose=$p noise=$n")
+    assert(r > 0 && n < 1200000L) // deflate overhead can exceed 1.0 slightly
+    assert(CompressionSignal.deflatePpm(Array.emptyByteArray) === 1000000L)
+  }
+
+  test("expression: null-safe, deterministic, codegen'd, SQL-registered") {
+    val df = Seq(("aaaa" * 100, 1), (null.asInstanceOf[String], 2)).toDF("t", "i")
+    val out = df.select(graft.plans.CompressionRatioExpr.deflatePpm(col("t")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0).exists(v => v > 0 && v < 200000L)) // highly compressible
+    assert(out(1).isEmpty)
+    // same value on repeat evaluation (thread-local deflater reset)
+    val out2 = df.select(graft.plans.CompressionRatioExpr.deflatePpm(col("t")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq === out2.toSeq)
+    graft.sketch.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("deflate_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_ppm(t) FROM deflate_docs WHERE t IS NOT NULL")
+      .head().getLong(0)
+    assert(Some(viaSql) === out(0))
+  }
+}
