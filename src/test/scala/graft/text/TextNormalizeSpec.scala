@@ -8,10 +8,10 @@ class TextNormalizeSpec extends SparkSpecBase {
 
   test("NFC composes, controls stripped, tab/newline kept, null passes") {
     assert(TextNormalize.nfcClean("é") === "é") // e + acute -> é
-    assert(TextNormalize.nfcClean("abc\rd") === "abcd")
+    assert(TextNormalize.nfcClean("ab\u0007c\rd") === "abcd")
     assert(TextNormalize.nfcClean("a\tb\nc") === "a\tb\nc")
     assert(TextNormalize.nfcClean("plain ascii") === "plain ascii")
-    val out = Seq(("é x", 1), (null.asInstanceOf[String], 2))
+    val out = Seq(("é x\u0007", 1), (null.asInstanceOf[String], 2))
       .toDF("t", "i")
       .select(graft.plans.NormalizeTextExpr.normalizeText(col("t")))
       .collect().map(r => Option(r.getString(0)))
