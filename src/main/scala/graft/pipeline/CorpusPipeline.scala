@@ -8,7 +8,7 @@ import graft.dedup.{DedupConfig, MarkDuplicates}
  * End-to-end training-corpus cleaning: the standard published recipe
  * (C4/Gopher/Dolma-style) as ONE composed, lazy Catalyst plan —
  *
- *   URL dedup -> PII scrub -> quality filter -> language filter ->
+ *   URL dedup -> PII scrub -> C4 line clean -> quality filter -> language filter ->
  *   LM-quality gate -> exact dedup -> MinHash near-dedup ->
  *   duplicated-span removal -> benchmark decontamination ->
  *   per-stratum quota
@@ -50,6 +50,11 @@ object CorpusPipeline {
       // Some(urlCol): first-seen-wins URL dedup before any content work
       urlDedupCol: Option[String] = None,
       scrubPii: Boolean = true,
+      // C4 line-level cut (terminal punct / >=5 words / no javascript;
+      // lorem-ipsum / brace / empty pages dropped) before doc scoring
+      lineClean: Boolean = false,
+      lineCleanMinWords: Int = 5,
+      lineCleanMinKeptLines: Int = 2,
       minQuality: Option[Int] = None,
       langAllow: Option[Seq[String]] = None,
       langCol: String = "lang",
@@ -79,6 +84,15 @@ object CorpusPipeline {
     }
     if (scrubPii)
       df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
+    if (lineClean)
+      // line cut before doc-level scoring (C4 order): quality/lang/LM
+      // see the text that would actually be trained on. Still pure
+      // map-side — fuses into the same codegen span as the scrub.
+      df = graft.text.LineClean
+        .clean(df, textCol, lineCleanMinWords, lineCleanMinKeptLines)
+        .where(col("page_kept"))
+        .drop(textCol, "n_lines_total", "n_lines_kept", "page_kept")
+        .withColumnRenamed("clean_text", textCol)
     minQuality.foreach { q =>
       df = df.where(graft.text.TextFunctions.qualityScore(col(textCol)) >= q)
     }

@@ -355,6 +355,49 @@ object SimQueries {
     s"""SELECT vec_id AS id_a, vec_id + ${DedupQueries.DupOffset} AS id_b
        |FROM embeddings WHERE vec_id % 3 = 0""".stripMargin
 
+  /** TF-IDF weighted shingle-cosine pairs over the natural corpus (no
+   *  planting needed — unlike est_jaccard, the tf-idf cosine is exactly
+   *  SQL-computable, so the oracle enumerates the full >= 0.5 pair set
+   *  independently, integer weights making the compare bit-exact). */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.similarPairs(
+      DedupQueries.docs(spark, dir), "doc_id", "text",
+      shingleSize = 3, maxDf = 1000, minCosMicro = 500000L)
+
+  val TfidfPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS id,
+      |    unnest([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |        FROM documents
+      |        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3)
+      |), tf AS (
+      |  SELECT g, id, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY g, id
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |terms AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g
+      |  HAVING count(*) BETWEEN 2 AND 1000
+      |     AND count(*) < (SELECT nd FROM n)
+      |),
+      |w AS (
+      |  SELECT tf.g, tf.id,
+      |    tf.tf * CAST(round(ln((SELECT nd FROM n)/CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM tf JOIN terms USING (g)
+      |), dots AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.w*b.w) AS BIGINT) AS dot
+      |  FROM w a JOIN w b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY a.id, b.id
+      |), norms AS (
+      |  SELECT id, CAST(sum(w*w) AS BIGINT) AS n2 FROM w GROUP BY id
+      |)
+      |SELECT id_a, id_b, cos_micro FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(round(CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+      |  FROM dots JOIN norms na ON dots.id_a = na.id
+      |            JOIN norms nb ON dots.id_b = nb.id
+      |) WHERE cos_micro >= 500000""".stripMargin
+
   /** JSON scalar extraction (training pipelines routinely parse metadata
    *  JSON): props -> k as bigint, aggregated per event_type. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {

@@ -150,6 +150,148 @@ object TextQueries {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
       |)""".stripMargin
 
+  /** C4-style line-level cleaning over a planted multi-line corpus: each
+   *  document is rebuilt as 5 lines exercising every rule — a good
+   *  sentence line, a no-terminal-punct fragment, a javascript
+   *  boilerplate line (doc_id%3), a too-short "click here" line (odd
+   *  ids), and a lorem-ipsum / curly-brace page-killer line (%17/%19).
+   *  Byte parity of the cleaned text proven via sha256. */
+  def lineClean(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    val l1 = concat(array_join(slice(w, 1, 6), " "), lit("."))
+    val l2 = array_join(slice(w, 7, 3), " ")
+    val l3 = when(col("doc_id") % 3 === 0,
+      lit("please enable javascript to view this page."))
+      .otherwise(concat(array_join(slice(w, 10, 7), " "), lit("!")))
+    val l4 = when(col("doc_id") % 2 === 0,
+      concat(array_join(slice(w, 3, 5), " "), lit("?")))
+      .otherwise(lit("click here"))
+    val l5 = when(col("doc_id") % 17 === 0, lit("lorem ipsum dolor sit amet."))
+      .when(col("doc_id") % 19 === 0, lit("if (x) { return 1; }"))
+      .otherwise(concat(array_join(slice(w, 5, 6), " "), lit(".\"")))
+    val planted = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), concat_ws("\n", l1, l2, l3, l4, l5).as("t"))
+    graft.text.LineClean.clean(planted, "t")
+      .select(col("doc_id"), col("n_lines_total"), col("n_lines_kept"),
+        col("page_kept"), sha2(col("clean_text"), 256).as("clean_sha"))
+  }
+
+  val LineCleanSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS ws
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id,
+      |    array_to_string(ws[1:6], ' ') || '.' || chr(10) ||
+      |    array_to_string(ws[7:9], ' ') || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'please enable javascript to view this page.'
+      |         ELSE array_to_string(ws[10:16], ' ') || '!' END || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN array_to_string(ws[3:7], ' ') || '?'
+      |         ELSE 'click here' END || chr(10) ||
+      |    CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |         WHEN doc_id % 19 = 0 THEN 'if (x) { return 1; }'
+      |         ELSE array_to_string(ws[5:10], ' ') || '."' END AS t
+      |  FROM w
+      |), k AS (
+      |  SELECT doc_id, t,
+      |    list_filter(string_split(t, chr(10)), l ->
+      |      regexp_matches(trim(l), '[.!?"]$')
+      |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines_total,
+      |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+      |    AND len(kept) >= 2) AS page_kept,
+      |  sha256(array_to_string(kept, chr(10))) AS clean_sha
+      |FROM k""".stripMargin
+
+  // ---------- BPE tokenizer: distributed training + encoding ----------
+
+  val BpeMerges = 8
+
+  /** Distributed BPE merge-table training (Sennrich-style): T greedy
+   *  rounds of global weighted pair counting over the (word, count)
+   *  vocab. The oracle replays the identical T rounds as chained CTEs —
+   *  merge choice, tie-break and merge application (marker-string
+   *  replace) are all bit-exact across engines. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.BpeTrainer.train(
+      DedupQueries.docs(spark, dir), "text", BpeMerges)
+
+  val BpeTrainSql: String = {
+    val m1 = "chr(1)"
+    val m2 = "chr(2)"
+    val symsExpr = (s: String) =>
+      s"regexp_extract_all($s, $m1 || '([^' || $m2 || ']+)' || $m2, 1)"
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest([[syms[i], syms[i+1]] for i in generate_series(1, len(syms)-1)]) AS pr, cnt
+         |    FROM (SELECT ${symsExpr("s")} AS syms, cnt FROM $prev)
+         |  ) GROUP BY pr[1], pr[2]
+         |), b$k AS (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+         |), w$k AS (
+         |  SELECT replace(w.s, $m1 || b.l || $m2 || $m1 || b.r || $m2,
+         |                 $m1 || b.l || b.r || $m2) AS s, w.cnt
+         |  FROM $prev w, b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to BpeMerges)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, l || ' ' || r AS pair, cnt FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents WHERE trim(coalesce(text, '')) <> ''
+       |  ) GROUP BY word
+       |), w0 AS (
+       |  SELECT regexp_replace(word, '(.)', $m1 || '\\1' || $m2, 'g')
+       |           || $m1 || '</w>' || $m2 AS s, cnt
+       |  FROM wc
+       |),
+       |$rounds
+       |$finals""".stripMargin
+  }
+
+  /** Fixed merge table for the ENCODE query (engine-independent, so the
+   *  oracle needn't replay training): single source of truth for both
+   *  the Spark expression chain and the generated SQL. */
+  val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "</w>"), ("s", "c"), ("sc", "a"))
+
+  /** BPE encoding/token accounting under a fixed learned merge table:
+   *  per-document token count — map-side only, merge table folded into
+   *  the codegen'd expression as literals. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"),
+      graft.text.BpeTrainer.tokenCount(col("text"), BpeFixedMerges)
+        .cast("long").as("bpe_tokens"))
+
+  val BpeEncodeSql: String = {
+    val m1 = "chr(1)"
+    val m2 = "chr(2)"
+    val init = s"regexp_replace(w, '(.)', $m1 || '\\1' || $m2, 'g') || $m1 || '</w>' || $m2"
+    val chain = BpeFixedMerges.foldLeft(init) { case (s, (l, r)) =>
+      s"replace($s, $m1 || '$l' || $m2 || $m1 || '$r' || $m2, $m1 || '$l$r' || $m2)"
+    }
+    s"""SELECT doc_id,
+       |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+       |       ELSE CAST(list_sum(list_transform(
+       |         regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |         w -> len(regexp_extract_all($chain, $m1 || '([^' || $m2 || ']+)' || $m2, 1))))
+       |       AS BIGINT) END AS bpe_tokens
+       |FROM documents""".stripMargin
+  }
+
   /** Language-ID by stopword voting (prediction compared, not accuracy). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.docs(spark, dir).select(

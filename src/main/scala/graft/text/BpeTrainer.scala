@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+ * 2016) — the merge-table learner a training-data pipeline runs before
+ * token accounting. Industrial shape: the corpus collapses FIRST to a
+ * (word, count) vocabulary table (one slim shuffle of hashed words; at
+ * 10^12 rows the distinct vocab is ~10^8 — executor-sized, corpus-sized
+ * never again), then each of the T merge rounds is one distributed
+ * pair-count aggregation over the vocab plus a 1-ROW argmax collect —
+ * the driver holds only the merge table itself (T rows), exactly the
+ * state a real BPE trainer must centralize.
+ *
+ * Symbol sequences are represented as marker-delimited strings
+ * (U+0001 sym U+0002 per symbol) so that applying a merge is ONE
+ * codegen'd `replace`: the pattern U+0001 l U+0002 U+0001 r U+0002 has
+ * no shared characters between adjacent occurrences, so left-to-right
+ * non-overlapping `replace` merges every adjacent (l, r) pair in one
+ * pass — byte-identical to canonical greedy BPE merge application, and
+ * identical across engines (the DuckDB oracle replays the same
+ * replace). Precondition: input text is control-character-free —
+ * guaranteed downstream of `NormalizeTextExpr.normalizeText`, which
+ * strips \x00-\x08 (so both markers) at ingestion.
+ *
+ * Ties in the pair argmax break deterministically on (count DESC,
+ * left ASC, right ASC) — binary string order, same in both engines for
+ * the ASCII symbols BPE produces here.
+ */
+object BpeTrainer {
+
+  private val M1 = "\u0001" // symbol-open marker
+  private val M2 = "\u0002" // symbol-close marker
+
+  /** (word, cnt) vocabulary: lowercased whitespace words of non-blank
+   *  docs — the ONE corpus-wide pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .where(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol string of a word: every char marker-wrapped, plus
+   *  the end-of-word symbol. "the" -> ⟨t⟩⟨h⟩⟨e⟩⟨</w>⟩ */
+  private def initSyms(word: Column): Column =
+    concat(regexp_replace(word, "(.)", M1 + "$1" + M2), lit(M1 + "</w>" + M2))
+
+  /** Adjacent symbol pairs of a marker string as (l, r) arrays-of-2.
+   *  Guarded for single-symbol words: Spark's sequence(1, 0) counts
+   *  DOWN, it is not empty. */
+  private def adjacentPairs(s: Column): Column = {
+    val syms = regexp_extract_all(s, lit(M1 + "([^" + M2 + "]+)" + M2), lit(1))
+    when(size(syms) < 2, typedLit(Seq.empty[Seq[String]]))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => array(element_at(syms, i), element_at(syms, i + 1))))
+  }
+
+  /**
+   * Learn `numMerges` BPE merges from the corpus. Returns the merge
+   * table: (rank 1-based, pair "l r", cnt) — `numMerges` rows, learned
+   * greedily by global weighted pair frequency.
+   *
+   * Per round: one explode+aggregate job over the vocab frame and a
+   * 1-row collect; the vocab frame is re-cached each round (its lineage
+   * would otherwise deepen by one `replace` per round — the same
+   * iterative-plan discipline as Clustering's localCheckpoint).
+   */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var vocab = wordCounts(docs, textCol)
+      .select(initSyms(col("word")).as("s"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top: Array[Row] = vocab
+        .select(explode(adjacentPairs(col("s"))).as("pr"), col("cnt"))
+        .select(element_at(col("pr"), 1).as("l"),
+          element_at(col("pr"), 2).as("r"), col("cnt"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, s"$l $r", c))
+        val next = vocab
+          .select(
+            replace(col("s"), lit(M1 + l + M2 + M1 + r + M2),
+              lit(M1 + l + r + M2)).as("s"),
+            col("cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the round before dropping the previous cache
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.result().toDF("rank", "pair", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("cnt"))
+  }
+
+  /**
+   * ENCODE with a learned merge table: token count per document under
+   * the trained tokenizer — the accounting number a data pipeline
+   * reports per shard. Applies the merges in rank order to each word
+   * (same marker-string replace — map-side only, merge table folded
+   * into the expression as literals), then counts symbols.
+   */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = split(lower(trim(coalesce(text, lit("")))), "\\s+")
+    val enc = transform(words, w => {
+      val s0 = concat(regexp_replace(w, "(.)", M1 + "$1" + M2), lit(M1 + "</w>" + M2))
+      val merged = merges.foldLeft(s0) { case (s, (l, r)) =>
+        replace(s, lit(M1 + l + M2 + M1 + r + M2), lit(M1 + l + r + M2))
+      }
+      size(regexp_extract_all(merged, lit(M1 + "([^" + M2 + "]+)" + M2), lit(1)))
+    })
+    when(trim(coalesce(text, lit(""))) === "", lit(0))
+      .otherwise(aggregate(enc, lit(0), (acc, x) => acc + x))
+  }
+}

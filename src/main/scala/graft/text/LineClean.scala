@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 — the public
+ * recipe): keep only lines that end in terminal punctuation and have at
+ * least `minWords` words and don't advertise disabled javascript; drop
+ * whole pages that contain "lorem ipsum" or a curly brace, or that
+ * retain fewer than `minKeptLines` lines after the line cut.
+ *
+ * This is the granularity BETWEEN the document-level quality score
+ * (TextFunctions.qualityScore) and the duplicated-span cut
+ * (SpanDedup): boilerplate navigation lines are removed from otherwise
+ * good pages instead of the page being scored down whole.
+ *
+ * Scale shape: pure map work — `split` / `filter` / `array_join` over
+ * each row, all codegen'd higher-order functions, zero shuffles and no
+ * UDFs. At 10^12 rows this fuses into the scan's WholeStageCodegen
+ * span like the other text stages (asserted in PlanAuditSpec).
+ *
+ * Analog in the reference: streammd's per-record route-and-filter step
+ * (/root/reference/src/markdups.cxx:62-83) — a record either survives
+ * cleaning into the output stream or is cut, decided row-locally.
+ */
+object LineClean {
+
+  /** Lines of `text` that survive the C4 line rules: terminal
+   *  punctuation (. ! ? ") after trim, >= minWords whitespace words,
+   *  and no "javascript" mention (case-insensitive). */
+  def keptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(coalesce(text, lit("")), "\n"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("javascript"))
+
+  /** Page-level C4 rules on the ORIGINAL text: no "lorem ipsum"
+   *  (case-insensitive), no '{' (code page marker). */
+  def pageRulesOk(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    !lower(t).contains("lorem ipsum") && !t.contains("{")
+  }
+
+  /**
+   * Apply the full line+page recipe: returns the input columns plus
+   *   clean_text     — kept lines re-joined with '\n'
+   *   n_lines_total  — lines before the cut
+   *   n_lines_kept   — lines after the cut
+   *   page_kept      — page survives (page rules AND >= minKeptLines)
+   * Rows are NOT filtered — callers that want the C4 behavior filter on
+   * `page_kept` (CorpusPipeline does); keeping the flag makes the
+   * decision auditable, like MarkDuplicates' mark-vs-remove split.
+   */
+  def clean(
+      df: DataFrame, textCol: String,
+      minWords: Int = 5, minKeptLines: Int = 2): DataFrame = {
+    val kept = keptLines(col(textCol), minWords)
+    df.withColumn("__kept", kept)
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_total",
+        size(split(coalesce(col(textCol), lit("")), "\n")).cast("long"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .withColumn("page_kept",
+        pageRulesOk(col(textCol)) && size(col("__kept")) >= minKeptLines)
+      .drop("__kept")
+  }
+}

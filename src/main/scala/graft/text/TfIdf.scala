@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Decontaminate.wordGrams
+
+/**
+ * TF-IDF weighted lexical similarity over word-shingle terms — the
+ * WEIGHTED complement to the set-based near-dup family (MinHash
+ * estimates Jaccard, SimHash cosine-of-hash-votes; this computes the
+ * exact tf-idf cosine). Used in corpus curation for "find documents
+ * lexically close to X" and as the exact confirm stage over LSH
+ * candidates when the dedup policy is weighted-cosine, not Jaccard.
+ *
+ * Determinism across engines is by construction: all weights are
+ * INTEGERS (w = tf * round(ln(N/df) * 1e6)), so the dot product and
+ * norms are exact 64-bit sums (order-independent — float summation
+ * order varies with partitioning, integer summation doesn't), and the
+ * only float ops are the final sqrt/divide/round on exact integer
+ * inputs — IEEE-correctly-rounded, hence bit-identical in any engine.
+ *
+ * Scale shape (the self-join is the classic all-pairs bomb; every
+ * guard here is part of the DEFINITION so the oracle replays it):
+ *  - terms with df < 2 can't produce a pair — dropped (cuts the long
+ *    tail of the posting table, typically most of it);
+ *  - terms with df > maxDf are stop-grams — dropped (caps the
+ *    per-term join fan-out at maxDf^2, same discipline as the LSH
+ *    hot-bucket and winnow docFreq caps);
+ *  - postings shuffle as slim (term-hash, id, w) long triples — the
+ *    shingle STRING never crosses an exchange (hashed map-side);
+ *  - df-filter, posting join and pair aggregation are all keyed by
+ *    term then (id_a, id_b) — two slim exchanges; norms join back on
+ *    id only after pairs are aggregated.
+ */
+object TfIdf {
+
+  /** Integer idf weight in micro-nats: round(ln(nDocs/df) * 1e6). */
+  private def idfMicro(nDocs: Long, df: Column): Column =
+    round(log(lit(nDocs.toDouble) / df.cast("double")) * 1e6).cast("long")
+
+  /**
+   * Slim weighted postings: (id, term = xxhash64(shingle), w) for terms
+   * with 2 <= df <= maxDf, plus the per-doc squared norm table
+   * (id, norm2) over those same terms.
+   */
+  def postings(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDf: Int, nDocs: Long): (DataFrame, DataFrame) = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(wordGrams(col(textCol), shingleSize)).as("__g"))
+      .select(col("id"), xxhash64(col("__g")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    // df over the tf table (already one row per (term, doc)); the
+    // groupBy(term) reuses the (term, id) exchange's term keying
+    // df = N terms carry zero idf — no discriminative weight AND a
+    // zero-norm hazard (a doc whose every term has idf 0 would divide
+    // by zero in the cosine); excluded by definition, oracle replays
+    val terms = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf && col("df") < nDocs)
+      .select(col("term"), idfMicro(nDocs, col("df")).as("idf_micro"))
+    val weighted = tf.join(terms, Seq("term"))
+      .select(col("term"), col("id"), (col("tf") * col("idf_micro")).as("w"))
+    val norms = weighted.groupBy(col("id"))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    (weighted, norms)
+  }
+
+  /**
+   * All unordered pairs (id_a < id_b) whose tf-idf shingle cosine is
+   * >= minCosMicro / 1e6, with the cosine in exact micro units:
+   * (id_a, id_b, cos_micro).
+   */
+  def similarPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxDf: Int = 1000,
+      minCosMicro: Long = 500000L): DataFrame = {
+    // metadata-cheap count; the definition's N (idf scale) — computed
+    // once, not per row
+    val nDocs = docs.count()
+    val (weighted, norms) = postings(docs, idCol, textCol, shingleSize, maxDf, nDocs)
+    val a = weighted.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
+    val b = weighted.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
+    val dots = a.join(b, Seq("term"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("n_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))) * 1e6)
+          .cast("long").as("cos_micro"))
+      .where(col("cos_micro") >= minCosMicro)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LineCleanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cleanOne(text: String): (String, Long, Long, Boolean) = {
+    val r = LineClean.clean(Seq((1L, text)).toDF("id", "t"), "t").head()
+    (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines_total"),
+      r.getAs[Long]("n_lines_kept"), r.getAs[Boolean]("page_kept"))
+  }
+
+  test("keeps only terminal-punct lines with >= 5 words") {
+    val (clean, total, kept, ok) = cleanOne(
+      "this is a good sentence here.\nshort line.\nno terminal punct at all\n" +
+        "another fine sentence right here!\nis this a question line?")
+    assert(total === 5)
+    assert(kept === 3)
+    assert(ok)
+    assert(clean === "this is a good sentence here.\n" +
+      "another fine sentence right here!\nis this a question line?")
+  }
+
+  test("quote-terminated line is kept; javascript line is cut") {
+    val (clean, _, kept, _) = cleanOne(
+      "he said it was truly very \"fine.\"\n" +
+        "please enable JavaScript to view the comments powered here.")
+    assert(kept === 1)
+    assert(clean.startsWith("he said"))
+  }
+
+  test("lorem ipsum and curly brace kill the page") {
+    assert(!cleanOne("a good long sentence is here.\nLorem Ipsum dolor sit amet.")._4)
+    assert(!cleanOne("a good long sentence is here.\nif (x) { return; } and more good words here.")._4)
+  }
+
+  test("page needs minKeptLines survivors") {
+    // one good line only -> page dropped at default minKeptLines = 2
+    assert(!cleanOne("only one good sentence survives here.")._4)
+    assert(cleanOne("one good sentence survives right here.\nand then a second good one too.")._4)
+  }
+
+  test("null and empty text survive without error and are dropped") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "t")
+    val r = LineClean.clean(df, "t").select("n_lines_kept", "page_kept")
+      .collect()
+    assert(r.forall(x => x.getLong(0) === 0L && !x.getBoolean(1)))
+  }
+
+  test("plan is map-only: no shuffle, no ScalaUDF") {
+    val df = Seq((1L, "a.\nb.")).toDF("id", "t")
+    val plan = LineClean.clean(df, "t").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "line clean must not shuffle")
+    assert(!plan.contains("ScalaUDF"), "line clean must stay codegen'd")
+  }
+
+  test("CorpusPipeline lineClean stage drops pages and rewrites text") {
+    val docs = Seq(
+      (1L, "this is a good first sentence.\nthis is a good second sentence.", "en"),
+      (2L, "lorem ipsum dolor sit amet.\nperfectly fine sentence otherwise here.", "en"),
+      (3L, "no punct here at all\nclick here", "en")).toDF("doc_id", "text", "lang")
+    val out = graft.pipeline.CorpusPipeline.clean(
+      docs, scrubPii = false, lineClean = true, exactDedup = false,
+      materializeAtBranch = false)
+    val rows = out.select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L))
+    assert(rows.head.getString(1).endsWith("second sentence."))
+  }
+}

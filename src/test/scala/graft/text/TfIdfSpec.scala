@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon eta"),     // near-dup of 1
+    (3L, "one two three four five six seven"),
+    (4L, "totally different words entirely here now"),
+    (5L, "one two three four five six eight")       // near-dup of 3
+  ).toDF("id", "text")
+
+  test("identical docs reach cos_micro 1e6; near-dups land high; unrelated absent") {
+    val withCopy = docs.unionAll(Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text"))
+    val pairs = TfIdf.similarPairs(withCopy, "id", "text", minCosMicro = 100000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 100L)) === 1000000L)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 400000L)
+    assert(pairs.contains((3L, 5L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("df < 2, df > maxDf, and df = N terms contribute nothing") {
+    // shared shingle "x y z" in docs 1-3 is dropped at maxDf = 2 -> no pairs
+    val d = Seq((1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z g h i"), (4L, "p q r s t u")).toDF("id", "text")
+    assert(TfIdf.similarPairs(d, "id", "text", maxDf = 2, minCosMicro = 1L).count() === 0L)
+    // at maxDf = 3 the shared shingle (df 3 < N 4, idf > 0) pairs docs 1-3
+    assert(TfIdf.similarPairs(d, "id", "text", maxDf = 3, minCosMicro = 1L).count() === 3L)
+    // df = N terms are zero-idf: a corpus where EVERY doc shares every
+    // gram yields no pairs (and no divide-by-zero on the zero norms)
+    val same = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "text")
+    assert(TfIdf.similarPairs(same, "id", "text", minCosMicro = 1L).count() === 0L)
+  }
+
+  test("weights are integers and symmetric: cos(a,b) independent of row order") {
+    val shuffled = docs.orderBy(rand(42))
+    val a = TfIdf.similarPairs(docs, "id", "text", minCosMicro = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = TfIdf.similarPairs(shuffled, "id", "text", minCosMicro = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a === b)
+  }
+
+  test("plan: shingle strings never shuffle — postings exchange slim hashed terms") {
+    // AQE off for the audit: with it on, executedPlan is an opaque
+    // AdaptiveSparkPlanExec and the exchanges are invisible to collect
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = TfIdf.similarPairs(docs, "id", "text")
+      val shuffles = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { ex =>
+        val schema = ex.child.schema.map(f => (f.name, f.dataType.typeName)).toMap
+        assert(!schema.valuesIterator.contains("string"),
+          s"string column crosses an exchange: $schema")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
