@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExpressions
+import graft.sketch.{BloomSketch, BloomSizing}
+
+/**
+ * Snapshot-incremental deduplication: mark rows of a NEW batch whose
+ * content signature already exists in a PRIOR corpus snapshot — the
+ * daily-ingest shape of the reference's dedup mandate (streammd keeps
+ * one filter across its whole stream, `/root/reference/src/
+ * markdups.cxx:110-122`; a batch pipeline re-ingesting a 100 TB corpus
+ * nightly keeps the PRIOR snapshot's signature set instead and gates
+ * only the new arrivals against it).
+ *
+ * Scale shape — the prior corpus must NOT reshuffle per batch:
+ *  - the prior side enters as its signature column only (32 B/row; at
+ *    10^12 prior rows this is the persisted signature store the
+ *    checkpoint path already maintains, not a recompute);
+ *  - a Bloom sketch of the prior signatures (built in ONE pass with the
+ *    native no-Kryo-cap aggregate, or restored from
+ *    `CheckpointedSketch`) broadcasts to executors and gates the new
+ *    batch MAP-SIDE: rows whose signature misses the filter are
+ *    definitively novel and never shuffle;
+ *  - only the Bloom HITS (true dups + the p-bounded false positives —
+ *    a p + dup-rate fraction of the batch) enter the exact semi-join
+ *    that removes false positives, so the verdict is EXACT while the
+ *    shuffle carries only the candidate slice of the (slim) new-batch
+ *    signatures and the prior signature store.
+ *
+ * When `priorSigs` is empty the sketch is empty and every row gates out
+ * map-side — a first snapshot costs one scan, no joins.
+ */
+object IncrementalDedup {
+
+  /** Rows of `newBatch` + `is_prior_dup`: whether the row's sha256
+   *  content signature exists in `priorSigs` (exact — Bloom-gated then
+   *  confirmed). `priorSigs` must expose binary column `sigCol`. */
+  def markAgainstPrior(
+      newBatch: DataFrame, contentCol: String,
+      priorSigs: DataFrame, sigCol: String = "sig",
+      p: Double = 0.000001): DataFrame = {
+    val spark = newBatch.sparkSession
+    // one slim pass over the prior signature store: exact count sizes
+    // the filter, then the native aggregate builds it distributed
+    val nPrior = priorSigs.count()
+    val sketch =
+      if (nPrior == 0) BloomSketch(p, 1)
+      else {
+        val (m, k) = BloomSizing.mkMin(p, nPrior)
+        val bytes = priorSigs
+          .agg(GraftExpressions.bloomSketchAgg(col(sigCol), p, m, k, nPrior)
+            .as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        BloomSketch.deserialize(bytes)
+      }
+    val sigged = newBatch.withColumn("__sig",
+      unhex(sha2(col(contentCol), 256)))
+    val gated = sigged.withColumn("__hit",
+      GraftExpressions.bloomContains(sketch, col("__sig")))
+    // exact confirm for the hit slice only; misses are novel by the
+    // filter's no-false-negative guarantee
+    val confirmed = gated.where(col("__hit"))
+      .select(col("__sig"))
+      .join(priorSigs.select(col(sigCol).as("__sig")), Seq("__sig"), "left_semi")
+      .distinct()
+      .withColumn("__confirmed", lit(true))
+    gated
+      .join(confirmed, Seq("__sig"), "left_outer")
+      .withColumn("is_prior_dup", coalesce(col("__confirmed"), lit(false)))
+      .drop("__sig", "__hit", "__confirmed")
+  }
+}

@@ -53,6 +53,25 @@ object MixQueries {
    *  13-gram overlap when the doc has >= 13 tokens — both engines
    *  compute the same gram relation, so shorter docs stay consistent
    *  too). Flags exactly the contaminated rows. */
+  /** Snapshot-incremental dedup: the %4 == 0 documents stand in for the
+   *  PRIOR corpus snapshot's signature store; the whole table is the new
+   *  batch. Exact verdict (Bloom gate + confirm) — the oracle is a plain
+   *  signature semi-join. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val priorSigs = d.where(col("doc_id") % 4 === 0)
+      .select(unhex(sha2(col("text"), 256)).as("sig"))
+    graft.pipeline.IncrementalDedup
+      .markAgainstPrior(d, "text", priorSigs)
+      .select(col("doc_id"), col("is_prior_dup"))
+  }
+
+  val IncrementalDedupSql: String =
+    """SELECT d.doc_id, (h.h IS NOT NULL) AS is_prior_dup
+      |FROM documents d LEFT JOIN (
+      |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 = 0
+      |) h ON sha256(d.text) = h.h""".stripMargin
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Decontaminate
     val d = DedupQueries.docs(spark, dir)

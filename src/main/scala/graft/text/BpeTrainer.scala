@@ -74,6 +74,10 @@ object BpeTrainer {
     var vocab = wordCounts(docs, textCol)
       .select(initSyms(col("word")).as("s"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // previous round's cache: dropped only AFTER the argmax job has
+    // materialized the current round's cache on top of it — one job per
+    // round instead of argmax + an extra count() materialization
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, Long)]
     var rank = 1
     var exhausted = false
@@ -87,23 +91,22 @@ object BpeTrainer {
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
+      prev.foreach(_.unpersist())
+      prev = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, s"$l $r", c))
-        val next = vocab
+        vocab = vocab
           .select(
             replace(col("s"), lit(M1 + l + M2 + M1 + r + M2),
               lit(M1 + l + r + M2)).as("s"),
             col("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // materialize the round before dropping the previous cache
-        next.count()
-        vocab.unpersist()
-        vocab = next
         rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     vocab.unpersist()
     import spark.implicits._
     merges.result().toDF("rank", "pair", "cnt")

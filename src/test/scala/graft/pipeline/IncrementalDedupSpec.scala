@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sigsOf(texts: Seq[String]) =
+    texts.toDF("t").select(unhex(sha2(col("t"), 256)).as("sig"))
+
+  test("marks exactly the rows whose content exists in the prior snapshot") {
+    val prior = sigsOf(Seq("alpha", "beta"))
+    val batch = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "alpha"))
+      .toDF("id", "text")
+    val marked = IncrementalDedup.markAgainstPrior(batch, "text", prior)
+      .select("id", "is_prior_dup")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(marked === Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("empty prior snapshot marks nothing and runs no confirm join rows") {
+    val prior = sigsOf(Seq.empty)
+    val batch = Seq((1L, "alpha")).toDF("id", "text")
+    val marked = IncrementalDedup.markAgainstPrior(batch, "text", prior)
+    assert(marked.where(col("is_prior_dup")).count() === 0L)
+  }
+
+  test("bloom false positives are removed by the exact confirm") {
+    // p = 0.5 on a tiny filter makes false positives near-certain across
+    // 2000 novel rows; the confirm join must still yield the exact set
+    val prior = sigsOf(Seq("known-1", "known-2"))
+    val batch = (1 to 2000).map(i => (i.toLong, s"novel-$i")).toDF("id", "text")
+      .unionAll(Seq((9001L, "known-1")).toDF("id", "text"))
+    val out = IncrementalDedup.markAgainstPrior(batch, "text", prior, p = 0.5)
+    val dups = out.where(col("is_prior_dup")).select("id").as[Long].collect()
+    assert(dups.toSeq === Seq(9001L))
+  }
+
+  test("row count and schema preserved") {
+    val prior = sigsOf(Seq("x"))
+    val batch = Seq((1L, "x", "en"), (2L, "y", "de")).toDF("id", "text", "lang")
+    val out = IncrementalDedup.markAgainstPrior(batch, "text", prior)
+    assert(out.count() === 2L)
+    assert(out.columns.toSeq === Seq("id", "text", "lang", "is_prior_dup"))
+  }
+}
