@@ -273,6 +273,14 @@ object TextSketchExprs {
       case args => throw new IllegalArgumentException(
         s"graft_word_grams expects (text, n), got ${args.length} args")
     })
+    ColumnBridge.registerExprFunction(spark, "graft_clean_lines", {
+      case Seq(t) => exprOf(graft.text.LineClean.keptLines(toColumn(t)))
+      case Seq(t, mw) => exprOf(graft.text.LineClean.keptLines(toColumn(t),
+        foldedInt(mw, "graft_clean_lines", "min_words")))
+      case args => throw new IllegalArgumentException(
+        s"graft_clean_lines expects (text[, min_words]), got ${args.length} args")
+    })
+    viaColumn("graft_page_rules_ok")(graft.text.LineClean.pageRulesOk)
     viaColumn("graft_normalize_url")(graft.pipeline.UrlDedup.normalizeUrl)
     one("graft_normalize_text")(NormalizeTextExpr(_))
     one("graft_deflate_ppm")(CompressionRatioExpr(_))

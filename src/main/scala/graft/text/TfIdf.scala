@@ -46,12 +46,17 @@ object TfIdf {
   def postings(
       docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int, nDocs: Long): (DataFrame, DataFrame) = {
+    // branch point: tf feeds the df aggregation AND the weighted join —
+    // truncate lineage so the corpus-wide explode+aggregate runs ONCE,
+    // not once per consumer (at cluster scale, writing this slim
+    // (term, id, tf) table to storage is the equivalent restartable move)
     val tf = docs
       .select(col(idCol).as("id"),
         explode(wordGrams(col(textCol), shingleSize)).as("__g"))
       .select(col("id"), xxhash64(col("__g")).as("term"))
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // df over the tf table (already one row per (term, doc)); the
     // groupBy(term) reuses the (term, id) exchange's term keying
     // df = N terms carry zero idf — no discriminative weight AND a
@@ -61,8 +66,11 @@ object TfIdf {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf && col("df") < nDocs)
       .select(col("term"), idfMicro(nDocs, col("df")).as("idf_micro"))
+    // second branch point: weighted feeds both self-join sides and the
+    // norm aggregation — three consumers of one slim long-triple frame
     val weighted = tf.join(terms, Seq("term"))
       .select(col("term"), col("id"), (col("tf") * col("idf_micro")).as("w"))
+      .localCheckpoint(false)
     val norms = weighted.groupBy(col("id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     (weighted, norms)
@@ -80,16 +88,23 @@ object TfIdf {
     // metadata-cheap count; the definition's N (idf scale) — computed
     // once, not per row
     val nDocs = docs.count()
-    val (weighted, norms) = postings(docs, idCol, textCol, shingleSize, maxDf, nDocs)
-    val a = weighted.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
-    val b = weighted.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
-    val dots = a.join(b, Seq("term"))
+    val (weighted, _) = postings(docs, idCol, textCol, shingleSize, maxDf, nDocs)
+    // norms ride ON the posting rows (one window exchange over id)
+    // instead of joining a norm table onto the PAIR table afterwards —
+    // the pair table is the largest frame in the plan (sum over terms of
+    // df^2/2 rows) and this keeps it to a single exchange: join -> agg
+    import org.apache.spark.sql.expressions.Window
+    val wn = weighted.withColumn("norm2",
+      sum(col("w") * col("w")).over(Window.partitionBy(col("id"))))
+    val a = wn.select(col("term"), col("id").as("id_a"),
+      col("w").as("w_a"), col("norm2").as("n_a"))
+    val b = wn.select(col("term"), col("id").as("id_b"),
+      col("w").as("w_b"), col("norm2").as("n_b"))
+    a.join(b, Seq("term"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("w_a") * col("w_b")).as("dot"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("norm2").as("n_a")), Seq("id_a"))
-      .join(norms.select(col("id").as("id_b"), col("norm2").as("n_b")), Seq("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         round(col("dot").cast("double") /
           (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))) * 1e6)

@@ -97,4 +97,29 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().getLong(0)
     assert(est === 40L)
   }
+
+  test("line-clean SQL surface agrees with the Column API") {
+    assert(registered)
+    val pages = Seq(
+      (1L, "a perfectly good sentence right here.\nclick here\nand a second good one too."),
+      (2L, "lorem ipsum dolor sit amet.\nfine sentence otherwise present here."))
+      .toDF("id", "text")
+    pages.createOrReplaceTempView("sql_surface_pages")
+    val viaSql = spark.sql(
+      """SELECT id, graft_clean_lines(text) AS kept,
+        |  graft_clean_lines(text, 3) AS kept3,
+        |  graft_page_rules_ok(text) AS ok FROM sql_surface_pages""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2), r.getBoolean(3)))
+    val viaCol = pages.select(col("id"),
+      graft.text.LineClean.keptLines(col("text")).as("kept"),
+      graft.text.LineClean.keptLines(col("text"), 3).as("kept3"),
+      graft.text.LineClean.pageRulesOk(col("text")).as("ok"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2), r.getBoolean(3)))
+    assert(viaSql.toSeq === viaCol.toSeq)
+    assert(viaSql(0)._2.length === 2 && viaSql(0)._4)
+    assert(!viaSql(1)._4)
+    val p = spark.sql("SELECT graft_clean_lines(text) FROM sql_surface_pages")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"))
+  }
 }
