@@ -14,7 +14,8 @@ import graft.pipeline.{CorpusPipeline, GlobalShuffle}
  * spark-submit --class graft.CorpusCli graft.jar \
  *   --input docs.parquet --output clean.parquet \
  *   [--id-col doc_id] [--text-col text] [--url-col url] \
- *   [--no-pii-scrub] [--min-quality 45] [--langs en,de,es] \
+ *   [--no-pii-scrub] [--line-clean] [--line-min-words 5] \
+ *   [--line-min-kept 2] [--min-quality 45] [--langs en,de,es] \
  *   [--lm-max-nll-micro 9000000] [--lm-vocab 4096] \
  *   [--no-exact-dedup] [--near-dedup 0.7] [--span-remove-ngram 13] \
  *   [--benchmark bench.parquet] [--bench-text-col text] [--ngram 13] \
@@ -24,7 +25,7 @@ import graft.pipeline.{CorpusPipeline, GlobalShuffle}
 object CorpusCli {
 
   private[graft] def parse(args: Array[String]): Map[String, String] = {
-    val flags = Set("--no-pii-scrub", "--no-exact-dedup")
+    val flags = Set("--no-pii-scrub", "--no-exact-dedup", "--line-clean")
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -67,6 +68,9 @@ object CorpusCli {
         textCol = textCol,
         urlDedupCol = opts.get("--url-col"),
         scrubPii = !opts.contains("--no-pii-scrub"),
+        lineClean = opts.contains("--line-clean"),
+        lineCleanMinWords = opts.getOrElse("--line-min-words", "5").toInt,
+        lineCleanMinKeptLines = opts.getOrElse("--line-min-kept", "2").toInt,
         minQuality = opts.get("--min-quality").map(_.toInt),
         langAllow = opts.get("--langs").map(_.split(",").toSeq),
         langCol = opts.getOrElse("--lang-col", "lang"),

@@ -4,14 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * N-vs-4N scaling evidence (BASELINE.json metric): runs the identical
- * duplicate-marking job at local[8] and local[32] on the same generated
- * parquet input and reports throughput at both plus per-core-normalized
- * scaling efficiency = (T_8 / T_32) / 4. Results recorded in
- * BENCH/BASELINE.md.
+ * job at local[N] and local[4N] on the same generated parquet input and
+ * reports throughput at both plus per-core-normalized scaling
+ * efficiency = (T_N / T_4N) / 4. Results recorded in BENCH/BASELINE.md.
+ *
+ * SPARK_GRAFT_SCALE_JOB selects the job: "dedup" (default — the
+ * flagship duplicate-marking pass) or "corpus" (the cleaning pipeline:
+ * PII scrub -> quality gate -> exact dedup over the same generated
+ * table, i.e. one fused map span plus the slim signature exchange).
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "8000000").toLong
+    val job = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "dedup")
     val input = "/tmp/graft_scaling_repos.parquet"
 
     def session(cores: Int): SparkSession = SparkSession.builder()
@@ -34,10 +39,35 @@ object ScalingBench {
       spark.stop()
     }
 
+    def corpusClean(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val docs = t.where(col("content").isNotNull)
+        .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+          col("content").as("text"), col("lang"))
+      graft.pipeline.CorpusPipeline.clean(docs,
+        scrubPii = true, minQuality = Some(20), exactDedup = true)
+    }
+
     def timeJob(cores: Int): Double = {
       val spark = session(cores)
       spark.sparkContext.setLogLevel("ERROR")
       val table = spark.read.parquet(input)
+      if (job == "corpus") {
+        // same warm-up + page-cache + noop-sink protocol as the dedup leg
+        corpusClean(table.limit(100000))
+          .write.format("noop").mode("overwrite").save()
+        if (sys.env.get("SPARK_GRAFT_WARM").contains("full")) {
+          table.agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.octet_length(
+              org.apache.spark.sql.functions.col("content")))).head()
+        }
+        val t0 = System.nanoTime()
+        corpusClean(table).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.stop()
+        return sec
+      }
       // default: bloom-gated mark (cap 0); raise the cap to compare the
       // broadcast-keeper plan on boxes with big driver heaps
       val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = rows,

@@ -292,6 +292,41 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  // ---------- feature-hashing embedding ----------
+
+  val HashEmbedDim = 16
+
+  /** Feature-hashing bag-of-words embedding, exploded to one row per
+   *  (doc, dimension) so the oracle pins EVERY integer component
+   *  bit-for-bit (array-valued outputs compare less robustly). */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir).select(
+      col("doc_id"),
+      posexplode(graft.text.HashEmbed.embed(col("text"), HashEmbedDim)))
+      .select(col("doc_id"), col("pos").cast("int").as("dim_idx"),
+        col("col").as("component"))
+
+  val HashEmbedSql: String = {
+    // 52-bit sha hash of a word (the KmvOps.sha52 construction)
+    def h(x: String) =
+      s"""CAST(list_sum([(strpos('0123456789abcdef', substr(sha256($x), i, 1)) - 1)
+         |    * power(16, 13 - i) for i in generate_series(1, 13)]) AS BIGINT)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+       |                x -> len(x) > 0) AS ws
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, unnest(generate_series(0, ${HashEmbedDim - 1})) AS i, ws FROM w
+       |)
+       |SELECT doc_id, CAST(i AS INT) AS dim_idx,
+       |  CAST(coalesce(list_sum(list_transform(ws, x ->
+       |    CASE WHEN (${h("x")} >> 1) % ${HashEmbedDim} = i
+       |         THEN (CASE WHEN ${h("x")} % 2 = 0 THEN 1 ELSE -1 END)
+       |         ELSE 0 END)), 0) AS BIGINT) AS component
+       |FROM e""".stripMargin
+  }
+
   /** Language-ID by stopword voting (prediction compared, not accuracy). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.docs(spark, dir).select(

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.sketch.KmvOps
+
+/**
+ * Feature-hashing bag-of-words embedding (Weinberger et al. 2009,
+ * "Feature Hashing for Large Scale Multitask Learning" — the hashing
+ * trick): a fixed-dimension SIGNED INTEGER count vector per document,
+ * with bucket and sign both derived from a hash of the word. No
+ * trained model, no vocabulary broadcast — the featurizer a corpus
+ * pipeline can run map-side at 10^12 rows to feed SemDeDup-style
+ * semantic dedup (`Clustering.removeEmbeddingNearDuplicates`), IVF
+ * clustering, or a downstream classifier, when no external embedding
+ * model is available.
+ *
+ * Integer counts (not floats) keep the vector engine-exact: the DuckDB
+ * oracle reproduces every component bit-for-bit, and cosine between
+ * two embeddings goes through the same exact-integer dot/norm route as
+ * `TfIdf`. The hash is `KmvOps.sha52` (13 sha256 hex digits), the
+ * repo's cross-engine-replayable hash: sign = bit 0, bucket =
+ * (h >> 1) mod dim — disjoint bits, so sign and bucket are
+ * independent as the construction requires.
+ *
+ * Cost shape: pure map work, O(dim * words) per row from the nested
+ * higher-order functions — fine for the intended dim <= a few hundred;
+ * stays inside whole-stage codegen (no UDF, no shuffle).
+ */
+object HashEmbed {
+
+  /** 52-bit cross-engine word hash (see KmvOps.sha52). */
+  private def h(w: Column): Column = KmvOps.sha52(w)
+
+  /** Signed hash-embedding of `text`: array of `dim` long counts. */
+  def embed(text: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    val words = split(lower(trim(coalesce(text, lit("")))), "\\s+")
+    val nonEmpty = filter(words, w => length(w) > 0)
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(nonEmpty, lit(0L), (acc, w) =>
+        acc + when(pmod(shiftright(h(w), 1), lit(dim.toLong)) === i.cast("long"),
+          when(h(w) % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+          .otherwise(lit(0L))))
+  }
+
+  /** Exact squared L2 norm of an integer embedding (array<long>). */
+  def norm2(emb: Column): Column =
+    aggregate(emb, lit(0L), (acc, x) => acc + x * x)
+
+  /** Exact integer dot product of two same-dim integer embeddings. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine in exact micro units between two integer embeddings —
+   *  same float discipline as TfIdf: integer dot/norms, then only
+   *  IEEE-correctly-rounded sqrt/divide/round. Zero-norm inputs yield
+   *  null (no direction). */
+  def cosMicro(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm2(a)
+    val nb = norm2(b)
+    when(na === 0 || nb === 0, lit(null).cast("long"))
+      .otherwise(round(d.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * 1e6).cast("long"))
+  }
+}

@@ -12,6 +12,22 @@ class CorpusCliSpec extends SparkSpecBase {
     assert(CorpusCli.parseQuota(o("--quota")) === (("lang", 50)))
     intercept[IllegalArgumentException](CorpusCli.parse(Array("oops")))
     intercept[IllegalArgumentException](CorpusCli.parseQuota("lang"))
+    val lc = CorpusCli.parse(Array("--line-clean", "--line-min-words", "4"))
+    assert(lc("--line-clean") === "true" && lc("--line-min-words") === "4")
+  }
+
+  test("line-clean flag wires the C4 stage through the CLI's options") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly good first sentence.\na perfectly good second sentence.", "en"),
+      (2L, "no terminal punct here at all\nclick here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val opts = CorpusCli.parse(Array("--line-clean", "--no-exact-dedup"))
+    val cleaned = graft.pipeline.CorpusPipeline.clean(docs,
+      lineClean = opts.contains("--line-clean"),
+      exactDedup = !opts.contains("--no-exact-dedup"),
+      materializeAtBranch = false)
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("end-to-end: clean with dedup + lang filter + sharded output") {

@@ -1,0 +1,67 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class HashEmbedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def embOf(text: String, dim: Int = 16): Seq[Long] =
+    Seq(Tuple1(text)).toDF("t")
+      .select(HashEmbed.embed(col("t"), dim).as("e"))
+      .as[Seq[Long]].head()
+
+  test("embedding matches a plain-Scala reference construction") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val dim = 16
+    // reference: sha52 = first 13 hex digits of sha256(word)
+    def sha52(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val expected = Array.fill(dim)(0L)
+    text.split("\\s+").foreach { w =>
+      val h = sha52(w.toLowerCase)
+      val sign = if (h % 2 == 0) 1L else -1L
+      expected(((h >> 1) % dim).toInt) += sign
+    }
+    assert(embOf(text, dim) === expected.toSeq)
+  }
+
+  test("empty/null text embeds to the zero vector; word order irrelevant") {
+    assert(embOf("") === Seq.fill(16)(0L))
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(HashEmbed.embed(col("t"), 16).as("e")).as[Seq[Long]].head()
+    assert(r === Seq.fill(16)(0L))
+    assert(embOf("a b c") === embOf("c a b"))
+  }
+
+  test("cosMicro: parallel copies at 1e6, zero-norm null, symmetric") {
+    val df = Seq(
+      ("alpha beta gamma", "alpha beta gamma"),
+      ("alpha beta gamma", ""),
+      ("alpha beta gamma", "delta epsilon zeta")).toDF("x", "y")
+    val r = df.select(
+      HashEmbed.cosMicro(
+        HashEmbed.embed(col("x"), 64), HashEmbed.embed(col("y"), 64)).as("c"))
+      .collect().map(x => if (x.isNullAt(0)) None else Some(x.getLong(0)))
+    assert(r(0) === Some(1000000L))
+    assert(r(1) === None)
+    // distinct word sets at dim 64: cosine well below 1
+    assert(r(2).exists(_ < 1000000L))
+    // symmetry
+    val s = df.select(HashEmbed.cosMicro(
+      HashEmbed.embed(col("y"), 64), HashEmbed.embed(col("x"), 64)).as("c"))
+      .collect().map(x => if (x.isNullAt(0)) None else Some(x.getLong(0)))
+    assert(r.toSeq === s.toSeq)
+  }
+
+  test("map-only plan: no shuffle, no ScalaUDF") {
+    val df = Seq(Tuple1("a b")).toDF("t")
+    val plan = df.select(HashEmbed.embed(col("t"), 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("ScalaUDF"))
+  }
+}
