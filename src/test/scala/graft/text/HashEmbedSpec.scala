@@ -57,6 +57,18 @@ class HashEmbedSpec extends SparkSpecBase {
     assert(r.toSeq === s.toSeq)
   }
 
+  test("hash embeddings feed SemDeDup-style semantic dedup end-to-end") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical -> parallel embedding
+      (3L, "totally different words here entirely")).toDF("id", "text")
+    val vecs = docs.select(col("id"), HashEmbed.embed(col("text"), 64).as("vec"))
+    val kept = graft.sim.Clustering
+      .removeEmbeddingNearDuplicates(vecs, "id", "vec", threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("map-only plan: no shuffle, no ScalaUDF") {
     val df = Seq(Tuple1("a b")).toDF("t")
     val plan = df.select(HashEmbed.embed(col("t"), 8))
