@@ -105,12 +105,16 @@ object DedupQueries {
     val nDocs = d.count()
     val agg = BloomSketchAggregator.fromN(p, nDocs)
     val bytes = d.agg(udaf(agg).apply(col("text"))).head().getAs[Array[Byte]](0)
-    val probe = BloomSketchAggregator.bloomContains(bytes)
+    // native probe expression (no ScalaUDF converter): the sketch keys
+    // UTF-8 bytes, so cast("binary") probes exactly what the string
+    // inserts wrote (BloomSketch.contains(String) is the same bytes)
+    val sk = BloomSketch.deserialize(bytes)
+    def probe(c: org.apache.spark.sql.Column) =
+      graft.plans.GraftExpressions.bloomContains(sk, c.cast("binary"))
     val members = d.select(probe(col("text")).as("hit"))
       .agg(count(when(col("hit"), 1)).as("hits")).head().getLong(0)
     val nonMembers = d.select(probe(concat(col("text"), lit(" __fresh__"))).as("hit"))
       .agg(count(when(col("hit"), 1)).as("hits")).head().getLong(0)
-    val sk = BloomSketch.deserialize(bytes)
     d.unpersist()
     Seq((nDocs, members == nDocs, nonMembers.toDouble / nDocs <= 2 * p,
       math.abs(sk.countEstimate.toDouble / nDocs - 1.0) < 0.05))
