@@ -22,10 +22,12 @@ object TextFunctions {
     when(c.isNull, lit(0))
       .otherwise(size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
-  /** Punctuation character count (fixed class, same on the oracle side). */
+  /** Punctuation character count (fixed class, same on the oracle side).
+   *  `translate` (a char-map pass) instead of a regex char-class scan —
+   *  same removed set, byte-identical count, no NFA on the hot path. */
   def punctCount(c: Column): Column =
     when(c.isNull, lit(0))
-      .otherwise(length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]{}]", "")))
+      .otherwise(length(c) - length(translate(c, ".,!?;:'\"()[]{}", "")))
 
   private val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
