@@ -39,11 +39,11 @@ object Pii {
    *  cannot match skips the NFA scan entirely. The gates are exact —
    *  output is byte-identical to the ungated chain (the DuckDB oracle
    *  replays the ungated chain) — and they change the pipeline's cost
-   *  profile at corpus scale: on code/prose without PII candidates the
-   *  scrub drops from three full regex passes to one contains() and
-   *  one single-char-class rlike per row (measured ~5x on the corpus
-   *  scaling input, where the regex passes dominated the whole
-   *  cleaning job's CPU). */
+   *  profile at corpus scale: rows without PII candidates drop from
+   *  three full regex passes to one contains() plus one
+   *  single-char-class rlike (stack-sampling the corpus scaling run
+   *  showed the ungated passes dominating the cleaning job's CPU;
+   *  rows that DO contain '@'/digits still pay the gated passes). */
   def scrub(text: Column): Column = {
     val hasDigit = text.rlike("[0-9]")
     val afterEmail = when(text.contains("@"),
