@@ -1,0 +1,121 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Integer-exact k-means document clustering — the clustering stage of
+ * cluster-based curation (SemDeDup's "k-means then dedup within
+ * clusters", Abbas et al. 2023; cluster-balanced sampling; per-cluster
+ * quality audits) over INTEGER feature vectors such as
+ * `text.HashEmbed.embed`'s hash-trick embeddings.
+ *
+ * Every quantity is exact 64-bit integer arithmetic: squared-L2
+ * distances (`sum((x-c)^2)`), argmin with ties to the smallest cluster
+ * id, and centroid updates by FLOOR DIVISION of per-dimension sums by
+ * the cluster size. There is no float anywhere, so any engine replaying
+ * the recipe (seeds = the k rows with the smallest id; `rounds` Lloyd
+ * iterations) reproduces every assignment and every centroid
+ * bit-for-bit — which is what makes the driver's DuckDB oracle able to
+ * replay whole training runs, not just one assignment pass.
+ *
+ * Scale shape (the same as `Knn.trainCentroids`'s float path):
+ *  - assignment is FULLY MAP-SIDE — centroids ride into the plan as
+ *    array literals and the argmin is an `array_min` fold over
+ *    (dist2, cid) structs; no cross join, no window, no Exchange;
+ *  - each Lloyd round shuffles only `k * dim` partial-sum rows (the
+ *    posexplode feeds a hash aggregate with map-side combine — exploded
+ *    rows never cross the wire), and the driver folds those k*dim rows
+ *    into the next centroid literals;
+ *  - the output pass is one map over the input.
+ * At 10^12 rows the per-round cost is one map pass + a k*dim-row
+ * shuffle — the textbook distributed-Lloyd shape.
+ */
+object IntKmeans {
+
+  /** Exact squared L2 distance from an integer vector column to a
+   *  centroid literal. */
+  private def dist2Lit(vec: Column, c: Array[Long]): Column =
+    aggregate(zip_with(vec, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Map-side nearest-centroid id: `array_min` over (dist2, cid) structs
+   *  orders lexicographically, so ties resolve to the smallest cluster
+   *  id — the deterministic tie rule the oracle replays. */
+  private[graft] def nearestCentroid(
+      vec: Column, centroids: Array[(Int, Array[Long])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(dist2Lit(vec, c).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Assignment frame `(id, cluster, dist2)` under fixed centroids —
+   *  contains no Exchange (plan-testable). */
+  def assign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Long])]): DataFrame = {
+    val best = array_min(array(centroids.map { case (cid, c) =>
+      struct(dist2Lit(col(vecCol), c).as("d"), lit(cid).as("cid"))
+    }: _*))
+    df.select(col(idCol), best.as("__best"))
+      .select(col(idCol), col("__best").getField("cid").as("cluster"),
+        col("__best").getField("d").as("dist2"))
+  }
+
+  /** Deterministic seeds: the embeddings of the `k` rows with the
+   *  smallest id, cluster ids 0..k-1 in id order. k rows reach the
+   *  driver (a TakeOrdered — no full sort). */
+  private[graft] def seedCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): Array[(Int, Array[Long])] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol).asc)
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+
+  /** One Lloyd round: per-(cluster, dimension) integer sums + cluster
+   *  sizes (k*dim rows collected), next centroid = floorDiv(sum, size);
+   *  empty clusters keep their previous centroid. */
+  private[graft] def lloydStep(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
+    val stats = assignWithVec(df, idCol, vecCol, centroids)
+      .select(col("cluster"), posexplode(col("__vec")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val byCluster = stats.groupBy(_.getInt(0))
+    centroids.map { case (cid, old) =>
+      byCluster.get(cid) match {
+        case Some(rows) =>
+          val next = old.clone()
+          rows.foreach(r => next(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          (cid, next)
+        case None => (cid, old)
+      }
+    }
+  }
+
+  /** assign(), keeping the vector for the update aggregation. */
+  private def assignWithVec(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Long])]): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("cluster", nearestCentroid(col("__vec"), centroids))
+
+  /** Seeds + `rounds` Lloyd iterations. */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): Array[(Int, Array[Long])] = {
+    require(k >= 1 && rounds >= 0, "k >= 1, rounds >= 0")
+    val seeds = seedCentroids(df, idCol, vecCol, k)
+    require(seeds.length == k, s"need >= $k rows to seed $k clusters")
+    (0 until rounds).foldLeft(seeds)((c, _) => lloydStep(df, idCol, vecCol, c))
+  }
+
+  /** Train + final assignment: `(id, cluster int, dist2 long)`. */
+  def cluster(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame =
+    assign(df, idCol, vecCol, train(df, idCol, vecCol, k, rounds))
+}

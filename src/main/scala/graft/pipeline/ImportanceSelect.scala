@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sketch.KmvOps
+
+/**
+ * DSIR-style data selection (Xie et al. 2023, "Data Selection for
+ * Language Models via Importance Resampling"): score every raw-corpus
+ * document by how target-domain-like its hashed token distribution is,
+ * then keep the highest-scoring quota. The importance weight of a
+ * document is
+ *
+ *   sum over tokens t of [ log p_target(bucket(t)) - log p_raw(bucket(t)) ]
+ *
+ * with hashed-bucket unigram models (the paper hashes n-grams into 10k
+ * buckets; bucket count is a parameter here) and Laplace-half smoothing
+ * (cnt + 0.5) / (total + 0.5 * buckets) so empty buckets are defined.
+ *
+ * Determinism: bucket = `KmvOps.sha52(token) % buckets` (the repo's
+ * cross-engine hash), and per-bucket log weights are FIXED-POINT micro
+ * int64 (`round((ln(tc+.5) - ln(tt+.5B) - ln(rc+.5) + ln(rt+.5B)) *
+ * 1e6)`) computed once per bucket — document scores are integer sums of
+ * those, so there is no float accumulation anywhere and any engine
+ * replaying the recipe matches bit-for-bit (same discipline as
+ * `text.LmQuality`).
+ *
+ * Scale shape:
+ *  - the two model passes are bucket-count aggregations (map-side
+ *    combine; `buckets` result rows each — NOT vocabulary-sized);
+ *  - the weight table is `buckets` ints, folded into the scoring plan
+ *    as ONE array literal — scoring is fully map-side
+ *    (`element_at(weights, bucket(t))` summed per row, no join);
+ *  - selection reuses `operators.TopK.perGroup`'s salted gate, so the
+ *    global top-quota never funnels the corpus through one reducer.
+ */
+object ImportanceSelect {
+
+  private def tokens(textCol: Column): Column =
+    filter(split(lower(trim(coalesce(textCol, lit("")))), "\\s+"),
+      w => length(w) > 0)
+
+  private def bucket(word: Column, buckets: Int): Column =
+    pmod(KmvOps.sha52(word), lit(buckets.toLong))
+
+  /** Per-bucket token counts of `df[textCol]`: dense Array of length
+   *  `buckets` (missing buckets 0), plus the total token count. */
+  private[graft] def bucketCounts(
+      df: DataFrame, textCol: String, buckets: Int): (Array[Long], Long) = {
+    val rows = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .select(bucket(col("w"), buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val dense = Array.fill(buckets)(0L)
+    rows.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    (dense, dense.sum)
+  }
+
+  /** Micro-int64 log importance weight per bucket. The four-ln shape is
+   *  kept verbatim (not algebraically simplified) so an oracle writing
+   *  the same expression reproduces the same doubles before rounding. */
+  private[graft] def bucketWeightsMicro(
+      target: (Array[Long], Long), raw: (Array[Long], Long),
+      buckets: Int): Array[Long] = {
+    val (tc, tt) = target
+    val (rc, rt) = raw
+    val half = 0.5 * buckets
+    Array.tabulate(buckets) { b =>
+      math.round((math.log(tc(b) + 0.5) - math.log(tt + half)
+        - math.log(rc(b) + 0.5) + math.log(rt + half)) * 1e6)
+    }
+  }
+
+  /**
+   * Score every row of `raw`: `(idCol, n_tokens, importance_micro)`.
+   * `target` is the in-domain sample (DSIR: the small high-quality
+   * corpus whose distribution you want more of).
+   */
+  def scores(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    val w = bucketWeightsMicro(
+      bucketCounts(target, textCol, buckets),
+      bucketCounts(raw, textCol, buckets), buckets)
+    val wLit = typedLit(w.toSeq)
+    val toks = tokens(col(textCol))
+    raw.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(wLit, (bucket(t, buckets) + 1).cast("int")))
+        .as("importance_micro"))
+  }
+
+  /**
+   * Full DSIR pass: score, then keep the `quota` most-target-like
+   * documents (ties to the smallest id). Output marks every row with
+   * `selected` so the caller can audit the cut instead of losing the
+   * rejected rows. The rank only exists on gate survivors; rejected
+   * rows join `selected = false` without ever being sorted.
+   */
+  def select(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      quota: Int, buckets: Int = 64, gateBuckets: Int = 64): DataFrame = {
+    val scored = scores(raw, target, idCol, textCol, buckets)
+    val kept = graft.operators.TopK.perGroup(
+      scored.withColumn("__g", lit(1)),
+      groupCols = Seq("__g"),
+      sortExprs = Seq(col("importance_micro").desc, col(idCol).asc),
+      saltCol = idCol, k = quota, gateBuckets = gateBuckets)
+      .select(col(idCol), lit(true).as("selected"))
+    scored.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("importance_micro"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.IntKmeans
+import graft.pipeline.ImportanceSelect
+import graft.text.HashEmbed
+
+/** Corpus-curation queries — k-means clustering (the SemDeDup /
+ *  cluster-balanced-sampling stage) and DSIR importance selection —
+ *  each with a DuckDB oracle replaying the ENTIRE training/selection
+ *  recipe, not just a final pass. */
+object CurationQueries {
+
+  /** sha52 of a DuckDB expression (the KmvOps.sha52 construction). */
+  private def duckSha52(x: String): String =
+    s"""CAST(list_sum([(strpos('0123456789abcdef', substr(sha256($x), i, 1)) - 1)
+       |      * power(16, 13 - i) for i in generate_series(1, 13)]) AS BIGINT)""".stripMargin
+
+  /** DuckDB CTEs producing one row per (doc_id, d, x) of the hash
+   *  embedding — sha256 computed ONCE per token (unlike the per-dim
+   *  replay in `TextQueries.HashEmbedSql`, this scales to the k-means
+   *  oracle's repeated self-joins). */
+  private def duckEmbedCtes(dim: Int): String =
+    s"""w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+       |                       x -> len(x) > 0)) AS x
+       |  FROM documents
+       |), hb AS (
+       |  SELECT doc_id, (h >> 1) % $dim AS d,
+       |         CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT doc_id, ${duckSha52("x")} AS h FROM w)
+       |), cs AS (
+       |  SELECT doc_id, d, CAST(sum(s) AS BIGINT) AS x FROM hb GROUP BY doc_id, d
+       |), e AS (
+       |  SELECT dd.doc_id, dd.i AS d, CAST(coalesce(cs.x, 0) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, t.i FROM documents CROSS JOIN generate_series(0, ${dim - 1}) t(i)) dd
+       |  LEFT JOIN cs ON cs.doc_id = dd.doc_id AND cs.d = dd.i
+       |)""".stripMargin
+
+  // ---------- integer-exact k-means clustering ----------
+
+  val KmeansDim = 16
+  val KmeansK = 4
+  val KmeansRounds = 2
+
+  /** Cluster every document's hash embedding with `KmeansRounds` Lloyd
+   *  iterations from the k smallest-doc_id seeds — output pins every
+   *  assignment AND every exact integer distance, so a wrong centroid
+   *  anywhere in training surfaces as a hash mismatch. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), HashEmbed.embed(col("text"), KmeansDim).as("emb"))
+    IntKmeans.cluster(docs, "doc_id", "emb", KmeansK, KmeansRounds)
+  }
+
+  val KmeansClustersSql: String = {
+    val k = KmeansK
+    def round(r: Int, prev: String): String =
+      s"""a$r AS (
+         |  SELECT e.doc_id, c.cid,
+         |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist2
+         |  FROM e JOIN $prev c ON e.d = c.d GROUP BY e.doc_id, c.cid
+         |), g$r AS (
+         |  SELECT doc_id, cid, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
+         |    FROM a$r) WHERE rk = 1
+         |), m$r AS (
+         |  SELECT g.cid, e.d, CAST(sum(e.x) AS BIGINT) AS sx,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM g$r g JOIN e USING (doc_id) GROUP BY g.cid, e.d
+         |), c$r AS (
+         |  SELECT c.cid, c.d,
+         |    CAST(coalesce((m.sx - (((m.sx % m.n) + m.n) % m.n)) // m.n, c.cx) AS BIGINT) AS cx
+         |  FROM $prev c LEFT JOIN m$r m ON m.cid = c.cid AND m.d = c.d
+         |)""".stripMargin
+    val rounds = (1 to KmeansRounds).map(r => round(r, s"c${r - 1}")).mkString(",\n")
+    val fin = s"c$KmeansRounds"
+    s"""WITH ${duckEmbedCtes(KmeansDim)},
+       |sd AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cid
+       |  FROM documents ORDER BY doc_id LIMIT $k
+       |), c0 AS (
+       |  SELECT sd.cid, e.d, e.x AS cx FROM sd JOIN e USING (doc_id)
+       |),
+       |$rounds,
+       |af AS (
+       |  SELECT e.doc_id, c.cid,
+       |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist2
+       |  FROM e JOIN $fin c ON e.d = c.d GROUP BY e.doc_id, c.cid
+       |)
+       |SELECT doc_id, CAST(cid AS INT) AS cluster, dist2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
+       |  FROM af) WHERE rk = 1""".stripMargin
+  }
+
+  // ---------- DSIR importance selection ----------
+
+  val DsirBuckets = 64
+  val DsirQuota = 100
+
+  /** Score every document against the `lang = 'en'` subset as the
+   *  target domain; keep the `DsirQuota` most-target-like. Every score
+   *  (an integer sum of micro log-weights) and the selected flag are
+   *  pinned. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DedupQueries.docs(spark, dir)
+    ImportanceSelect.select(
+      raw = docs, target = docs.where(col("lang") === "en"),
+      idCol = "doc_id", textCol = "text",
+      quota = DsirQuota, buckets = DsirBuckets)
+  }
+
+  val DsirSelectSql: String = {
+    val b = DsirBuckets
+    val half = b * 0.5
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+       |                       x -> len(x) > 0)) AS x
+       |  FROM documents
+       |), hb AS (
+       |  SELECT doc_id, ${duckSha52("x")} % $b AS bk FROM w
+       |), tc AS (
+       |  SELECT bk, CAST(count(*) AS BIGINT) AS c
+       |  FROM hb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bk
+       |), rc AS (
+       |  SELECT bk, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY bk
+       |), tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tc),
+       |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM rc),
+       |wt AS (
+       |  SELECT g.i AS bk,
+       |    CAST(round((ln(coalesce(tc.c, 0) + 0.5) - ln((SELECT t FROM tt) + $half)
+       |              - ln(coalesce(rc.c, 0) + 0.5) + ln((SELECT t FROM rt) + $half))
+       |         * 1000000) AS BIGINT) AS wv
+       |  FROM generate_series(0, ${b - 1}) g(i)
+       |  LEFT JOIN tc ON tc.bk = g.i LEFT JOIN rc ON rc.bk = g.i
+       |), s AS (
+       |  SELECT d.doc_id, CAST(coalesce(ds.cnt, 0) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(ds.sw, 0) AS BIGINT) AS importance_micro
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, count(*) AS cnt, sum(wt.wv) AS sw
+       |    FROM hb JOIN wt USING (bk) GROUP BY doc_id) ds USING (doc_id)
+       |), kp AS (
+       |  SELECT doc_id FROM s ORDER BY importance_micro DESC, doc_id LIMIT $DsirQuota
+       |)
+       |SELECT s.doc_id, s.n_tokens, s.importance_micro,
+       |       (kp.doc_id IS NOT NULL) AS selected
+       |FROM s LEFT JOIN kp USING (doc_id)""".stripMargin
+  }
+}

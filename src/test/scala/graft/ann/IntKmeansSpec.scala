@@ -1,0 +1,66 @@
+package graft.ann
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+
+class IntKmeansSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def df(vecs: Seq[(Long, Seq[Long])]): DataFrame =
+    vecs.toDF("id", "vec")
+
+  /** Brute-force reference: argmin squared L2, ties to smallest cid. */
+  private def refAssign(v: Array[Long], cs: Array[(Int, Array[Long])]): (Int, Long) =
+    cs.map { case (cid, c) =>
+      (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+    }.min.swap
+
+  test("assign matches brute force incl. the smallest-cid tie rule") {
+    val cs = Array((0, Array(0L, 0L)), (1, Array(4L, 0L)), (2, Array(2L, 0L)))
+    val pts = Seq((1L, Seq(1L, 0L)), (2L, Seq(3L, 0L)), (3L, Seq(2L, 0L)),
+      (4L, Seq(-5L, 7L)), (5L, Seq(1L, 1L))) // id=1: dist 1 to c0 and c2 -> tie -> c0
+    val got = IntKmeans.assign(df(pts), "id", "vec", cs)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    pts.foreach { case (id, v) =>
+      assert(got(id) === refAssign(v.toArray, cs), s"id=$id")
+    }
+  }
+
+  test("lloydStep: floor-division centroids, empty cluster keeps its centroid") {
+    // seeds far apart; points 0/1 near c0, point 2 near c1, nothing near c2
+    val cs = Array((0, Array(0L)), (1, Array(100L)), (2, Array(1000000L)))
+    val pts = Seq((1L, Seq(1L)), (2L, Seq(-4L)), (3L, Seq(101L)))
+    val next = IntKmeans.lloydStep(df(pts), "id", "vec", cs).toMap
+    assert(next(0).toSeq === Seq(Math.floorDiv(1L - 4L, 2L))) // floorDiv(-3,2) = -2, not -1
+    assert(next(1).toSeq === Seq(101L))
+    assert(next(2).toSeq === Seq(1000000L)) // empty: unchanged
+  }
+
+  test("train is deterministic and invariant to input partitioning") {
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Seq((i % 7).toLong * 3 - 5, (i % 11).toLong, (i % 3).toLong)))
+    val a = IntKmeans.train(df(pts), "id", "vec", k = 4, rounds = 3)
+    val b = IntKmeans.train(df(pts).repartition(7), "id", "vec", k = 4, rounds = 3)
+    assert(a.map { case (c, v) => (c, v.toSeq) }.toSeq ===
+      b.map { case (c, v) => (c, v.toSeq) }.toSeq)
+  }
+
+  test("cluster output: every point assigned, dist2 exact vs brute force") {
+    val pts = (0 until 60).map(i => (i.toLong, Seq((i % 5).toLong, (i / 20).toLong)))
+    val cs = IntKmeans.train(df(pts), "id", "vec", k = 3, rounds = 2)
+    val out = IntKmeans.cluster(df(pts), "id", "vec", k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.size === 60)
+    pts.foreach { case (id, v) =>
+      assert(out(id) === refAssign(v.toArray, cs), s"id=$id")
+    }
+  }
+
+  test("assignment is fully map-side: no Exchange in the plan") {
+    val cs = Array((0, Array(0L, 0L)), (1, Array(9L, 9L)))
+    val plan = IntKmeans.assign(df(Seq((1L, Seq(1L, 2L)))), "id", "vec", cs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+}

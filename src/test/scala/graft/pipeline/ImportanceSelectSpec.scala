@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+
+class ImportanceSelectSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // two "domains" with disjoint vocabularies + shared filler
+  private def corpus: DataFrame = (0 until 120).map { i =>
+    val dom = if (i % 3 == 0) "alpha beta gamma" else "foo bar baz qux"
+    (i.toLong, s"$dom filler$i common word")
+  }.toDF("id", "text")
+
+  private def target: DataFrame =
+    corpus.where($"id" % 3 === 0) // the alpha-beta-gamma domain
+
+  test("target-domain documents outscore out-of-domain documents") {
+    val s = ImportanceSelect.scores(corpus, target, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val (inD, outD) = s.partition(_._1 % 3 == 0)
+    assert(inD.map(_._2).min > outD.map(_._2).max,
+      "every in-domain score must exceed every out-of-domain score")
+  }
+
+  test("select keeps exactly the brute-force top-quota (desc score, asc id)") {
+    val scored = ImportanceSelect.scores(corpus, target, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = scored.sortBy { case (id, imp) => (-imp, id) }.take(25).map(_._1).toSet
+    val got = ImportanceSelect.select(corpus, target, "id", "text", quota = 25)
+      .where($"selected").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
+  test("every row is emitted with a selected flag; scores partition-invariant") {
+    val a = ImportanceSelect.select(corpus, target, "id", "text", quota = 10)
+    assert(a.count() === 120)
+    val b = ImportanceSelect.select(corpus.repartition(13), target, "id", "text", quota = 10)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+  }
+
+  test("n_tokens counts whitespace tokens; empty/null text scores 0") {
+    val weird = Seq((1L, "a  b   c"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = ImportanceSelect.scores(weird, weird.where($"id" === 1), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out(0)._2 === 3L)
+    assert(out(1) === ((2L, 0L, 0L)))
+    assert(out(2) === ((3L, 0L, 0L)))
+  }
+
+  test("scoring is map-side: weights ride as a literal, no join in the scores plan") {
+    val plan = ImportanceSelect.scores(corpus, target, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+}
