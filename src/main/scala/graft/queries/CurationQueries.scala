@@ -48,10 +48,17 @@ object CurationQueries {
   /** Cluster every document's hash embedding with `KmeansRounds` Lloyd
    *  iterations from the k smallest-doc_id seeds — output pins every
    *  assignment AND every exact integer distance, so a wrong centroid
-   *  anywhere in training surfaces as a hash mismatch. */
+   *  anywhere in training surfaces as a hash mismatch.
+   *
+   *  The embedded frame is localCheckpoint'ed ONCE: training takes
+   *  rounds+1 actions over it, and without materialization each action
+   *  would re-run the sha256 featurization over the whole corpus (at
+   *  10^12 rows this is persist(DISK_ONLY)/checkpoint — same shape
+   *  `sim.Clustering` uses per CC round). */
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = DedupQueries.docs(spark, dir)
       .select(col("doc_id"), HashEmbed.embed(col("text"), KmeansDim).as("emb"))
+      .localCheckpoint()
     IntKmeans.cluster(docs, "doc_id", "emb", KmeansK, KmeansRounds)
   }
 
@@ -94,6 +101,27 @@ object CurationQueries {
        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
        |  FROM af) WHERE rk = 1""".stripMargin
   }
+
+  // ---------- cluster-balanced sampling ----------
+
+  val ClusterSampleQuota = 30
+
+  /** Cluster-balanced subset (the "sample evenly across k-means
+   *  clusters" curation move): the first `ClusterSampleQuota` docs of
+   *  every k-means cluster, via the salted quota gate — composes
+   *  `IntKmeans` with `DatasetMix.quotaSample`, so the oracle replays
+   *  training AND the stratified cut. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.DatasetMix.quotaSample(
+      kmeansClusters(spark, dir).select(col("doc_id"), col("cluster")),
+      strataCol = "cluster", orderCol = "doc_id", quota = ClusterSampleQuota)
+
+  val ClusterSampleSql: String =
+    s"""SELECT doc_id, cluster FROM (
+       |  SELECT doc_id, cluster,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rk
+       |  FROM ($KmeansClustersSql) asg
+       |) WHERE rk <= $ClusterSampleQuota""".stripMargin
 
   // ---------- DSIR importance selection ----------
 

@@ -32,15 +32,23 @@ object HashEmbed {
   /** 52-bit cross-engine word hash (see KmvOps.sha52). */
   private def h(w: Column): Column = KmvOps.sha52(w)
 
-  /** Signed hash-embedding of `text`: array of `dim` long counts. */
+  /** Signed hash-embedding of `text`: array of `dim` long counts.
+   *  Each word is sha-hashed ONCE (the `hs` array), then the per-dim
+   *  fold works on the precomputed longs. Measured at sf0.1/dim=16 this
+   *  performs the same as writing `h(w)` inside the nested lambdas
+   *  (codegen's subexpression elimination already collapses the
+   *  repeated sha256) — the explicit form just makes the
+   *  one-hash-per-word cost a property of the expression rather than of
+   *  the optimizer. */
   def embed(text: Column, dim: Int): Column = {
     require(dim >= 1, "dim must be >= 1")
     val words = split(lower(trim(coalesce(text, lit("")))), "\\s+")
     val nonEmpty = filter(words, w => length(w) > 0)
+    val hs = transform(nonEmpty, w => h(w))
     transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(nonEmpty, lit(0L), (acc, w) =>
-        acc + when(pmod(shiftright(h(w), 1), lit(dim.toLong)) === i.cast("long"),
-          when(h(w) % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      aggregate(hs, lit(0L), (acc, hv) =>
+        acc + when(pmod(shiftright(hv, 1), lit(dim.toLong)) === i.cast("long"),
+          when(hv % 2 === 0, lit(1L)).otherwise(lit(-1L)))
           .otherwise(lit(0L))))
   }
 
