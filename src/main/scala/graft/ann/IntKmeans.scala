@@ -79,7 +79,7 @@ object IntKmeans {
   private[graft] def lloydStep(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
-    val stats = assignWithVec(df, idCol, vecCol, centroids)
+    val stats = assignKeepVec(df, idCol, vecCol, centroids)
       .select(col("cluster"), posexplode(col("__vec")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -96,8 +96,11 @@ object IntKmeans {
     }
   }
 
-  /** assign(), keeping the vector for the update aggregation. */
-  private def assignWithVec(
+  /** assign(), keeping the vector (`__vec`) — used by the update
+   *  aggregation and by blocked pair enumeration (`sim.Clustering
+   *  .semDeDupBlocked`), both of which need cluster AND vector without
+   *  paying a join back to the input. */
+  private[graft] def assignKeepVec(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Long])]): DataFrame =
     df.select(col(idCol), col(vecCol).as("__vec"))

@@ -18,15 +18,16 @@ object CurationQueries {
        |      * power(16, 13 - i) for i in generate_series(1, 13)]) AS BIGINT)""".stripMargin
 
   /** DuckDB CTEs producing one row per (doc_id, d, x) of the hash
-   *  embedding — sha256 computed ONCE per token (unlike the per-dim
-   *  replay in `TextQueries.HashEmbedSql`, this scales to the k-means
-   *  oracle's repeated self-joins). */
-  private def duckEmbedCtes(dim: Int): String =
+   *  embedding of `src` (a relation with doc_id, text) — sha256 computed
+   *  ONCE per token (unlike the per-dim replay in
+   *  `TextQueries.HashEmbedSql`, this scales to the k-means oracle's
+   *  repeated self-joins). */
+  private def duckEmbedCtes(dim: Int, src: String = "documents"): String =
     s"""w AS (
        |  SELECT doc_id,
        |    unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
        |                       x -> len(x) > 0)) AS x
-       |  FROM documents
+       |  FROM $src
        |), hb AS (
        |  SELECT doc_id, (h >> 1) % $dim AS d,
        |         CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s
@@ -35,7 +36,7 @@ object CurationQueries {
        |  SELECT doc_id, d, CAST(sum(s) AS BIGINT) AS x FROM hb GROUP BY doc_id, d
        |), e AS (
        |  SELECT dd.doc_id, dd.i AS d, CAST(coalesce(cs.x, 0) AS BIGINT) AS x
-       |  FROM (SELECT doc_id, t.i FROM documents CROSS JOIN generate_series(0, ${dim - 1}) t(i)) dd
+       |  FROM (SELECT doc_id, t.i FROM $src CROSS JOIN generate_series(0, ${dim - 1}) t(i)) dd
        |  LEFT JOIN cs ON cs.doc_id = dd.doc_id AND cs.d = dd.i
        |)""".stripMargin
 
@@ -62,8 +63,10 @@ object CurationQueries {
     IntKmeans.cluster(docs, "doc_id", "emb", KmeansK, KmeansRounds)
   }
 
-  val KmeansClustersSql: String = {
-    val k = KmeansK
+  /** k-means training + final assignment as DuckDB CTEs over the `e`
+   *  embedding rows of `src` — ends with CTE `asg(doc_id, cid, dist2)`.
+   *  Callers prepend `duckEmbedCtes(dim, src)`. */
+  private def duckKmeansCtes(k: Int, kmRounds: Int, src: String): String = {
     def round(r: Int, prev: String): String =
       s"""a$r AS (
          |  SELECT e.doc_id, c.cid,
@@ -82,25 +85,30 @@ object CurationQueries {
          |    CAST(coalesce((m.sx - (((m.sx % m.n) + m.n) % m.n)) // m.n, c.cx) AS BIGINT) AS cx
          |  FROM $prev c LEFT JOIN m$r m ON m.cid = c.cid AND m.d = c.d
          |)""".stripMargin
-    val rounds = (1 to KmeansRounds).map(r => round(r, s"c${r - 1}")).mkString(",\n")
-    val fin = s"c$KmeansRounds"
-    s"""WITH ${duckEmbedCtes(KmeansDim)},
-       |sd AS (
+    val roundsSql = (1 to kmRounds).map(r => round(r, s"c${r - 1}")).mkString(",\n")
+    val fin = s"c$kmRounds"
+    s"""sd AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cid
-       |  FROM documents ORDER BY doc_id LIMIT $k
+       |  FROM $src ORDER BY doc_id LIMIT $k
        |), c0 AS (
        |  SELECT sd.cid, e.d, e.x AS cx FROM sd JOIN e USING (doc_id)
        |),
-       |$rounds,
+       |$roundsSql,
        |af AS (
        |  SELECT e.doc_id, c.cid,
        |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist2
        |  FROM e JOIN $fin c ON e.d = c.d GROUP BY e.doc_id, c.cid
-       |)
-       |SELECT doc_id, CAST(cid AS INT) AS cluster, dist2 FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
-       |  FROM af) WHERE rk = 1""".stripMargin
+       |), asg AS (
+       |  SELECT doc_id, cid, dist2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
+       |    FROM af) WHERE rk = 1
+       |)""".stripMargin
   }
+
+  val KmeansClustersSql: String =
+    s"""WITH ${duckEmbedCtes(KmeansDim)},
+       |${duckKmeansCtes(KmeansK, KmeansRounds, "documents")}
+       |SELECT doc_id, CAST(cid AS INT) AS cluster, dist2 FROM asg""".stripMargin
 
   // ---------- cluster-balanced sampling ----------
 
@@ -122,6 +130,60 @@ object CurationQueries {
        |         row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rk
        |  FROM ($KmeansClustersSql) asg
        |) WHERE rk <= $ClusterSampleQuota""".stripMargin
+
+  // ---------- SemDeDup with k-means blocking ----------
+
+  val SemDedupK = 8
+  val SemDedupRounds = 1
+  val SemDedupThresholdMicro = 950000L
+
+  /** SemDeDup over the planted-duplicate corpus (originals + exact
+   *  copies at `DupOffset`, null-text rows at `NullOffset`): k-means
+   *  blocking, within-cluster exact-cosine pairs, connected components,
+   *  min-id representative keep. Output = surviving ids. The oracle
+   *  replays training, every pair decision, AND the component closure
+   *  (recursive CTE), so it is robust to natural near-dup pairs in the
+   *  corpus — nothing about the survivor set is assumed. */
+  def semdedupBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val emb = DedupQueries.corpus(spark, dir)
+      .select(col("id"), HashEmbed.embed(col("text"), KmeansDim).as("emb"))
+      .localCheckpoint()
+    graft.sim.Clustering
+      .semDeDupBlocked(emb, "id", "emb", SemDedupK, SemDedupRounds, SemDedupThresholdMicro)
+      .select(col("id"))
+  }
+
+  val SemdedupBlockedSql: String =
+    s"""WITH RECURSIVE corp AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + ${DedupQueries.DupOffset}, text
+       |    FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + ${DedupQueries.NullOffset}, CAST(NULL AS VARCHAR)
+       |    FROM documents WHERE doc_id % 7 = 0
+       |), corpd AS (SELECT id AS doc_id, text FROM corp),
+       |${duckEmbedCtes(KmeansDim, "corpd")},
+       |${duckKmeansCtes(SemDedupK, SemDedupRounds, "corpd")},
+       |el AS (
+       |  SELECT e.doc_id, asg.cid, list(e.x ORDER BY e.d) AS v,
+       |         CAST(sum(e.x * e.x) AS BIGINT) AS n2
+       |  FROM e JOIN asg USING (doc_id) GROUP BY e.doc_id, asg.cid
+       |), pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM el a JOIN el b ON a.cid = b.cid AND a.doc_id < b.doc_id
+       |  WHERE a.n2 > 0 AND b.n2 > 0
+       |    AND CAST(round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
+       |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |          * 1000000) AS BIGINT) >= $SemDedupThresholdMicro
+       |), sym AS (
+       |  SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr
+       |), reach AS (
+       |  SELECT a AS idv, a AS r FROM sym
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.idv = s.b
+       |), nr AS (
+       |  SELECT idv AS id FROM reach GROUP BY idv HAVING min(r) < idv
+       |)
+       |SELECT c.id FROM corp c LEFT JOIN nr ON c.id = nr.id WHERE nr.id IS NULL""".stripMargin
 
   // ---------- DSIR importance selection ----------
 

@@ -148,4 +148,43 @@ object Clustering {
       .select(col("id_a"), col("id_b"))
     keepRepresentatives(vectors, idCol, pairs)
   }
+
+  /**
+   * SemDeDup with the paper's own blocking (Abbas et al. 2023,
+   * arXiv:2303.09540 §3): k-means cluster the embeddings, enumerate
+   * candidate pairs only WITHIN each cluster, keep pairs at cosine >=
+   * `thresholdMicro` (exact micro units), connected components, keep the
+   * min-id representative. Unlike the LSH variant above, recall within a
+   * cluster is exactly 1 — the blocking loss is only cross-cluster pairs,
+   * which is the published algorithm's documented tradeoff.
+   *
+   * INTEGER embeddings (`text.HashEmbed` shape): distances, argmin, and
+   * the pair dot/norms are exact int64, so every pair decision — and
+   * therefore the whole survivor set — is engine-exact and replayable.
+   *
+   * Scale shape: training shuffles k*dim partial sums per round;
+   * assignment is map-side (centroid literals) so the pair join's two
+   * sides need ONE exchange each (hash by cluster); per-cluster work is
+   * quadratic in cluster size, which `k` controls — SemDeDup runs k=110k
+   * on LAION for exactly this reason. Identical embeddings always share
+   * a cluster, so exact duplicates can never escape the blocking.
+   */
+  def semDeDupBlocked(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      thresholdMicro: Long): DataFrame = {
+    import graft.ann.IntKmeans
+    val centroids = IntKmeans.train(vectors, idCol, vecCol, k, rounds)
+    val av = IntKmeans.assignKeepVec(vectors, idCol, vecCol, centroids)
+    val a = av.select(col(idCol).as("id_a"), col("cluster"), col("__vec").as("__va"))
+    val b = av.select(col(idCol).as("id_b"), col("cluster"), col("__vec").as("__vb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.text.HashEmbed.cosMicro(col("__va"), col("__vb")) >= thresholdMicro)
+      .select(col("id_a"), col("id_b"))
+    keepRepresentatives(vectors, idCol, pairs)
+  }
 }

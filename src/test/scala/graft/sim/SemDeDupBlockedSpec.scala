@@ -1,0 +1,43 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SemDeDupBlockedSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("exact copies collapse to the min id; distinct docs all survive") {
+    // 40 distinct texts, each duplicated once under id+1000
+    val base = (0 until 40).map(i => (i.toLong, s"unique doc $i with words w${i}a w${i}b"))
+    val corpus = (base ++ base.map { case (id, t) => (id + 1000, t) }).toDF("id", "text")
+    val emb = corpus.select($"id", graft.text.HashEmbed.embed($"text", 16).as("emb"))
+    val kept = Clustering.semDeDupBlocked(emb, "id", "emb", k = 4, rounds = 2,
+      thresholdMicro = 999999L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === (0 until 40).map(_.toLong).toSet,
+      "exactly the min-id representative of every duplicate pair survives")
+  }
+
+  test("zero-norm (empty text) rows never pair and always survive") {
+    val corpus = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "other words entirely"))
+      .toDF("id", "text")
+    val emb = corpus.select($"id", graft.text.HashEmbed.embed($"text", 16).as("emb"))
+    val kept = Clustering.semDeDupBlocked(emb, "id", "emb", k = 2, rounds = 1,
+      thresholdMicro = 999999L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("transitive chains collapse to one representative (A~B, B~C => one of three)") {
+    // identical embeddings force a 3-chain through exact cosine 1
+    val corpus = Seq((10L, "x y z"), (20L, "x y z"), (30L, "x y z"), (40L, "unrelated stuff"))
+      .toDF("id", "text")
+    val emb = corpus.select($"id", graft.text.HashEmbed.embed($"text", 16).as("emb"))
+    val kept = Clustering.semDeDupBlocked(emb, "id", "emb", k = 2, rounds = 1,
+      thresholdMicro = 999999L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(10L, 40L))
+  }
+}
