@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The streaming-safe prefix of `pipeline.CorpusPipeline.clean`, over an
+ * unbounded document stream: PII scrub -> quality filter -> language
+ * filter -> exact first-occurrence dedup. The map stages are the SAME
+ * Column expressions the batch pipeline uses — under micro-batch
+ * execution they fuse into the batch's codegen span exactly as in the
+ * batch plan, so cleaning semantics are identical by construction (the
+ * parity spec pins it row-for-row); dedup is the state-store
+ * `StreamingDedup.dedupExactStream` (watermark-bounded when an
+ * event-time column is given).
+ *
+ * Stages that need a corpus-GLOBAL pass — the unigram-LM gate (trains
+ * on the whole corpus), MinHash near-dedup and span removal (corpus-
+ * wide signature/gram aggregations), and the per-stratum quota — have
+ * no bounded-state streaming form; run them as periodic batch jobs over
+ * the stream's sink, refreshing broadcast state per epoch the way
+ * `StreamingDedup.dedupStreamWithEpochSketch` refreshes its sketch.
+ */
+object StreamingCorpusClean {
+
+  def clean(
+      stream: DataFrame,
+      textCol: String = "text",
+      scrubPii: Boolean = true,
+      minQuality: Option[Int] = None,
+      langAllow: Option[Seq[String]] = None,
+      langCol: String = "lang",
+      exactDedup: Boolean = true,
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    var df = stream
+    if (scrubPii)
+      df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
+    minQuality.foreach { q =>
+      df = df.where(graft.text.TextFunctions.qualityScore(col(textCol)) >= q)
+    }
+    langAllow.foreach { ls =>
+      df = df.where(col(langCol).isin(ls: _*))
+    }
+    if (exactDedup)
+      df = StreamingDedup.dedupExactStream(df, textCol, eventTimeCol, watermark)
+        .drop(graft.dedup.MarkDuplicates.SigCol)
+    df
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+case class StreamDoc(doc_id: Long, text: String, lang: String)
+
+class StreamingCorpusCleanSpec extends SparkSpecBase {
+
+  // a corpus exercising every stage: PII to scrub, junk to quality-cut,
+  // a disallowed language, and duplicates within AND across batches
+  private def doc(id: Long, text: String, lang: String = "en") = StreamDoc(id, text, lang)
+  // quality is 0..100; ordinary sentences score ~52, punctuation soup ~25
+  private val MinQ = 40
+
+  private val batch1 = Seq(
+    doc(1, "reach me at bob@example.com for the full quality write up today"),
+    doc(2, "a perfectly ordinary sentence that should pass the quality gate fine"),
+    doc(3, "a perfectly ordinary sentence that should pass the quality gate fine"), // dup of 2
+    doc(4, "!!!!????!!!!"), // punctuation soup -> quality cut
+    doc(5, "ein ganz gewoehnlicher satz der das sprachfilter nicht passiert", "de"))
+  private val batch2 = Seq(
+    doc(6, "a perfectly ordinary sentence that should pass the quality gate fine"), // dup of 2, next batch
+    doc(7, "reach me at bob@example.com for the full quality write up today"), // dup of 1 AFTER scrub
+    doc(8, "another clean document with enough real words to stay in the corpus"))
+
+  test("streaming clean == batch CorpusPipeline.clean on the same docs (in-order arrival)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamDoc](spark, 1)
+    val cleaned = StreamingCorpusClean.clean(
+      input.toDF(), minQuality = Some(MinQ), langAllow = Some(Seq("en")))
+    val q = cleaned.writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clean_out")
+      .select("doc_id", "text", "lang").as[StreamDoc].collect().toSet
+
+    val batch = graft.pipeline.CorpusPipeline.clean(
+      (batch1 ++ batch2).toDF(),
+      scrubPii = true, minQuality = Some(MinQ), langAllow = Some(Seq("en")),
+      exactDedup = true, materializeAtBranch = false)
+      .select("doc_id", "text", "lang").as[StreamDoc].collect().toSet
+
+    // in-order single-partition arrival => streaming's first occurrence
+    // is the min id, the batch keeper rule — row-for-row parity
+    assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(_.doc_id) === Set(1L, 2L, 8L))
+    // the PII scrub ran BEFORE dedup in both: 7 deduped against 1
+    assert(streamed.forall(d => !d.text.contains("bob@example.com")),
+      "scrub must run before dedup so PII variants collapse")
+  }
+
+  test("cross-batch duplicate state persists: a dup arriving 2 batches later is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc](spark, 1)
+    val cleaned = StreamingCorpusClean.clean(input.toDF())
+    val q = cleaned.writeStream.format("memory").queryName("clean_out2")
+      .outputMode("append").start()
+    try {
+      input.addData(doc(1, "first text"), doc(2, "second text"))
+      q.processAllAvailable()
+      input.addData(doc(3, "third text"))
+      q.processAllAvailable()
+      input.addData(doc(4, "first text")) // dup of batch-1 doc
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("clean_out2").select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L))
+  }
+}
