@@ -30,6 +30,22 @@ class SemDeDupBlockedSpec extends SparkSpecBase {
     assert(kept === Set(1L, 3L, 4L, 5L))
   }
 
+  test("no nested-loop join anywhere: blocking must keep the pair work an equi-join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = (0 until 50).map(i => (i.toLong, s"doc number $i body w$i"))
+        .toDF("id", "text")
+      val emb = corpus.select($"id", graft.text.HashEmbed.embed($"text", 16).as("emb"))
+        .localCheckpoint()
+      val out = Clustering.semDeDupBlocked(emb, "id", "emb", k = 4, rounds = 1,
+        thresholdMicro = 999999L)
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"semDeDup must stay equi-join blocked:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("transitive chains collapse to one representative (A~B, B~C => one of three)") {
     // identical embeddings force a 3-chain through exact cosine 1
     val corpus = Seq((10L, "x y z"), (20L, "x y z"), (30L, "x y z"), (40L, "unrelated stuff"))
