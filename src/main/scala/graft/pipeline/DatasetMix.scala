@@ -61,6 +61,50 @@ object DatasetMix {
   }
 
   /**
+   * Per-stratum TOKEN-budget sampling: keep documents of each stratum in
+   * `orderCol` order while the cumulative token count of the kept
+   * PREDECESSORS stays below `budgetTokens` — i.e. the first document
+   * that starts at or past the budget is the first one dropped (so the
+   * kept set can overshoot the budget by at most one document, the usual
+   * "fill until full" convention). Training mixes are specified in
+   * tokens, not rows — 100 B tokens of code, 30 B of math — so this, not
+   * `quotaSample`, is the operator a mixture recipe actually needs.
+   *
+   * Scale shape mirrors `approxQuotaGate`, but for a PREFIX SUM: a naive
+   * per-stratum cumulative-sum window funnels every surviving row of a
+   * stratum through one reducer. Instead (1) rows salt into
+   * `gateBuckets` deterministic buckets; a per-(stratum, bucket) cumsum
+   * window keeps rows whose WITHIN-BUCKET exclusive prefix sum is below
+   * the budget — a superset of the true kept set, because a row's
+   * within-bucket prefix sum over the same order is <= its global prefix
+   * sum (the bucket's predecessors are a subset of all predecessors).
+   * Each bucket passes at most budget/min_doc_tokens + 1 rows, so (2)
+   * the exact per-stratum cumsum window runs over <= gateBuckets * that
+   * many survivors — never a whole stratum. All arithmetic is int64 on
+   * the caller's token counts; ties are impossible because `orderCol`
+   * must be a total order (same contract as `quotaSample`).
+   */
+  def tokenBudgetSample(
+      df: DataFrame, strataCol: String, orderCol: String, tokensCol: String,
+      budgetTokens: Long, gateBuckets: Int = 64): DataFrame = {
+    require(gateBuckets >= 1, "gateBuckets must be >= 1")
+    val gated = if (gateBuckets > 1) {
+      val salt = pmod(xxhash64(col(orderCol)), lit(gateBuckets.toLong))
+      val wb = Window.partitionBy(col(strataCol), salt).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__gate_pre",
+          coalesce(sum(col(tokensCol)).over(wb), lit(0L)))
+        .where(col("__gate_pre") < budgetTokens)
+        .drop("__gate_pre")
+    } else df
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gated.withColumn("__pre", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .where(col("__pre") < budgetTokens)
+      .drop("__pre")
+  }
+
+  /**
    * Temperature-resampled mixture quotas at tau = 2 (the sqrt rule used
    * for multilingual training mixes, Conneau et al. XLM-R style:
    * sampling weight proportional to n_s^(1/2) upweights low-resource

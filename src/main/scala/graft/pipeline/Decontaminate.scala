@@ -54,6 +54,51 @@ object Decontaminate {
   }
 
   /**
+   * Per-benchmark contamination report — the audit artifact next to the
+   * `contaminationHits` filter: for EVERY benchmark document, how many
+   * corpus documents share >= 1 full n-gram with it and how many distinct
+   * grams are shared (0/0 for clean benchmarks). This is what an eval
+   * owner reads to decide whether a benchmark is still trustworthy
+   * against a given training corpus (the GPT-3 appendix-C tables are
+   * exactly this shape).
+   *
+   * Scale shape: same as `contaminationHits` — the benchmark side
+   * collapses to distinct (bench_id, gram-hash) longs and broadcasts;
+   * the corpus side explodes to slim (doc_id, gram-hash) longs that the
+   * broadcast join FILTERS to actual hits before anything aggregates, so
+   * the aggregated relation is proportional to the contamination (tiny
+   * for a clean corpus), not the corpus. Gram strings never shuffle; the
+   * corpus text is read once. The final left-join that restores zero-hit
+   * benchmarks touches only benchmark ids.
+   */
+  def contaminationMatrix(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(wordGrams(col(benchTextCol), n)).as("__g"))
+      .select(col("bench_id"), xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("__did"), explode(wordGrams(col(textCol), n)).as("__g"))
+      .select(col("__did"), xxhash64(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams), Seq("__gh"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("__did")).as("n_docs_hit"),
+        countDistinct(col("__gh")).as("n_grams_hit"))
+    benchmark.select(col(benchIdCol).as("bench_id")).distinct()
+      .join(hits, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"))
+  }
+
+  /**
    * (idCol, contaminated: boolean) for every corpus row: true iff the
    * document shares >= 1 full n-gram with any benchmark text. Note this
    * consumes `corpus` twice (gram scan + output join) — cache or

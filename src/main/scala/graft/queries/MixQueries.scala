@@ -21,6 +21,31 @@ object MixQueries {
       |  FROM documents
       |) WHERE rk <= 20""".stripMargin
 
+  /** Per-language TOKEN-budget quota (training mixes are specified in
+   *  tokens, not documents): keep docs of each lang in doc_id order while
+   *  the kept predecessors' cumulative whitespace-token count stays below
+   *  3000. Runs the two-phase salted prefix-sum gate; the oracle is the
+   *  plain single-window cumsum — exact integer agreement required. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val withTok = d.select(col("doc_id"), col("lang"),
+      graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    DatasetMix.tokenBudgetSample(
+      withTok, "lang", "doc_id", "n_tokens", budgetTokens = 3000L)
+  }
+
+  val TokenBudgetSampleSql: String =
+    """SELECT doc_id, lang, n_tokens FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |    FROM documents)
+      |) WHERE pre < 3000""".stripMargin
+
   /** Temperature-resampled training mix (tau = 2 sqrt rule): exact
    *  integer-arithmetic quotas per language, then the first quota_s docs
    *  of each — every step (floor(sqrt(n*10^6)), integer division,
@@ -101,6 +126,50 @@ object MixQueries {
        |)
        |SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** Per-benchmark contamination matrix: the same planted construction as
+   *  `decontaminate` (each benchmark doc reappears in the corpus as a
+   *  full-text copy), but reported from the BENCHMARK side — every
+   *  benchmark doc with its count of overlapping corpus docs and distinct
+   *  shared 13-grams (0/0 when nothing leaked, e.g. docs shorter than 13
+   *  tokens). Spark aggregates gram HASHES; the oracle aggregates the
+   *  gram strings themselves — a 64-bit collision would surface as a
+   *  mismatch. */
+  def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Decontaminate
+    val d = DedupQueries.docs(spark, dir)
+    val bench = d.where(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = d.where(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(bench.select(
+        (col("doc_id") + DedupQueries.DupOffset).as("doc_id"), col("text")))
+    Decontaminate.contaminationMatrix(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 13)
+  }
+
+  val ContaminationMatrixSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN w IS NULL OR len(w) < 13 THEN []
+       |         ELSE [array_to_string(w[i:i+12], ' ') for i in generate_series(1, len(w)-12)] END AS gs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+       |), bench AS (
+       |  SELECT DISTINCT doc_id AS bench_id, unnest(gs) AS bg FROM g WHERE doc_id % 101 = 0
+       |), corpus AS (
+       |  SELECT doc_id, unnest(gs) AS cg FROM g WHERE doc_id % 101 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupQueries.DupOffset}, unnest(gs) FROM g WHERE doc_id % 101 = 0
+       |), agg AS (
+       |  SELECT b.bench_id, count(DISTINCT c.doc_id) AS nd, count(DISTINCT c.cg) AS ng
+       |  FROM corpus c JOIN bench b ON c.cg = b.bg
+       |  GROUP BY b.bench_id
+       |)
+       |SELECT ids.bench_id,
+       |  CAST(coalesce(agg.nd, 0) AS BIGINT) AS n_docs_hit,
+       |  CAST(coalesce(agg.ng, 0) AS BIGINT) AS n_grams_hit
+       |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 101 = 0) ids
+       |LEFT JOIN agg USING (bench_id)""".stripMargin
 
   /** The full corpus-cleaning pipeline (CorpusPipeline.clean) end-to-end
    *  as one oracle-checked query: a corpus with planted exact duplicates

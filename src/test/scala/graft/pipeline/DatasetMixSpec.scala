@@ -78,6 +78,55 @@ class DatasetMixSpec extends SparkSpecBase {
     assert(byLang("small") === (0 until 74).map(i => 20000L + i))
   }
 
+  test("tokenBudgetSample keeps the fill-until-full prefix of each stratum") {
+    import spark.implicits._
+    // stratum a: tokens 10,20,30,40 in id order -> exclusive prefix sums
+    // 0,10,30,60; budget 35 keeps ids 0,1,2 (the 60-row starts past it)
+    val df = Seq(
+      (0L, "a", 10L), (1L, "a", 20L), (2L, "a", 30L), (3L, "a", 40L),
+      (10L, "b", 100L), (11L, "b", 1L) // first row alone overshoots; kept anyway
+    ).toDF("id", "lang", "tok")
+    val out = DatasetMix.tokenBudgetSample(df, "lang", "id", "tok", budgetTokens = 35L)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(0L, 1L, 2L, 10L))
+  }
+
+  test("token-budget gate never changes the answer (skewed strata, many bucketings)") {
+    import spark.implicits._
+    // hot stratum holds ~90% of rows; token counts vary 1..40
+    val skewed = (0 until 5000).map { i =>
+      (i.toLong, if (i % 10 == 0) s"small${i % 3}" else "hot", (i % 40 + 1).toLong)
+    }.toDF("id", "lang", "tok").repartition(8)
+    val exact = DatasetMix.tokenBudgetSample(
+        skewed, "lang", "id", "tok", budgetTokens = 900L, gateBuckets = 1)
+      .select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (buckets <- Seq(2, 16, 64)) {
+      val gated = DatasetMix.tokenBudgetSample(
+          skewed, "lang", "id", "tok", budgetTokens = 900L, gateBuckets = buckets)
+        .select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(gated === exact, s"gateBuckets=$buckets changed the sample")
+    }
+  }
+
+  test("tokenBudgetSample plans the salted cumsum gate before the exact window") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"l${i % 4}", (i % 7 + 1).toLong))
+      .toDF("id", "lang", "tok")
+    val p = DatasetMix.tokenBudgetSample(df, "lang", "id", "tok", 50L)
+      .queryExecution.executedPlan.toString
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.size === 2 && exch.exists(_.contains("_w0")) &&
+      exch.exists(l => !l.contains("_w0")),
+      s"expected salted + unsalted exchanges:\n$p")
+    // the gate's cumsum window partitions on (lang, _w0 salt) and must sit
+    // BELOW the exact (lang)-only window in the tree (deeper = printed
+    // later), so the exact window only sees the gate's survivors
+    val specs = "windowspecdefinition\\(lang#\\d+, (_w0|id)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs === Seq("id", "_w0"),
+      s"exact (unsalted) window must consume the salted gate's output:\n$p")
+  }
+
   test("hashSplit is deterministic, disjoint, partition-invariant, ratio-correct") {
     val (train1, test1) = DatasetMix.hashSplit(docs, testPerMille = 100, seed = 7L, "id")
     val (train2, test2) = DatasetMix.hashSplit(

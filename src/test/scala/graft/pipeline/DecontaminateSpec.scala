@@ -48,4 +48,46 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(out.count() === 50)
     assert(out.where(col("contaminated")).count() === 50)
   }
+
+  test("contamination matrix: per-benchmark doc/gram hit counts, zero rows kept") {
+    // bench 10 leaks into corpus docs 1 and 2; bench 20 is clean; bench 30
+    // is too short to have any 13-gram at all
+    val bench = Seq(
+      (10L, benchText),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (30L, "too short")
+    ).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, s"prefix $benchText suffix"),        // 2 distinct shared grams (14 tokens)
+      (2L, benchText),                          // same 2 grams again
+      (3L, "totally unrelated words only here") // clean
+    ).toDF("doc_id", "text")
+    val got = Decontaminate
+      .contaminationMatrix(corpus, "doc_id", "text", bench, "bid", "btext")
+      .as[(Long, Long, Long)].collect()
+      .map { case (b, d, g) => b -> ((d, g)) }.toMap
+    // benchText has 14 tokens -> 2 distinct 13-grams, both present in docs 1+2
+    assert(got === Map(10L -> ((2L, 2L)), 20L -> ((0L, 0L)), 30L -> ((0L, 0L))))
+  }
+
+  test("matrix plan: benchmark side broadcasts; gram strings never shuffle") {
+    val bench = Seq((10L, benchText)).toDF("bid", "btext")
+    val corpus = Seq((1L, benchText)).toDF("doc_id", "text")
+    val plan = Decontaminate
+      .contaminationMatrix(corpus, "doc_id", "text", bench, "bid", "btext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus-side gram filter must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"no BNLJ allowed:\n$plan")
+    // the only string column shuffled would be __g; hash-collapse happens
+    // before any Exchange
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val q = Decontaminate
+      .contaminationMatrix(corpus, "doc_id", "text", bench, "bid", "btext")
+    val exchanges = q.queryExecution.executedPlan.collect { case e: Exchange => e }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("__g"), s"gram string crosses an exchange: $cols")
+    }
+  }
 }
