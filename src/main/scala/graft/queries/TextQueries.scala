@@ -354,4 +354,92 @@ object TextQueries {
        |)
        |SELECT doc_id, lang, $winner AS predicted_lang FROM m""".stripMargin
   }
+
+  /** Planted pages exercising every Gopher rule's failure branch at
+   *  least once regardless of what the natural corpus contains (the
+   *  natural docs exercise words_ok/stopword_ok variation on their own).
+   *  Defined ONCE here; the oracle VALUES clause is generated from this
+   *  seq so the two engines can never drift on a literal. */
+  private val gopherBase =
+    Seq.fill(10)("the data pipeline scales with great care and that have").mkString(" ")
+  private[queries] val PlantedGopherDocs: Seq[(Long, String)] = Seq(
+    1000000L -> gopherBase,                                   // passes all
+    1000001L -> "too short doc",                              // words_ok false
+    1000002L -> Seq.fill(60)("a").mkString(" "),              // mean_len false
+    1000003L -> (gopherBase + " " + Seq.fill(30)("####").mkString(" ")), // symbol false
+    1000004L -> Seq.fill(10)("- the data pipeline scales with").mkString("\n"), // bullet false
+    1000005L -> (Seq.fill(5)("the data pipeline scales with great care and that have...")
+      .mkString("\n") + "\n" +
+      Seq.fill(5)("the data pipeline scales with great care and that have")
+        .mkString("\n")),                                     // ellipsis false
+    1000006L -> (gopherBase + " " + Seq.fill(100)("12345").mkString(" ")), // alpha false
+    1000007L -> Seq.fill(8)("data pipeline scales nicely across many executors")
+      .mkString(" "))                                         // stopword false
+
+  /** The Gopher rule battery (every rule boolean + the conjunction) over
+   *  the corpus plus the planted rule-exercising pages. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = PlantedGopherDocs.toDF("doc_id", "text")
+    DedupQueries.docs(spark, dir).select(col("doc_id"), col("text"))
+      .unionAll(planted)
+      .select(col("doc_id"), graft.text.GopherRules.rules(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+  }
+
+  val GopherRulesSql: String = {
+    // newline-safe SQL string literal (planted texts contain no quotes)
+    def sqlStr(s: String): String =
+      s.split("\n", -1).map(p => s"'$p'").mkString(" || chr(10) || ")
+    val values = PlantedGopherDocs
+      .map { case (id, t) => s"($id, ${sqlStr(t)})" }.mkString(",\n  ")
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |  $values) AS p(doc_id, text)
+       |), t AS (
+       |  SELECT doc_id, coalesce(text, '') AS tx,
+       |         (text IS NULL OR trim(text) = '') AS blank
+       |  FROM src
+       |), m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN blank THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(lower(trim(tx)), '\\s+') END AS words,
+       |    len(regexp_replace(tx, '\\s', '', 'g')) AS nchars,
+       |    len(tx) - len(replace(tx, '#', '')) AS nhash,
+       |    (len(tx) - len(replace(tx, '...', ''))) // 3 AS nell,
+       |    string_split(tx, chr(10)) AS lines
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id,
+       |    len(words) AS w, nchars, nhash, nell,
+       |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS alphaw,
+       |    len(list_intersect(words,
+       |        [${graft.text.GopherRules.requiredStopwordsSqlList}])) AS stops,
+       |    len(lines) AS nl,
+       |    len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+       |        OR ltrim(l) LIKE '•%')) AS bl,
+       |    len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS el
+       |  FROM m
+       |)
+       |SELECT doc_id,
+       |  (w >= ${graft.text.GopherRules.MinWords}
+       |     AND w <= ${graft.text.GopherRules.MaxWords}) AS words_ok,
+       |  (3*w <= nchars AND nchars <= 10*w) AS mean_len_ok,
+       |  (10*(nhash + nell) <= w) AS symbol_ok,
+       |  (10*bl <= 9*nl) AS bullet_ok,
+       |  (10*el <= 3*nl) AS ellipsis_ok,
+       |  (5*alphaw >= 4*w) AS alpha_ok,
+       |  (stops >= 2) AS stopword_ok,
+       |  ((w >= ${graft.text.GopherRules.MinWords}
+       |     AND w <= ${graft.text.GopherRules.MaxWords})
+       |    AND (3*w <= nchars AND nchars <= 10*w)
+       |    AND (10*(nhash + nell) <= w)
+       |    AND (10*bl <= 9*nl)
+       |    AND (10*el <= 3*nl)
+       |    AND (5*alphaw >= 4*w)
+       |    AND (stops >= 2)) AS pass
+       |FROM r""".stripMargin
+  }
 }

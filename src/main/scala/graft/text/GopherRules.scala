@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+ * Language Models: ... Gopher", table A1) — the canonical hand-written
+ * filter battery that C4/Dolma/RefinedWeb recipes all descend from.
+ * Each rule is exposed as its own boolean so a pipeline can audit WHICH
+ * rule killed a document (the usual operational question), plus the
+ * conjunction `pass`.
+ *
+ * Every rule is integer-exact: ratio thresholds are evaluated by cross
+ * multiplication (e.g. mean word length in [3, 10] becomes
+ * 3*words <= chars && chars <= 10*words), so the DuckDB oracle
+ * reproduces each boolean bit-for-bit with no floating point.
+ *
+ * Scale shape: one map-side pass of codegen'd built-ins — a shared
+ * whitespace split, a shared line split, `translate`/`replace` counts.
+ * No UDF, no shuffle, no join; fuses into the surrounding stage's
+ * WholeStageCodegen span (asserted in GopherRulesSpec).
+ */
+object GopherRules {
+
+  /** The 8 Gopher "must contain 2 of" stopwords (table A1). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** SQL-literal list shared with the oracle. */
+  def requiredStopwordsSqlList: String =
+    RequiredStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Word-count bounds (Gopher: 50 <= words <= 100,000). */
+  val MinWords = 50
+  val MaxWords = 100000
+
+  /**
+   * All rule booleans as one struct column:
+   *   words_ok        50 <= words <= 100000
+   *   mean_len_ok     3 <= sum(word lens)/words <= 10   (cross-multiplied)
+   *   symbol_ok       (#'s + "..." occurrences) / words <= 0.1
+   *   bullet_ok       lines starting with a bullet <= 90%
+   *   ellipsis_ok     lines ending with "..." <= 30%
+   *   alpha_ok        words containing an alphabetic char >= 80%
+   *   stopword_ok     >= 2 distinct of the 8 required stopwords present
+   *   pass            AND of all of the above
+   * Null/blank text fails words_ok (and therefore pass) with every count
+   * convention at zero.
+   */
+  def rules(c: Column): Column = {
+    val text = coalesce(c, lit(""))
+    val blank = c.isNull || length(trim(c)) === 0
+    val words = split(lower(trim(text)), "\\s+")
+    val nWords = when(blank, lit(0L)).otherwise(size(words)).cast("long")
+    // sum of word lengths = chars that are not whitespace
+    val nChars = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nHash = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3).cast("long")
+    val alphaWords = when(blank, lit(0L))
+      .otherwise(size(filter(words, w => w.rlike("[a-z]")))).cast("long")
+    val stops = when(blank, lit(0L))
+      .otherwise(size(array_intersect(array_distinct(words),
+        array(RequiredStopwords.map(lit): _*)))).cast("long")
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("..."))).cast("long")
+
+    val wordsOk = nWords >= MinWords && nWords <= MaxWords
+    val meanLenOk = lit(3L) * nWords <= nChars && nChars <= lit(10L) * nWords
+    val symbolOk = lit(10L) * (nHash + nEllipsis) <= nWords
+    val bulletOk = lit(10L) * bulletLines <= lit(9L) * nLines
+    val ellipsisOk = lit(10L) * ellipsisLines <= lit(3L) * nLines
+    val alphaOk = lit(5L) * alphaWords >= lit(4L) * nWords
+    val stopwordOk = stops >= 2L
+    struct(
+      wordsOk.as("words_ok"),
+      meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordsOk && meanLenOk && symbolOk && bulletOk && ellipsisOk &&
+        alphaOk && stopwordOk).as("pass"))
+  }
+
+  /** Convenience: just the conjunction. */
+  def pass(c: Column): Column = rules(c).getField("pass")
+}

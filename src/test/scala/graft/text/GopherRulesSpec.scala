@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GopherRulesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    Seq.fill(10)("the data pipeline scales with great care and that have").mkString(" ")
+
+  private def rulesOf(text: String): Map[String, Boolean] = {
+    val r = Seq((1L, text)).toDF("id", "t")
+      .select(GopherRules.rules(col("t")).as("r")).select(col("r.*")).head()
+    r.schema.fieldNames.map(f => f -> r.getAs[Boolean](f)).toMap
+  }
+
+  test("a plain 100-word page passes every rule") {
+    val r = rulesOf(base)
+    assert(r.values.forall(identity), s"expected all-pass: $r")
+  }
+
+  test("each rule's failure branch fires on its planted page") {
+    assert(!rulesOf("too short doc")("words_ok"))
+    assert(!rulesOf(Seq.fill(60)("a").mkString(" "))("mean_len_ok"))
+    assert(!rulesOf(base + " " + Seq.fill(30)("####").mkString(" "))("symbol_ok"))
+    assert(!rulesOf(Seq.fill(10)("- the data pipeline scales with").mkString("\n"))("bullet_ok"))
+    val ell = Seq.fill(5)("the data pipeline scales with great care and that have...")
+      .mkString("\n") + "\n" +
+      Seq.fill(5)("the data pipeline scales with great care and that have").mkString("\n")
+    assert(!rulesOf(ell)("ellipsis_ok"))
+    assert(!rulesOf(base + " " + Seq.fill(100)("12345").mkString(" "))("alpha_ok"))
+    assert(!rulesOf(
+      Seq.fill(8)("data pipeline scales nicely across many executors").mkString(" "))("stopword_ok"))
+    // any single failing rule kills the conjunction
+    assert(!rulesOf("too short doc")("pass"))
+  }
+
+  test("boundary arithmetic is integer-exact (no float drift at the cut)") {
+    // mean word length exactly 3: 50 words of 3 chars -> 3*50 == 150 -> ok
+    val exact3 = Seq.fill(48)("abc").mkString(" ") + " the and"
+    assert(rulesOf(exact3)("mean_len_ok"))
+    // exactly at the symbol cut: 50 words, 5 hashes -> 10*5 == 50 -> ok
+    val atCut = Seq.fill(49)("the").mkString(" ") + " #####"
+    assert(rulesOf(atCut)("symbol_ok"))
+    // one past: 6 hashes over 50 words -> 60 > 50 -> fail
+    val pastCut = Seq.fill(49)("the").mkString(" ") + " ######"
+    assert(!rulesOf(pastCut)("symbol_ok"))
+  }
+
+  test("null and blank text fail with zero counts, no errors") {
+    val r = Seq((1L, null.asInstanceOf[String]), (2L, "   ")).toDF("id", "t")
+      .select(col("id"), GopherRules.rules(col("t")).as("r"))
+      .select(col("id"), col("r.pass")).collect()
+    assert(r.forall(!_.getBoolean(1)))
+  }
+
+  test("map-only: zero Exchange, zero ScalaUDF, stays in codegen") {
+    // id-dependent text so constant folding can't collapse the plan
+    val df = spark.range(4)
+      .select(concat(lit(base), lit(" doc"), col("id").cast("string")).as("t"))
+      .select(GopherRules.rules(col("t")).as("r")).select(col("r.*"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"rule battery must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"no UDFs allowed:\n$p")
+    // executedPlan.toString marks whole-stage-codegen spans with "*(n)"
+    assert(p.contains("*(1)"), s"expected a codegen span:\n$p")
+  }
+}
