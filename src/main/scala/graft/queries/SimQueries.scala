@@ -136,6 +136,41 @@ object SimQueries {
        |       true AS blocking_consistent
        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** CROSS-corpus near-dedup recall ("dedup the new crawl against the
+   *  kept corpus") with the same planted construction as minhashNearDup:
+   *  reference side = doc_id % 7 == 0 docs as-is; new side = everything
+   *  else PLUS a one-token-perturbed copy of each long (>= 50 words)
+   *  reference doc. A planted (new, ref) pair has true Jaccard >= 48/49,
+   *  so est_jaccard lands ~0.98 (never near the 0.5 cut) and per-band
+   *  miss probability is ~1e-35 — recall on the planted relation is 1.
+   *  Projection onto the planted relation for the same reason as
+   *  minhashNearDup (natural cross near-dups are real but not SQL-
+   *  enumerable); a planted pair still runs the full cross pipeline —
+   *  both sides banded, per-side bucket counts, co-occupancy gate,
+   *  equi-join, est cut — to be emitted. */
+  def crossNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val ref = d.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), col("text"))
+    val longRef = d.where(col("doc_id") % 7 === 0 &&
+      size(split(trim(col("text")), "\\s+")) >= 50)
+    val newSide = d.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("id"), col("text"))
+      .unionAll(longRef.select(
+        (col("doc_id") + DedupQueries.DupOffset).as("id"),
+        concat(col("text"), lit(" qqcrossdup")).as("text")))
+    MinHashLsh.candidatePairsAgainst(newSide, ref, "id", "text")
+      .where(col("est_jaccard") >= 0.5 &&
+        col("id_new") === col("id_ref") + DedupQueries.DupOffset)
+      .select(col("id_new"), col("id_ref"))
+  }
+
+  val CrossNearDupSql: String =
+    s"""SELECT doc_id + ${DedupQueries.DupOffset} AS id_new, doc_id AS id_ref
+       |FROM documents
+       |WHERE doc_id % 7 = 0
+       |  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 50""".stripMargin
+
   /** Exact word-3-gram Jaccard between consecutive documents, as integer
    *  intersection/union sizes (cross-engine exact). */
   def jaccardConsecutive(spark: SparkSession, dir: String): DataFrame = {

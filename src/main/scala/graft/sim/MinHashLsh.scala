@@ -217,4 +217,96 @@ object MinHashLsh {
         graft.plans.TextSketchExprs.minhashEst(col("sig_a"), col("sig_b")))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
+
+  /**
+   * CROSS-corpus candidate near-duplicate pairs — "dedup the new crawl
+   * against the existing corpus": (id_new, id_ref, est_jaccard) where
+   * id_new comes from `newDf` and id_ref from `refDf`. Pairs WITHIN
+   * either side are never formed, so neither side is self-joined — the
+   * reference corpus (petabytes of already-kept data) is banded once and
+   * only buckets that a NEW document also lands in matter. Ids need not
+   * be unique across the two frames (the sides stay separate end-to-end).
+   *
+   * Scale shape: each side's signature is computed map-side by the native
+   * codegen'd expression and banded to slim (band, bucket, id) triples.
+   * A per-bucket count PER SIDE gates the join: only buckets with >= 1
+   * member on both sides and at most `maxBucketPairs` cross products
+   * survive (the cross-corpus analog of candidatePairs' hot-bucket cap —
+   * an exact-dup cluster spanning both sides would otherwise emit
+   * bands * |new| * |ref| rows for that bucket). The surviving join is a
+   * plain (band, bucket) equi-join; signatures re-attach after pair
+   * dedup, so full 1 KB signatures only travel for actual candidates.
+   */
+  def candidatePairsAgainst(
+      newDf: DataFrame,
+      refDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = 3,
+      maxBucketPairs: Long = 10000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def sigsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        graft.plans.TextSketchExprs.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+      .where(col("sig").isNotNull)
+      .localCheckpoint(false)
+    def bandedOf(sigs: DataFrame) = sigs
+      .select(col("id"),
+        posexplode(graft.plans.TextSketchExprs.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+    val sigsNew = sigsOf(newDf)
+    val sigsRef = sigsOf(refDf)
+    val bandedNew = bandedOf(sigsNew)
+    val bandedRef = bandedOf(sigsRef)
+    // a bucket is live iff BOTH sides land in it and the cross product is
+    // bounded; the two counts shuffle slim (band, bucket, n) rows with
+    // map-side combine, and the inner join keeps only co-occupied buckets
+    val live = bandedNew.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__nn"))
+      .join(bandedRef.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__nr")), Seq("band", "bucket"))
+      .where(col("__nn") * col("__nr") <= maxBucketPairs)
+      .select(col("band"), col("bucket"))
+    val prunedNew = bandedNew.join(live, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+    val prunedRef = bandedRef.join(live, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("id_ref"))
+    val pairs = prunedNew.join(prunedRef, Seq("band", "bucket"))
+      .select(col("id_new"), col("id_ref"))
+      .dropDuplicates("id_new", "id_ref")
+    pairs
+      .join(sigsNew.select(col("id").as("id_new"), col("sig").as("sig_n")), Seq("id_new"))
+      .join(sigsRef.select(col("id").as("id_ref"), col("sig").as("sig_r")), Seq("id_ref"))
+      .withColumn("est_jaccard",
+        graft.plans.TextSketchExprs.minhashEst(col("sig_n"), col("sig_r")))
+      .select(col("id_new"), col("id_ref"), col("est_jaccard"))
+  }
+
+  /**
+   * Keep only the rows of `newDf` that are NOT near-duplicates of
+   * anything in `refDf` (estimated Jaccard >= `minEstJaccard` against any
+   * reference doc drops the row). The snapshot-over-snapshot near-dedup
+   * companion to `graft.pipeline.IncrementalDedup` (which is exact): run
+   * exact incremental dedup first — it is cheaper and removes the mass of
+   * identical re-crawls — then this for the perturbed survivors.
+   * The anti-join touches only the slim distinct id_new set.
+   */
+  def removeNearDuplicatesAgainst(
+      newDf: DataFrame,
+      refDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEstJaccard: Double = 0.8,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = 3,
+      maxBucketPairs: Long = 10000L): DataFrame = {
+    val dupIds = candidatePairsAgainst(newDf, refDf, idCol, textCol,
+      numHashes, bands, shingleSize, maxBucketPairs)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_new").as(idCol)).distinct()
+    newDf.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

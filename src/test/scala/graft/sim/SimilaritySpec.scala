@@ -52,6 +52,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc not a candidate")
   }
 
+  test("cross-corpus pairs: only cross pairs, exact dup across sides always found") {
+    import spark.implicits._
+    val unrelated = (0 until 200).map(i => s"other${i}x unrelated$i").mkString(" ")
+    // within-NEW near-dups (1,2) and within-REF dups (11,12) must NOT pair
+    val newSide = Seq(
+      (1L, baseText), (2L, perturb(baseText, 3, 7)), (3L, unrelated)
+    ).toDF("id", "text")
+    val refSide = Seq(
+      (11L, baseText), (12L, baseText),
+      (13L, (0 until 200).map(i => s"ref${i}y corpus$i").mkString(" "))
+    ).toDF("id", "text")
+    val pairs = MinHashLsh.candidatePairsAgainst(newSide, refSide, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every emitted pair is new x ref
+    assert(pairs.forall { case (n, r, _) => n <= 3L && r >= 11L }, pairs.mkString(","))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 11L)).contains(1.0), "exact cross dup must be found at est 1")
+    assert(byPair.get((1L, 12L)).contains(1.0))
+    assert(byPair.contains((2L, 11L)), "near cross dup caught")
+    assert(!byPair.keySet.exists(p => p._1 == 3L || p._2 == 13L),
+      "unrelated docs never pair")
+  }
+
+  test("removeNearDuplicatesAgainst keeps exactly the novel new-side rows") {
+    import spark.implicits._
+    val newSide = Seq(
+      (1L, baseText),                 // exact dup of ref -> dropped
+      (2L, perturb(baseText, 3, 7)),  // near dup of ref -> dropped
+      (3L, (0 until 200).map(i => s"fresh${i}z novel$i").mkString(" ")),
+      (4L, null.asInstanceOf[String]) // no signature -> trivially kept
+    ).toDF("id", "text")
+    val refSide = Seq((11L, baseText)).toDF("id", "text")
+    val kept = MinHashLsh.removeNearDuplicatesAgainst(
+        newSide, refSide, "id", "text", minEstJaccard = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("cross-corpus plan: equi-join on (band, bucket), never a cross join") {
+    import spark.implicits._
+    val newSide = Seq((1L, baseText)).toDF("id", "text")
+    val refSide = Seq((11L, baseText)).toDF("id", "text")
+    val p = MinHashLsh.candidatePairsAgainst(newSide, refSide, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cross-corpus candidates must never plan a cross join:\n$p")
+  }
+
   test("SimHash: small edits keep small Hamming distance; unrelated far") {
     val h1 = SimHash.simhash64(baseText)
     val h2 = SimHash.simhash64(perturb(baseText, 2, 11))
