@@ -69,4 +69,46 @@ object UrlDedup {
       markUrlDuplicates(df, idCol, urlCol)
         .where(!col("is_url_dup")).select(col(idCol)),
       idCol)
+
+  /** Host of a URL: scheme and leading `www.` stripped (rules 1-3 of
+   *  `normalizeUrl`), then everything before the first `/`, `?`, `#` or
+   *  `:` (port). Pure codegen'd string ops. */
+  def hostOf(url: Column): Column = {
+    val l = lower(trim(url))
+    val noScheme = regexp_replace(l, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    regexp_extract(noWww, "^[^/?#:]+", 0)
+  }
+
+  /** Registered domain as the host's last two dot-labels (`a.b.c.com` ->
+   *  `c.com`); a bare single-label host passes through unchanged. This is
+   *  the standard naive approximation — a real public-suffix list is
+   *  DATA, not code (it ships as a file and changes monthly), so callers
+   *  that need `co.uk`-correct cuts should derive their own domain
+   *  column and join the blocklist on that instead. */
+  def registeredDomainOf(url: Column): Column = {
+    val h = hostOf(url)
+    when(regexp_extract(h, "[^.]+\\.[^.]+$", 0) === "", h)
+      .otherwise(regexp_extract(h, "[^.]+\\.[^.]+$", 0))
+  }
+
+  /**
+   * Drop every row whose registered domain appears in `blocklist` (a
+   * one-column frame of lowercase domains) — the C4/RefinedWeb "bad
+   * domain" cut that runs before anything touches page content.
+   *
+   * Scale shape: the blocklist (thousands to low millions of domains —
+   * always tiny next to the corpus) is explicitly broadcast and the cut
+   * is a LEFT ANTI hash join on the derived domain: one map-side pass
+   * over the corpus, no shuffle of corpus rows, content untouched.
+   */
+  def filterBlockedDomains(
+      df: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    val blockCol = blocklist.columns.head
+    val slim = broadcast(
+      blocklist.select(lower(trim(col(blockCol))).as("__blocked_domain")).distinct())
+    df.withColumn("__domain", registeredDomainOf(col(urlCol)))
+      .join(slim, col("__domain") === col("__blocked_domain"), "left_anti")
+      .drop("__domain")
+  }
 }

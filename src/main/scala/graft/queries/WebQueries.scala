@@ -69,6 +69,61 @@ object WebQueries {
       |       n.doc_id <> k.keeper_id AS is_url_dup
       |FROM n JOIN k USING (norm_url)""".stripMargin
 
+  // ---------- domain-blocklist filtering (the pre-content cut) ----------
+
+  /** Blocklist shared between the query and the oracle. */
+  val BlockedDomains: Seq[String] = Seq("bad-ads.com", "tracker.net")
+
+  /** URL surface forms across five domains, exercising scheme/case/www
+   *  stripping, subdomain collapse to the registered domain, and a port:
+   *  %5==1 (sub of bad-ads.com) and %5==2 (www.Tracker.NET) are blocked;
+   *  0/3/4 survive. */
+  def syntheticDomainUrl(id: Column): Column = {
+    val k = (id % 97).cast("string")
+    when(id % 5 === 0, concat(lit("https://example.com/p/"), k))
+      .when(id % 5 === 1, concat(lit("http://spam.bad-ads.com/x/"), k))
+      .when(id % 5 === 2, concat(lit("HTTPS://WWW.Tracker.NET/t/"), k, lit("?q=1")))
+      .when(id % 5 === 3, concat(lit("good.org/a/"), k))
+      .otherwise(concat(lit("cdn.assets.example.net:8080/f/"), k))
+  }
+
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = BlockedDomains.toDF("domain")
+    val pages = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), syntheticDomainUrl(col("doc_id")).as("url"))
+    UrlDedup.filterBlockedDomains(pages, "url", blocklist)
+      .select(col("doc_id"),
+        UrlDedup.registeredDomainOf(col("url")).as("domain"))
+  }
+
+  val DomainFilterSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'https://example.com/p/' || (doc_id % 97)
+       |      WHEN 1 THEN 'http://spam.bad-ads.com/x/' || (doc_id % 97)
+       |      WHEN 2 THEN 'HTTPS://WWW.Tracker.NET/t/' || (doc_id % 97) || '?q=1'
+       |      WHEN 3 THEN 'good.org/a/' || (doc_id % 97)
+       |      ELSE 'cdn.assets.example.net:8080/f/' || (doc_id % 97)
+       |    END AS url
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    regexp_extract(
+       |      regexp_replace(regexp_replace(lower(trim(url)),
+       |        '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''),
+       |      '^[^/?#:]+') AS host
+       |  FROM u
+       |), d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$$') = '' THEN host
+       |         ELSE regexp_extract(host, '[^.]+\\.[^.]+$$') END AS domain
+       |  FROM h
+       |)
+       |SELECT doc_id, domain FROM d
+       |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin
+
   // ---------- deterministic global shuffle / sharding ----------
 
   def globalShuffle(spark: SparkSession, dir: String): DataFrame =

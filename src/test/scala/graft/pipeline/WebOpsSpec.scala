@@ -42,6 +42,44 @@ class WebOpsSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("registeredDomainOf: scheme/www/subdomain/port collapse; bare labels pass") {
+    import spark.implicits._
+    val got = Seq(
+      "https://example.com/p/1",
+      "HTTP://WWW.Sub.Tracker.NET:8080/x?q=1",
+      "cdn.assets.example.net/f",
+      "good.org",
+      "localhost/admin"
+    ).toDF("url")
+      .select(UrlDedup.registeredDomainOf(col("url"))).as[String].collect().toSeq
+    assert(got === Seq("example.com", "tracker.net", "example.net", "good.org", "localhost"))
+  }
+
+  test("filterBlockedDomains drops blocked domains via a broadcast anti join") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "http://spam.bad-ads.com/x"),
+      (3L, "WWW.Tracker.NET/t"),
+      (4L, "good.org/z")
+    ).toDF("id", "url")
+    val blocklist = Seq("bad-ads.com", "tracker.net").toDF("domain")
+    val kept = UrlDedup.filterBlockedDomains(pages, "url", blocklist)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    // helper column must not leak into the output schema
+    assert(kept.columns.toSeq === Seq("id", "url"))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist cut must be a broadcast anti join:\n$p")
+    // the only shuffle allowed is the tiny blocklist's own distinct;
+    // corpus rows (id/url) never cross an Exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = kept.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e.output.map(_.name) }
+    assert(shuffles.forall(cols => cols == Seq("__blocked_domain")),
+      s"corpus rows must not shuffle for the cut: $shuffles\n$p")
+  }
+
   test("shuffleShards is a deterministic permutation with dense per-shard positions") {
     val df = spark.range(0, 1000).toDF("id")
     val a = GlobalShuffle.shuffleShards(df, "id", nShards = 8)
