@@ -1,0 +1,133 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (Jégou et al. 2011, "Product Quantization for
+ * Nearest Neighbor Search") over INTEGER vectors — the memory-scale path
+ * for ANN at 100 TB: a d-dim vector becomes m small codes (one byte each
+ * at k <= 256), so a corpus whose raw embeddings are petabytes ships as
+ * a few bytes per row, and query scoring never touches the raw vectors.
+ *
+ * Everything is exact 64-bit integer arithmetic on top of
+ * [[IntKmeans]]: each of the m subspaces trains its own k-centroid
+ * codebook with the deterministic seed + floor-division Lloyd recipe, so
+ * a replaying engine (the driver's DuckDB oracle) reproduces every
+ * codebook entry, every code, and every ADC distance bit-for-bit.
+ *
+ * The asymmetric distance computation (ADC) identity this module is
+ * built on: with per-subspace lookup tables
+ * `table_s[c] = ||query_s - centroid_{s,c}||^2`, the score
+ * `sum_s table_s[code_s(x)]` EQUALS the exact squared L2 distance
+ * between the query and x's reconstruction (concatenated chosen
+ * centroids), because squared L2 is additive over disjoint coordinate
+ * blocks. The spec pins this identity.
+ *
+ * Scale shape:
+ *  - training materializes the sliced frame ONCE (localCheckpoint) and
+ *    runs m independent [[IntKmeans]] trainings over it — each round is
+ *    a map pass plus a k*subDim-row shuffle;
+ *  - encoding is FULLY MAP-SIDE (centroid literals, argmin fold — no
+ *    join, no Exchange; plan-asserted);
+ *  - query scoring is map-side table lookups (the m tables ride into
+ *    the plan as array literals), and the top-k runs through
+ *    [[graft.operators.TopK.perGroup]]'s salted gate, so no reducer
+ *    ever sorts the whole corpus for one query.
+ */
+object ProductQuantizer {
+
+  /** Trained PQ model: `books(s)` is subspace s's codebook in cluster-id
+   *  order (cid 0..k-1). */
+  case class Codebooks(
+      dim: Int, m: Int, k: Int, books: Array[Array[(Int, Array[Long])]]) {
+    val subDim: Int = dim / m
+
+    /** Driver-side reconstruction of a code vector (centroid concat). */
+    def reconstruct(codes: Seq[Int]): Array[Long] = {
+      require(codes.length == m, s"expected $m codes, got ${codes.length}")
+      codes.toArray.zipWithIndex.flatMap { case (c, s) => books(s)(c)._2 }
+    }
+
+    /** ADC lookup tables for one query: `tables(s)(c)` = exact squared
+     *  L2 between the query's subspace-s slice and centroid (s, c). */
+    def adcTables(query: Array[Long]): Array[Array[Long]] = {
+      require(query.length == dim, s"expected dim $dim, got ${query.length}")
+      Array.tabulate(m) { s =>
+        val qs = query.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (_, cent) =>
+          var acc = 0L
+          var i = 0
+          while (i < subDim) {
+            val d = qs(i) - cent(i); acc += d * d; i += 1
+          }
+          acc
+        }
+      }
+    }
+  }
+
+  private def subSlice(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /**
+   * Train the m per-subspace codebooks. `df` is read through one
+   * localCheckpoint of the sliced projection, so the (possibly
+   * expensive) vector column is computed once, not once per subspace
+   * per Lloyd round.
+   */
+  def train(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, rounds: Int): Codebooks = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val sliced = df.select(
+      col(idCol) +:
+        (0 until m).map(s => subSlice(col(vecCol), s, subDim).as(s"__sub_$s")): _*)
+      .localCheckpoint(false)
+    val books = (0 until m).map { s =>
+      IntKmeans.train(sliced, idCol, s"__sub_$s", k, rounds).sortBy(_._1)
+    }.toArray
+    Codebooks(dim, m, k, books)
+  }
+
+  /** `(idCol, codes array<int>)` — the nearest-codebook-entry id per
+   *  subspace, ties to the smallest cid (IntKmeans' rule). Map-only. */
+  def encode(
+      df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+    val codes = array((0 until cb.m).map { s =>
+      IntKmeans.nearestCentroid(subSlice(col(vecCol), s, cb.subDim), cb.books(s))
+    }: _*)
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /**
+   * Top-k nearest codes per query by ADC distance:
+   * `(query_id, <idCol>, adc_dist2, rank)`, rank 1..k ordered by
+   * (adc_dist2, id) — a total order, so the result is deterministic.
+   * All queries score in ONE pass over the code table (per-query lookup
+   * tables are array literals; the per-row work is m element_at's and
+   * m-1 adds per query).
+   */
+  def adcTopK(
+      codes: DataFrame, idCol: String, codesCol: String,
+      queries: Seq[(Long, Array[Long])], cb: Codebooks,
+      topK: Int, gateBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val perQuery = queries.map { case (qid, q) =>
+      val tables = cb.adcTables(q)
+      val score = (0 until cb.m).map { s =>
+        element_at(typedLit(tables(s).toSeq), col(codesCol).getItem(s) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), score.as("adc_dist2"))
+    }
+    val scored = codes
+      .select(col(idCol), explode(array(perQuery: _*)).as("__q"))
+      .select(col("__q.query_id"), col(idCol), col("__q.adc_dist2"))
+    graft.operators.TopK.perGroup(
+        scored, Seq("query_id"),
+        Seq(col("adc_dist2").asc, col(idCol).asc),
+        saltCol = idCol, k = topK, gateBuckets = gateBuckets)
+      .select(col("query_id"), col(idCol), col("adc_dist2"), col("rank"))
+  }
+}

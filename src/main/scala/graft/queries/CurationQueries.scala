@@ -63,45 +63,50 @@ object CurationQueries {
     IntKmeans.cluster(docs, "doc_id", "emb", KmeansK, KmeansRounds)
   }
 
-  /** k-means training + final assignment as DuckDB CTEs over the `e`
-   *  embedding rows of `src` — ends with CTE `asg(doc_id, cid, dist2)`.
-   *  Callers prepend `duckEmbedCtes(dim, src)`. */
-  private def duckKmeansCtes(k: Int, kmRounds: Int, src: String): String = {
+  /** k-means training + final assignment as DuckDB CTEs over the `$emb`
+   *  embedding rows of `src` — ends with CTEs `asg$sfx(doc_id, cid,
+   *  dist2)` and `c<rounds>$sfx(cid, d, cx)` (the final centroids).
+   *  Callers prepend `duckEmbedCtes(dim, src)`. `sfx` makes every CTE
+   *  name unique so several trainings (e.g. one per PQ subspace) can
+   *  live in one WITH block. */
+  private def duckKmeansCtes(
+      k: Int, kmRounds: Int, src: String,
+      sfx: String = "", emb: String = "e"): String = {
     def round(r: Int, prev: String): String =
-      s"""a$r AS (
+      s"""a$r$sfx AS (
          |  SELECT e.doc_id, c.cid,
          |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist2
-         |  FROM e JOIN $prev c ON e.d = c.d GROUP BY e.doc_id, c.cid
-         |), g$r AS (
+         |  FROM $emb e JOIN $prev c ON e.d = c.d GROUP BY e.doc_id, c.cid
+         |), g$r$sfx AS (
          |  SELECT doc_id, cid, dist2 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
-         |    FROM a$r) WHERE rk = 1
-         |), m$r AS (
+         |    FROM a$r$sfx) WHERE rk = 1
+         |), m$r$sfx AS (
          |  SELECT g.cid, e.d, CAST(sum(e.x) AS BIGINT) AS sx,
          |         CAST(count(*) AS BIGINT) AS n
-         |  FROM g$r g JOIN e USING (doc_id) GROUP BY g.cid, e.d
-         |), c$r AS (
+         |  FROM g$r$sfx g JOIN $emb e USING (doc_id) GROUP BY g.cid, e.d
+         |), c$r$sfx AS (
          |  SELECT c.cid, c.d,
          |    CAST(coalesce((m.sx - (((m.sx % m.n) + m.n) % m.n)) // m.n, c.cx) AS BIGINT) AS cx
-         |  FROM $prev c LEFT JOIN m$r m ON m.cid = c.cid AND m.d = c.d
+         |  FROM $prev c LEFT JOIN m$r$sfx m ON m.cid = c.cid AND m.d = c.d
          |)""".stripMargin
-    val roundsSql = (1 to kmRounds).map(r => round(r, s"c${r - 1}")).mkString(",\n")
-    val fin = s"c$kmRounds"
-    s"""sd AS (
+    val roundsSql = (1 to kmRounds).map(r => round(r, s"c${r - 1}$sfx")).mkString(",\n")
+    val fin = s"c$kmRounds$sfx"
+    s"""sd$sfx AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cid
        |  FROM $src ORDER BY doc_id LIMIT $k
-       |), c0 AS (
-       |  SELECT sd.cid, e.d, e.x AS cx FROM sd JOIN e USING (doc_id)
+       |), c0$sfx AS (
+       |  SELECT sd.cid, e.d, e.x AS cx FROM sd$sfx sd JOIN $emb e USING (doc_id)
        |),
        |$roundsSql,
-       |af AS (
+       |af$sfx AS (
        |  SELECT e.doc_id, c.cid,
        |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS dist2
-       |  FROM e JOIN $fin c ON e.d = c.d GROUP BY e.doc_id, c.cid
-       |), asg AS (
+       |  FROM $emb e JOIN $fin c ON e.d = c.d GROUP BY e.doc_id, c.cid
+       |), asg$sfx AS (
        |  SELECT doc_id, cid, dist2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, cid) AS rk
-       |    FROM af) WHERE rk = 1
+       |    FROM af$sfx) WHERE rk = 1
        |)""".stripMargin
   }
 
@@ -238,5 +243,76 @@ object CurationQueries {
        |SELECT s.doc_id, s.n_tokens, s.importance_micro,
        |       (kp.doc_id IS NOT NULL) AS selected
        |FROM s LEFT JOIN kp USING (doc_id)""".stripMargin
+  }
+
+  // ---------- product-quantization ANN ----------
+
+  val PqDim = 16
+  val PqM = 4 // 4 subspaces of 4 dims
+  val PqK = 4
+  val PqRounds = 1
+  val PqTopK = 5
+  val PqQueries = 3
+
+  /** PQ end to end over the documents' hash embeddings: train the m
+   *  per-subspace codebooks (integer-exact k-means), encode every doc to
+   *  m codes, then ADC top-5 for the 3 smallest-doc_id query vectors.
+   *  Output pins every (query, neighbor, exact ADC distance, rank) — a
+   *  wrong centroid in ANY subspace's training, a wrong code, or a wrong
+   *  lookup-table entry shifts a distance and surfaces as a hash
+   *  mismatch. The oracle replays all m trainings (suffix-parametrized
+   *  k-means CTEs over sliced embedding rows) and scores queries against
+   *  the RECONSTRUCTED vectors — equal to ADC by block additivity of
+   *  squared L2, which is exactly the identity the engine's lookup
+   *  tables rely on (ProductQuantizerSpec pins it engine-side). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.ProductQuantizer
+    val docs = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), HashEmbed.embed(col("text"), PqDim).as("emb"))
+      .localCheckpoint()
+    val cb = ProductQuantizer.train(docs, "doc_id", "emb", PqDim, PqM, PqK, PqRounds)
+    val codes = ProductQuantizer.encode(docs, "doc_id", "emb", cb)
+    val queries = docs.orderBy(col("doc_id")).limit(PqQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    ProductQuantizer.adcTopK(codes, "doc_id", "codes", queries, cb, PqTopK)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("adc_dist2"), col("rank").cast("long").as("rank"))
+  }
+
+  val PqTopKSql: String = {
+    val sub = PqDim / PqM
+    val slices = (0 until PqM).map { s =>
+      s"""e_s$s AS (
+         |  SELECT doc_id, d - ${s * sub} AS d, x FROM e
+         |  WHERE d >= ${s * sub} AND d < ${(s + 1) * sub}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val trainings = (0 until PqM)
+      .map(s => duckKmeansCtes(PqK, PqRounds, "documents", s"_s$s", s"e_s$s"))
+      .mkString(",\n")
+    val recon = (0 until PqM).map { s =>
+      s"""  SELECT a.doc_id, c.d + ${s * sub} AS d, c.cx
+         |  FROM asg_s$s a JOIN c${PqRounds}_s$s c USING (cid)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${duckEmbedCtes(PqDim)},
+       |$slices,
+       |$trainings,
+       |qs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $PqQueries),
+       |recon AS (
+       |$recon
+       |), sc AS (
+       |  SELECT eq.doc_id AS query_id, r.doc_id AS neighbor_id,
+       |         CAST(sum((eq.x - r.cx) * (eq.x - r.cx)) AS BIGINT) AS adc_dist2
+       |  FROM e eq JOIN qs ON qs.doc_id = eq.doc_id
+       |  JOIN recon r ON r.d = eq.d
+       |  GROUP BY eq.doc_id, r.doc_id
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, adc_dist2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_dist2, neighbor_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $PqTopK""".stripMargin
   }
 }

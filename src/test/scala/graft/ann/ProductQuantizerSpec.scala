@@ -1,0 +1,101 @@
+package graft.ann
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // deterministic integer vectors, dim 8: id-dependent but reproducible
+  private def vecs(n: Int, dim: Int = 8) = {
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 31 + d * 17) % 23 - 11).toLong))
+    }.toDF("id", "vec")
+  }
+
+  test("ADC distance equals the exact distance to the reconstruction") {
+    val df = vecs(60)
+    val cb = ProductQuantizer.train(df, "id", "vec", dim = 8, m = 4, k = 3, rounds = 2)
+    val codes = ProductQuantizer.encode(df, "id", "vec", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    val query = raw(7L).toArray
+    val got = ProductQuantizer.adcTopK(
+        ProductQuantizer.encode(df, "id", "vec", cb), "id", "codes",
+        Seq((7L, query)), cb, topK = 60)
+      .select("id", "adc_dist2").as[(Long, Long)].collect().toMap
+    raw.keys.foreach { id =>
+      val recon = cb.reconstruct(codes(id))
+      val exact = query.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(got(id) === exact, s"id=$id adc=${got(id)} exact=$exact")
+    }
+  }
+
+  test("codes are the per-subspace nearest centroids with smallest-cid ties") {
+    val df = vecs(40)
+    val cb = ProductQuantizer.train(df, "id", "vec", dim = 8, m = 2, k = 4, rounds = 1)
+    val codes = ProductQuantizer.encode(df, "id", "vec", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    raw.foreach { case (id, v) =>
+      (0 until 2).foreach { s =>
+        val sub = v.slice(s * 4, s * 4 + 4).toArray
+        val best = cb.books(s).map { case (cid, c) =>
+          (sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min // lexicographic: min dist2, then min cid
+        assert(codes(id)(s) === best._2, s"id=$id subspace=$s")
+      }
+    }
+  }
+
+  test("train rejects m that does not divide dim; codebooks are cid-ordered") {
+    val df = vecs(20)
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(df, "id", "vec", dim = 8, m = 3, k = 2, rounds = 0)
+    }
+    val cb = ProductQuantizer.train(df, "id", "vec", dim = 8, m = 4, k = 3, rounds = 0)
+    cb.books.foreach(b => assert(b.map(_._1).toSeq === Seq(0, 1, 2)))
+    // rounds=0: codebook entries are the k smallest-id rows' sub-slices
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    (0 until 4).foreach { s =>
+      (0 until 3).foreach { cid =>
+        assert(cb.books(s)(cid)._2.toSeq === raw(cid.toLong).slice(s * 2, s * 2 + 2))
+      }
+    }
+  }
+
+  test("encode is map-only: zero Exchange in the plan") {
+    val df = vecs(30)
+    val cb = ProductQuantizer.train(df, "id", "vec", 8, 4, 2, 1)
+    val p = ProductQuantizer.encode(df, "id", "vec", cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+  }
+
+  test("adcTopK ranks deterministically with (dist, id) ties and exact k rows") {
+    val df = vecs(50)
+    val cb = ProductQuantizer.train(df, "id", "vec", 8, 4, 3, 1)
+    val codes = ProductQuantizer.encode(df, "id", "vec", cb)
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    val out = ProductQuantizer.adcTopK(
+        codes, "id", "codes", Seq((0L, raw(0L).toArray), (1L, raw(1L).toArray)),
+        cb, topK = 5)
+      .select("query_id", "id", "adc_dist2", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length === 10)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      assert(sorted.map(_._4).toSeq === (1 to 5), "rank follows (dist, id) order")
+      // a query's own code reconstructs closest to itself here: rank 1 dist
+      // is the min over the corpus
+      assert(sorted.head._3 === rows.map(_._3).min)
+    }
+    // same call twice -> identical result (deterministic end to end)
+    val again = ProductQuantizer.adcTopK(
+        codes, "id", "codes", Seq((0L, raw(0L).toArray), (1L, raw(1L).toArray)),
+        cb, topK = 5)
+      .select("query_id", "id", "adc_dist2", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq === again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+}
