@@ -189,12 +189,92 @@ case class HyperplaneKeysExpr(child: Expression, nTables: Int, bits: Int)
   override def prettyName: String = "graft_hyperplane_keys"
 }
 
+/** Feature-hashing embedding of a text column (math + tokenization in
+ *  `HashEmbed.embedData` — bit-exact to the HOF formulation and the
+ *  DuckDB oracle). Null text embeds as the zero vector, so the output is
+ *  never null. The HOF tree this replaces is CodegenFallback (all
+ *  higher-order functions are), which made every embedding pass an
+ *  interpreted per-element lambda walk. */
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    graft.text.HashEmbed.embedData(
+      child.eval(input).asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} =
+          graft.text.HashEmbed.embedData(${c.isNull} ? null : ${c.value}, $dim);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hash_embed"
+}
+
+/** Exact-micro cosine between two integer embeddings (math + float tail
+ *  in `HashEmbed.cosMicroData` — int64 dot/norms, Spark-Round-identical
+ *  HALF_UP). Null on null input or a zero-norm side (no direction). The
+ *  zip_with/aggregate tree it replaces is CodegenFallback; this is the
+ *  pair-stage hot path of SemDeDup's quadratic within-cluster compare. */
+case class CosMicroExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = graft.text.HashEmbed.cosMicroData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = left.genCode(ctx)
+    val rb = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${la.code}
+        ${rb.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${la.isNull} && !${rb.isNull}) {
+          java.lang.Long ${ev.value}_r =
+            graft.text.HashEmbed.cosMicroData(${la.value}, ${rb.value});
+          if (${ev.value}_r != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ${ev.value}_r.longValue();
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cos_micro"
+}
+
 object TextSketchExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import ColumnBridge.{exprOf, toColumn}
 
   def minhashSig(text: Column, numHashes: Int, shingleSize: Int): Column =
     toColumn(MinHashSigExpr(exprOf(text), numHashes, shingleSize))
+
+  def hashEmbed(text: Column, dim: Int): Column =
+    toColumn(HashEmbedExpr(exprOf(text), dim))
+
+  def cosMicro(a: Column, b: Column): Column =
+    toColumn(CosMicroExpr(exprOf(a), exprOf(b)))
 
   def simhash64(text: Column): Column =
     toColumn(SimHash64Expr(exprOf(text)))
@@ -285,6 +365,16 @@ object TextSketchExprs {
     one("graft_normalize_text")(NormalizeTextExpr(_))
     one("graft_deflate_ppm")(CompressionRatioExpr(_))
     viaColumn("graft_sha52")(graft.sketch.KmvOps.sha52)
+    ColumnBridge.registerExprFunction(spark, "graft_hash_embed", {
+      case Seq(t, d) => HashEmbedExpr(t, foldedInt(d, "graft_hash_embed", "dim"))
+      case args => throw new IllegalArgumentException(
+        s"graft_hash_embed expects (text, dim), got ${args.length} args")
+    })
+    ColumnBridge.registerExprFunction(spark, "graft_cos_micro", {
+      case Seq(a, b) => CosMicroExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_cos_micro expects (vec_a, vec_b), got ${args.length} args")
+    })
     viaColumn("graft_shuffle_key")(graft.pipeline.GlobalShuffle.lcgKey)
     // KMV bottom-k: aggregate (sketch array) + scalar estimator over it
     ColumnBridge.registerExprFunction(spark, "graft_kmv", {

@@ -173,4 +173,71 @@ object WebQueries {
        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
        |       coalesce(s.sum_logp_micro, 0) AS sum_logp_micro
        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
+  // ---------- bigram LM with Stupid Backoff ----------
+
+  val BigramVocabSize = 32
+  val BigramMaxBigrams = 64
+
+  /** Bigram Stupid-Backoff scores for every document: token 0 scores its
+   *  unigram, token i>0 the in-table bigram or ln(0.4) + unigram. The
+   *  oracle replays BOTH trainings (vocab cut, in-vocab pair counts,
+   *  bigram cut with (cnt desc, prev, cur) ties) and every fixed-point
+   *  score — an off-by-one anywhere in either cut shifts a sum. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    LmQuality.bigramQualityScores(
+      DedupQueries.docs(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      vocabSize = BigramVocabSize, maxBigrams = BigramMaxBigrams)
+
+  val BigramLmSql: String =
+    s"""WITH wa AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents WHERE trim(coalesce(text, '')) <> ''
+       |), toks AS (
+       |  SELECT doc_id, unnest(w) AS word FROM wa
+       |), uni AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uni
+       |), voc AS (
+       |  SELECT word, cnt,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot)) * 1000000) AS BIGINT) AS lp
+       |  FROM uni ORDER BY cnt DESC, word LIMIT $BigramVocabSize
+       |), o AS (
+       |  SELECT CAST(round(ln(0.5 / CAST(t AS DOUBLE)) * 1000000) AS BIGINT) AS lp FROM tot
+       |), pr AS (
+       |  SELECT doc_id, t.pos, t.cur, t.prev FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i - 1, 'cur': w[i],
+       |               'prev': CASE WHEN i = 1 THEN NULL ELSE w[i-1] END}
+       |              for i in generate_series(1, len(w))]) AS t
+       |    FROM wa)
+       |), bi0 AS (
+       |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM pr
+       |  WHERE pos > 0 AND prev IN (SELECT word FROM voc)
+       |    AND cur IN (SELECT word FROM voc)
+       |  GROUP BY prev, cur
+       |), bi AS (
+       |  SELECT b.prev, b.cur,
+       |    CAST(round(ln(CAST(b.c2 AS DOUBLE) / CAST(v.cnt AS DOUBLE)) * 1000000) AS BIGINT) AS lp2
+       |  FROM (SELECT * FROM bi0 ORDER BY c2 DESC, prev, cur LIMIT $BigramMaxBigrams) b
+       |  JOIN voc v ON v.word = b.prev
+       |), sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.pos = 0 THEN coalesce(vc.lp, (SELECT lp FROM o))
+       |         ELSE coalesce(bi.lp2,
+       |                ${LmQuality.backoffAlphaMicro} + coalesce(vc.lp, (SELECT lp FROM o)))
+       |    END AS s
+       |  FROM pr p
+       |  LEFT JOIN voc vc ON vc.word = p.cur
+       |  LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+       |), ag AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(s) AS BIGINT) AS ssum
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(ag.n_tokens, 0) AS n_tokens,
+       |       coalesce(ag.ssum, 0) AS sum_logp_micro
+       |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
 }

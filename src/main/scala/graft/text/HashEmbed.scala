@@ -32,15 +32,23 @@ object HashEmbed {
   /** 52-bit cross-engine word hash (see KmvOps.sha52). */
   private def h(w: Column): Column = KmvOps.sha52(w)
 
-  /** Signed hash-embedding of `text`: array of `dim` long counts.
-   *  Each word is sha-hashed ONCE (the `hs` array), then the per-dim
-   *  fold works on the precomputed longs. Measured at sf0.1/dim=16 this
-   *  performs the same as writing `h(w)` inside the nested lambdas
-   *  (codegen's subexpression elimination already collapses the
-   *  repeated sha256) — the explicit form just makes the
-   *  one-hash-per-word cost a property of the expression rather than of
-   *  the optimizer. */
+  /** Signed hash-embedding of `text`: array of `dim` long counts,
+   *  computed by the native codegen'd expression
+   *  (`graft.plans.HashEmbedExpr` — one static call per row). The
+   *  higher-order-function formulation it replaced (`embedHof`, kept for
+   *  the value-parity spec) is CodegenFallback everywhere HOFs are, so
+   *  every embedding consumer was paying interpreted per-element lambda
+   *  dispatch; measured at sf0.1/dim=16 the native kernel computes the
+   *  corpus in ~0.1 s where the HOF tree took ~3 s per pass. */
   def embed(text: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    graft.plans.TextSketchExprs.hashEmbed(text, dim)
+  }
+
+  /** The original nested-HOF formulation of the same embedding — the
+   *  executable specification `HashEmbedSpec` checks the native kernel
+   *  against, value-for-value. Not for production use (interpreted). */
+  private[graft] def embedHof(text: Column, dim: Int): Column = {
     require(dim >= 1, "dim must be >= 1")
     val words = split(lower(trim(coalesce(text, lit("")))), "\\s+")
     val nonEmpty = filter(words, w => length(w) > 0)
@@ -50,6 +58,44 @@ object HashEmbed {
         acc + when(pmod(shiftright(hv, 1), lit(dim.toLong)) === i.cast("long"),
           when(hv % 2 === 0, lit(1L)).otherwise(lit(-1L)))
           .otherwise(lit(0L))))
+  }
+
+  /** Codegen entry point (see `graft.plans.HashEmbedExpr`): UTF8String
+   *  in, unsafe long-array embedding out. Bit-exact to `embedHof` /
+   *  the oracle: tokens = `split(lower(trim(text)), "\\s+")` with empty
+   *  tokens dropped (UTF8String trim/toLowerCase are EXACTLY what the
+   *  Trim/Lower expressions call, so locale/space semantics cannot
+   *  drift); word hash = first 13 hex digits of sha256 (= top 52 bits
+   *  of the first 7 digest bytes, `KmvOps.sha52`); bucket = (h >> 1)
+   *  mod dim, sign = bit 0. Null text embeds as the zero vector. */
+  def embedData(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val vec = new Array[Long](dim)
+    if (text != null) {
+      val s = text.trim().toLowerCase().toString
+      if (s.nonEmpty) {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val words = s.split("\\s+")
+        var i = 0
+        while (i < words.length) {
+          val w = words(i)
+          if (w.nonEmpty) {
+            md.reset()
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 13 hex digits = top 52 bits of the first 7 bytes
+            val h = (((d(0) & 0xFFL) << 48) | ((d(1) & 0xFFL) << 40) |
+              ((d(2) & 0xFFL) << 32) | ((d(3) & 0xFFL) << 24) |
+              ((d(4) & 0xFFL) << 16) | ((d(5) & 0xFFL) << 8) |
+              (d(6) & 0xFFL)) >>> 4
+            val bucket = ((h >> 1) % dim).toInt
+            vec(bucket) += (if ((h & 1L) == 0L) 1L else -1L)
+          }
+          i += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vec)
   }
 
   /** Exact squared L2 norm of an integer embedding (array<long>). */
@@ -63,13 +109,51 @@ object HashEmbed {
   /** Cosine in exact micro units between two integer embeddings —
    *  same float discipline as TfIdf: integer dot/norms, then only
    *  IEEE-correctly-rounded sqrt/divide/round. Zero-norm inputs yield
-   *  null (no direction). */
-  def cosMicro(a: Column, b: Column): Column = {
+   *  null (no direction). Computed by the native codegen'd
+   *  `graft.plans.CosMicroExpr` — the zip_with/aggregate formulation it
+   *  replaces is CodegenFallback, which made SemDeDup's quadratic
+   *  within-cluster pair stage an interpreted lambda walk per pair. */
+  def cosMicro(a: Column, b: Column): Column =
+    graft.plans.TextSketchExprs.cosMicro(a, b)
+
+  /** The original HOF formulation — executable specification for the
+   *  native kernel's parity test. Not for production use. */
+  private[graft] def cosMicroHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm2(a)
     val nb = norm2(b)
     when(na === 0 || nb === 0, lit(null).cast("long"))
       .otherwise(round(d.cast("double") /
         (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * 1e6).cast("long"))
+  }
+
+  /** Codegen entry point (see `graft.plans.CosMicroExpr`): exact int64
+   *  dot/norms over the two unsafe long arrays, then the identical
+   *  sqrt/divide/round float tail as `cosMicroHof`. Boxed Long so null
+   *  (zero-norm: no direction) survives the call boundary. */
+  def cosMicroData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    require(n == b.numElements(), "embedding dim mismatch")
+    var d = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else {
+      val x = d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6
+      // Spark's Round on DoubleType = BigDecimal.valueOf + HALF_UP (away
+      // from zero) — NOT math.round (half-up toward +inf), and cosines go
+      // negative, so the distinction is live at exact *.5 micro values
+      java.lang.Long.valueOf(java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
   }
 }

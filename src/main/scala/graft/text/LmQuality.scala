@@ -92,4 +92,110 @@ object LmQuality {
   def unigramScores(
       df: DataFrame, idCol: String, textCol: String, vocabSize: Int = 64): DataFrame =
     scoreDocs(df, idCol, textCol, trainVocab(df, textCol, vocabSize))
+
+  // ---------- bigram model with Stupid Backoff ----------
+
+  /** Stupid Backoff discount (Brants et al. 2007, "Large Language
+   *  Models in Machine Translation" — the backoff designed FOR
+   *  distributed count-based LMs: no normalization pass, just a fixed
+   *  alpha, which is what makes web-scale training one aggregation). */
+  val BackoffAlpha = 0.4
+
+  /** Fixed-point ln(alpha) added on every backoff to the unigram. */
+  def backoffAlphaMicro: Long = math.round(math.log(BackoffAlpha) * 1e6)
+
+  /**
+   * Top-`maxBigrams` bigram table `(prev, cur, cnt, logp2_micro)` where
+   * `logp2_micro = round(ln(cnt / unigram_cnt(prev)) * 10^6)`. Only
+   * pairs with BOTH words in `vocab` are counted — everything else
+   * backs off to the unigram anyway, and the in-vocab restriction is
+   * what keeps the prefix counts exact under the vocab cut (both the
+   * engine and a replaying oracle read them from the same V-row model).
+   * Ties at the cut break by (prev, cur), so the table is deterministic.
+   *
+   * Scale shape: one exploded pair-count aggregate (map-side combine)
+   * gated by two broadcast semi-joins against the V-row vocab; the cut
+   * is a TakeOrdered (no global sort); the table itself (B rows) is
+   * computed driver-side from collected counts — it broadcasts into
+   * scoring exactly like CCNet ships its model file.
+   */
+  def trainBigrams(
+      df: DataFrame, textCol: String, vocab: DataFrame, maxBigrams: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = tokens(textCol)
+    val pairs = df.where(nonEmpty(textCol))
+      .select(explode(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("prev"),
+        slice(w, lit(2), size(w) - 1).as("cur"))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val vwords = vocab.select(col("word"))
+    val counts = pairs
+      .join(broadcast(vwords.withColumnRenamed("word", "prev")), Seq("prev"), "left_semi")
+      .join(broadcast(vwords.withColumnRenamed("word", "cur")), Seq("cur"), "left_semi")
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("prev").asc, col("cur").asc)
+      .limit(maxBigrams).as[(String, String, Long)].collect()
+    val prefixCnt = vocab.select(col("word"), col("cnt"))
+      .as[(String, Long)].collect().toMap
+    top.toSeq
+      .map { case (p, c, c2) =>
+        (p, c, c2, math.round(math.log(c2.toDouble / prefixCnt(p)) * 1e6)) }
+      .toDF("prev", "cur", "cnt", "logp2_micro")
+  }
+
+  /**
+   * Per-document bigram scores `(idCol, n_tokens, sum_logp_micro)`
+   * under Stupid Backoff: token 0 scores its unigram log-prob; token i>0
+   * scores the bigram log-prob when (w_{i-1}, w_i) is in the table, else
+   * `ln(alpha) + unigram(w_i)` (OOV unigrams at the Laplace-half floor).
+   * All integer sums of precomputed fixed-point values — bit-exact for
+   * any replaying engine.
+   *
+   * Scale shape: the (pos, cur, prev) triple is built MAP-SIDE by an
+   * indexed `transform` over the token array (no window, no self-join
+   * for the lag); both model joins broadcast; the only shuffle is the
+   * slim per-document sum.
+   */
+  def bigramScores(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, bigrams: DataFrame): DataFrame = {
+    val totalRow = vocab.select(max(col("total"))).first()
+    val oov = if (totalRow.isNullAt(0)) 0L else oovLogpMicro(totalRow.getLong(0))
+    val w = tokens(textCol)
+    val trip = transform(w, (x, i) =>
+      struct(i.as("pos"), x.as("cur"),
+        when(i === 0, lit(null).cast("string"))
+          .otherwise(element_at(w, i)).as("prev")))
+    val tok = df.where(nonEmpty(textCol))
+      .select(col(idCol), explode(trip).as("t"))
+      .select(col(idCol), col("t.pos").as("pos"),
+        col("t.cur").as("cur"), col("t.prev").as("prev"))
+    val uniScore = coalesce(col("uni_micro"), lit(oov))
+    val scored = tok
+      .join(broadcast(bigrams.select(col("prev"), col("cur"), col("logp2_micro"))),
+        Seq("prev", "cur"), "left")
+      .join(broadcast(vocab.select(col("word").as("cur"),
+        col("logp_micro").as("uni_micro"))), Seq("cur"), "left")
+      .withColumn("__s",
+        when(col("pos") === 0, uniScore)
+          .otherwise(coalesce(col("logp2_micro"), lit(backoffAlphaMicro) + uniScore)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__s")).as("sum_logp_micro"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_logp_micro"), lit(0L)).as("sum_logp_micro"))
+  }
+
+  /** Train vocab + bigrams, then score (the 2-gram CCNet shape). */
+  def bigramQualityScores(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64, maxBigrams: Int = 256): DataFrame = {
+    val vocab = trainVocab(df, textCol, vocabSize)
+    bigramScores(df, idCol, textCol, vocab,
+      trainBigrams(df, textCol, vocab, maxBigrams))
+  }
 }

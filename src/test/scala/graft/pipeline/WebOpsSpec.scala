@@ -97,6 +97,73 @@ class WebOpsSpec extends SparkSpecBase {
     assert(rowsA.sortBy(r => (r._2, r._3)).map(_._1).toSeq != (0L until 1000L).toSeq)
   }
 
+  test("bigram LM: stupid backoff arithmetic is exact; cuts are deterministic") {
+    import spark.implicits._
+    // corpus: "the cat" x3, "the dog" x1, plus a loner
+    val docs = Seq(
+      (1L, "the cat"), (2L, "the cat"), (3L, "the cat"),
+      (4L, "the dog"), (5L, "zyzzyva"), (6L, "")).toDF("doc_id", "text")
+    val vocab = LmQuality.trainVocab(docs, "text", vocabSize = 3)
+    // counts: the=4, cat=3, dog=1, zyzzyva=1; top-3 = the, cat, dog (tie dog<zyzzyva)
+    val bi = LmQuality.trainBigrams(docs, "text", vocab, maxBigrams = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // in-vocab pairs: (the,cat) x3, (the,dog) x1
+    assert(bi.keySet === Set(("the", "cat"), ("the", "dog")))
+    assert(bi(("the", "cat"))._1 === 3L)
+    assert(bi(("the", "cat"))._2 === math.round(math.log(3.0 / 4) * 1e6))
+    assert(bi(("the", "dog"))._2 === math.round(math.log(1.0 / 4) * 1e6))
+    val total = 9L
+    val lpThe = math.round(math.log(4.0 / total) * 1e6)
+    val lpOov = LmQuality.oovLogpMicro(total)
+    val s = LmQuality.bigramScores(docs, "doc_id", "text", vocab,
+      LmQuality.trainBigrams(docs, "text", vocab, 8))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: pos0 "the" -> unigram(the); pos1 (the,cat) -> bigram
+    assert(s(1L) === ((2L, lpThe + bi(("the", "cat"))._2)))
+    assert(s(4L) === ((2L, lpThe + bi(("the", "dog"))._2)))
+    // doc 5: single OOV token (vocab cut) -> unigram OOV floor, no penalty
+    assert(s(5L) === ((1L, lpOov)))
+    assert(s(6L) === ((0L, 0L)))
+  }
+
+  test("bigram LM: out-of-table pair backs off with the alpha penalty") {
+    import spark.implicits._
+    // (cat,the) occurs once but the table is cut to 1 entry: (the,cat) x2 wins
+    val docs = Seq((1L, "the cat the cat")).toDF("doc_id", "text")
+    val vocab = LmQuality.trainVocab(docs, "text", vocabSize = 2)
+    val bi = LmQuality.trainBigrams(docs, "text", vocab, maxBigrams = 1)
+    assert(bi.count() === 1L)
+    val lpThe = math.round(math.log(2.0 / 4) * 1e6)
+    val lpCat = math.round(math.log(2.0 / 4) * 1e6)
+    val lpBiTheCat = math.round(math.log(2.0 / 2) * 1e6) // ln(c2/c(the)) = 0
+    val s = LmQuality.bigramScores(docs, "doc_id", "text", vocab, bi)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // pos0 the -> uni; (the,cat) -> bigram; (cat,the) -> backoff+uni(the);
+    // (the,cat) -> bigram
+    val expected = lpThe + lpBiTheCat +
+      (LmQuality.backoffAlphaMicro + lpThe) + lpBiTheCat
+    assert(s(1L) === ((4L, expected)))
+    assert(lpCat === lpThe) // sanity on the constructed counts
+  }
+
+  test("bigram scoring plan: lag built map-side, model joins broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat")).toDF("doc_id", "text")
+    val vocab = LmQuality.trainVocab(docs, "text", 4)
+    val bi = LmQuality.trainBigrams(docs, "text", vocab, 4)
+    val q = LmQuality.bigramScores(docs, "doc_id", "text", vocab, bi)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window/lag for the previous token:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"model joins must broadcast:\n$p")
+    // only the slim per-doc aggregate shuffles doc rows
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffled = q.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e.output.map(_.name) }
+    shuffled.foreach(cols =>
+      assert(!cols.contains("cur") && !cols.contains("prev"),
+        s"token strings must not shuffle: $cols"))
+  }
+
   test("unigram LM scores: exact fixed-point sums, OOV floor, empty docs") {
     val docs = Seq(
       (1L, "the cat sat"),

@@ -37,6 +37,72 @@ class HashEmbedSpec extends SparkSpecBase {
     assert(embOf("a b c") === embOf("c a b"))
   }
 
+  test("native kernel == HOF formulation on adversarial inputs") {
+    // unicode uppercase (lowercase path), combining accent, CJK, tabs/
+    // newlines/multi-space (\s+ split), leading/trailing spaces (trim),
+    // empty-token edges — the native expression must agree with the
+    // executable HOF specification value-for-value on all of them
+    val texts = Seq(
+      "The QUICK brown\tfox\n\njumps  over THE lazy dog",
+      "  padded   with   spaces  ",
+      "STRASSE straße İstanbul ÉCOLE école",
+      "的 是 了 在 我 mixed 中文 tokens",
+      "single",
+      "a",
+      "", "   ", null.asInstanceOf[String],
+      (0 until 200).map(i => s"tok$i word${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (dim <- Seq(1, 4, 16, 64)) {
+      val both = df.select(col("id"),
+        HashEmbed.embed(col("t"), dim).as("native"),
+        HashEmbed.embedHof(col("t"), dim).as("hof"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      both.foreach { case (id, n, h) =>
+        assert(n === h, s"dim=$dim id=$id: native $n != hof $h")
+      }
+    }
+  }
+
+  test("embed is a native codegen'd expression (no HOF fallback in the plan)") {
+    val df = spark.range(4).select(
+      concat(lit("word"), col("id").cast("string")).as("t"))
+      .select(HashEmbed.embed(col("t"), 16).as("e"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_hash_embed"), s"expected the native expr:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("lambdafunction"),
+      s"no interpreted HOF tree allowed in the embed path:\n$p")
+    assert(p.contains("*(1)"), s"expected a codegen span:\n$p")
+  }
+
+  test("native cosMicro == HOF formulation, including negative cosines") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-built integer vectors covering negative dot products, zero
+    // norms, and values that stress the HALF_UP rounding tail
+    val vecs = Seq(
+      (Seq(1L, 2L, -3L), Seq(1L, 2L, -3L)),
+      (Seq(1L, 0L, 0L), Seq(-1L, 0L, 0L)),   // cosine exactly -1
+      (Seq(3L, -4L, 0L), Seq(-4L, 3L, 1L)),  // negative, irrational norms
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)),    // zero norm -> null
+      (Seq(7L, 1L, -2L), Seq(0L, 0L, 0L)),
+      (Seq(123L, -456L, 789L), Seq(987L, 654L, -321L)))
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = false)),
+      StructField("b", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (a, b) => Row(a, b) }),
+      schema)
+    val rows = df.select(
+      HashEmbed.cosMicro(col("a"), col("b")).as("native"),
+      HashEmbed.cosMicroHof(col("a"), col("b")).as("hof")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"row $i null mismatch")
+      if (!r.isNullAt(0))
+        assert(r.getLong(0) === r.getLong(1), s"row $i value mismatch")
+    }
+    assert(rows(1).getLong(0) === -1000000L)
+  }
+
   test("cosMicro: parallel copies at 1e6, zero-norm null, symmetric") {
     val df = Seq(
       ("alpha beta gamma", "alpha beta gamma"),
