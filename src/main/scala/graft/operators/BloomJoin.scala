@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExpressions
+import graft.sketch.{BloomSketch, BloomSizing}
+
+/**
+ * Bloom-gated semi/anti join — the reference's probe-before-work idea
+ * (streammd tests the filter before touching a record,
+ * `/root/reference/src/bloomfilter.cxx:35-45`) lifted to the JOIN
+ * operator a 100 TB pipeline actually runs: filter a huge fact table by
+ * key membership in a smaller (but not broadcast-hash-joinable) key set.
+ *
+ * Why not a plain join: at 10^8..10^9 filter-side keys an exact hash
+ * table is too big to broadcast, so Spark shuffles BOTH sides on the key
+ * — the large side's shuffle volume is the whole table. Why not
+ * Spark's own AQE runtime filter: it only kicks in for selected join
+ * shapes and sizes, and its bloom is sized/keyed internally — this
+ * operator makes the gate explicit, sized by streammd's own formulas
+ * (`BloomSizing.mkMin`, `/root/reference/src/bloomfilter.cxx:87-91`).
+ *
+ * Scale shape:
+ *  - ONE slim pass over the filter side builds the sketch with the
+ *    native no-Kryo-cap aggregate (`BloomSketchAgg`); at p=0.01 the
+ *    sketch is ~1.2 bytes/key — broadcastable at 10^8..10^9 keys where
+ *    an exact set is not;
+ *  - the sketch probes the large side MAP-SIDE (`BloomContainsExpr`,
+ *    below the large side's Exchange — plan-asserted in
+ *    `BloomJoinSpec`): misses never shuffle. Shuffle volume drops from
+ *    |large| to |matches| + p·|non-matches|;
+ *  - the surviving slice then runs the ordinary exact equi-join, which
+ *    removes the p-bounded false positives — the RESULT IS EXACT, the
+ *    Bloom gate only cuts shuffle volume (same contract as
+ *    `IncrementalDedup` and the bloom-gated mark in `MarkDuplicates`).
+ *
+ * Key bytes: both sides canonicalize the key as the UTF-8 bytes of its
+ * string form (cheap, type-agnostic, identical across sides) — the
+ * sketch hashes those bytes with the same XXH64 double-hash the dedup
+ * path uses.
+ */
+object BloomJoin {
+
+  private def keyBytes(c: Column): Column = c.cast("string").cast("binary")
+
+  private def buildSketch(
+      keys: DataFrame, keyCol: String, p: Double): BloomSketch = {
+    val n = keys.count()
+    if (n == 0) BloomSketch(p, 1)
+    else {
+      val (m, k) = BloomSizing.mkMin(p, n)
+      val bytes = keys
+        .agg(GraftExpressions.bloomSketchAgg(keyBytes(col(keyCol)), p, m, k, n)
+          .as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      BloomSketch.deserialize(bytes)
+    }
+  }
+
+  /** Rows of `large` whose `largeKey` appears in `filterKeys.filterKey`
+   *  (exact left-semi semantics; null keys never match). */
+  def semiJoin(
+      large: DataFrame, largeKey: String,
+      filterKeys: DataFrame, filterKey: String,
+      p: Double = 0.01): DataFrame = {
+    val sketch = buildSketch(filterKeys, filterKey, p)
+    // map-side gate: misses are definitively non-members (no false
+    // negatives) and never reach the exchange
+    val gated = large.where(
+      GraftExpressions.bloomContains(sketch, keyBytes(col(largeKey))))
+    gated.join(
+        filterKeys.select(col(filterKey).as(largeKey)).distinct(),
+        Seq(largeKey), "left_semi")
+      .select(large.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rows of `large` whose `largeKey` does NOT appear in
+   *  `filterKeys.filterKey` (left-anti semantics: null-key rows are
+   *  kept, like Spark's left_anti — NOT SQL `NOT IN` null semantics).
+   *  Bloom misses are definitively non-members and bypass the join
+   *  entirely; only the p-bounded hit slice is exactly confirmed. */
+  def antiJoin(
+      large: DataFrame, largeKey: String,
+      filterKeys: DataFrame, filterKey: String,
+      p: Double = 0.01): DataFrame = {
+    val sketch = buildSketch(filterKeys, filterKey, p)
+    val probe = GraftExpressions.bloomContains(sketch, keyBytes(col(largeKey)))
+    val cols = large.columns.map(col).toIndexedSeq
+    val misses = large.where(!probe).select(cols: _*)
+    val hitsConfirmedAbsent = large.where(probe)
+      .join(filterKeys.select(col(filterKey).as(largeKey)).distinct(),
+        Seq(largeKey), "left_anti")
+      .select(cols: _*) // the join moves the key column first — restore
+    misses.unionAll(hitsConfirmedAbsent)
+  }
+}

@@ -129,6 +129,35 @@ object EventQueries {
        |FROM p JOIN i ON p.user_id = i.user_id
        |             AND p.us >= i.start_us AND p.us <= i.end_us""".stripMargin
 
+  /** Bloom-gated semi join: lineitems of high-value orders (4% of the
+   *  order table). `graft.operators.BloomJoin` broadcasts a streammd-
+   *  sized Bloom of the filter-side keys and probes the fact table
+   *  MAP-SIDE, so only matches + the p-bounded false-positive slice
+   *  reach the exact join's exchange; the oracle is the plain IN
+   *  subquery — the result must be EXACT, the sketch only cuts shuffle
+   *  volume. */
+  val HighValueOrderCut = 480000.0
+
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val hot = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_totalprice") > HighValueOrderCut)
+      .select(col("o_orderkey"))
+    graft.operators.BloomJoin.semiJoin(
+      lineitem, "l_orderkey", hot, "o_orderkey", p = 0.001)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  val BloomSemiJoinSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > ${HighValueOrderCut})
+       |GROUP BY l_returnflag""".stripMargin
+
   val SessionizeSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def large = (0L until 10000L)
+    .map(i => (i, if (i % 97 == 0) null else s"k${i % 500}", i * 3))
+    .toDF("id", "key", "payload")
+
+  // 50 member keys out of the 500 the large side carries
+  private def filterSide = (0 until 50).map(i => s"k$i").toDF("fk")
+
+  test("semiJoin equals the plain left-semi join (exact despite the Bloom gate)") {
+    val got = BloomJoin.semiJoin(large, "key", filterSide, "fk", p = 0.01)
+      .orderBy("id").collect().map(_.getAs[Long]("id"))
+    val exp = large.join(filterSide.select(col("fk").as("key")), Seq("key"), "left_semi")
+      .orderBy("id").collect().map(r => r.getAs[Long]("id"))
+    assert(got.toSeq === exp.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("antiJoin equals the plain left-anti join; null-key rows are kept") {
+    val got = BloomJoin.antiJoin(large, "key", filterSide, "fk", p = 0.01)
+      .orderBy("id").collect().map(_.getAs[Long]("id"))
+    val exp = large.join(filterSide.select(col("fk").as("key")), Seq("key"), "left_anti")
+      .orderBy("id").collect().map(r => r.getAs[Long]("id"))
+    assert(got.toSeq === exp.toSeq)
+    // the 10000 rows split exactly between semi and anti
+    val semiN = BloomJoin.semiJoin(large, "key", filterSide, "fk").count()
+    assert(semiN + got.length === 10000L)
+    // null-key rows are on the anti side
+    assert(BloomJoin.antiJoin(large, "key", filterSide, "fk")
+      .where(col("key").isNull).count() === large.where(col("key").isNull).count())
+  }
+
+  test("empty filter side: semi is empty, anti is everything, no job blows up") {
+    val empty = Seq.empty[String].toDF("fk")
+    assert(BloomJoin.semiJoin(large, "key", empty, "fk").count() === 0L)
+    assert(BloomJoin.antiJoin(large, "key", empty, "fk").count() === 10000L)
+  }
+
+  test("plan: the Bloom probe filters the large side BELOW its join exchange") {
+    // parquet-backed inputs: LocalRelation data would let the optimizer
+    // evaluate the Bloom filter eagerly at plan time and hide it
+    val dir = java.nio.file.Files.createTempDirectory("bloomjoin").toString
+    large.write.mode("overwrite").parquet(s"$dir/large")
+    filterSide.write.mode("overwrite").parquet(s"$dir/fk")
+    val largeP = spark.read.parquet(s"$dir/large")
+    val fkP = spark.read.parquet(s"$dir/fk")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = BloomJoin.semiJoin(largeP, "key", fkP, "fk")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("graft_bloom_contains"),
+        s"map-side Bloom gate missing from the plan:\n$p")
+      // the probe must appear under an Exchange (filter-then-shuffle),
+      // i.e. the first graft_bloom_contains occurrence is deeper in the
+      // tree than the last Exchange header above it
+      val lines = p.linesIterator.toVector
+      val probeIdx = lines.indexWhere(_.contains("graft_bloom_contains"))
+      val exchangeAbove = lines.take(probeIdx).exists(_.contains("Exchange"))
+      assert(exchangeAbove,
+        s"Bloom probe must sit below the join exchange (filter before shuffle):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("gate selectivity: misses never reach the exact join input") {
+    // count rows surviving the map-side gate: ~ matches + p * misses
+    val sketchGated = {
+      val keys = filterSide
+      val n = keys.count()
+      val (m, k) = graft.sketch.BloomSizing.mkMin(0.001, n)
+      val bytes = keys.agg(graft.plans.GraftExpressions
+        .bloomSketchAgg(col("fk").cast("string").cast("binary"), 0.001, m, k, n))
+        .head().getAs[Array[Byte]](0)
+      val sk = graft.sketch.BloomSketch.deserialize(bytes)
+      large.where(graft.plans.GraftExpressions.bloomContains(
+        sk, col("key").cast("string").cast("binary"))).count()
+    }
+    val trueMatches = large.join(filterSide.select(col("fk").as("key")),
+      Seq("key"), "left_semi").count()
+    val misses = 10000L - trueMatches
+    assert(sketchGated >= trueMatches)
+    assert(sketchGated - trueMatches <= math.max(10L, (misses * 0.01).toLong),
+      s"gate passed ${sketchGated - trueMatches} false positives of $misses misses")
+  }
+}
