@@ -158,6 +158,53 @@ object EventQueries {
        |                     WHERE o_totalprice > ${HighValueOrderCut})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Z-order clustering audit: every event's 2-D Morton key over
+   *  (user_id, value-cents), aggregated per key-prefix bucket with the
+   *  per-bucket ranges of BOTH dimensions (the parquet-footer min/max
+   *  that makes files prunable on either column) plus the bucket's
+   *  zkey sum — a single mis-spread bit anywhere shifts a sum. The
+   *  oracle replays the full 5-step shift-and-mask spread in int64
+   *  SQL. */
+  val ZBits = 16
+
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      col("user_id"),
+      round(col("value") * 100).cast("long").as("v100"))
+    e.withColumn("zkey",
+        graft.io.ZOrderLayout.zkey2(col("user_id"), col("v100"), ZBits))
+      .groupBy(shiftright(col("zkey"), 24).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("zkey")).as("sum_zkey"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("v100")).as("min_v100"), max(col("v100")).as("max_v100"))
+  }
+
+  val ZorderClusterSql: String = {
+    // the same 2-D Morton spread, decimal-literal masks
+    def spread(v: String): String = {
+      val m = Seq(281470681808895L, 71777214294589695L, 1085102592571150095L,
+        3689348814741910323L, 6148914691236517205L)
+      val shifts = Seq(16, 8, 4, 2, 1)
+      shifts.zip(m).foldLeft(v) { case (x, (s, mask)) =>
+        s"((($x) | (($x) << $s)) & $mask)"
+      }
+    }
+    val xc = s"greatest(0, least(user_id, ${(1L << ZBits) - 1}))"
+    val yc = s"greatest(0, least(CAST(round(value * 100) AS BIGINT), ${(1L << ZBits) - 1}))"
+    s"""WITH z AS (
+       |  SELECT user_id,
+       |         CAST(round(value * 100) AS BIGINT) AS v100,
+       |         (${spread(xc)}) | ((${spread(yc)}) << 1) AS zkey
+       |  FROM events
+       |)
+       |SELECT zkey >> 24 AS bucket, count(*) AS n_events,
+       |       CAST(sum(zkey) AS BIGINT) AS sum_zkey,
+       |       min(user_id) AS min_user, max(user_id) AS max_user,
+       |       min(v100) AS min_v100, max(v100) AS max_v100
+       |FROM z GROUP BY bucket""".stripMargin
+  }
+
   val SessionizeSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,

@@ -34,6 +34,40 @@ object SketchQueries {
   val HllUsersSql: String =
     "SELECT count(DISTINCT user_id) AS n_exact, true AS hll_within_4se FROM events"
 
+  /** Sketch ROLLUP: per-event-type HLL sketches of distinct users,
+   *  re-aggregated to the global level by MERGING THE SKETCHES — the
+   *  property that makes sketch partials reusable across grouping
+   *  levels at 100 TB (compute per-partition/per-group once, roll up
+   *  anywhere). Claims pinned per row: the per-type estimate is within
+   *  4 se of that type's exact count, and the rollup of all per-type
+   *  sketches is BYTE-IDENTICAL to the sketch built directly on the
+   *  whole table (register max is associative over any grouping). */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(GraftFunctions.hllSketchLong(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("sk"), r.getAs[Long]("n_exact")))
+      .sortBy(_._1)
+    val direct = HllSketch.deserialize(
+      ev.agg(GraftFunctions.hllSketchLong(col("user_id"))).head().getAs[Array[Byte]](0))
+    val merged = perType.map(t => HllSketch.deserialize(t._2))
+      .reduce((a, b) => a.maxInPlace(b))
+    val rollupMatch = java.util.Arrays.equals(merged.serialize(), direct.serialize())
+    val se = HllSketch(14).standardError
+    perType.toSeq.map { case (tpe, bytes, exact) =>
+      val est = HllSketch.deserialize(bytes).estimate
+      (tpe, exact, math.abs(est.toDouble / exact - 1.0) <= 4 * se, rollupMatch)
+    }.toDF("event_type", "n_exact", "within_4se", "rollup_merge_exact")
+  }
+
+  val HllRollupSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       true AS within_4se, true AS rollup_merge_exact
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** CMS frequency per event_type: never under, over by <= eps*N. */
   def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

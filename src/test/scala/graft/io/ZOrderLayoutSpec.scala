@@ -1,0 +1,75 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ZOrderLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zkey2 equals the bit-by-bit reference interleave (31-bit inputs)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 2000).map { _ =>
+      (rnd.nextLong((1L << 31) - 1), rnd.nextLong((1L << 31) - 1))
+    } ++ Seq((0L, 0L), ((1L << 31) - 1, (1L << 31) - 1), (1L, 0L), (0L, 1L))
+    val got = pts.toDF("x", "y")
+      .select(ZOrderLayout.zkey2(col("x"), col("y"), 31).as("z"))
+      .collect().map(_.getLong(0))
+    val exp = pts.map { case (x, y) => mortonRef(x, y, 31) }
+    assert(got.toSeq === exp)
+  }
+
+  test("out-of-range inputs clamp: negative -> 0, overflow -> max") {
+    val got = Seq((-5L, 70000L)).toDF("x", "y")
+      .select(ZOrderLayout.zkey2(col("x"), col("y"), 16).as("z"))
+      .head().getLong(0)
+    assert(got === mortonRef(0L, 65535L, 16))
+  }
+
+  test("layout write: ONE range exchange; files prune on BOTH dimensions") {
+    val n = 40000
+    val rnd = new scala.util.Random(11)
+    val df = (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)
+    }.toDF("id", "x", "y")
+
+    // plan shape: exactly one exchange, and it is a range partitioning
+    val planned = df
+      .withColumn("__zkey", ZOrderLayout.zkey2(col("x"), col("y"), 16))
+      .repartitionByRange(16, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+    val p = planned.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size === 1, s"one range exchange expected:\n$p")
+    assert(p.contains("rangepartitioning"), s"range partitioning expected:\n$p")
+
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrderLayout.writeZOrdered2(df, "x", "y", s"$dir/t", numFiles = 16, bits = 16)
+
+    // per-file min/max of both dims: with 16 z-ordered files over a
+    // uniform 2-D grid each file covers ~1/4 of each dimension's range;
+    // an unsorted or single-column-sorted layout covers ~the full range
+    // of at least one dimension in every file
+    val stats = spark.read.parquet(s"$dir/t")
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(stats.length >= 8, "range partitioner should produce many files")
+    val full = (1 << 16).toDouble
+    val avgX = stats.map(_.getAs[Long]("xr")).sum.toDouble / stats.length / full
+    val avgY = stats.map(_.getAs[Long]("yr")).sum.toDouble / stats.length / full
+    assert(avgX <= 0.5, s"x not clustered: avg per-file span ${avgX * 100}%")
+    assert(avgY <= 0.5, s"y not clustered: avg per-file span ${avgY * 100}%")
+  }
+}
