@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Snapshot merge (MERGE INTO / SCD-latest): fold a delta of upserts into
+ * a base corpus snapshot, keeping the highest-version row per key — the
+ * corpus-refresh shape of the reference's first-seen-wins rule inverted
+ * (streammd keeps the FIRST occurrence, `/root/reference/src/
+ * markdups.cxx:110-122`; a nightly re-crawl keeps the LATEST version and
+ * must not rewrite the 100 TB it didn't touch).
+ *
+ * Scale shape — the base must NOT reshuffle to absorb a small delta:
+ *  - the delta's key set gates the base through `BloomJoin.antiJoin`:
+ *    rows whose key misses the broadcast sketch are provably untouched
+ *    and PASS THROUGH MAP-SIDE (no exchange — at |delta| ≪ |base| that
+ *    is almost the whole snapshot);
+ *  - only the touched slice (base rows whose key IS updated, plus the
+ *    delta itself) enters the per-key latest-version aggregation — one
+ *    exchange over |touched| + |delta| rows, not |base|;
+ *  - "latest" is a deterministic `max_by` over (version, side): higher
+ *    version wins, the delta side wins a version tie (the MERGE
+ *    semantics), so the result is partition-count independent.
+ *
+ * Requires (key, version) unique within each side — the usual snapshot
+ * contract; ties WITHIN one side on the same version are not
+ * resolvable by any merge rule.
+ */
+object SnapshotMerge {
+
+  /** All columns of `base`/`updates` (same schema), one row per key:
+   *  the highest-(version, side) row, untouched base rows unshuffled. */
+  def latest(
+      base: DataFrame, updates: DataFrame,
+      keyCol: String, versionCol: String,
+      p: Double = 0.001): DataFrame = {
+    val cols = base.columns.toIndexedSeq
+    require(updates.columns.toIndexedSeq == cols,
+      s"schema mismatch: base $cols vs updates ${updates.columns.toSeq}")
+    val updatedKeys = updates.select(col(keyCol)).distinct()
+
+    // map-side pass-through for the untouched bulk of the snapshot
+    val untouched = BloomJoin.antiJoin(base, keyCol, updatedKeys, keyCol, p)
+    // the touched slice: base rows losing-or-defending their key + delta
+    val contested = BloomJoin.semiJoin(base, keyCol, updatedKeys, keyCol, p)
+      .withColumn("__side", lit(0))
+      .unionAll(updates.withColumn("__side", lit(1)))
+    val winners = contested
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(cols.filterNot(_ == keyCol).map(col): _*),
+        struct(col(versionCol), col("__side"))).as("__row"))
+      .select(col(keyCol) +: cols.filterNot(_ == keyCol)
+        .map(c => col(s"__row.$c").as(c)): _*)
+      .select(cols.map(col): _*)
+    untouched.unionAll(winners)
+  }
+}

@@ -97,6 +97,50 @@ object MixQueries {
       |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 = 0
       |) h ON sha256(d.text) = h.h""".stripMargin
 
+  /** Snapshot merge (MERGE INTO shape): the document table is the base
+   *  snapshot at version 1; the delta re-crawls every %5==0 page (v2,
+   *  new text) and discovers the %5==1 pages as new ids. The merged
+   *  snapshot keeps the highest (version, delta-wins-ties) row per id,
+   *  with the untouched bulk of the base passing through MAP-SIDE
+   *  (`SnapshotMerge.latest` composes the Bloom-gated anti join); the
+   *  oracle replays the merge as a plain rank window over the union. */
+  val NewDocOffset = 2000000L
+
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val base = d.select(col("doc_id"), lit(1L).as("version"),
+      col("text"), col("lang"))
+    val updates = d.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2L).as("version"),
+        concat(lit("v2 "), col("text")).as("text"), col("lang"))
+      .unionAll(d.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + NewDocOffset).as("doc_id"),
+          lit(1L).as("version"), col("text"), col("lang")))
+    graft.operators.SnapshotMerge.latest(base, updates, "doc_id", "version")
+      .select(col("doc_id"), col("version"), col("lang"),
+        sha2(col("text"), 256).as("text_sha"))
+  }
+
+  val SnapshotMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, text, lang, 0 AS side
+       |  FROM documents
+       |), upd AS (
+       |  SELECT doc_id, CAST(2 AS BIGINT), 'v2 ' || text, lang, 1
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + ${NewDocOffset}, CAST(1 AS BIGINT), text, lang, 1
+       |  FROM documents WHERE doc_id % 5 = 1
+       |), u AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM upd
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY version DESC, side DESC) AS rk
+       |  FROM u
+       |)
+       |SELECT doc_id, version, lang, sha256(text) AS text_sha
+       |FROM r WHERE rk = 1""".stripMargin
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Decontaminate
     val d = DedupQueries.docs(spark, dir)

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class SnapshotMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def base = (0L until 1000L)
+    .map(i => (i, 1L, s"base-$i")).toDF("k", "version", "payload")
+
+  // 200 upserts: 100 replacing version-2 rows, 50 SAME-version ties
+  // (delta must win), 50 brand-new keys
+  private def updates = (
+    (0L until 100L).map(i => (i * 3, 2L, s"upd-${i * 3}")) ++
+    (0L until 50L).map(i => (i * 7 + 1, 1L, s"tie-${i * 7 + 1}")) ++
+    (0L until 50L).map(i => (5000L + i, 1L, s"new-${5000 + i}"))
+  ).toDF("k", "version", "payload")
+
+  private def referenceMerge = {
+    val u = base.withColumn("__side", lit(0))
+      .unionAll(updates.withColumn("__side", lit(1)))
+    val w = Window.partitionBy("k").orderBy(col("version").desc, col("__side").desc)
+    u.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+      .select("k", "version", "payload")
+  }
+
+  test("latest() equals the plain rank-window merge, including same-version ties") {
+    val got = SnapshotMerge.latest(base, updates, "k", "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val exp = referenceMerge
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === exp.toSeq)
+    // ties went to the delta side
+    assert(got.find(_._1 === 1L).get._3 === "tie-1")
+    // row count: 1000 base + 50 new
+    assert(got.length === 1050)
+  }
+
+  test("result is invariant to partition count (deterministic merge)") {
+    val a = SnapshotMerge.latest(base.repartition(1), updates.repartition(1), "k", "version")
+      .orderBy("k").collect().toSeq
+    val b = SnapshotMerge.latest(base.repartition(13), updates.repartition(7), "k", "version")
+      .orderBy("k").collect().toSeq
+    assert(a === b)
+  }
+
+  test("empty delta: base passes through unchanged") {
+    val empty = updates.limit(0)
+    val got = SnapshotMerge.latest(base, empty, "k", "version").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq === (0L until 1000L).map(i => (i, s"base-$i")))
+  }
+}
