@@ -1,0 +1,39 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The third leg of the layout story (hash buckets for joins, Z-order
+ *  for multi-column ranges, partition DIRECTORIES for categorical
+ *  predicates): a `partitionBy(lang)` write must let Catalyst prune
+ *  whole directories at PLAN time — at 100 TB a per-language job then
+ *  opens 1/n of the corpus, not all of it. */
+class PartitionPruningSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("partitionBy(lang) scan with a lang predicate prunes to one directory") {
+    val dir = java.nio.file.Files.createTempDirectory("partprune").toString
+    val langs = Seq("en", "de", "fr", "ja")
+    (0 until 4000).map(i => (i.toLong, langs(i % 4), s"doc $i"))
+      .toDF("id", "lang", "text")
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+
+    val q = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+
+    // pruning is visible in the scan node: the lang predicate is a
+    // PartitionFilter (directory-level), not a data Filter
+    assert(plan.contains("PartitionFilters"), plan)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("lang"), s"lang must prune at partition level:\n$plan")
+
+    // and the scan's selected partitions really are 1 of 4
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head === 1,
+      s"expected 1 of 4 directories scanned, got $scanned")
+    assert(q.count() === 1000L)
+  }
+}
