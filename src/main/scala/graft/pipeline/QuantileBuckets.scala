@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.sketch.{GraftFunctions, KllSketch}
+
+/**
+ * Per-group quantile bucketing — the CCNet shape (Wenzek et al. 2020
+ * split each language's corpus into head/middle/tail at the per-language
+ * perplexity TERTILES; every per-language quality gate since follows
+ * it). Exact per-group quantiles would sort every group's rows; at
+ * 10^12 rows that is the same single-reducer-per-stratum shape
+ * `DatasetMix.approxQuotaGate` exists to avoid. This operator uses the
+ * engine's mergeable KLL sketches instead:
+ *
+ *  1. ONE pass builds a KLL sketch per group (map-side partials, merge
+ *     at the exchange — G sketch rows total, G = #groups);
+ *  2. the cut points (per-group quantiles, rank error <= ~2% at k=200)
+ *     collect to the driver — G x |qs| doubles, the "model file";
+ *  3. a second MAP-SIDE pass labels every row by broadcast-joining the
+ *     G-row cut table and counting cuts below the value (no shuffle of
+ *     the corpus; ties take the LOWER bucket deterministically).
+ *
+ * Bucket semantics: bucket(v) = |{cut : cut < v}| — with qs =
+ * (1/3, 2/3), bucket 0 holds values <= the first tertile, bucket 2
+ * values above the second.
+ */
+object QuantileBuckets {
+
+  /** (group, cuts array) — the per-group quantile cut points at `qs`,
+   *  from one mergeable-KLL pass. */
+  def groupThresholds(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), s"bad quantiles $qs")
+    val rows = df
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.kllSketch(col(valueCol).cast("double"), k).as("sk"))
+      .collect()
+      .map { r =>
+        val kll = KllSketch.deserialize(r.getAs[Array[Byte]]("sk"))
+        (r.getString(0), qs.map(kll.quantile))
+      }
+      .sortBy(_._1)
+    rows.toSeq.toDF(groupCol, "cuts")
+  }
+
+  /** `df` + `bucket`: the count of the group's cut points strictly
+   *  below the row's value (0 .. qs.size). Corpus stays map-side: the
+   *  G-row cut table broadcast-joins in. */
+  def label(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], k: Int = 200): DataFrame = {
+    val cuts = groupThresholds(df, groupCol, valueCol, qs, k)
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        size(filter(col("cuts"), t => t < col(valueCol).cast("double"))))
+      .drop("cuts")
+  }
+}

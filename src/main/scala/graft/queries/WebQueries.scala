@@ -174,6 +174,48 @@ object WebQueries {
        |       coalesce(s.sum_logp_micro, 0) AS sum_logp_micro
        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
 
+  /** CCNet head/middle/tail: per-LANGUAGE tertile buckets of the
+   *  unigram-LM score via grouped mergeable KLL sketches
+   *  (`pipeline.QuantileBuckets` — no per-language sort; the corpus
+   *  stays map-side). The cut points are sketch estimates, so the
+   *  oracle pins the exact per-language doc count and a boolean that
+   *  every bucket's observed fraction is within the KLL rank bound
+   *  (2% at k=200) plus discreteness slack of the 1/3 target. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = DedupQueries.docs(spark, dir)
+    val scored = LmQuality.unigramScores(
+        d.select(col("doc_id"), col("text")), "doc_id", "text",
+        vocabSize = LmVocabSize)
+      .where(col("n_tokens") > 0)
+      .withColumn("score",
+        col("sum_logp_micro").cast("double") / col("n_tokens"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val labeled = graft.pipeline.QuantileBuckets.label(
+      scored, "lang", "score", Seq(1.0 / 3, 2.0 / 3))
+    val perLang = labeled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"),
+        count(when(col("bucket") === 0, 1)).as("b0"),
+        count(when(col("bucket") === 1, 1)).as("b1"),
+        count(when(col("bucket") === 2, 1)).as("b2"))
+      .collect()
+    perLang.toSeq.flatMap { r =>
+      val n = r.getAs[Long]("n_lang")
+      val tol = 0.02 + 4.0 / n
+      (0 to 2).map { b =>
+        val nb = r.getAs[Long](s"b$b")
+        (r.getString(0), b, n,
+          math.abs(nb.toDouble / n - 1.0 / 3) <= tol)
+      }
+    }.toDF("lang", "bucket", "n_lang", "frac_ok")
+  }
+
+  val CcnetBucketsSql: String =
+    """SELECT lang, bucket, n_lang, true AS frac_ok
+      |FROM (SELECT lang, count(*) AS n_lang FROM documents
+      |      WHERE trim(coalesce(text, '')) <> '' GROUP BY lang) s,
+      |     (VALUES (0), (1), (2)) AS b(bucket)""".stripMargin
+
   // ---------- bigram LM with Stupid Backoff ----------
 
   val BigramVocabSize = 32

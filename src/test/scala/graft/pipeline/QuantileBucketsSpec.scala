@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class QuantileBucketsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // two groups with known uniform integer values
+  private def df = (
+    (0 until 3000).map(i => ("a", i.toDouble)) ++
+    (0 until 900).map(i => ("b", (i * 10).toDouble))
+  ).toDF("g", "v")
+
+  test("tertile buckets land within the KLL rank bound of 1/3 each") {
+    val labeled = QuantileBuckets.label(df, "g", "v", Seq(1.0 / 3, 2.0 / 3))
+    val stats = labeled.groupBy("g", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("a", "b"); b <- 0 to 2) {
+      val n = if (g == "a") 3000.0 else 900.0
+      val frac = stats.getOrElse((g, b), 0L) / n
+      assert(math.abs(frac - 1.0 / 3) <= 0.025 + 2 / n,
+        s"group $g bucket $b fraction $frac")
+    }
+  }
+
+  test("buckets are monotone in the value: sorting by value never decreases bucket") {
+    val rows = QuantileBuckets.label(df.where(col("g") === "a"), "g", "v",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("v").select("bucket").collect().map(_.getInt(0))
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(rows.distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+  }
+
+  test("labeling is map-side: corpus never shuffles (broadcast cut table only)") {
+    val dir = java.nio.file.Files.createTempDirectory("qbuck").toString
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    val p = QuantileBuckets.label(spark.read.parquet(s"$dir/t"), "g", "v",
+        Seq(1.0 / 3, 2.0 / 3))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"cut table must broadcast:\n$p")
+    // the only exchange is the broadcast of the G-row cut table
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not hash-shuffle for labeling:\n$p")
+  }
+}
