@@ -72,4 +72,32 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     assert(avgX <= 0.5, s"x not clustered: avg per-file span ${avgX * 100}%")
     assert(avgY <= 0.5, s"y not clustered: avg per-file span ${avgY * 100}%")
   }
+
+  test("read-side skipping: a selective filter scans a fraction of the z-ordered rows") {
+    val n = 100000
+    val rnd = new scala.util.Random(23)
+    val df = (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zskip").toString
+    ZOrderLayout.writeZOrdered2(df, "x", "y", s"$dir/z", numFiles = 16, bits = 16)
+    df.repartition(16).write.parquet(s"$dir/flat") // unclustered control
+
+    // rows the parquet reader actually surfaces (post row-group pruning)
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .where(col("x") < 2048L && col("y") < 2048L) // 1/32 x 1/32 of the plane
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val z = scannedRows(s"$dir/z")
+    val flat = scannedRows(s"$dir/flat")
+    // the unclustered layout reads every row group (all rows); z-order
+    // confines the corner query to the low-zkey files
+    assert(flat.toDouble / n > 0.9, s"control should scan ~everything, got $flat")
+    assert(z.toDouble / n < 0.5, s"z-order should skip most row groups, scanned $z of $n")
+  }
 }
