@@ -158,6 +158,43 @@ object EventQueries {
        |                     WHERE o_totalprice > ${HighValueOrderCut})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Star join: revenue per (region, nation) across
+   *  lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the canonical
+   *  fact-with-dimension-chain shape. Scale story: ONLY the fact-to-
+   *  orders equi-join may shuffle; every dimension is explicitly
+   *  `broadcast()` so the chain stays map-side (plan-asserted in
+   *  PlanAuditSpec). Revenue is per-row integer cents so the oracle
+   *  matches exactly. */
+  def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  val StarJoinRevenueSql: String =
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
   /** Z-order clustering audit: every event's 2-D Morton key over
    *  (user_id, value-cents), aggregated per key-prefix bucket with the
    *  per-bucket ranges of BOTH dimensions (the parquet-footer min/max

@@ -13,6 +13,14 @@ class PlanAuditSpec extends SparkSpecBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("star_join_revenue broadcasts every dimension (3 broadcast joins)") {
+    val p = plan(graft.queries.EventQueries.starJoinRevenue(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"customer/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no nested-loop degeneration:\n$p")
+  }
+
   test("sam_clip_positions is pure map-side: no Exchange") {
     val p = plan(SamQueries.samClipPositions(spark, sf))
     assert(!p.contains("Exchange"), s"CIGAR arithmetic must not shuffle:\n$p")
