@@ -376,6 +376,15 @@ object TextSketchExprs {
         s"graft_cos_micro expects (vec_a, vec_b), got ${args.length} args")
     })
     viaColumn("graft_shuffle_key")(graft.pipeline.GlobalShuffle.lcgKey)
+    ColumnBridge.registerExprFunction(spark, "graft_zkey2", {
+      case Seq(x, y) =>
+        exprOf(graft.io.ZOrderLayout.zkey2(toColumn(x), toColumn(y)))
+      case Seq(x, y, b) =>
+        exprOf(graft.io.ZOrderLayout.zkey2(toColumn(x), toColumn(y),
+          foldedInt(b, "graft_zkey2", "bits")))
+      case args => throw new IllegalArgumentException(
+        s"graft_zkey2 expects (x, y[, bits]), got ${args.length} args")
+    })
     // KMV bottom-k: aggregate (sketch array) + scalar estimator over it
     ColumnBridge.registerExprFunction(spark, "graft_kmv", {
       case Seq(h, k) =>

@@ -122,4 +122,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"))
   }
+
+  test("graft_zkey2 SQL surface matches the Column API and stays UDF-free") {
+    assert(registered)
+    val viaSql = spark.sql(
+      """SELECT graft_zkey2(x, y) AS z31, graft_zkey2(x, y, 16) AS z16
+        |FROM (SELECT id * 37 AS x, id * 101 AS y
+        |      FROM (SELECT explode(sequence(0, 99)) AS id))""".stripMargin)
+    val viaCol = spark.range(100).select(
+      graft.io.ZOrderLayout.zkey2(col("id") * 37, col("id") * 101).as("z31"),
+      graft.io.ZOrderLayout.zkey2(col("id") * 37, col("id") * 101, 16).as("z16"))
+    assert(viaSql.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      viaCol.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(!viaSql.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
 }
