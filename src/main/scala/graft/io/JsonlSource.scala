@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/**
+ * JSONL (one JSON object per line) — the interchange format LLM corpora
+ * actually ship in (Dolma, RedPajama, FineWeb, The Pile all distribute
+ * `.jsonl[.gz]` shards). The reference's line-record discipline
+ * (`/root/reference/src/markdups.cxx:12-55`: one record per `\n` line,
+ * parse only what you need) applied to the corpus domain:
+ *
+ *  - `readJsonl` takes an EXPLICIT schema and parses with `from_json`
+ *    over a plain text scan — never `spark.read.json` inference, which
+ *    runs a whole extra pass over 100 TB just to guess types;
+ *  - rows whose line fails to parse surface as `_corrupt` (the line
+ *    kept verbatim) instead of vanishing — at web scale malformed
+ *    lines are a certainty and silent drops are unauditable;
+ *  - `writeJsonl` emits `to_json(struct(...))` text shards — valid
+ *    JSONL for any downstream tool; newlines inside fields are JSON-
+ *    escaped by construction so one line stays one record.
+ */
+object JsonlSource {
+
+  /** Write every column of `df` as JSONL text shards. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int): Unit =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .repartition(shards)
+      .write.mode("overwrite").text(path)
+
+  /** Read JSONL with an explicit schema. Parsed columns come first;
+   *  `_corrupt` holds the raw line when parsing failed (null
+   *  otherwise). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // PERMISSIVE from_json parses malformed lines to an all-null struct;
+    // the standard columnNameOfCorruptRecord field captures the raw line
+    // for exactly those (a literal `null` line instead parses to a null
+    // STRUCT — the coalesce arm catches that case)
+    val parseSchema = schema.add(StructField("_corrupt", StringType))
+    val parsed = spark.read.text(path)
+      .select(col("value"),
+        from_json(col("value"), parseSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+    parsed.select(
+      (schema.fieldNames.map(f => col(s"r.$f")) :+
+        coalesce(col("r._corrupt"),
+          when(col("r").isNull, col("value"))).as("_corrupt")).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonlSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("round-trip is byte-exact: newlines, tabs, quotes, unicode, nulls") {
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "embedded\nnewline and\ttab", "en"),
+      (3L, "quotes \" and \\ backslash", "de"),
+      (4L, "unicode: é中文 😀", "ja"),
+      (5L, null.asInstanceOf[String], "fr"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    JsonlSource.writeJsonl(docs, s"$dir/d", shards = 3)
+
+    // one line per record despite embedded newlines
+    val lines = spark.read.text(s"$dir/d").count()
+    assert(lines === 5L)
+
+    val back = JsonlSource.readJsonl(spark, s"$dir/d", schema)
+    assert(back.where(col("_corrupt").isNotNull).count() === 0L)
+    val got = back.select("doc_id", "text", "lang").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exp = docs.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("malformed lines surface as _corrupt with the raw line, never vanish") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlbad").toString
+    Seq(
+      """{"doc_id": 1, "text": "good", "lang": "en"}""",
+      """{broken json""",
+      """null""",
+      """{"doc_id": 2, "text": "also good", "lang": "de"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/d")
+    val back = JsonlSource.readJsonl(spark, s"$dir/d", schema)
+    assert(back.count() === 4L)
+    val corrupt = back.where(col("_corrupt").isNotNull)
+      .select("_corrupt").collect().map(_.getString(0)).sorted
+    assert(corrupt.toSeq === Seq("{broken json", "null").sorted)
+    assert(back.where(col("_corrupt").isNull).count() === 2L)
+  }
+
+  test("explicit schema: the read is a single text scan (no inference pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlplan").toString
+    Seq("""{"doc_id": 1, "text": "x", "lang": "en"}""").toDF("value")
+      .write.text(s"$dir/d")
+    val plan = JsonlSource.readJsonl(spark, s"$dir/d", schema)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("from_json"), plan)
+    assert("FileScan text".r.findAllIn(plan).size === 1, plan)
+  }
+}
