@@ -158,6 +158,44 @@ object EventQueries {
        |                     WHERE o_totalprice > ${HighValueOrderCut})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Event-time window aggregation — Spark's `window()` operator in
+   *  batch, both flavors in one result: TUMBLING 1-hour buckets and
+   *  SLIDING 1-hour windows hopping every 30 min (each event lands in
+   *  exactly two sliding windows). Integer-micro sums; the oracle
+   *  rebuilds both window families from epoch arithmetic. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("vm", round(col("value") * 1000000.0).cast("long"))
+    def agg(df: DataFrame, kind: String, win: org.apache.spark.sql.Column) =
+      df.groupBy(win.as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("value_sum_micros"))
+        .select(lit(kind).as("kind"),
+          unix_micros(col("w.start").cast("timestamp")).as("window_start_us"),
+          col("n_events"), col("value_sum_micros"))
+    agg(e, "tumbling", window(col("ts"), "1 hour"))
+      .unionAll(agg(e, "sliding", window(col("ts"), "1 hour", "30 minutes")))
+  }
+
+  val WindowAggSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us,
+      |         CAST(round(value * 1000000.0) AS BIGINT) AS vm
+      |  FROM events
+      |), t AS (
+      |  SELECT 'tumbling' AS kind, us - us % 3600000000 AS window_start_us, vm
+      |  FROM e
+      |), s AS (
+      |  SELECT 'sliding' AS kind, unnest([
+      |           us - us % 1800000000,
+      |           us - us % 1800000000 - 1800000000]) AS window_start_us, vm
+      |  FROM e
+      |), u AS (
+      |  SELECT * FROM t UNION ALL SELECT * FROM s
+      |)
+      |SELECT kind, window_start_us, count(*) AS n_events,
+      |       CAST(sum(vm) AS BIGINT) AS value_sum_micros
+      |FROM u GROUP BY kind, window_start_us""".stripMargin
+
   /** Star join: revenue per (region, nation) across
    *  lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the canonical
    *  fact-with-dimension-chain shape. Scale story: ONLY the fact-to-
