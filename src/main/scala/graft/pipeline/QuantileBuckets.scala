@@ -33,7 +33,6 @@ object QuantileBuckets {
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], k: Int = 200): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), s"bad quantiles $qs")
     val rows = df
       .groupBy(col(groupCol))
@@ -41,10 +40,16 @@ object QuantileBuckets {
       .collect()
       .map { r =>
         val kll = KllSketch.deserialize(r.getAs[Array[Byte]]("sk"))
-        (r.getString(0), qs.map(kll.quantile))
+        Row(r.get(0), qs.map(kll.quantile))
       }
-      .sortBy(_._1)
-    rows.toSeq.toDF(groupCol, "cuts")
+    // group key keeps its input type (lang strings, int cluster ids, ...)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol),
+      org.apache.spark.sql.types.StructField("cuts",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
   }
 
   /** `df` + `bucket`: the count of the group's cut points strictly

@@ -43,4 +43,14 @@ class QuantileBucketsSpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus must not hash-shuffle for labeling:\n$p")
   }
+
+  test("group key keeps its type: integer groups work") {
+    val d = ((0 until 600).map(i => (7, i.toDouble)) ++
+      (0 until 300).map(i => (9, i * 2.0))).toDF("g", "v")
+    val labeled = QuantileBuckets.label(d, "g", "v", Seq(0.5))
+    assert(labeled.schema("g").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val n = labeled.groupBy("g", "bucket").count().count()
+    assert(n === 4L) // two groups x two median-split buckets
+  }
 }
