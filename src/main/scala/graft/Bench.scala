@@ -25,8 +25,11 @@ object Bench {
     // a failed query must NOT read as a (fast) timing — record it explicitly
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling; the
-    // driver leaves it unset and runs everything)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // driver leaves it unset and runs everything). Tokens are trimmed;
+    // an all-blank value counts as unset rather than running nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -33,19 +33,24 @@ object JsonlSource {
    *  `_corrupt` holds the raw line when parsing failed (null
    *  otherwise). */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema must not contain '_corrupt' — readJsonl adds that output column")
     // PERMISSIVE from_json parses malformed lines to an all-null struct;
     // the standard columnNameOfCorruptRecord field captures the raw line
     // for exactly those (a literal `null` line instead parses to a null
-    // STRUCT — the coalesce arm catches that case)
-    val parseSchema = schema.add(StructField("_corrupt", StringType))
+    // STRUCT — the coalesce arm catches that case). The slot name is
+    // internal and deliberately unlikely: a DATA key named `_corrupt`
+    // must parse as an ordinary unknown field, not flag the line.
+    val slot = "__graft_corrupt_record__"
+    val parseSchema = schema.add(StructField(slot, StringType))
     val parsed = spark.read.text(path)
       .select(col("value"),
         from_json(col("value"), parseSchema,
           Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+            "columnNameOfCorruptRecord" -> slot)).as("r"))
     parsed.select(
       (schema.fieldNames.map(f => col(s"r.$f")) :+
-        coalesce(col("r._corrupt"),
+        coalesce(col(s"r.$slot"),
           when(col("r").isNull, col("value"))).as("_corrupt")).toIndexedSeq: _*)
   }
 }

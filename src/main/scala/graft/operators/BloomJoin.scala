@@ -43,7 +43,7 @@ object BloomJoin {
 
   private def keyBytes(c: Column): Column = c.cast("string").cast("binary")
 
-  private def buildSketch(
+  private[operators] def buildSketch(
       keys: DataFrame, keyCol: String, p: Double): BloomSketch = {
     val n = keys.count()
     if (n == 0) BloomSketch(p, 1)
@@ -62,14 +62,22 @@ object BloomJoin {
   def semiJoin(
       large: DataFrame, largeKey: String,
       filterKeys: DataFrame, filterKey: String,
-      p: Double = 0.01): DataFrame = {
-    val sketch = buildSketch(filterKeys, filterKey, p)
+      p: Double = 0.01): DataFrame =
+    semiWithSketch(large, largeKey, filterKeys, filterKey,
+      buildSketch(filterKeys, filterKey, p))
+
+  private[operators] def semiWithSketch(
+      large: DataFrame, largeKey: String,
+      filterKeys: DataFrame, filterKey: String,
+      sketch: BloomSketch): DataFrame = {
     // map-side gate: misses are definitively non-members (no false
-    // negatives) and never reach the exchange
+    // negatives) and never reach the exchange. No distinct on the
+    // filter side — left_semi output is unaffected by duplicate
+    // build-side rows, so deduplicating would only add an exchange.
     val gated = large.where(
       GraftExpressions.bloomContains(sketch, keyBytes(col(largeKey))))
     gated.join(
-        filterKeys.select(col(filterKey).as(largeKey)).distinct(),
+        filterKeys.select(col(filterKey).as(largeKey)),
         Seq(largeKey), "left_semi")
       .select(large.columns.map(col).toIndexedSeq: _*)
   }
@@ -82,13 +90,19 @@ object BloomJoin {
   def antiJoin(
       large: DataFrame, largeKey: String,
       filterKeys: DataFrame, filterKey: String,
-      p: Double = 0.01): DataFrame = {
-    val sketch = buildSketch(filterKeys, filterKey, p)
+      p: Double = 0.01): DataFrame =
+    antiWithSketch(large, largeKey, filterKeys, filterKey,
+      buildSketch(filterKeys, filterKey, p))
+
+  private[operators] def antiWithSketch(
+      large: DataFrame, largeKey: String,
+      filterKeys: DataFrame, filterKey: String,
+      sketch: BloomSketch): DataFrame = {
     val probe = GraftExpressions.bloomContains(sketch, keyBytes(col(largeKey)))
     val cols = large.columns.map(col).toIndexedSeq
     val misses = large.where(!probe).select(cols: _*)
     val hitsConfirmedAbsent = large.where(probe)
-      .join(filterKeys.select(col(filterKey).as(largeKey)).distinct(),
+      .join(filterKeys.select(col(filterKey).as(largeKey)),
         Seq(largeKey), "left_anti")
       .select(cols: _*) // the join moves the key column first — restore
     misses.unionAll(hitsConfirmedAbsent)

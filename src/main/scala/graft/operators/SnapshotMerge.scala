@@ -40,10 +40,14 @@ object SnapshotMerge {
       s"schema mismatch: base $cols vs updates ${updates.columns.toSeq}")
     val updatedKeys = updates.select(col(keyCol)).distinct()
 
+    // ONE sketch build shared by both gates (the anti and semi legs
+    // probe the same key set — building it twice would double-scan the
+    // delta)
+    val sketch = BloomJoin.buildSketch(updatedKeys, keyCol, p)
     // map-side pass-through for the untouched bulk of the snapshot
-    val untouched = BloomJoin.antiJoin(base, keyCol, updatedKeys, keyCol, p)
+    val untouched = BloomJoin.antiWithSketch(base, keyCol, updatedKeys, keyCol, sketch)
     // the touched slice: base rows losing-or-defending their key + delta
-    val contested = BloomJoin.semiJoin(base, keyCol, updatedKeys, keyCol, p)
+    val contested = BloomJoin.semiWithSketch(base, keyCol, updatedKeys, keyCol, sketch)
       .withColumn("__side", lit(0))
       .unionAll(updates.withColumn("__side", lit(1)))
     val winners = contested

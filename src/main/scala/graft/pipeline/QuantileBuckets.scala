@@ -58,10 +58,14 @@ object QuantileBuckets {
   def label(
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], k: Int = 200): DataFrame = {
+    // null-safe equality: a null group is a group like any other (its
+    // cuts row exists) — a plain equi-join would silently DROP those
+    // rows from the labeled output
     val cuts = groupThresholds(df, groupCol, valueCol, qs, k)
-    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__qb_g")
+    df.join(broadcast(cuts), df(groupCol) <=> cuts("__qb_g"))
       .withColumn("bucket",
         size(filter(col("cuts"), t => t < col(valueCol).cast("double"))))
-      .drop("cuts")
+      .drop("cuts", "__qb_g")
   }
 }

@@ -184,6 +184,8 @@ object WebQueries {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = DedupQueries.docs(spark, dir)
+    // persisted: the LM score pipeline feeds TWO actions (the KLL
+    // threshold pass inside label() and the per-lang bucket counts)
     val scored = LmQuality.unigramScores(
         d.select(col("doc_id"), col("text")), "doc_id", "text",
         vocabSize = LmVocabSize)
@@ -191,14 +193,18 @@ object WebQueries {
       .withColumn("score",
         col("sum_logp_micro").cast("double") / col("n_tokens"))
       .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val labeled = graft.pipeline.QuantileBuckets.label(
-      scored, "lang", "score", Seq(1.0 / 3, 2.0 / 3))
-    val perLang = labeled.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_lang"),
-        count(when(col("bucket") === 0, 1)).as("b0"),
-        count(when(col("bucket") === 1, 1)).as("b1"),
-        count(when(col("bucket") === 2, 1)).as("b2"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLang =
+      try {
+        graft.pipeline.QuantileBuckets.label(
+            scored, "lang", "score", Seq(1.0 / 3, 2.0 / 3))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_lang"),
+            count(when(col("bucket") === 0, 1)).as("b0"),
+            count(when(col("bucket") === 1, 1)).as("b1"),
+            count(when(col("bucket") === 2, 1)).as("b2"))
+          .collect()
+      } finally { scored.unpersist(); () }
     perLang.toSeq.flatMap { r =>
       val n = r.getAs[Long]("n_lang")
       val tol = 0.02 + 4.0 / n

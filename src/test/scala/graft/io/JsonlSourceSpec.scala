@@ -60,4 +60,19 @@ class JsonlSourceSpec extends SparkSpecBase {
     assert(plan.contains("from_json"), plan)
     assert("FileScan text".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("a data key named _corrupt parses as an ordinary field, not a corrupt flag") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlck").toString
+    Seq("""{"doc_id": 1, "text": "good", "lang": "en", "_corrupt": "just data"}""")
+      .toDF("value").write.text(s"$dir/d")
+    val back = JsonlSource.readJsonl(spark, s"$dir/d", schema)
+    assert(back.count() === 1L)
+    assert(back.where(col("_corrupt").isNotNull).count() === 0L)
+    // and a schema claiming _corrupt is rejected up front
+    val bad = schema.add(org.apache.spark.sql.types.StructField(
+      "_corrupt", org.apache.spark.sql.types.StringType))
+    intercept[IllegalArgumentException] {
+      JsonlSource.readJsonl(spark, s"$dir/d", bad)
+    }
+  }
 }

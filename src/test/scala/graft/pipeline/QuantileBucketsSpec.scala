@@ -53,4 +53,15 @@ class QuantileBucketsSpec extends SparkSpecBase {
     val n = labeled.groupBy("g", "bucket").count().count()
     assert(n === 4L) // two groups x two median-split buckets
   }
+
+  test("null group keys are labeled, not dropped") {
+    val d = ((0 until 300).map(i => (Option("a"), i.toDouble)) ++
+      (0 until 300).map(i => (Option.empty[String], i * 3.0))).toDF("g", "v")
+    val labeled = QuantileBuckets.label(d, "g", "v", Seq(0.5))
+    assert(labeled.count() === 600L)
+    val nullRows = labeled.where(col("g").isNull)
+    assert(nullRows.count() === 300L)
+    // the null group got its own median cut, not group "a"'s
+    assert(nullRows.where(col("bucket") === 1).count() > 100L)
+  }
 }
