@@ -58,4 +58,48 @@ object RangeJoin {
       .where(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
       .drop("__cell")
   }
+
+  /**
+   * Interval-OVERLAP join — match interval rows to interval rows of the
+   * same key whose spans intersect (`l.start <= r.end && r.start <=
+   * l.end`, all bounds inclusive): "sessions concurrent with an
+   * incident", "promos overlapping a campaign", "reads overlapping
+   * reads".
+   *
+   * Same bucketization as `rangeJoin`, but BOTH sides tile into cells,
+   * so one overlapping pair can co-occupy several cells. Rather than a
+   * post-hoc `distinct` over fat joined rows, each candidate pair is
+   * counted at exactly ONE canonical cell — the cell of
+   * `greatest(l.start, r.start)`. If the intervals overlap, that point
+   * lies inside both, so both sides tiled its cell (the match is never
+   * missed); every other co-occupied cell is filtered out by the
+   * canonical-cell predicate. One hash exchange per side, no nested
+   * loop, no dedup shuffle.
+   *
+   * The two inputs must not share non-key column names (the usual
+   * pre-join rename discipline; the key columns join by name).
+   */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStartCol: String,
+      leftEndCol: String,
+      rightStartCol: String,
+      rightEndCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lTiled = left.withColumn("__cell",
+      explode(sequence(bucketOf(col(leftStartCol), bucketWidth),
+        bucketOf(col(leftEndCol), bucketWidth))))
+    val rTiled = right.withColumn("__cell",
+      explode(sequence(bucketOf(col(rightStartCol), bucketWidth),
+        bucketOf(col(rightEndCol), bucketWidth))))
+    lTiled.join(rTiled, keyCols :+ "__cell")
+      .where(col(leftStartCol) <= col(rightEndCol) &&
+        col(rightStartCol) <= col(leftEndCol))
+      .where(col("__cell") ===
+        bucketOf(greatest(col(leftStartCol), col(rightStartCol)), bucketWidth))
+      .drop("__cell")
+  }
 }

@@ -129,6 +129,50 @@ object EventQueries {
        |FROM p JOIN i ON p.user_id = i.user_id
        |             AND p.us >= i.start_us AND p.us <= i.end_us""".stripMargin
 
+  /** Interval-OVERLAP join: each user's view windows (1 h after the
+   *  view) paired with their click windows (30 min after the click)
+   *  whenever the two spans intersect — interval×interval, the general
+   *  form of `rangeJoin` (`graft.operators.RangeJoin.intervalOverlapJoin`:
+   *  both sides tile into cells, every overlapping pair is counted at
+   *  exactly ONE canonical cell, so there is no nested loop and no dedup
+   *  shuffle). Oracle = the plain inequality join. */
+  val ViewWindowUs: Long = 3600L * 1000000L
+  val ClickWindowUs: Long = 1800L * 1000000L
+
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("v_start"), (col("us") + ViewWindowUs).as("v_end"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("c_start"), (col("us") + ClickWindowUs).as("c_end"))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+      views, clicks, keyCols = Seq("user_id"),
+      leftStartCol = "v_start", leftEndCol = "v_end",
+      rightStartCol = "c_start", rightEndCol = "c_end",
+      bucketWidth = ViewWindowUs)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (least(col("v_end"), col("c_end")) -
+          greatest(col("v_start"), col("c_start"))).as("overlap_us"))
+  }
+
+  val IntervalOverlapSql: String =
+    s"""WITH v AS (
+       |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_start,
+       |         epoch_us(ts) + ${ViewWindowUs} AS v_end
+       |  FROM events WHERE event_type = 'view'
+       |), c AS (
+       |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_start,
+       |         epoch_us(ts) + ${ClickWindowUs} AS c_end
+       |  FROM events WHERE event_type = 'click'
+       |)
+       |SELECT v.user_id, view_id, click_id,
+       |       least(v_end, c_end) - greatest(v_start, c_start) AS overlap_us
+       |FROM v JOIN c ON v.user_id = c.user_id
+       |            AND v_start <= c_end AND c_start <= v_end""".stripMargin
+
   /** Bloom-gated semi join: lineitems of high-value orders (4% of the
    *  order table). `graft.operators.BloomJoin` broadcasts a streammd-
    *  sized Bloom of the filter-side keys and probes the fact table

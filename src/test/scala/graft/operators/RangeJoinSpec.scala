@@ -45,4 +45,49 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join must stay an equi-join:\n$p")
   }
+
+  // ---- interval-overlap join (interval x interval) ----
+
+  private val rightIvs = Seq(
+    (1L, 5L, 10L, 200L),   // touches [10,20] at the single point 10
+    (1L, 21L, 25L, 201L),  // inside [18,30] only
+    (1L, 0L, 100L, 202L),  // spans everything of user 1
+    (1L, 31L, 40L, 203L),  // starts just past [18,30] -> overlaps neither left interval
+    (2L, 5L, 5L, 204L),    // point-interval touching end of [0,5]
+    (3L, 0L, 9L, 205L)     // keyless
+  ).toDF("user", "rs", "re", "r_id")
+
+  private def runOverlap(width: Long) = RangeJoin.intervalOverlapJoin(
+    intervals, rightIvs, Seq("user"), "s", "e", "rs", "re", bucketWidth = width)
+    .select(col("iv_id"), col("r_id"))
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // brute-force truth: same-key pairs with s <= re && rs <= e
+  private val expectedOverlap = Set(
+    (100L, 200L), (100L, 202L),
+    (101L, 201L), (101L, 202L),
+    (102L, 204L))
+
+  test("overlap join: inclusive bounds, point touches, containment") {
+    assert(runOverlap(width = 16L) === expectedOverlap)
+  }
+
+  test("overlap join: each overlapping pair appears EXACTLY once") {
+    for (w <- Seq(1L, 2L, 5L, 16L, 1000L)) {
+      val rows = RangeJoin.intervalOverlapJoin(
+        intervals, rightIvs, Seq("user"), "s", "e", "rs", "re", bucketWidth = w)
+        .select(col("iv_id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.size === rows.toSet.size, s"duplicate pair rows at width=$w")
+      assert(rows.toSet === expectedOverlap, s"width=$w")
+    }
+  }
+
+  test("overlap join plan: equi-join on (key, cell), no nested loop") {
+    val df = RangeJoin.intervalOverlapJoin(
+      intervals, rightIvs, Seq("user"), "s", "e", "rs", "re", bucketWidth = 16L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap join must stay an equi-join:\n$p")
+  }
 }
