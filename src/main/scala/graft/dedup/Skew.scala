@@ -74,4 +74,54 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc)
       .limit(topN)
+
+  /**
+   * Skew-replicating INNER equi-join — the static salted join for when
+   * one probe-side key dominates (a hot domain, a sentinel id, the
+   * "unknown" bucket) and the build side is too big to broadcast whole:
+   *
+   *  1. hot keys = probe keys with count > `hotKeyThreshold`, found by
+   *     one map-side-combining pass over the slim key projection (the
+   *     hot set is tiny by definition — it broadcasts);
+   *  2. probe rows of a hot key get a deterministic salt in
+   *     [0, saltBuckets) hashed from `probeSaltFrom`; cold rows salt 0;
+   *  3. build rows of a hot key REPLICATE to every salt (explode over
+   *     0..saltBuckets-1); cold rows carry salt 0 only;
+   *  4. equi-join on keys :+ salt.
+   *
+   * Every (probe row, build row) key match pairs on exactly one salt
+   * value, so the result is EXACTLY the plain inner join — but a hot
+   * key's probe rows spread over `saltBuckets` reducers instead of one.
+   * The cost is build-side duplication ONLY for hot keys (|hot| ×
+   * saltBuckets extra rows). AQE's skew-join split does this at runtime
+   * for sort-merge joins; this operator is the explicit, deterministic
+   * form that also covers AQE-off plans and key-specific bucket counts.
+   *
+   * Inputs must not share non-key column names.
+   */
+  def replicatedSkewJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      hotKeyThreshold: Long,
+      probeSaltFrom: Seq[String]): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(probeSaltFrom.nonEmpty, "probeSaltFrom must name probe columns")
+    val hot = probe.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > hotKeyThreshold)
+      .select(keys.map(col) :+ lit(true).as("__hot"): _*)
+
+    val p = probe.join(broadcast(hot), keys, "left_outer")
+      .withColumn("__salt",
+        when(col("__hot"), saltCol(saltBuckets, probeSaltFrom.map(col): _*))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val b = build.join(broadcast(hot), keys, "left_outer")
+      .withColumn("__salt", explode(sequence(lit(0),
+        when(col("__hot"), lit(saltBuckets - 1)).otherwise(lit(0)))))
+      .drop("__hot")
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -202,6 +202,46 @@ object EventQueries {
        |                     WHERE o_totalprice > ${HighValueOrderCut})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Skew-replicating join: lineitem under a synthetically skewed join
+   *  key (75% of rows share key 0 — the hot-domain / sentinel-id shape)
+   *  joined to a nation-derived dim with per-key multiplicity, through
+   *  `graft.dedup.Skew.replicatedSkewJoin`: hot probe keys salt over 8
+   *  buckets, hot build rows replicate per salt, so no single reducer
+   *  receives the hot key — while the RESULT is exactly the plain inner
+   *  join the oracle runs. */
+  val SkewHotThreshold = 40000L
+
+  def skewReplicatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        when(col("l_orderkey") % 4 > 0, 0L)
+          .otherwise(lit(1L) + col("l_partkey") % 20).as("k"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val build = spark.read.parquet(s"$dir/nation.parquet")
+      .select((col("n_nationkey") % 21).cast("long").as("k"),
+        col("n_name").as("tag"))
+    graft.dedup.Skew.replicatedSkewJoin(
+      probe, build, keys = Seq("k"), saltBuckets = 8,
+      hotKeyThreshold = SkewHotThreshold,
+      probeSaltFrom = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val SkewReplicatedJoinSql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN l_orderkey % 4 > 0 THEN 0
+      |              ELSE 1 + l_partkey % 20 END AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT n_nationkey % 21 AS k, n_name AS tag FROM nation
+      |)
+      |SELECT tag, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM p JOIN b USING (k)
+      |GROUP BY tag""".stripMargin
+
   /** Event-time window aggregation — Spark's `window()` operator in
    *  batch, both flavors in one result: TUMBLING 1-hour buckets and
    *  SLIDING 1-hour windows hopping every 30 min (each event lands in

@@ -54,4 +54,65 @@ class SkewSpec extends SparkSpecBase {
     assert(top(0).getLong(1) > 5000 * 0.4, "hot repo holds ~half the rows")
     assert(top(0).getLong(1) > 3 * top(1).getLong(1))
   }
+
+  // ---- replicatedSkewJoin ----
+
+  import spark.implicits._
+
+  // 70% of probe rows share key 0; build has 1-3 rows per key (multiplicity!)
+  private def skewProbe = spark.range(0, 2000).select(
+    when(col("id") % 10 < 7, 0L).otherwise(col("id") % 13).as("k"),
+    col("id").as("pid"))
+  private def skewBuild = Seq(
+    (0L, "a"), (0L, "b"),            // hot key matches TWO build rows
+    (1L, "c"), (2L, "d"), (2L, "e"), (2L, "f"),
+    (5L, "g"), (12L, "h"), (99L, "z") // 99 matches nothing
+  ).toDF("k", "tag")
+
+  private def plainJoin = skewProbe.join(skewBuild, Seq("k"))
+    .select($"k", $"pid", $"tag")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("replicatedSkewJoin equals the plain inner join (incl. build multiplicity)") {
+    for (buckets <- Seq(2, 8, 32)) {
+      val got = Skew.replicatedSkewJoin(skewProbe, skewBuild, Seq("k"),
+        saltBuckets = buckets, hotKeyThreshold = 500L, probeSaltFrom = Seq("pid"))
+        .select($"k", $"pid", $"tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === plainJoin, s"buckets=$buckets")
+    }
+  }
+
+  test("replicatedSkewJoin: threshold classifying nothing hot still matches") {
+    val got = Skew.replicatedSkewJoin(skewProbe, skewBuild, Seq("k"),
+      saltBuckets = 8, hotKeyThreshold = Long.MaxValue, probeSaltFrom = Seq("pid"))
+      .select($"k", $"pid", $"tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === plainJoin)
+  }
+
+  test("replicatedSkewJoin spreads the hot key over multiple reducers") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    // reproduce the operator's internal shape to observe the partition
+    // spread: the salted probe, repartitioned exactly as the join would
+    val hot = skewProbe.groupBy($"k").agg(count(lit(1)).as("__cnt"))
+      .where($"__cnt" > 500L).select($"k", lit(true).as("__hot"))
+    val salted = skewProbe.join(broadcast(hot), Seq("k"), "left_outer")
+      .withColumn("__salt",
+        when($"__hot", Skew.saltCol(8, $"pid")).otherwise(lit(0)))
+    val spread = salted.repartition(16, $"k", $"__salt")
+      .withColumn("p", spark_partition_id())
+      .where($"k" === 0L)
+      .select(countDistinct($"p")).head().getLong(0)
+    assert(spread >= 4L, s"hot key spread over only $spread partitions")
+  }
+
+  test("replicatedSkewJoin plan: salt is part of the join key; hot set broadcasts") {
+    val df = Skew.replicatedSkewJoin(skewProbe, skewBuild, Seq("k"),
+      saltBuckets = 8, hotKeyThreshold = 500L, probeSaltFrom = Seq("pid"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"join must key on the salt:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-set joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
