@@ -442,4 +442,34 @@ object TextQueries {
        |    AND (stops >= 2)) AS pass
        |FROM r""".stripMargin
   }
+
+  /** Data card: per-(lang, source), per-lang, and whole-corpus stats in
+   *  ONE pass via `rollup` — all three grouping levels share a single
+   *  map-side-combined exchange (Spark expands the grouping sets before
+   *  the partial aggregate, so the corpus is read and shuffled once, not
+   *  once per level). `grouping_id()` disambiguates a genuine NULL group
+   *  value from a super-aggregate row. The per-document token count is
+   *  graft's whitespace tokenizer; the oracle replays it. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.docs(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("ws_tokens"))
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"))
+
+  val DataCardSql: String =
+    """SELECT lang, source, GROUPING(lang, source) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+      |       AS BIGINT) AS sum_ws_tokens
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)""".stripMargin
 }

@@ -37,6 +37,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges === 2, s"expected stage-1 (key,salt) + stage-2 (key):\n$p")
   }
 
+  test("data_card computes all three rollup levels in ONE exchange") {
+    val p = plan(TextQueries.dataCard(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"rollup must expand grouping sets BEFORE one shared shuffle, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"partial aggregation expected:\n$p")
+  }
+
   test("token_stats scan is pruned to exactly the consumed columns") {
     val p = spark.sessionState.executePlan(
       TextQueries.tokenStats(spark, sf).queryExecution.logical).executedPlan.toString
