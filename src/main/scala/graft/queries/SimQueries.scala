@@ -450,4 +450,29 @@ object SimQueries {
       | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
       | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Fuzzy join at edit distance <= 1 over key-like strings
+   *  (`graft.sim.FuzzyJoin`: deletion-neighborhood blocking + exact
+   *  levenshtein confirm — EXACT completeness, no recall parameter,
+   *  never a cross join). Keys are the distinct user-id strings, whose
+   *  one-digit-apart ids form genuine typo-shaped pairs; the oracle
+   *  computes every pair independently with DuckDB's levenshtein. */
+  def fuzzyJoinIds(spark: SparkSession, dir: String): DataFrame = {
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id")).distinct()
+      .select(col("user_id").as("uid"),
+        concat(lit("u"), col("user_id")).as("name"))
+    graft.sim.FuzzyJoin.editDistance1Pairs(users, "uid", "name")
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val FuzzyJoinIdsSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id AS uid, 'u' || user_id AS name FROM events
+      |)
+      |SELECT a.uid AS id_a, b.uid AS id_b,
+      |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM w a JOIN w b
+      |  ON a.uid < b.uid AND abs(length(a.name) - length(b.name)) <= 1
+      |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
 }

@@ -1,0 +1,96 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fuzzy self-join at edit distance <= 1 — typo-variant keys, near-
+ * identical titles/codes, OCR'd identifiers: the string analog of the
+ * near-dup operators (and, like them, a blocking + exact-confirm
+ * pipeline, never a cross join).
+ *
+ * Blocking is the deletion neighborhood (FastSS family: Bocek et al.,
+ * "Fast Similarity Search in Large Dictionaries", 2007): for a string
+ * s, U(s) = {s} ∪ {s with one char deleted}. For any a, b with
+ * levenshtein(a, b) <= 1, U(a) ∩ U(b) is non-empty:
+ *  - a = b:                         share a itself;
+ *  - substitution at position i:    deleting i from both yields the
+ *                                   same string;
+ *  - insertion (b = a + one char):  a ∈ U(a) and a ∈ U(b).
+ * So an equi-join on neighborhood members finds EVERY ed<=1 pair; the
+ * exact `levenshtein` confirm removes the false candidates (distinct
+ * strings that merely share a deletion, e.g. "ab"/"ba" share "a"... —
+ * sharing is necessary, not sufficient). Completeness is therefore
+ * exact, not probabilistic — unlike MinHash/SimHash there is no recall
+ * parameter to tune.
+ *
+ * Scale shape (same discipline as `MinHashLsh.candidatePairs`): only
+ * slim (variant-hash, id) rows enter the self-join — variants travel as
+ * 64-bit `xxhash64` values, never as strings (a hash collision can only
+ * ADD a candidate, which the exact confirm removes). A per-bucket count
+ * gates the join to buckets with >= 2 members and <= `maxBucketSize`
+ * (the hot buckets a giant exact-dup key cluster would create — exact-
+ * dedup first if those matter). Strings re-attach to the deduped pair
+ * set only. Each row emits length+2 variant rows, so the operator is
+ * meant for KEY-like columns; rows longer than `maxLen` are excluded
+ * (callers needing document-scale fuzzy matching want the n-gram /
+ * MinHash operators instead).
+ */
+object FuzzyJoin {
+
+  /** Hashes of the deletion neighborhood U(s): xxhash64 of s and of
+   *  each single-character deletion of s (duplicates collapsed). Pure
+   *  built-in higher-order functions — codegen'd, no UDF. */
+  def neighborhoodHashes(s: Column): Column = {
+    array_distinct(transform(
+      sequence(lit(0), length(s)),
+      idx =>
+        when(idx === length(s), xxhash64(s))
+          .otherwise(xxhash64(concat(
+            s.substr(lit(1), idx),
+            s.substr(idx + lit(2), length(s)))))))
+  }
+
+  /**
+   * All pairs (id_a < id_b) from `df` whose `strCol` values are within
+   * edit distance 1 (including distance 0 — identical strings under
+   * different ids), with the strings and the exact distance attached.
+   *
+   * @param maxLen rows with longer strings do not participate (variant
+   *               fan-out is length+1 per row)
+   * @param maxBucketSize hot-variant cap, as in the LSH operators
+   */
+  def editDistance1Pairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 64,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(strCol).as("__fz_str"))
+      .where(col("__fz_str").isNotNull && length(col("__fz_str")) <= maxLen)
+
+    val exploded = base.select(col("id"),
+      explode(neighborhoodHashes(col("__fz_str"))).as("h"))
+
+    val liveBuckets = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("h"))
+    val pruned = exploded.join(liveBuckets, Seq("h"), "left_semi")
+
+    val a = pruned.select(col("h"), col("id").as("id_a"))
+    val b = pruned.select(col("h"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(base.select(col("id").as("id_a"), col("__fz_str").as("str_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("__fz_str").as("str_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .where(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))
+  }
+}

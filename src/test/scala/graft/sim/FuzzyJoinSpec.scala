@@ -1,0 +1,91 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val words = Seq(
+    (1L, "spark"),
+    (2L, "spurk"),   // substitution vs 1
+    (3L, "sark"),    // deletion vs 1
+    (4L, "sparks"),  // insertion vs 1
+    (5L, "spark"),   // identical to 1 (dist 0)
+    (6L, "query"),   // unrelated
+    (7L, "quern"),   // substitution vs 6? quer[y->n]: dist 1
+    (8L, "ab"),
+    (9L, "ba"),      // shares deletion "a"/"b" but dist 2 -> confirm must kill
+    (10L, "a"),      // dist 1 vs both 8 and 9 (deletion)
+    (11L, "")        // empty: dist 1 vs "a"
+  ).toDF("id", "w")
+
+  private def bruteForce: Set[(Long, Long, Int)] = {
+    val rows = words.collect().map(r => (r.getLong(0), r.getString(1)))
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levDist(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private def run = FuzzyJoin.editDistance1Pairs(words, "id", "w")
+    .select($"id_a", $"id_b", $"dist")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("finds exactly the ed<=1 pairs: sub/del/ins/equal; kills shared-deletion false candidates") {
+    assert(run === bruteForce)
+    // the (ab, ba) trap is genuinely in the candidate set and filtered
+    assert(!run.exists(p => Set(p._1, p._2) == Set(8L, 9L)))
+    // dist-0 pair (two "spark" rows) survives
+    assert(run.contains((1L, 5L, 0)))
+  }
+
+  test("completeness on a generated corpus vs brute force") {
+    // 300 short strings with planted collisions: base-4 codes of length 3-5
+    val gen = spark.range(0, 300).select($"id",
+      concat(lit("k"), conv(($"id" % 200).cast("string"), 10, 4)).as("w"))
+    val got = FuzzyJoin.editDistance1Pairs(gen, "id", "w")
+      .select($"id_a", $"id_b", $"dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = gen.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levDist(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "generator must plant real pairs")
+  }
+
+  test("maxLen excludes long strings from participation") {
+    val df = Seq((1L, "short"), (2L, "short"), (3L, "x" * 100), (4L, "x" * 100))
+      .toDF("id", "w")
+    val got = FuzzyJoin.editDistance1Pairs(df, "id", "w", maxLen = 64)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("plan: no cartesian/nested-loop; candidate join shuffles hashes, not strings") {
+    val df = FuzzyJoin.editDistance1Pairs(words, "id", "w")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must not degenerate:\n$p")
+    // every Exchange carries only ids/hashes -- the string column must
+    // not appear in any exchange line (strings re-attach via broadcast
+    // joins AFTER pair dedup)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach { l =>
+      assert(!l.contains("__fz_str") && !l.contains("str_a") && !l.contains("str_b"),
+        s"string column in a shuffle:\n$l")
+    }
+  }
+}
