@@ -93,6 +93,43 @@ object BinaryPipeline {
     docs.mapPartitions(_.map(d => d.copy(blob = resizeStub(d.blob, targetBytes))))
   }
 
+  /**
+   * 64-bit perceptual BLOCK HASH of an opaque blob — the multimodal
+   * analog of SimHash: the byte stream splits into 64 equal spans
+   * (floor boundaries `[i*n/64, (i+1)*n/64)`), and bit i is set iff
+   * span i's mean byte value exceeds the whole blob's mean, compared
+   * integer-exactly by cross-multiplication (`sum_i * n > total *
+   * count_i`). In-place VALUE changes (re-encode jitter, small pixel
+   * edits) flip few bits, so near-identical media land at small Hamming
+   * distance; like any block hash it is alignment-sensitive (a byte
+   * INSERTION shifts every span — resize/normalize first, as real
+   * perceptual-hash pipelines do). Null blob -> null; empty -> 0.
+   *
+   * Pairing at scale: `graft.sim.SimHash.nearDupPairsOnHash` over this
+   * value (same Manku block-subset blocking, no O(n^2)).
+   */
+  def blockHash64(blob: Array[Byte]): Long = {
+    if (blob == null) return 0L
+    val n = blob.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (blob(i) & 0xff); i += 1 }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val lo = (b.toLong * n / 64).toInt
+      val hi = ((b + 1).toLong * n / 64).toInt
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += (blob(j) & 0xff); j += 1 }
+      // mean_b > mean  <=>  s * n > total * (hi - lo), exactly
+      if (s * n > total * (hi - lo)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** One sampled frame of a multi-frame blob. */
   case class SampledFrame(doc_id: Long, modality: String, frame_idx: Int, frame: Array[Byte])
 

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** 64-bit perceptual block hash of an opaque binary blob as a native
+ *  codegen'd expression (semantics in
+ *  `graft.multimodal.BinaryPipeline.blockHash64`). */
+case class BlockHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.multimodal.BinaryPipeline.blockHash64(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.multimodal.BinaryPipeline.blockHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_block_hash64"
+}
+
+object BlockHashExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  def blockHash64(blob: Column): Column =
+    toColumn(BlockHashExpr(exprOf(blob)))
+}

@@ -451,6 +451,57 @@ object SimQueries {
       | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Multimodal binary near-dup: every 5th document's bytes plus an
+   *  in-place one-byte perturbation of it (the re-encode-jitter shape),
+   *  fingerprinted by the perceptual block hash
+   *  (`multimodal.BinaryPipeline.blockHash64` as the native
+   *  `plans.BlockHashExpr`) and paired by the SAME Manku block-subset
+   *  blocking the text SimHash uses (`SimHash.nearDupPairsOnHash`).
+   *  Blocking is complete for hamming <= 3, so found ⟺ hamming <= 3 —
+   *  the oracle recomputes every hash byte-for-byte in SQL and
+   *  enumerates all pairs. */
+  def binaryNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sub = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+    val paired = sub.select(col("doc_id").as("id"), col("text"))
+      .unionAll(sub.select((col("doc_id") + 1000000L).as("id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          substring(col("text"), 2, Integer.MAX_VALUE)).as("text")))
+    val hashed = paired.select(col("id"),
+      graft.plans.BlockHashExpr.blockHash64(encode(col("text"), "UTF-8")).as("bh"))
+    graft.sim.SimHash.nearDupPairsOnHash(hashed, "id", "bh", maxHamming = 3)
+  }
+
+  val BinaryNearDupSql: String =
+    """WITH sub AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), pairedup AS (
+      |  SELECT doc_id AS id, text FROM sub
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |         upper(substr(text,1,1)) || substr(text,2) AS text FROM sub
+      |), bytes AS (
+      |  SELECT id,
+      |    list_transform(range(1, length(text)+1),
+      |                   i -> ord(substr(text, CAST(i AS INT), 1))) AS b,
+      |    length(text) AS n
+      |  FROM pairedup
+      |), hashed AS (
+      |  SELECT id,
+      |    CAST(list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN
+      |        list_sum(b[(i*n)//64 + 1 : ((i+1)*n)//64]) * n >
+      |        list_sum(b) * (((i+1)*n)//64 - (i*n)//64)
+      |      THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                 ELSE CAST(1 AS BIGINT) << CAST(i AS INT) END)
+      |      ELSE 0 END)) AS BIGINT) AS bh
+      |  FROM bytes
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(bit_count(xor(a.bh, b.bh)) AS INT) AS hamming
+      |FROM hashed a JOIN hashed b ON a.id < b.id
+      |WHERE bit_count(xor(a.bh, b.bh)) <= 3""".stripMargin
+
   /** Fuzzy join at edit distance <= 1 over key-like strings
    *  (`graft.sim.FuzzyJoin`: deletion-neighborhood blocking + exact
    *  levenshtein confirm — EXACT completeness, no recall parameter,

@@ -128,15 +128,37 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3,
       nBlocks: Int = 6,
+      maxBucketSize: Long = 10000L): DataFrame =
+    // fingerprint via the native codegen'd expression
+    // (graft.plans.SimHash64Expr) — no per-row ScalaUDF converter
+    nearDupPairsOnHash(
+      df.select(col(idCol).as("id"),
+        graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh")),
+      "id", "sh", maxHamming, nBlocks, maxBucketSize)
+
+  /**
+   * The same Manku-blocked pairing over a PRECOMPUTED 64-bit fingerprint
+   * column — any fingerprint family with Hamming-distance semantics
+   * plugs in (text SimHash, the multimodal perceptual block hash
+   * `BinaryPipeline.blockHash64`, bit-sampled embeddings). Returns
+   * (id_a, id_b, hamming) with hamming <= maxHamming; completeness is
+   * exact up to the hot-bucket cap (a pair within maxHamming flips
+   * must agree on at least one block subset).
+   */
+  def nearDupPairsOnHash(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      nBlocks: Int = 6,
       maxBucketSize: Long = 10000L): DataFrame = {
     require(nBlocks > maxHamming, "need more blocks than allowed bit flips")
     require(nBlocks <= 16, "block count beyond 16 explodes the combo count")
 
-    // fingerprint + combo-key expansion via native codegen'd expressions
-    // (graft.plans.SimHash64Expr / SimHashKeysExpr) — no per-row ScalaUDF
-    // converter anywhere in the corpus-wide passes
-    val hashed = df.select(col(idCol).as("id"),
-        graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh"))
+    // combo-key expansion via the native codegen'd expression
+    // (graft.plans.SimHashKeysExpr) — no per-row ScalaUDF converter
+    // anywhere in the corpus-wide passes
+    val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .localCheckpoint(false)
     val keyed = hashed
       .select(col("id"),

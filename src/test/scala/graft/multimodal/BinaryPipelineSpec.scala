@@ -52,4 +52,77 @@ class BinaryPipelineSpec extends SparkSpecBase {
     val all = BinaryPipeline.sampleFrames(d, frameBytes = 256, everyN = 1).collect()
     assert(all.length === 4 && all.map(_.frame.length).sum === 1000)
   }
+
+  // ---- perceptual block hash ----
+
+  /** Independent per-bit reference: explicit BigInt means per span. */
+  private def refBlockHash(blob: Array[Byte]): Long = {
+    val n = blob.length
+    if (n == 0) return 0L
+    val vals = blob.map(b => BigInt(b & 0xff))
+    val totalMeanNum = vals.sum
+    var out = 0L
+    for (b <- 0 until 64) {
+      val lo = b * n / 64
+      val hi = (b + 1) * n / 64
+      val span = vals.slice(lo, hi)
+      // mean(span) > mean(all), exact rationals
+      if (span.nonEmpty && span.sum * n > totalMeanNum * span.length)
+        out |= (1L << b)
+    }
+    out
+  }
+
+  test("blockHash64 matches an independent exact-rational reference") {
+    val rng = new scala.util.Random(42)
+    for (len <- Seq(0, 1, 5, 63, 64, 65, 255, 1000, 4096)) {
+      val blob = Array.fill(len)(rng.nextInt(256).toByte)
+      assert(BinaryPipeline.blockHash64(blob) === refBlockHash(blob), s"len=$len")
+    }
+    assert(BinaryPipeline.blockHash64(Array.emptyByteArray) === 0L)
+    assert(BinaryPipeline.blockHash64(null) === 0L)
+  }
+
+  test("blockHash64: in-place value edits flip few bits; native expr agrees with Scala") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(2048)(rng.nextInt(256).toByte)
+    val jittered = base.clone(); jittered(100) = (jittered(100) + 9).toByte
+    val h0 = BinaryPipeline.blockHash64(base)
+    val h1 = BinaryPipeline.blockHash64(jittered)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2,
+      "a one-byte in-place edit must stay at small hamming")
+
+    val df = Seq((1L, base), (2L, jittered), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val got = df.select($"id",
+        graft.plans.BlockHashExpr.blockHash64($"blob").as("bh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(h0) && got(2L) === Some(h1) && got(3L) === None)
+  }
+
+  test("nearDupPairsOnHash over block hashes = brute-force hamming<=h pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 40 base blobs + in-place jittered copies -> planted near pairs,
+    // plus whatever cross pairs the hashes genuinely produce
+    val blobs = (0L until 40L).map { i =>
+      val b = Array.fill(512)(rng.nextInt(256).toByte); (i, b)
+    }
+    val all = blobs ++ blobs.map { case (i, b) =>
+      val c = b.clone(); c(17) = (c(17) ^ 3).toByte; (i + 100L, c)
+    }
+    val hashed = all.map { case (i, b) => (i, BinaryPipeline.blockHash64(b)) }
+    val want = (for {
+      (ia, ha) <- hashed; (ib, hb) <- hashed
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val df = hashed.toDF("id", "bh")
+    val got = graft.sim.SimHash.nearDupPairsOnHash(df, "id", "bh", maxHamming = 3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "jittered copies must plant real near pairs")
+  }
 }
