@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph authority scoring — the web-curation quality prior
+ * (PageRank; Page et al. 1999): crawl frontiers and corpus quality
+ * weights are routinely seeded from host-graph centrality (the public
+ * Common Crawl host ranking is exactly this shape).
+ *
+ * FIXED-POINT INTEGER iteration so every rank is deterministic and
+ * bit-for-bit replayable by the SQL oracle: ranks live in micro-units
+ * (node starts at 1,000,000), the damped update is
+ *
+ *   r'(u) = (1e6 - damping) + Σ_{v→u} (damping * r(v)) div (1e6 * deg(v))
+ *
+ * with `div` = integer division (all operands non-negative, so Spark's
+ * DIV and DuckDB's // agree). Mass from dangling nodes (out-degree 0)
+ * is dropped, and integer floors shave at most 1 micro per in-edge —
+ * both standard simplifications; ORDERINGS are what curation consumes.
+ *
+ * Scale shape: one slim (src, dst, deg) edge frame is built once,
+ * repartitioned on src, and cached — each of the fixed `iterations`
+ * rounds then shuffles only the (node, rank) frame: once onto src for
+ * the contribution join and once onto dst for the map-side-combined
+ * sum. Rank frames localCheckpoint per round (iterative lineage, as in
+ * `sim.Clustering.connectedComponents`).
+ */
+object LinkRank {
+
+  val Micro = 1000000L
+
+  /**
+   * @param edges    (srcCol, dstCol) directed edges; duplicates collapse
+   * @param damping  in micro-units (850000 = the classic 0.85)
+   * @return (node, rank_micro) for every node appearing as src or dst
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < Micro)
+    val base = Micro - damping
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the per-round join's stable side: slim, partitioned on src, cached
+    val graph = e.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .cache()
+
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .cache()
+
+    var ranks = nodes.select(col("node"), lit(Micro).as("rank_micro"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = graph
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"($damping * rank_micro) DIV ($Micro * deg)").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("rank_micro"))
+        .localCheckpoint(true)
+    }
+    graph.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

@@ -288,4 +288,49 @@ object WebQueries {
        |SELECT d.doc_id, coalesce(ag.n_tokens, 0) AS n_tokens,
        |       coalesce(ag.ssum, 0) AS sum_logp_micro
        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
+  /** Link-graph authority prior (`graft.pipeline.LinkRank.pageRank`):
+   *  integer fixed-point PageRank over a deterministic synthetic link
+   *  graph derived from events (src = user, dst = a user-and-event-
+   *  dependent target — varied out-degrees, dangling nodes, in-only
+   *  nodes). 5 damped rounds in micro-units; the oracle replays every
+   *  round as a chained CTE, so each of the ~1.5k ranks must match
+   *  bit-for-bit. */
+  val RankIters = 5
+
+  def linkRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("src"),
+        ((col("user_id") + col("event_id") % 37 + 1) % 1500).as("dst"))
+    graft.pipeline.LinkRank.pageRank(edges, "src", "dst",
+      iterations = RankIters)
+  }
+
+  val LinkRankSql: String = {
+    val rounds = (1 to RankIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |         SUM((850000 * p.rank_micro) // (1000000 * deg.d)) AS c
+         |  FROM e JOIN r${k - 1} p ON p.node = e.src
+         |         JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst
+         |), r$k AS (
+         |  SELECT n.node,
+         |         CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS rank_micro
+         |  FROM nodes n LEFT JOIN c$k c USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id AS src,
+       |         (user_id + event_id % 37 + 1) % 1500 AS dst
+       |  FROM events
+       |), nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM e GROUP BY src
+       |), r0 AS (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+       |), $rounds
+       |SELECT node, rank_micro FROM r$RankIters""".stripMargin
+  }
 }

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LinkRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // small graph with a dangling node (4), an in-only node (5), a hub (1)
+  private val edgeSeq = Seq(
+    (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L), (1L, 5L), (2L, 4L))
+  private def edges = edgeSeq.toDF("src", "dst")
+
+  /** In-memory replay of the documented integer recurrence. */
+  private def refRanks(iters: Int): Map[Long, Long] = {
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edgeSeq.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        (850000L * r(s)) / (1000000L * deg(s))
+      }.sum).toMap
+      r = nodes.map(n => n -> (150000L + contrib.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(iters: Int): Map[Long, Long] =
+    LinkRank.pageRank(edges, "src", "dst", iterations = iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("integer PageRank matches the in-memory recurrence bit-for-bit") {
+    for (iters <- Seq(1, 3, 5)) assert(run(iters) === refRanks(iters), s"iters=$iters")
+  }
+
+  test("rank ordering: the hub outranks leaves; in-only node gets damped base + inflow") {
+    val r = run(5)
+    assert(r(1L) > r(4L) && r(1L) > r(5L), "two in-edges from high-rank nodes win")
+    // node 4's only in-edge is from 2 (deg 2); node 5's from 1 (deg 3, higher rank)
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("duplicate edges collapse; result invariant to input partitioning") {
+    val dup = edges.unionAll(edges).repartition(7)
+    val got = LinkRank.pageRank(dup, "src", "dst", iterations = 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got === refRanks(3))
+  }
+}
