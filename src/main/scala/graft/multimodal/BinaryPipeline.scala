@@ -130,6 +130,103 @@ object BinaryPipeline {
     out
   }
 
+  // ---- content-defined chunking (CDC) ----
+
+  /** Rolling-hash window width in bytes (bits beyond it have shifted
+   *  out of the 28-bit hash). */
+  val CdcWindow = 28
+
+  /** Hash domain 2^28 (keeps the SQL oracle's windowed-sum replay free
+   *  of int64 overflow: 28 terms < 2^28 * 2^27 each). */
+  val CdcModBits = 28
+
+  /** Gear lookup table: one constant in [0, 2^28) per byte value,
+   *  splitmix64-mixed from the byte — deterministic, no RNG state. The
+   *  oracle SQL embeds these exact values as literals
+   *  (`cdcGearSqlList`). */
+  val CdcGear: Array[Long] = Array.tabulate(256) { b =>
+    var x = b.toLong * 0x9E3779B97F4A7C15L
+    x ^= (x >>> 31); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 27)
+    x & ((1L << CdcModBits) - 1)
+  }
+
+  /** The gear table as a SQL list literal (single source of truth for
+   *  the DuckDB oracle). */
+  def cdcGearSqlList: String = CdcGear.mkString("[", ", ", "]")
+
+  /**
+   * Content-defined chunk CUT points of a blob (gear rolling hash;
+   * Muthitacharoen et al., "A Low-Bandwidth Network File System",
+   * SOSP'01 family): position i (1-based) ends a chunk when the rolling
+   * hash of the last `CdcWindow` bytes is 0 mod 2^maskBits; the final
+   * position always cuts. Because the predicate is purely positional
+   * (no min/max-chunk carry-over), boundaries are SHIFT-INVARIANT —
+   * inserting bytes at the front re-synchronizes at the next boundary,
+   * so shifted copies share all chunks after their first common cut —
+   * and chunking is embarrassingly parallel.
+   *
+   * Exact recurrence (what the SQL oracle replays as a windowed sum):
+   *   h_i = Σ_{k=0}^{W-1} gear[b_{i-k}] * 2^k  (mod 2^28)
+   * maintained here as the O(1)/byte rolling update.
+   *
+   * @return ascending 1-based chunk end offsets, last = blob length;
+   *         empty for an empty blob
+   */
+  def cdcCuts(blob: Array[Byte], maskBits: Int): Array[Int] = {
+    if (blob == null) return Array.emptyIntArray
+    val n = blob.length
+    if (n == 0) return Array.emptyIntArray
+    val m = (1L << CdcModBits) - 1
+    val cutMask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = ((h << 1) + CdcGear(blob(i) & 0xff)) & m
+      if (i >= CdcWindow)
+        h = (h - (CdcGear(blob(i - CdcWindow) & 0xff) << CdcWindow)) & m
+      if ((h & cutMask) == 0L && i + 1 < n) out += i + 1
+      i += 1
+    }
+    out += n
+    out.toArray
+  }
+
+  /** Codegen entry point (see `graft.plans.CdcCutsExpr`). */
+  def cdcCutsData(
+      blob: Array[Byte], maskBits: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(cdcCuts(blob, maskBits))
+
+  /**
+   * CDC chunk rows of a blob table: (idCol, chunk_idx, chunk_start,
+   * chunk_len, chunk_sha) — cut points from the native `CdcCutsExpr`,
+   * chunk extraction and sha256 via built-ins, all MAP-SIDE (zero
+   * Exchange; chunk-level dedup is then a groupBy on the 32-byte sha,
+   * exactly the `MarkDuplicates` shape — blob bytes never shuffle).
+   * This is the storage/transfer dedup primitive (rsync/LBFS/backup
+   * dedup): shifted or locally-edited copies of a blob share every
+   * chunk outside the edit region.
+   */
+  def cdcChunks(
+      df: DataFrame, idCol: String, blobCol: String, maskBits: Int): DataFrame = {
+    val cuts = df
+      .select(col(idCol).as("id"), col(blobCol).as("__blob"),
+        graft.plans.CdcCutsExpr.cdcCuts(col(blobCol), maskBits).as("__ends"))
+      .where(col("__ends").isNotNull && size(col("__ends")) > 0)
+      .withColumn("__starts",
+        concat(array(lit(0)), expr("slice(__ends, 1, size(__ends) - 1)")))
+    cuts
+      .select(col("id"), col("__blob"),
+        posexplode(arrays_zip(col("__starts"), col("__ends")))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col("id"), col("chunk_idx"),
+        col("__c.__starts").as("chunk_start"),
+        (col("__c.__ends") - col("__c.__starts")).as("chunk_len"),
+        sha2(expr("substring(__blob, __c.__starts + 1, __c.__ends - __c.__starts)"),
+          256).as("chunk_sha"))
+  }
+
   /** One sampled frame of a multi-frame blob. */
   case class SampledFrame(doc_id: Long, modality: String, frame_idx: Int, frame: Array[Byte])
 

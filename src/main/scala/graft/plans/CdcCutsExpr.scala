@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
+
+/** Content-defined chunk cut offsets of a binary blob as a native
+ *  codegen'd expression (semantics in
+ *  `graft.multimodal.BinaryPipeline.cdcCuts`): ascending 1-based chunk
+ *  end positions, last = blob length. */
+case class CdcCutsExpr(child: Expression, maskBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maskBits >= 1 && maskBits < graft.multimodal.BinaryPipeline.CdcModBits,
+    "maskBits must be within the hash domain")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.multimodal.BinaryPipeline.cdcCutsData(v.asInstanceOf[Array[Byte]], maskBits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.multimodal.BinaryPipeline.cdcCutsData($c, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_cuts"
+}
+
+object CdcCutsExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  def cdcCuts(blob: Column, maskBits: Int): Column =
+    toColumn(CdcCutsExpr(exprOf(blob), maskBits))
+}

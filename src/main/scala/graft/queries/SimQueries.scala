@@ -502,6 +502,79 @@ object SimQueries {
       |FROM hashed a JOIN hashed b ON a.id < b.id
       |WHERE bit_count(xor(a.bh, b.bh)) <= 3""".stripMargin
 
+  /** Content-defined chunk dedup (`multimodal.BinaryPipeline.cdcChunks`):
+   *  every 5th document's bytes PLUS a front-shifted copy ("shift-" +
+   *  bytes — the case fixed-size chunking cannot dedup), gear-hash
+   *  chunked (avg 64 B), chunk-level dedup stats. Cut points, every
+   *  chunk sha, and the final byte accounting are all replayed by the
+   *  oracle, which embeds the gear table as literals — a single wrong
+   *  rolling-hash bit anywhere moves a boundary and breaks the row. */
+  val CdcMaskBits = 6
+
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sub = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+    val blobs = sub.select((col("doc_id") * 2).as("id"), col("text"))
+      .unionAll(sub.select((col("doc_id") * 2 + 1).as("id"),
+        concat(lit("shift-"), col("text")).as("text")))
+      .select(col("id"), encode(col("text"), "UTF-8").as("blob"))
+    val chunks = graft.multimodal.BinaryPipeline
+      .cdcChunks(blobs, "id", "blob", maskBits = CdcMaskBits)
+    val perSha = chunks.groupBy(col("chunk_sha"))
+      .agg(count(lit(1)).as("n"), min(col("chunk_len")).as("len"))
+    perSha.agg(
+      sum(col("n")).as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"),
+      sum(col("n") * col("len")).as("total_bytes"),
+      sum(col("len")).as("unique_bytes"))
+  }
+
+  val CdcChunkDedupSql: String = {
+    val gear = graft.multimodal.BinaryPipeline.cdcGearSqlList
+    val mod = 1L << graft.multimodal.BinaryPipeline.CdcModBits
+    val w = graft.multimodal.BinaryPipeline.CdcWindow
+    val cut = 1L << CdcMaskBits
+    s"""WITH sub AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |), blobs AS (
+       |  SELECT doc_id * 2 AS id, text AS t FROM sub
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, 'shift-' || text AS t FROM sub
+       |), byt AS (
+       |  SELECT id, t, length(t) AS n,
+       |    list_transform(range(1, length(t) + 1),
+       |                   i -> ord(substr(t, CAST(i AS INT), 1))) AS b
+       |  FROM blobs
+       |), hs AS (
+       |  SELECT id, t, n,
+       |    list_transform(range(1, n + 1), i ->
+       |      list_sum(list_transform(range(greatest(1, i - ${w - 1}), i + 1),
+       |        j -> ($gear)[b[j] + 1] * (CAST(1 AS BIGINT) << CAST(i - j AS INT))))
+       |      % $mod) AS h
+       |  FROM byt
+       |), ends AS (
+       |  SELECT id, t, list_filter(range(1, n + 1),
+       |                            i -> h[i] % $cut = 0 OR i = n) AS e
+       |  FROM hs WHERE n > 0
+       |), chunks AS (
+       |  SELECT id, t,
+       |    unnest(list_transform(range(1, len(e) + 1), k ->
+       |      {'s': CASE WHEN k = 1 THEN 0 ELSE e[k - 1] END, 'e': e[k]})) AS c
+       |  FROM ends
+       |), ch AS (
+       |  SELECT sha256(substr(t, CAST(c.s + 1 AS INT), CAST(c.e - c.s AS INT))) AS sha,
+       |         c.e - c.s AS len
+       |  FROM chunks
+       |), per_sha AS (
+       |  SELECT sha, count(*) AS n, min(len) AS len FROM ch GROUP BY sha
+       |)
+       |SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+       |       count(*) AS distinct_chunks,
+       |       CAST(sum(n * len) AS BIGINT) AS total_bytes,
+       |       CAST(sum(len) AS BIGINT) AS unique_bytes
+       |FROM per_sha""".stripMargin
+  }
+
   /** Fuzzy join at edit distance <= 1 over key-like strings
    *  (`graft.sim.FuzzyJoin`: deletion-neighborhood blocking + exact
    *  levenshtein confirm — EXACT completeness, no recall parameter,

@@ -125,4 +125,77 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(got === want)
     assert(want.nonEmpty, "jittered copies must plant real near pairs")
   }
+
+  // ---- content-defined chunking ----
+
+  /** Independent reference: h_i recomputed as the DIRECT windowed sum
+   *  (what the SQL oracle does), no rolling update. */
+  private def refCuts(blob: Array[Byte], maskBits: Int): Array[Int] = {
+    val n = blob.length
+    if (n == 0) return Array.emptyIntArray
+    val m = 1L << BinaryPipeline.CdcModBits
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 1 to n) {
+      var s = BigInt(0)
+      for (j <- math.max(1, i - BinaryPipeline.CdcWindow + 1) to i)
+        s += BigInt(BinaryPipeline.CdcGear(blob(j - 1) & 0xff)) << (i - j)
+      val h = (s % m).toLong
+      if ((h % (1L << maskBits) == 0 && i < n) || i == n) out += i
+    }
+    out.toArray
+  }
+
+  test("cdcCuts: rolling update equals the direct windowed-sum definition") {
+    val rng = new scala.util.Random(99)
+    for (len <- Seq(0, 1, 27, 28, 29, 100, 2000)) {
+      val blob = Array.fill(len)(rng.nextInt(256).toByte)
+      assert(BinaryPipeline.cdcCuts(blob, 6).toSeq === refCuts(blob, 6).toSeq, s"len=$len")
+    }
+  }
+
+  test("cdcCuts: ascending, last cut = length; chunks reconstruct the blob") {
+    val rng = new scala.util.Random(5)
+    val blob = Array.fill(5000)(rng.nextInt(256).toByte)
+    val cuts = BinaryPipeline.cdcCuts(blob, 6)
+    assert(cuts.last === blob.length && cuts.toSeq === cuts.sorted.toSeq)
+    assert(cuts.distinct.length === cuts.length)
+    val starts = 0 +: cuts.init.toSeq
+    val rebuilt = starts.zip(cuts).flatMap { case (s, e) => blob.slice(s, e) }
+    assert(rebuilt === blob.toSeq)
+  }
+
+  test("CDC is shift-invariant: a front-shifted copy shares every chunk after re-sync") {
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(4096)(rng.nextInt(256).toByte)
+    val shifted = Array.fill(11)(rng.nextInt(256).toByte) ++ base
+    def chunkSet(b: Array[Byte]) = {
+      val cuts = BinaryPipeline.cdcCuts(b, 6)
+      (0 +: cuts.init.toSeq).zip(cuts).map { case (s, e) => b.slice(s, e).toSeq }.toSet
+    }
+    val shared = chunkSet(base).intersect(chunkSet(shifted))
+    val sharedBytes = shared.toSeq.map(_.length).sum
+    // everything past the first post-insertion boundary must dedup
+    assert(sharedBytes > 3 * 4096 / 4,
+      s"shifted copy shares only $sharedBytes of 4096 bytes")
+  }
+
+  test("cdcChunks is map-side (zero Exchange) and chunk rows account every byte") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 20L).map(i => (i, Array.fill(300 + rng.nextInt(300))(rng.nextInt(256).toByte)))
+    val df = rows.toDF("id", "blob")
+    val chunks = BinaryPipeline.cdcChunks(df, "id", "blob", maskBits = 6)
+    val p = chunks.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    val perBlob = chunks.groupBy($"id").agg(sum($"chunk_len").as("bytes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBlob === rows.map(r => r._1 -> r._2.length.toLong).toMap)
+    // sha identifies content: equal blobs -> equal chunk shas
+    val dup = Seq((100L, rows.head._2), (101L, rows.head._2)).toDF("id", "blob")
+    val shas = BinaryPipeline.cdcChunks(dup, "id", "blob", 6)
+      .groupBy($"id").agg(collect_list($"chunk_sha").as("s"))
+      .collect().map(_.getSeq[String](1).sorted)
+    assert(shas(0) === shas(1))
+  }
 }
