@@ -176,6 +176,46 @@ object SketchQueries {
       |GROUP BY key, n
       |HAVING count(*) * 50 >= n""".stripMargin
 
+  /** PER-GROUP heavy hitters: one Misra-Gries sketch PER event type
+   *  (map-side partials, merged per group — the tail never shuffles
+   *  per-key), candidates decoded DISTRIBUTED (one decode per group, G
+   *  rows — not a corpus-wide UDF pass), then one slim exact-confirm
+   *  semi-join. Keys above the 2% cut are guaranteed to survive the
+   *  sketch (retention bound n/(k+1) = 1.54% < 2% at k=64), so the
+   *  exact HAVING oracle must match row-for-row. */
+  def heavyHittersPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = events(spark, dir).select(
+      col("event_type").as("grp"),
+      when(col("event_id") % 10 < 3, col("event_id") % 7)
+        .otherwise(col("event_id") % 9973 + 7).as("key"))
+    val totals = keyed.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // G sketch rows; decode runs once per GROUP, not per input row
+    val decode = udf((b: Array[Byte]) =>
+      FrequentItems.deserialize(b).items.map(_._1))
+    val candidates = keyed.groupBy(col("grp"))
+      .agg(GraftFunctions.frequentItems(col("key"), k = 64).as("sk"))
+      .select(col("grp"), explode(decode(col("sk"))).as("key"))
+    keyed.join(broadcast(candidates), Seq("grp", "key"), "left_semi")
+      .groupBy(col("grp"), col("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(totals), Seq("grp"))
+      .where(col("n_exact") * 50 >= col("n"))
+      .select(col("grp"), col("key"), col("n_exact"))
+  }
+
+  val HeavyHittersPerGroupSql: String =
+    """WITH keyed AS (
+      |  SELECT event_type AS grp,
+      |         CASE WHEN event_id % 10 < 3 THEN event_id % 7
+      |              ELSE event_id % 9973 + 7 END AS key
+      |  FROM events
+      |), tot AS (SELECT grp, count(*) AS n FROM keyed GROUP BY grp)
+      |SELECT keyed.grp, key, CAST(count(*) AS BIGINT) AS n_exact
+      |FROM keyed JOIN tot ON keyed.grp = tot.grp
+      |GROUP BY keyed.grp, key, n
+      |HAVING count(*) * 50 >= n""".stripMargin
+
   /** SQL surface: the registered UDAFs callable from spark.sql — computes
    *  the HLL estimate via SQL and checks it against the exact count. */
   def sqlSketchCheck(spark: SparkSession, dir: String): DataFrame = {
