@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream enrichment join — "each purchase with the views that
+ * preceded it", "each alert with the metrics around it": Spark's
+ * watermarked stream-stream inner join, packaged with the time-bound
+ * discipline that makes it run in BOUNDED state (without an event-time
+ * constraint Spark must keep every row forever; with it, rows age out
+ * as the watermark passes `probe_time - lookback`).
+ *
+ * Semantics: probe row p joins ref row r of the same key when
+ * `p.time - lookback <= r.time <= p.time` — the streaming form of the
+ * batch interval join (`operators.RangeJoin.rangeJoin` with the ref as
+ * point and [time - lookback, time] as the interval), and the spec pins
+ * row parity against exactly that batch join for in-order AND
+ * out-of-order (within watermark) arrivals.
+ *
+ * Ref columns are suffixed `_ref` (the `AsOfJoin` convention) so the
+ * two sides never collide.
+ */
+object StreamingEnrich {
+
+  def intervalJoinStreams(
+      probes: DataFrame,
+      refs: DataFrame,
+      keyCols: Seq[String],
+      probeTimeCol: String,
+      refTimeCol: String,
+      lookback: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val r0 = refs.columns.foldLeft(refs) { (df, c) =>
+      df.withColumnRenamed(c, s"${c}_ref")
+    }
+    val p = probes.withWatermark(probeTimeCol, watermark)
+    val r = r0.withWatermark(s"${refTimeCol}_ref", watermark)
+    val keyCond = keyCols.map(k => col(k) === col(s"${k}_ref"))
+      .reduce(_ && _)
+    val timeCond =
+      col(s"${refTimeCol}_ref") <= col(probeTimeCol) &&
+        col(s"${refTimeCol}_ref") >= col(probeTimeCol) - expr(s"INTERVAL $lookback")
+    p.join(r, keyCond && timeCond, "inner")
+  }
+
+  /** The batch plan with IDENTICAL semantics (for parity testing and
+   *  for running the same enrichment over historical data). */
+  def intervalJoinBatch(
+      probes: DataFrame,
+      refs: DataFrame,
+      keyCols: Seq[String],
+      probeTimeCol: String,
+      refTimeCol: String,
+      lookback: String = "30 minutes"): DataFrame = {
+    val r0 = refs.columns.foldLeft(refs) { (df, c) =>
+      df.withColumnRenamed(c, s"${c}_ref")
+    }
+    val keyCond = keyCols.map(k => col(k) === col(s"${k}_ref"))
+      .reduce(_ && _)
+    val timeCond =
+      col(s"${refTimeCol}_ref") <= col(probeTimeCol) &&
+        col(s"${refTimeCol}_ref") >= col(probeTimeCol) - expr(s"INTERVAL $lookback")
+    probes.join(r0, keyCond && timeCond, "inner")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class StreamingEnrichSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(7200000L + min * 60000L)
+
+  // probes: (user, ptime, pid); refs: (user, rtime, rid)
+  private val probeRows = Seq(
+    (1L, ts(30), 900L), (1L, ts(62), 901L), (2L, ts(10), 902L), (3L, ts(5), 903L))
+  private val refRows = Seq(
+    (1L, ts(10), 100L),  // 20 min before probe 900 -> match
+    (1L, ts(30), 101L),  // same minute as 900 -> match (inclusive)
+    (1L, ts(31), 102L),  // AFTER 900 (no) but 31 min before 901 (no, >30m lookback)
+    (1L, ts(40), 103L),  // 22 min before 901 -> match
+    (2L, ts(9), 104L),   // 1 min before 902 -> match
+    (2L, ts(45), 105L))  // after 902 -> no
+
+  private def batchResult: Set[(Long, Long)] =
+    StreamingEnrich.intervalJoinBatch(
+      probeRows.toDF("user", "ptime", "pid"),
+      refRows.toDF("user", "rtime", "rid"),
+      keyCols = Seq("user"), probeTimeCol = "ptime", refTimeCol = "rtime")
+      .select($"pid", $"rid_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("batch interval join: inclusive bounds, per-key, lookback window") {
+    assert(batchResult === Set(
+      (900L, 100L), (900L, 101L), (901L, 103L), (902L, 104L)))
+  }
+
+  test("stream-stream join matches batch for out-of-order (within watermark) arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingEnrich.intervalJoinStreams(
+      pIn.toDF().toDF("user", "ptime", "pid"),
+      rIn.toDF().toDF("user", "rtime", "rid"),
+      keyCols = Seq("user"), probeTimeCol = "ptime", refTimeCol = "rtime")
+      .select($"pid", $"rid_ref")
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 keeps max event time low so the 10-min watermark stays
+      // behind every batch-2 row: the arrivals below are genuinely
+      // out-of-order (ts(5) after ts(30); ref ts(30) after ref ts(10))
+      // yet within the watermark horizon
+      pIn.addData(probeRows(0), probeRows(2)) // ts(30), ts(10)
+      rIn.addData(refRows(0), refRows(4))     // ts(10), ts(9)
+      q.processAllAvailable()
+      pIn.addData(probeRows(1), probeRows(3)) // ts(62), ts(5)
+      rIn.addData(refRows(1), refRows(2), refRows(3), refRows(5))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchResult)
+    } finally q.stop()
+  }
+
+  test("rows later than the watermark horizon are dropped from the join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingEnrich.intervalJoinStreams(
+      pIn.toDF().toDF("user", "ptime", "pid"),
+      rIn.toDF().toDF("user", "rtime", "rid"),
+      keyCols = Seq("user"), probeTimeCol = "ptime", refTimeCol = "rtime",
+      lookback = "30 minutes", watermark = "10 minutes")
+      .select($"pid", $"rid_ref")
+    val q = joined.writeStream.format("memory").queryName("enrich_late")
+      .outputMode("append").start()
+    try {
+      pIn.addData((1L, ts(500), 990L)) // push both watermarks far ahead
+      rIn.addData((1L, ts(500), 199L))
+      q.processAllAvailable()
+      // a ref 8 hours in the past: the state for its probe window is gone
+      rIn.addData((1L, ts(10), 198L))
+      pIn.addData((1L, ts(12), 991L))
+      q.processAllAvailable()
+      val got = spark.table("enrich_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((990L, 199L)),
+        s"late rows must not join after the watermark passed: $got")
+    } finally q.stop()
+  }
+}
