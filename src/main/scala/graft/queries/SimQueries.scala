@@ -502,6 +502,41 @@ object SimQueries {
       |FROM hashed a JOIN hashed b ON a.id < b.id
       |WHERE bit_count(xor(a.bh, b.bh)) <= 3""".stripMargin
 
+  /** Entity resolution by composition: typo-variant keys pair via the
+   *  exact-complete fuzzy join, the pair graph closes into entities via
+   *  `sim.Clustering.connectedComponents`, min-id becomes the canonical
+   *  entity id — blocking + pairing + clustering, the standard ER
+   *  pipeline with no new operator code. The oracle computes the SAME
+   *  transitive closure with a recursive CTE over an independently
+   *  levenshtein-derived pair graph, so every (id, cluster) row is
+   *  exact. */
+  def fuzzyEntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id")).distinct()
+      .select(col("user_id").as("uid"),
+        concat(lit("u"), col("user_id")).as("name"))
+    val pairs = graft.sim.FuzzyJoin.editDistance1Pairs(users, "uid", "name")
+      .select(col("id_a"), col("id_b"))
+    graft.sim.Clustering.dupClusters(users.select(col("uid")), "uid", pairs)
+  }
+
+  val FuzzyEntityClustersSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT DISTINCT user_id AS uid, 'u' || user_id AS name FROM events
+      |), e AS (
+      |  SELECT a.uid AS ua, b.uid AS ub
+      |  FROM w a JOIN w b
+      |    ON a.uid < b.uid AND abs(length(a.name) - length(b.name)) <= 1
+      |  WHERE levenshtein(a.name, b.name) <= 1
+      |), sym AS (
+      |  SELECT ua, ub FROM e UNION SELECT ub, ua FROM e
+      |), reach(src, dst) AS (
+      |  SELECT uid, uid FROM w
+      |  UNION
+      |  SELECT r.src, s.ub FROM reach r JOIN sym s ON s.ua = r.dst
+      |)
+      |SELECT src AS uid, min(dst) AS cluster FROM reach GROUP BY src""".stripMargin
+
   /** Content-defined chunk dedup (`multimodal.BinaryPipeline.cdcChunks`):
    *  every 5th document's bytes PLUS a front-shifted copy ("shift-" +
    *  bytes — the case fixed-size chunking cannot dedup), gear-hash
