@@ -443,6 +443,58 @@ object TextQueries {
        |FROM r""".stripMargin
   }
 
+  /** BM25 retrieval (`graft.text.Bm25`): every 100th document's first
+   *  three words become a query; top-5 docs per query by the
+   *  integer-exact BM25 score (one ln per vocab term, quantized to
+   *  micro at the model boundary — the LmQuality discipline). The
+   *  oracle rebuilds postings, idf, every per-term contribution, and
+   *  the ranked cut. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DedupQueries.docs(spark, dir)
+    val queries = docs.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 3), " ")
+          .as("qtext"))
+    graft.text.Bm25.search(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 5)
+  }
+
+  val Bm25SearchSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+      |), tfreq AS (
+      |  SELECT doc_id, term, count(*) AS f FROM tok GROUP BY doc_id, term
+      |), dlen AS (
+      |  SELECT doc_id, CAST(sum(f) AS BIGINT) AS dl FROM tfreq GROUP BY doc_id
+      |), st AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dlen
+      |), idf AS (
+      |  SELECT term,
+      |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
+      |           AS idf_micro
+      |  FROM (SELECT term, count(*) AS df FROM tfreq GROUP BY term), st
+      |), q AS (
+      |  SELECT DISTINCT doc_id AS query_id,
+      |    unnest((regexp_split_to_array(lower(trim(text)), '\s+'))[1:3]) AS term
+      |  FROM documents
+      |  WHERE doc_id % 100 = 0 AND length(trim(coalesce(text, ''))) > 0
+      |), sc AS (
+      |  SELECT query_id, tfreq.doc_id,
+      |         CAST(SUM((idf_micro * 22 * f * t) // (10 * t * f + 3 * t + 9 * dl * n))
+      |              AS BIGINT) AS score_micro
+      |  FROM q
+      |  JOIN tfreq USING (term)
+      |  JOIN dlen ON dlen.doc_id = tfreq.doc_id
+      |  JOIN idf USING (term), st
+      |  GROUP BY query_id, tfreq.doc_id
+      |)
+      |SELECT query_id, doc_id, score_micro, CAST(rk AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY score_micro DESC, doc_id) AS rk
+      |      FROM sc)
+      |WHERE rk <= 5""".stripMargin
+
   /** Data card: per-(lang, source), per-lang, and whole-corpus stats in
    *  ONE pass via `rollup` — all three grouping levels share a single
    *  map-side-combined exchange (Spark expands the grouping sets before

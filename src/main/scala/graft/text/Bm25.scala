@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * BM25 retrieval over the corpus — the "find what's in this dataset"
+ * primitive (inspection, eval-set mining, targeted curation): an
+ * inverted index (postings) plus Okapi BM25 scoring (Robertson/Walker,
+ * TREC-3; Lucene's non-negative idf variant) and salted top-k per
+ * query.
+ *
+ * INTEGER-EXACT scoring so results replay bit-for-bit in the oracle:
+ * with k1 = 1.2 and b = 0.75 expressed as exact rationals, the per-term
+ * contribution
+ *
+ *   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+ *
+ * becomes, after multiplying through by 10*T (T = total corpus tokens,
+ * N = docs, avgdl = T/N),
+ *
+ *   (idf_micro * 22 * tf * T) div (10*T*tf + 3*T + 9*dl*N)
+ *
+ * — pure int64 arithmetic. The only float touch is the ONE ln per
+ * vocabulary term, immediately quantized to micro units
+ * (`round(ln(1 + (N-df+0.5)/(df+0.5)) * 1e6)`) — the same
+ * quantize-at-the-model boundary discipline as `LmQuality`. Bound: the
+ * numerator needs idf_micro * 22 * tf * T < 2^63 (fine through
+ * billion-token corpora per partition-group; rescale micro -> milli
+ * beyond).
+ *
+ * Scale shape: postings are a map-side-combining (doc, term) count;
+ * doc lengths ride the postings via one slim join; the V-row idf table
+ * broadcasts; query terms hash-join postings on the term key (ONE
+ * exchange of slim rows); per-(query, doc) sums combine map-side; the
+ * final top-k uses the salted `operators.TopK.perGroup` gate, so no
+ * reducer sorts a whole query's candidate list.
+ */
+object Bm25 {
+
+  private def tokens(textCol: String) =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  private def nonEmpty(textCol: String) =
+    length(trim(coalesce(col(textCol), lit("")))) > 0
+
+  /** Postings with doc length attached: (doc_id, term, tf, dl). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.where(nonEmpty(textCol))
+      .select(col(idCol).as("doc_id"), explode(tokens(textCol)).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+  }
+
+  /**
+   * Top-k BM25 results per query: (query_id, doc_id, score_micro, rank).
+   * Query terms are DISTINCT per query (standard qtf=1 BM25).
+   */
+  def search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+      .localCheckpoint(false) // three consumers: stats, df, the score join
+
+    val statsRow = post.agg(
+      countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("t")).head()
+    val n = statsRow.getLong(0)
+    val t = statsRow.getLong(1)
+
+    // one ln per vocab term, quantized to micro at the model boundary
+    val idf = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * 1e6).cast("long").as("idf_micro"))
+
+    val qterms = queries.where(nonEmpty(qTextCol))
+      .select(col(qIdCol).as("query_id"), explode(tokens(qTextCol)).as("term"))
+      .distinct()
+
+    val scored = qterms
+      .join(post, Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"(idf_micro * 22 * tf * $t) DIV (10 * $t * tf + 3 * $t + 9 * dl * $n)")
+          .as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+
+    graft.operators.TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("score_micro").desc, col("doc_id").asc),
+      saltCol = "doc_id", k = k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffles data across executors"),
+    (2L, "spark spark spark tuning"),
+    (3L, "duckdb runs the oracle"),
+    (4L, "data data data data data everywhere"),
+    (5L, "  "), // empty after trim: excluded from the index
+    (6L, "executors spill data")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq((10L, "spark data"), (11L, "oracle")).toDF("qid", "q")
+
+  /** In-memory replay of the exact integer formula. */
+  private def refTopK(k: Int): Set[(Long, Long, Long, Int)] = {
+    val docs = Seq(
+      1L -> "spark shuffles data across executors",
+      2L -> "spark spark spark tuning",
+      3L -> "duckdb runs the oracle",
+      4L -> "data data data data data everywhere",
+      6L -> "executors spill data")
+    val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = toks.size.toLong
+    val t = toks.map(_._2.size).sum.toLong
+    val df = toks.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    def idfMicro(term: String): Long = {
+      val d = df.getOrElse(term, 0L)
+      math.round(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * 1e6)
+    }
+    val qs = Seq(10L -> Seq("spark", "data"), 11L -> Seq("oracle"))
+    (for {
+      (qid, qt) <- qs
+      (did, dt) <- toks
+      score = qt.distinct.map { term =>
+        val f = dt.count(_ == term).toLong
+        if (f == 0) 0L
+        else (idfMicro(term) * 22 * f * t) / (10 * t * f + 3 * t + 9 * dt.size * n)
+      }.sum if qt.exists(dt.contains) // same pair set as the postings join
+    } yield (qid, did, score))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+      }.toSet
+  }
+
+  private def run(k: Int): Set[(Long, Long, Long, Int)] =
+    Bm25.search(corpus, "doc_id", "text", queries, "qid", "q", k)
+      .select($"query_id", $"doc_id", $"score_micro", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+  test("scores and ranking match the integer reference bit-for-bit") {
+    assert(run(5) === refTopK(5))
+    assert(run(2) === refTopK(2))
+  }
+
+  test("ranking is sane: rare term beats common, tf raises score") {
+    val r = run(5).toSeq.sortBy(x => (x._1, x._4))
+    val sparkData = r.filter(_._1 == 10L)
+    // doc 2 (3x spark, short) and doc 4 (5x data) should outrank doc 6
+    assert(sparkData.map(_._2).take(3).toSet.contains(2L))
+    val oracleQ = r.filter(_._1 == 11L)
+    assert(oracleQ.map(_._2) === Seq(3L), "only doc 3 contains 'oracle'")
+  }
+
+  test("plan: idf broadcasts; no cartesian/nested loop") {
+    val df = Bm25.search(corpus, "doc_id", "text", queries, "qid", "q", 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"idf table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
