@@ -502,6 +502,50 @@ object SimQueries {
       |FROM hashed a JOIN hashed b ON a.id < b.id
       |WHERE bit_count(xor(a.bh, b.bh)) <= 3""".stripMargin
 
+  /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of
+   *  every 25th doc plus a front-padded copy (shifted grams — high but
+   *  not full Jaccard), all pairs at J >= 3/4 via prefix filtering.
+   *  Unlike minhash_near_dup there is NO recall parameter — the oracle
+   *  enumerates every pair exactly and the engine must match it. */
+  def setsimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 25 === 0)
+    val paired = sub.select((col("doc_id") * 2).as("id"), col("text"))
+      .unionAll(sub.select((col("doc_id") * 2 + 1).as("id"),
+        concat(lit("pad "), col("text")).as("text")))
+    def grams(c: org.apache.spark.sql.Column) = {
+      val words = split(trim(c), "\\s+")
+      array_distinct(
+        when(size(words) < 3, typedLit(Seq.empty[String]))
+          .otherwise(transform(sequence(lit(0), size(words) - 3),
+            i => concat_ws(" ", slice(words, i + 1, lit(3))))))
+    }
+    graft.sim.SetSimJoin.jaccardJoinExact(
+      paired.select(col("id"), grams(col("text")).as("toks")),
+      "id", "toks", tNum = 3, tDen = 4)
+  }
+
+  val SetsimJoinSql: String =
+    """WITH sub AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+      |), paired AS (
+      |  SELECT doc_id * 2 AS id, text FROM sub
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS id, 'pad ' || text FROM sub
+      |), g AS (
+      |  SELECT id,
+      |         list_distinct(CASE WHEN len(w) < 3 THEN []
+      |           ELSE [array_to_string(w[i:i+2], ' ')
+      |                 for i in generate_series(1, len(w)-2)] END) AS grams
+      |  FROM (SELECT id, regexp_split_to_array(trim(text), '\s+') AS w FROM paired)
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+      |       CAST(len(list_distinct(a.grams || b.grams)) AS BIGINT) AS uni
+      |FROM g a JOIN g b ON a.id < b.id
+      |WHERE len(a.grams) > 0 AND len(b.grams) > 0
+      |  AND len(list_intersect(a.grams, b.grams)) * 4 >=
+      |      3 * len(list_distinct(a.grams || b.grams))""".stripMargin
+
   /** Entity resolution by composition: typo-variant keys pair via the
    *  exact-complete fuzzy join, the pair graph closes into entities via
    *  `sim.Clustering.connectedComponents`, min-id becomes the canonical

@@ -1,0 +1,79 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * EXACT set-similarity self-join at Jaccard >= tNum/tDen via prefix
+ * filtering (the PPJoin family: Chaudhuri et al. ICDE'06 prefix-filter
+ * lemma; Vernica et al. SIGMOD'10 for the distributed shape) — the
+ * exact counterpart of `MinHashLsh`: no recall parameter, every
+ * qualifying pair found, with the threshold as an exact rational so the
+ * SQL oracle replays every decision.
+ *
+ * Prefix-filter lemma (per-side prefix): order ALL tokens by one global
+ * total order (df ascending — rarest first — then token). For a set `a`
+ * let prefix(a) = its first |a| - ceil(t*|a|) + 1 tokens in that order.
+ * If J(a,b) >= t then |a∩b| >= t*|a∪b| >= ceil(t*max(|a|,|b|)), and the
+ * GLOBALLY SMALLEST common token c sits at position <= |a| - |a∩b| + 1
+ * <= |a| - ceil(t|a|) + 1 within a (and likewise within b) — so c is in
+ * BOTH prefixes, and an equi-join on prefix tokens finds every pair.
+ * ceil is exact integer arithmetic: ceil(tNum*n/tDen) = (tNum*n +
+ * tDen - 1) div tDen.
+ *
+ * Scale shape: the df pass and per-document prefix ranking shuffle slim
+ * (id, token-hash) rows; rarest-first prefixes make candidate buckets
+ * the RARE-token buckets; token sets re-attach AFTER pair dedup for the
+ * exact |∩|/|∪| verify (the LSH operators' re-attach discipline). The
+ * per-document ranking window partitions by document — thousands of
+ * tokens per partition, never a corpus-wide sort.
+ */
+object SetSimJoin {
+
+  /**
+   * @param df       (idCol, tokensCol: array<string>) — pre-tokenized,
+   *                 duplicates in the array are collapsed here
+   * @param tNum/tDen Jaccard threshold as an exact rational, 0 < t <= 1
+   * @return (id_a, id_b, inter, uni) for every pair with
+   *         inter * tDen >= tNum * uni; empty sets never pair
+   */
+  def jaccardJoinExact(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .localCheckpoint(false) // consumed by ranking AND the verify re-attach
+
+    val tok = sets.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+    val prefix = tok.join(dfreq, Seq("token"))
+      .withColumn("idx", row_number().over(w))
+      // prefix length = n - ceil(t*n) + 1
+      .where(col("idx") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("token"), col("id"))
+
+    val a = prefix.select(col("token"), col("id").as("id_a"))
+    val b = prefix.select(col("token"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("token"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
+        size(array_union(col("t_a"), col("t_b"))).cast("long").as("uni"))
+      .where(col("inter") * tDen >= lit(tNum) * col("uni"))
+  }
+}

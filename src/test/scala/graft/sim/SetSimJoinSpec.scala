@@ -1,0 +1,54 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SetSimJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 120 sets over a 40-token vocab, sizes 0..12, with planted near-copies
+  private val rng = new scala.util.Random(21)
+  private val base: Seq[(Long, Seq[String])] = (0L until 60L).map { i =>
+    val sz = rng.nextInt(12) + 1
+    (i, Seq.fill(sz)(s"t${rng.nextInt(40)}").distinct)
+  }
+  private val rows: Seq[(Long, Seq[String])] = base ++ base.map { case (i, s) =>
+    // drop one element -> high-Jaccard planted pair
+    (i + 100L, if (s.size > 1) s.tail else s)
+  } :+ (999L, Seq.empty[String])
+
+  private def brute(tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      uni = sa.toSet.union(sb.toSet).size.toLong
+      if inter * tDen >= tNum.toLong * uni
+    } yield (ia, ib, inter, uni)).toSet
+
+  private def run(tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    SetSimJoin.jaccardJoinExact(rows.toDF("id", "toks"), "id", "toks", tNum, tDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("exact completeness vs brute force across thresholds") {
+    for ((n, d) <- Seq((1, 2), (3, 4), (9, 10), (1, 1))) {
+      val got = run(n, d)
+      val want = brute(n, d)
+      assert(got === want, s"t=$n/$d")
+      assert(want.nonEmpty, s"planted pairs must exist at t=$n/$d")
+    }
+  }
+
+  test("t=1 finds exactly the identical sets; empty sets never pair") {
+    val got = run(1, 1)
+    got.foreach { case (_, _, inter, uni) => assert(inter === uni) }
+    assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
+  }
+
+  test("plan: equi-join on prefix tokens, token sets re-attach after dedup") {
+    val df = SetSimJoin.jaccardJoinExact(rows.toDF("id", "toks"), "id", "toks", 3, 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter must stay an equi-join:\n$p")
+  }
+}
