@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Funnel (ordered-sequence) matching — "users who viewed, then clicked,
+ * then purchased": for each key, the earliest event times t_1 < t_2 <
+ * ... < t_k such that stage i's event happens strictly after stage
+ * i-1's. Greedy-earliest is complete: if ANY strictly-increasing
+ * assignment of stage events exists for a key, the greedy one does too
+ * (exchange argument — replacing any stage time with an earlier valid
+ * one only loosens every later constraint), so a key is in the result
+ * iff it completes the funnel.
+ *
+ * Scale shape: NO per-key sort and no collect_list of a key's history —
+ * stage i is one filtered slim aggregate `min(time) WHERE time >
+ * t_{i-1}` joined on the key (k stages = k map-side-combined aggregates
+ * + k equi-joins of (key, int64) rows). A hot key contributes one
+ * partial row per partition per stage, exactly like any min().
+ */
+object Funnel {
+
+  /**
+   * @param events  (keyCols, typeCol, timeCol) event rows
+   * @param stages  ordered stage values of typeCol (length >= 1)
+   * @return keys completing ALL stages, with t_1..t_k columns
+   *         (`t_1` < `t_2` < ... strictly)
+   */
+  def funnelTimes(
+      events: DataFrame,
+      keyCols: Seq[String],
+      typeCol: String,
+      timeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val keys = keyCols.map(col)
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(keys: _*)
+      .agg(min(col(timeCol)).as("t_1"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (stage, i)) =>
+      // every t_1..t_i is constant per key; min() re-exposes them
+      val aggs = (1 to i).map(j => min(col(s"t_$j")).as(s"t_$j")) :+
+        min(col(timeCol)).as(s"t_${i + 1}")
+      events.where(col(typeCol) === stage)
+        .join(acc, keyCols)
+        .where(col(timeCol) > col(s"t_$i"))
+        .groupBy(keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

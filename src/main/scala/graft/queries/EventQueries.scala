@@ -202,6 +202,37 @@ object EventQueries {
        |                     WHERE o_totalprice > ${HighValueOrderCut})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Funnel conversion (`graft.operators.Funnel`): users whose events
+   *  contain view < click < purchase in strict event-time order, with
+   *  the greedy-earliest stage times (complete — proven by exchange
+   *  argument in the operator). No per-user sort: k slim aggregates +
+   *  joins. The oracle replays the greedy recurrence as nested mins. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    graft.operators.Funnel.funnelTimes(e, Seq("user_id"), "event_type", "us",
+      stages = Seq("view", "click", "purchase"))
+  }
+
+  val FunnelConversionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(us) AS t_1 FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(t_1) AS t_1, min(us) AS t_2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND us > t_1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(t_1) AS t_1, min(t_2) AS t_2, min(us) AS t_3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND us > t_2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT user_id, t_1, t_2, t_3 FROM s3""".stripMargin
+
   /** Skew-replicating join: lineitem under a synthetically skewed join
    *  key (75% of rows share key 0 — the hot-domain / sentinel-id shape)
    *  joined to a nation-derived dim with per-key multiplicity, through

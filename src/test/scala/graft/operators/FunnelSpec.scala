@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // (user, type, time)
+  private val ev = Seq(
+    (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),   // clean funnel
+    (2L, "click", 5L), (2L, "view", 10L), (2L, "buy", 30L),    // click BEFORE view -> incomplete
+    (3L, "view", 10L), (3L, "view", 1L), (3L, "click", 5L),    // greedy: t1=1 < 5 -> completes w/o buy? no buy
+    (4L, "view", 10L), (4L, "click", 10L),                     // equal time: strict order fails
+    (5L, "view", 1L), (5L, "click", 2L), (5L, "buy", 2L),      // buy not after click
+    (6L, "view", 1L), (6L, "click", 9L), (6L, "click", 3L),
+    (6L, "buy", 5L),                                            // greedy click=3 enables buy=5
+    (7L, "buy", 1L), (7L, "view", 2L), (7L, "click", 3L), (7L, "buy", 9L) // later buy matches
+  ).toDF("user", "etype", "t")
+
+  private def run(stages: Seq[String]) =
+    Funnel.funnelTimes(ev, Seq("user"), "etype", "t", stages)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+
+  test("3-stage funnel: strict ordering, greedy-earliest times, later-event rescue") {
+    val got = run(Seq("view", "click", "buy"))
+    assert(got === Map(
+      1L -> Seq(10L, 20L, 30L), // clean in-order funnel
+      6L -> Seq(1L, 3L, 5L),    // greedy picks click=3 (not 9) so buy=5 matches
+      7L -> Seq(2L, 3L, 9L)))   // buy=1 predates the funnel; buy=9 completes it
+    // user 2: only click precedes the first view -> incomplete
+    // user 4: click at the SAME time as view -> strict order fails
+    // user 5: buy not strictly after click
+  }
+
+  test("2-stage prefix funnel includes keys the 3-stage drops") {
+    val got = run(Seq("view", "click"))
+    assert(got === Map(
+      1L -> Seq(10L, 20L),
+      3L -> Seq(1L, 5L),  // greedy t1 = earlier view 1 rescues click 5
+      5L -> Seq(1L, 2L),
+      6L -> Seq(1L, 3L),
+      7L -> Seq(2L, 3L)))
+  }
+
+  test("single-stage funnel = min time per key having the stage") {
+    val got = run(Seq("buy"))
+    assert(got === Map(1L -> Seq(30L), 2L -> Seq(30L), 5L -> Seq(2L),
+      6L -> Seq(5L), 7L -> Seq(1L)))
+  }
+}
