@@ -4,6 +4,45 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
+ * Snapshot DIFF — the audit companion to `SnapshotMerge`: classify every
+ * key of two table versions as added / removed / changed / unchanged
+ * (the "what did this pipeline run change" primitive).
+ *
+ * One full-outer equi-join on the key, carrying only the key and the
+ * compared columns; change detection is null-safe column equality
+ * (`<=>`), so it is VALUE-exact — no hash that could silently call a
+ * changed row unchanged. For wide payloads, pass a precomputed content
+ * signature (e.g. `MarkDuplicates.signature`) as the single compare
+ * column so the wide bytes never shuffle.
+ */
+object SnapshotDiff {
+
+  /** @return (keyCols..., change) with change ∈ added|removed|changed|unchanged */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(true))
+    val n0 = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__new", lit(true))
+    val n = compareCols.foldLeft(n0)((df, c) => df.withColumnRenamed(c, s"${c}__n"))
+    val same = compareCols.map(c => col(c) <=> col(s"${c}__n")).reduce(_ && _)
+    val out = o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col("change"): _*)
+    if (includeUnchanged) out else out.where(col("change") =!= "unchanged")
+  }
+}
+
+/**
  * Snapshot merge (MERGE INTO / SCD-latest): fold a delta of upserts into
  * a base corpus snapshot, keeping the highest-version row per key — the
  * corpus-refresh shape of the reference's first-seen-wins rule inverted

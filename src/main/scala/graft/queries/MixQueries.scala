@@ -106,6 +106,50 @@ object MixQueries {
    *  oracle replays the merge as a plain rank window over the union. */
   val NewDocOffset = 2000000L
 
+  /** Snapshot diff (`operators.SnapshotDiff`): old = documents, new =
+   *  the same table with every 5th doc rewritten (changed), every
+   *  doc_id%5==1 duplicated under a new id (added), and every
+   *  doc_id%5==2 dropped (removed). Value-exact null-safe comparison
+   *  on (text, lang); the oracle replays the classification with a
+   *  full outer join. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val oldDf = d.select(col("doc_id"), col("text"), col("lang"))
+    val newDf = d.where(col("doc_id") % 5 =!= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      .unionAll(d.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + NewDocOffset).as("doc_id"),
+          col("text"), col("lang")))
+    graft.operators.SnapshotDiff.diff(oldDf, newDf,
+      keyCols = Seq("doc_id"), compareCols = Seq("text", "lang"))
+  }
+
+  val SnapshotDiffSql: String =
+    s"""WITH oldt AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |), newt AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text,
+       |         lang
+       |  FROM documents WHERE doc_id % 5 <> 2
+       |  UNION ALL
+       |  SELECT doc_id + ${NewDocOffset}, text, lang
+       |  FROM documents WHERE doc_id % 5 = 1
+       |)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN o.doc_id IS NULL THEN 'added'
+       |            WHEN n.doc_id IS NULL THEN 'removed'
+       |            WHEN o.text IS NOT DISTINCT FROM n.text
+       |                 AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+       |            ELSE 'changed' END AS change
+       |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+       |WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+       |           AND o.text IS NOT DISTINCT FROM n.text
+       |           AND o.lang IS NOT DISTINCT FROM n.lang)""".stripMargin
+
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val base = d.select(col("doc_id"), lit(1L).as("version"),

@@ -52,4 +52,22 @@ class SnapshotMergeSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(2)))
     assert(got.toSeq === (0L until 1000L).map(i => (i, s"base-$i")))
   }
+
+  // ---- SnapshotDiff ----
+
+  test("diff classifies added/removed/changed with null-safe comparison") {
+    import spark.implicits._
+    val o = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "d"), (5L, null.asInstanceOf[String])).toDF("k", "v")
+    val n = Seq((1L, "a"), (2L, "B"), (3L, null.asInstanceOf[String]),
+      (5L, "now-set"), (6L, "new")).toDF("k", "v")
+    val got = SnapshotDiff.diff(o, n, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 4L -> "removed",
+      5L -> "changed", 6L -> "added"))
+    // null == null is UNCHANGED (null-safe), excluded by default
+    val all = SnapshotDiff.diff(o, n, Seq("k"), Seq("v"), includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) === "unchanged" && all(3L) === "unchanged")
+  }
 }
