@@ -1,0 +1,78 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Small-file compaction — the table-maintenance chore every long-lived
+ * 100 TB dataset needs (streaming sinks and per-batch appends leave
+ * thousands of KB-sized parquet files; scans then pay an open/footer
+ * cost per file and the driver pays listing memory).
+ *
+ * ZERO-SHUFFLE shape: Spark's file scan already bin-packs input splits
+ * to `spark.sql.files.maxPartitionBytes` (first-fit over files, exactly
+ * the compaction grouping we want) — so compaction is: set
+ * maxPartitionBytes = target, read ONLY the small files, write with one
+ * task per packed bin. No repartition, no Exchange (asserted in the
+ * spec); each output file ≈ the target size (modulo re-compression).
+ * Files already ≥ `smallCutoff` are left alone — an incremental
+ * maintenance pass touches only the fragmented tail, never the healthy
+ * bulk of the table.
+ */
+object Compaction {
+
+  case class CompactReport(
+      smallFiles: Long,
+      smallBytes: Long,
+      keptLargeFiles: Long,
+      outputFiles: Long,
+      rowsRewritten: Long)
+
+  /** List (path, bytes) of the data files directly under `dir`. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /**
+   * Rewrite the sub-`smallCutoff` files of parquet directory `inDir`
+   * into ≈`targetBytes` files under `outDir`; larger files are not
+   * touched (their paths stay valid in `inDir`).
+   */
+  def compactSmallFiles(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long,
+      smallCutoff: Long): CompactReport = {
+    require(targetBytes > 0 && smallCutoff > 0)
+    val all = listDataFiles(spark, inDir)
+    val (small, large) = all.partition(_._2 < smallCutoff)
+    if (small.isEmpty)
+      return CompactReport(0L, 0L, large.size.toLong, 0L, 0L)
+
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      // tiny open cost so packing tracks real bytes, not the 4 MB default
+      conf.set("spark.sql.files.openCostInBytes", "65536")
+      val df = spark.read.parquet(small.map(_._1): _*)
+      df.write.mode("overwrite").parquet(outDir)
+      val rows = spark.read.parquet(outDir).count()
+      val outFiles = listDataFiles(spark, outDir).size.toLong
+      CompactReport(small.size.toLong, small.map(_._2).sum,
+        large.size.toLong, outFiles, rows)
+    } finally {
+      prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
+        conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevOpen.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        conf.set("spark.sql.files.openCostInBytes", _))
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("compaction collapses a fragmented directory without shuffling; rows exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$dir/in"; val out = s"$dir/out"
+    // 40 fragment files + 1 comparatively large file
+    spark.range(0, 4000).select($"id", concat(lit("row-"), $"id").as("v"))
+      .repartition(40).write.parquet(in)
+    spark.range(100000, 140000).select($"id", concat(lit("row-"), $"id").as("v"))
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val files = Compaction.listDataFiles(spark, in)
+    assert(files.size === 41)
+    val cutoff = files.map(_._2).max // only the big file reaches the cutoff
+
+    val rep = Compaction.compactSmallFiles(spark, in, out,
+      targetBytes = 512 * 1024, smallCutoff = cutoff)
+    assert(rep.smallFiles === 40 && rep.keptLargeFiles === 1)
+    assert(rep.rowsRewritten === 4000)
+    assert(rep.outputFiles < 10, s"expected few packed files, got ${rep.outputFiles}")
+
+    // read-side packing produced the plan, not a shuffle
+    val packed = spark.read.parquet(out)
+    assert(!packed.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // content identical: small-file rows all present, none duplicated
+    val got = packed.select($"id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 4000L))
+  }
+
+  test("nothing below the cutoff: no rewrite happens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    spark.range(0, 100).coalesce(1).write.parquet(s"$dir/in")
+    val rep = Compaction.compactSmallFiles(spark, s"$dir/in", s"$dir/out",
+      targetBytes = 1024 * 1024, smallCutoff = 1L)
+    assert(rep.smallFiles === 0 && rep.rowsRewritten === 0 && rep.keptLargeFiles === 1)
+  }
+}
