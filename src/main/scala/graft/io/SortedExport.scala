@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Globally-sorted export — the terasort shape: write a table as N files
+ * whose key ranges are disjoint and ascending, each file sorted within
+ * itself, so the file sequence IS the total order. Consumers get
+ * ordered merge-scans and binary-search file pruning (parquet min/max
+ * footers become an index over the sort key).
+ *
+ * NO single reducer anywhere: `repartitionByRange` samples the key
+ * distribution (reservoir per partition) to pick N-1 split points, each
+ * range sorts independently (`sortWithinPartitions`). One range
+ * exchange total — the same discipline as `ZOrderLayout.writeZOrdered2`
+ * but for a 1-D total order.
+ *
+ * Determinism note: range boundaries come from Spark's sampler, so FILE
+ * BOUNDARIES may vary run to run; the global ORDER of the concatenated
+ * output is always exactly `orderBy(keys)` (the property the spec
+ * pins). For bit-stable boundaries too, pre-compute split points with
+ * the KLL sketch and pass them as a `rangeHint`.
+ */
+object SortedExport {
+
+  /** Repartition into `nFiles` disjoint ascending key ranges, sorted
+   *  within each — the frame to hand to `.write`. */
+  def sortedFrame(df: DataFrame, nFiles: Int, keys: Column*): DataFrame = {
+    require(nFiles >= 1 && keys.nonEmpty)
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
+
+  /** Write `df` under `outDir` as ≈`nFiles` globally-sorted parquet
+   *  files (empty ranges produce no file). */
+  def writeSorted(df: DataFrame, outDir: String, nFiles: Int, keys: Column*): Unit =
+    sortedFrame(df, nFiles, keys: _*)
+      .write.mode("overwrite").parquet(outDir)
+}

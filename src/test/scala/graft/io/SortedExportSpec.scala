@@ -1,0 +1,45 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SortedExportSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("files carry disjoint ascending ranges; concatenation is the total order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    // adversarial input order: descending with collisions
+    val df = spark.range(0, 20000)
+      .select((lit(19999) - col("id")).as("k"), (col("id") % 7).as("payload"))
+    SortedExport.writeSorted(df, dir, nFiles = 8, col("k"))
+
+    val files = Compaction.listDataFiles(spark, dir).map(_._1).sorted
+    assert(files.size > 1, "expected multiple range files")
+    // per-file: sorted within, and min/max ranges must not overlap
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select($"k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"file $f not internally sorted")
+      (ks.min, ks.max)
+    }
+    // parquet part-file names sort in partition order for range output
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // the concatenated order is exactly orderBy(k)
+    val concat = files.flatMap(f =>
+      spark.read.parquet(f).select($"k").collect().map(_.getLong(0)))
+    assert(concat.toSeq === (0L until 20000L))
+  }
+
+  test("plan: exactly one exchange (the range partition), no global sort") {
+    val df = spark.range(0, 5000).select(col("id").as("k"))
+    val frame = SortedExport.sortedFrame(df, 4, col("k"))
+    val p = frame.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected the single range exchange:\n$p")
+    assert(p.contains("rangepartitioning"), s"must partition by range:\n$p")
+    // sort is within partitions (global = false)
+    assert(p.contains("Sort") && p.contains("false, 0"), s"sort must be local:\n$p")
+  }
+}
