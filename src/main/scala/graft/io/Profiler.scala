@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sketch.{GraftFunctions, HllSketch}
+
+/**
+ * One-pass table profiler — the data-quality audit a 100 TB table gets
+ * before it feeds a training pipeline, and the table-maintenance analog
+ * of the reference's cheap introspection surface (`--show-capacity`,
+ * `/root/reference/src/streammd.cxx` option handling: answer sizing
+ * questions without touching the data more than necessary).
+ *
+ * For every requested column, from ONE distributed aggregation pass over
+ * the table:
+ *
+ *   - `n_rows`       total rows (shared across columns),
+ *   - `n_null`       null count,
+ *   - `distinct_est` mergeable-HLL distinct estimate — deliberately NOT
+ *                    `count(DISTINCT c)`: one exact distinct per column
+ *                    EXPANDs the scan ×(columns+1) and shuffles every
+ *                    value of every column; the HLL partial is a few KB
+ *                    per column per task and merges associatively,
+ *   - `min_val` / `max_val` extremes (canonical string form — the typed
+ *                    min/max is taken first, then cast, so ordering is
+ *                    the column type's),
+ *   - `total_len`    summed string length (UTF-8 character count of the
+ *                    canonical form — avg length = total_len / (n_rows -
+ *                    n_null)).
+ *
+ * Scale shape: a single `agg` — every metric above is algebraic or a
+ * mergeable sketch, so partials combine map-side and exactly ONE row
+ * crosses the final exchange regardless of table size; the per-column
+ * reshape happens driver-side on that single row (C output rows). The
+ * table is scanned once for all columns and never shuffled.
+ */
+object Profiler {
+
+  /** Profile `cols` (default: all columns) of `df` in one pass. */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String] = Nil,
+      hllPrecision: Int = 14): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(cs.nonEmpty, "profile: no columns")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +: cs.flatMap { c =>
+        Seq(
+          count(when(col(c).isNull, 1)).as(s"__null_$c"),
+          GraftFunctions.hllSketch(col(c).cast("string"), hllPrecision)
+            .as(s"__hll_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"),
+          sum(length(col(c).cast("string"))).as(s"__len_$c"))
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    cs.map { c =>
+      val est = HllSketch.deserialize(row.getAs[Array[Byte]](s"__hll_$c")).estimate
+      val len = Option(row.getAs[java.lang.Long](s"__len_$c")).fold(0L)(Long2long)
+      (c, n, row.getAs[Long](s"__null_$c"), est,
+        row.getAs[String](s"__min_$c"), row.getAs[String](s"__max_$c"), len)
+    }.toDF("col_name", "n_rows", "n_null", "distinct_est",
+      "min_val", "max_val", "total_len")
+  }
+
+  /** The HLL standard error at `hllPrecision` (1.04/sqrt(2^p)) — callers
+   *  bound `distinct_est` with it exactly like the sketch-library tests. */
+  def hllStandardError(hllPrecision: Int = 14): Double =
+    HllSketch(hllPrecision).standardError
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-audit queries: one-pass table profiling, PMI collocation
+ * mining, blocklist filtering, and soft (reweighting) dedup — each with
+ * an exact or bound-checked DuckDB oracle.
+ */
+object AuditQueries {
+
+  // ---------- one-pass column profiler ----------
+
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One-pass per-column profile of `documents` (`graft.io.Profiler`).
+   *  n_rows / n_null / min / max / total_len are exact; the HLL distinct
+   *  estimate is verified against the EXACT per-column distinct count
+   *  (computed here, test-only) within 4 standard errors — the
+   *  `hll_users` acceptance style. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = DedupQueries.docs(spark, dir)
+    val prof = graft.io.Profiler.profile(d, ProfileCols)
+    val exactRow = d.select(
+      ProfileCols.map(c => countDistinct(col(c)).as(c)): _*).head()
+    val exact = ProfileCols.zipWithIndex
+      .map { case (c, i) => (c, exactRow.getLong(i)) }
+      .toDF("col_name", "n_distinct")
+    val se = graft.io.Profiler.hllStandardError()
+    prof.join(broadcast(exact), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        (abs(col("distinct_est").cast("double") / col("n_distinct") - 1.0)
+          <= lit(4 * se)).as("distinct_ok"),
+        col("min_val"), col("max_val"), col("total_len"))
+  }
+
+  val ColumnProfileSql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  true AS distinct_ok,
+       |  CAST(min($c) AS VARCHAR) AS min_val,
+       |  CAST(max($c) AS VARCHAR) AS max_val,
+       |  coalesce(CAST(sum(len(CAST($c AS VARCHAR))) AS BIGINT), 0) AS total_len
+       |FROM documents""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---------- PMI collocation mining ----------
+
+  val PmiMinCount = 3L
+
+  /** PMI-scored adjacent word pairs over `documents.text`
+   *  (`graft.text.Collocations`): support counts, position marginals,
+   *  and the fixed-point micro PMI are all replayed exactly by the
+   *  oracle — every count and every quantized ln must agree. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.pmiPairs(
+      DedupQueries.docs(spark, dir), "text", minCount = PmiMinCount)
+
+  val PmiCollocationsSql: String =
+    s"""WITH wa AS (
+       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM documents WHERE trim(coalesce(text, '')) <> ''
+       |), pr AS (
+       |  SELECT t.w1, t.w2 FROM (
+       |    SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+       |                   for i in generate_series(1, len(w) - 1)]) AS t
+       |    FROM wa)
+       |), cab AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+       |  FROM pr GROUP BY w1, w2
+       |), tot AS (
+       |  SELECT CAST(sum(pair_cnt) AS BIGINT) AS b FROM cab
+       |), lm AS (
+       |  SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS left_cnt FROM cab GROUP BY w1
+       |), rm AS (
+       |  SELECT w2, CAST(sum(pair_cnt) AS BIGINT) AS right_cnt FROM cab GROUP BY w2
+       |)
+       |SELECT c.w1, c.w2, c.pair_cnt, lm.left_cnt, rm.right_cnt,
+       |  (SELECT b FROM tot) AS total_pairs,
+       |  CAST(round(ln(CAST(c.pair_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |    + CAST(round(ln(CAST((SELECT b FROM tot) AS DOUBLE)) * 1000000) AS BIGINT)
+       |    - CAST(round(ln(CAST(lm.left_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |    - CAST(round(ln(CAST(rm.right_cnt AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS pmi_micro
+       |FROM cab c JOIN lm USING (w1) JOIN rm USING (w2)
+       |WHERE c.pair_cnt >= $PmiMinCount""".stripMargin
+
+  // ---------- blocklist (banned word / phrase) filter ----------
+
+  private val BadWords = Seq("qqbadword")
+  private val BadPhrases = Seq("qq bad phrase")
+
+  /** C4-style blocklist filter (`graft.text.Blocklist`) over a corpus
+   *  with planted hits: a cased+punctuated banned WORD on every
+   *  doc_id % 7 == 0 page (exercises lowering + edge-punctuation
+   *  stripping) and a banned PHRASE (with trailing '!') on every
+   *  doc_id % 13 == 0 page. The oracle replays tokenization, cleaning,
+   *  and both match rules. */
+  def badwordsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Blocklist
+    val planted = concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 7 === 0, lit(" QQbadword.")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" qq bad phrase!")).otherwise(lit("")))
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        Blocklist.wordHit(col("t"), BadWords).as("word_hit"),
+        Blocklist.phraseHit(col("t"), BadPhrases).as("phrase_hit"),
+        Blocklist.blocked(col("t"), BadWords, BadPhrases).as("blocked"))
+  }
+
+  val BadwordsFilterSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' QQbadword.' ELSE '' END
+      |      || CASE WHEN doc_id % 13 = 0 THEN ' qq bad phrase!' ELSE '' END AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      [regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+      |       for x in regexp_split_to_array(lower(trim(t)), '\s+')],
+      |      x -> len(x) > 0) AS toks
+      |  FROM src
+      |)
+      |SELECT doc_id,
+      |  list_contains(toks, 'qqbadword') AS word_hit,
+      |  position(' qq bad phrase ' IN ' ' || array_to_string(toks, ' ') || ' ') > 0
+      |    AS phrase_hit,
+      |  list_contains(toks, 'qqbadword')
+      |    OR position(' qq bad phrase ' IN ' ' || array_to_string(toks, ' ') || ' ') > 0
+      |    AS blocked
+      |FROM tok""".stripMargin
+
+  // ---------- soft dedup: near-dup cluster weights ----------
+
+  /** Soft dedup over the `corpus_neardup` planted relation: id-tagged
+   *  words make cross-document shingles disjoint, so the near-dup
+   *  clusters are EXACTLY {original, planted copy} for every
+   *  doc_id % 11 == 0 document with >= 50 words — the oracle enumerates
+   *  every (doc, cluster, size, weight) row from the construction.
+   *  (`graft.sim.Clustering.nearDupWeights` — reweight, don't remove.) */
+  def neardupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val words = split(trim(col("text")), "\\s+")
+    val tagged = concat_ws(" ", transform(words, w => concat(w, lit("_"), col("doc_id"))))
+    val base = d.select(col("doc_id"), tagged.as("text"), size(words).as("__w"))
+    val originals = base.select(col("doc_id"), col("text"))
+    val copies = base.where(col("doc_id") % 11 === 0 && col("__w") >= 50)
+      .select((col("doc_id") + DedupQueries.DupOffset).as("doc_id"),
+        concat(col("text"), lit(" qqsoftdedup")).as("text"))
+    val corpus = originals.unionAll(copies)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = graft.sim.MinHashLsh
+      .candidatePairs(corpus, "doc_id", "text")
+      .where(col("est_jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"))
+    graft.sim.Clustering.nearDupWeights(corpus, "doc_id", pairs)
+  }
+
+  val NeardupWeightsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+       |  FROM documents WHERE text IS NOT NULL
+       |), dup AS (
+       |  SELECT doc_id FROM base WHERE doc_id % 11 = 0 AND nw >= 50
+       |)
+       |SELECT d.doc_id, d.doc_id AS cluster,
+       |  CAST(1 AS BIGINT) AS cluster_size, CAST(1000000 AS BIGINT) AS weight_micro
+       |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+       |UNION ALL
+       |SELECT doc_id, doc_id, CAST(2 AS BIGINT), CAST(500000 AS BIGINT) FROM dup
+       |UNION ALL
+       |SELECT doc_id + ${DedupQueries.DupOffset}, doc_id,
+       |  CAST(2 AS BIGINT), CAST(500000 AS BIGINT) FROM dup""".stripMargin
+}

@@ -90,6 +90,44 @@ object Clustering {
   }
 
   /**
+   * Soft dedup — reweight instead of remove ("SoftDedup"-style corpus
+   * reweighting: down-weighting near-duplicate documents in the
+   * training sampler preserves tail knowledge that hard removal
+   * destroys, at the same effective epoch count). Every document keeps
+   * a `weight_micro` of `10^6 / cluster_size` (floor division, exact
+   * int64): singletons stay at 1.0, an n-way near-dup cluster's members
+   * each carry 1/n — the cluster contributes one document's worth of
+   * gradient mass in expectation.
+   *
+   * Scale shape: connected components run over the PAIR GRAPH only
+   * (vertices = ids appearing in a pair — orders of magnitude smaller
+   * than the corpus); cluster sizes are one slim aggregate of that
+   * frame; the weight join back to the corpus is duplicate-set-sized,
+   * so AQE broadcasts it and the corpus itself never shuffles.
+   *
+   * @return one row per `docs` id: `(idCol, cluster, cluster_size,
+   *         weight_micro)` — `cluster` = the min member id (own id for
+   *         singletons).
+   */
+  def nearDupWeights(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
+    val vertices = pairs.select(col(sCol).as("id"))
+      .unionAll(pairs.select(col(dCol).as("id")))
+      .distinct()
+    val comp = connectedComponents(pairs, vertices)
+    val sized = comp.join(
+      comp.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size")),
+      Seq("cluster"))
+    docs.select(col(idCol))
+      .join(sized.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        expr("CAST(1000000 DIV coalesce(cluster_size, 1) AS BIGINT)")
+          .as("weight_micro"))
+  }
+
+  /**
    * Keep one representative (the minimum id) per near-duplicate cluster —
    * the standard final step of corpus near-dedup (the LLM-corpus analog of
    * streammd's first-seen-wins keeper, `/root/reference/src/markdups.cxx:

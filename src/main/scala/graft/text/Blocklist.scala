@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Banned-word / banned-phrase page filter — the C4 "bad words" stage
+ * (Raffel et al. 2020, §2.2: pages containing any word from a blocklist
+ * are dropped) and the Dolma/RefinedWeb equivalents. The list here is a
+ * caller-supplied parameter (deployments load the published
+ * "List-of-Dirty-Naughty-Obscene-..." file); tests use neutral
+ * placeholder tokens.
+ *
+ * Matching semantics (deterministic, oracle-replayable):
+ *   - text is lowercased and whitespace-tokenized; each token is
+ *     stripped of leading/trailing non-alphanumerics ("Bad." matches
+ *     "bad" — the boundary rule that makes a word list useful on prose);
+ *   - a WORD hits if any cleaned token equals it;
+ *   - a PHRASE (internal single spaces) hits if it appears as a
+ *     contiguous cleaned-token run — matched on the space-joined
+ *     cleaned-token string with sentinel spaces.
+ *
+ * Scale shape: pure Column expressions over literal arrays — one
+ * map-only codegen span, zero Exchange, zero ScalaUDF; composes into
+ * `CorpusPipeline.clean`-style recipes as a cheap pre-content cut.
+ * Blocklists are O(thousands) words — they ride into the plan as
+ * literals exactly like the stopword list in `TextFunctions`.
+ */
+object Blocklist {
+
+  /** Lowercased whitespace tokens with edge punctuation stripped. */
+  def cleanedTokens(text: Column): Column =
+    filter(
+      transform(
+        split(lower(trim(coalesce(text, lit("")))), "\\s+"),
+        t => regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")),
+      t => length(t) > 0)
+
+  /** True iff any cleaned token equals a blocklist word. */
+  def wordHit(text: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(false)
+    else arrays_overlap(cleanedTokens(text),
+      lit(words.map(_.toLowerCase).toArray))
+
+  /** True iff any blocklist phrase occurs as a contiguous token run. */
+  def phraseHit(text: Column, phrases: Seq[String]): Column =
+    if (phrases.isEmpty) lit(false)
+    else {
+      val joined = concat(lit(" "), array_join(cleanedTokens(text), " "), lit(" "))
+      phrases.map { p =>
+        joined.contains(" " + p.toLowerCase.trim.split("\\s+").mkString(" ") + " ")
+      }.reduce(_ || _)
+    }
+
+  /** True iff the page trips any word or phrase. */
+  def blocked(text: Column, words: Seq[String], phrases: Seq[String] = Nil): Column =
+    wordHit(text, words) || phraseHit(text, phrases)
+
+  /** Drop blocked pages (the C4 behavior: the whole page goes). */
+  def filterBlocked(
+      df: DataFrame, textCol: String,
+      words: Seq[String], phrases: Seq[String] = Nil): DataFrame =
+    df.where(!blocked(col(textCol), words, phrases))
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * PMI collocation mining — phrase discovery over a corpus (the classic
+ * "new york" / "machine learning" extraction; Church & Hanks 1990,
+ * "Word Association Norms, Mutual Information, and Lexicography").
+ * Training-data pipelines run this to build phrase vocabularies and
+ * tokenizer merge candidates, and as a corpus-drift signal.
+ *
+ * PMI(a,b) = ln( P(a,b) / (P(a,·) P(·,b)) ) over adjacent word pairs,
+ * with all three probabilities measured on the SAME event space (the
+ * corpus's bigram occurrences, total B):
+ *
+ *   pmi = ln(cab) + ln(B) - ln(ca) - ln(cb)
+ *
+ * where ca / cb are the first-/second-position marginal counts. Each ln
+ * is taken on an EXACT int64 count and quantized to fixed-point micro
+ * units independently (`round(ln(x) * 10^6)`), and the PMI is their
+ * int64 sum — the `LmQuality` determinism discipline: no float products
+ * (no overflow at any scale: ln stays < 30 for any int64 count) and no
+ * accumulation-order dependence, so a replaying engine matches
+ * bit-for-bit.
+ *
+ * Scale shape: adjacent pairs are built MAP-SIDE by zipping the token
+ * array with its own tail (no window, no self-join); pair counts are one
+ * map-side-combining aggregate — the canonical scalable shuffle; the
+ * position marginals and the corpus total are slim re-aggregations OF
+ * the pair-count table (vocabulary-sized output, never a second corpus
+ * scan); the `minCount` support cut happens BEFORE the marginal joins,
+ * and both marginal tables broadcast. Token strings cross exactly one
+ * exchange (the pair-count aggregation).
+ */
+object Collocations {
+
+  /** `round(ln(x) * 10^6)` as an int64 column (x a positive int64). */
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * 1e6).cast("long")
+
+  private def tokens(textCol: String) =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  private def nonEmpty(textCol: String) =
+    length(trim(coalesce(col(textCol), lit("")))) > 0
+
+  /**
+   * All adjacent word pairs with support `>= minCount`, scored:
+   * `(w1, w2, pair_cnt, left_cnt, right_cnt, total_pairs, pmi_micro)`.
+   */
+  def pmiPairs(df: DataFrame, textCol: String, minCount: Long = 5L): DataFrame = {
+    val w = tokens(textCol)
+    val pairs = df.where(nonEmpty(textCol))
+      .select(explode(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("w1"),
+        slice(w, lit(2), size(w) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cab = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalRow = cab.agg(sum(col("pair_cnt"))).first()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val left = cab.groupBy(col("w1")).agg(sum(col("pair_cnt")).as("left_cnt"))
+      val right = cab.groupBy(col("w2")).agg(sum(col("pair_cnt")).as("right_cnt"))
+      val out = cab.where(col("pair_cnt") >= minCount)
+        .join(broadcast(left), Seq("w1"))
+        .join(broadcast(right), Seq("w2"))
+        .select(col("w1"), col("w2"), col("pair_cnt"),
+          col("left_cnt"), col("right_cnt"),
+          lit(total).as("total_pairs"),
+          (lnMicro(col("pair_cnt")) + lnMicro(lit(total))
+            - lnMicro(col("left_cnt")) - lnMicro(col("right_cnt")))
+            .as("pmi_micro"))
+      // materialize before unpersisting the shared pair-count frame
+      out.localCheckpoint(true)
+    } finally { cab.unpersist(); () }
+  }
+
+  /** Collocations: support `>= minCount` AND `pmi_micro >= minPmiMicro`
+   *  (default ln 8 ≈ 2.079 — "8× more often than chance"). */
+  def collocations(
+      df: DataFrame, textCol: String,
+      minCount: Long = 5L, minPmiMicro: Long = 2079442L): DataFrame =
+    pmiPairs(df, textCol, minCount).where(col("pmi_micro") >= minPmiMicro)
+}

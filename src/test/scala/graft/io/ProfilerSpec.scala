@@ -1,0 +1,50 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact metrics: n_rows, n_null, min/max, total_len per column") {
+    val df = Seq(
+      (1L, Some("bb"), Some(10L)),
+      (2L, None, Some(7L)),
+      (3L, Some("a"), None),
+      (4L, Some("bb"), Some(7L)))
+      .toDF("id", "s", "v")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s", "v"))
+    val id = p("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L)
+    assert(id.getString(4) === "1" && id.getString(5) === "4")
+    assert(id.getLong(6) === 4L) // total_len: "1","2","3","4" -> 4 chars
+    val s = p("s")
+    assert(s.getLong(2) === 1L) // one null
+    assert(s.getString(4) === "a" && s.getString(5) === "bb")
+    assert(s.getLong(6) === 5L) // bb + a + bb
+    val v = p("v")
+    assert(v.getLong(2) === 1L)
+    assert(v.getString(4) === "7" && v.getString(5) === "10") // typed min, not lexicographic
+  }
+
+  test("HLL distinct estimate within 4 standard errors of exact") {
+    val df = (1 to 5000).map(i => (i.toLong, s"k${i % 700}")).toDF("id", "k")
+    val p = Profiler.profile(df, Seq("id", "k")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val se = Profiler.hllStandardError()
+    assert(math.abs(p("id").toDouble / 5000 - 1.0) <= 4 * se)
+    assert(math.abs(p("k").toDouble / 700 - 1.0) <= 4 * se)
+  }
+
+  test("one pass: a single aggregate, no per-column scans or expand") {
+    val df = (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    val prof = Profiler.profile(df, Seq("id", "s"))
+    // profile() already ran its one job; the returned frame is a local
+    // relation built from the single collected row
+    assert(prof.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(prof.count() === 2L)
+  }
+}

@@ -59,6 +59,25 @@ class ClusteringSpec extends SparkSpecBase {
     assert(kept === (0 until 40).map(_.toLong).toSet)
   }
 
+  test("nearDupWeights: 1/cluster_size micro weights, singletons at 1.0") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val w = Clustering.nearDupWeights(docs, "id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(w.keySet === (1L to 6L).toSet)
+    // chain {1,2,3}: size 3, weight floor(1e6/3)
+    Seq(1L, 2L, 3L).foreach { i => assert(w(i) === ((1L, 3L, 333333L))) }
+    // pair {5,6}
+    Seq(5L, 6L).foreach { i => assert(w(i) === ((5L, 2L, 500000L))) }
+    // singleton 4: its own cluster, full weight
+    assert(w(4L) === ((4L, 1L, 1000000L)))
+    // expected gradient mass: sum of weights = #clusters among paired docs
+    // (1 + 1) plus singletons (1) in micro units
+    val total = w.values.map(_._3).sum
+    assert(total === 333333L * 3 + 500000L * 2 + 1000000L)
+  }
+
   test("cluster count equals distinct content count on a dup corpus") {
     val docs = graft.io.RepoTableGen.repositories(spark, 2000L,
       dupFraction = 0.5, nullFraction = 0.0, seed = 77L)

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BlocklistSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val words = Seq("badword", "verboten")
+  private val phrases = Seq("bad phrase", "three word phrase")
+
+  private def hits(text: String): (Boolean, Boolean) = {
+    val df = Seq(Tuple1(text)).toDF("t")
+      .select(Blocklist.wordHit(col("t"), words).as("w"),
+        Blocklist.phraseHit(col("t"), phrases).as("p"))
+    val r = df.head()
+    (r.getBoolean(0), r.getBoolean(1))
+  }
+
+  test("word match: case-insensitive, edge punctuation stripped") {
+    assert(hits("clean text only") === ((false, false)))
+    assert(hits("contains badword here") === ((true, false)))
+    assert(hits("ends with BadWord.") === ((true, false)))
+    assert(hits("(verboten)") === ((true, false)))
+    // substring of a larger token is NOT a word hit
+    assert(hits("notbadwordhere") === ((false, false)))
+    // internal punctuation is not stripped: "bad.word" stays one token
+    assert(hits("bad.word") === ((false, false)))
+  }
+
+  test("phrase match: contiguous cleaned-token run, across punctuation") {
+    assert(hits("a Bad Phrase! appears") === ((false, true)))
+    assert(hits("bad phrasing") === ((false, false)))
+    // non-contiguous tokens don't match
+    assert(hits("bad other phrase") === ((false, false)))
+    assert(hits("a three word phrase, too") === ((false, true)))
+  }
+
+  test("filterBlocked drops exactly the blocked pages; null text survives") {
+    val df = Seq(
+      (1L, "fine page"),
+      (2L, "has badword in it"),
+      (3L, "a bad phrase lurks"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kept = Blocklist.filterBlocked(df, "text", words, phrases)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("map-only: no Exchange, no ScalaUDF in the plan") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = Blocklist.filterBlocked(df, "text", words, phrases)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("ScalaUDF"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CollocationsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Corpus with a strong planted collocation "new york" and independent
+  // filler. Bigram events: hand-countable.
+  private def corpus = Seq(
+    (1L, "new york is big and new york is busy"),
+    (2L, "a new day in york town"),
+    (3L, "new york again")).toDF("doc_id", "text")
+
+  test("counts and marginals match hand computation") {
+    val rows = Collocations.pmiPairs(corpus, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // bigrams doc1: new-york, york-is, is-big, big-and, and-new, new-york, york-is, is-busy (8)
+    // doc2: a-new, new-day, day-in, in-york, york-town (5)
+    // doc3: new-york, york-again (2) -> B = 15
+    val ny = rows(("new", "york"))
+    assert(ny.getLong(2) === 3L) // pair_cnt
+    assert(ny.getLong(3) === 4L) // left_cnt: new-york x3, new-day
+    assert(ny.getLong(4) === 4L) // right_cnt: new-york x3, in-york
+    assert(ny.getLong(5) === 15L) // total_pairs
+    val expected =
+      math.round(math.log(3.0) * 1e6) + math.round(math.log(15.0) * 1e6) -
+        math.round(math.log(4.0) * 1e6) - math.round(math.log(4.0) * 1e6)
+    assert(ny.getLong(6) === expected)
+  }
+
+  test("minCount gates support; collocations() applies the PMI threshold") {
+    val all = Collocations.pmiPairs(corpus, "text", minCount = 2L)
+    assert(all.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("new", "york"), ("york", "is")))
+    val coll = Collocations.collocations(corpus, "text", minCount = 2L)
+    // "new york": pmi = ln(3*15/(4*3)) = ln(3.75) ~ 1.32 < ln 8 -> filtered
+    // at this tiny corpus; threshold 0 keeps both
+    assert(coll.count() <= all.count())
+    val loose = Collocations.collocations(corpus, "text", minCount = 2L, minPmiMicro = 0L)
+    assert(loose.count() === 2L)
+  }
+
+  test("empty and null texts contribute nothing") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "  "), (3L, "one"),
+      (4L, "two words")).toDF("doc_id", "text")
+    val rows = Collocations.pmiPairs(df, "text", minCount = 1L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "two" && rows.head.getString(1) === "words")
+    assert(rows.head.getLong(6) === 0L) // pmi = ln(1)+ln(1)-ln(1)-ln(1)
+  }
+}
