@@ -90,4 +90,43 @@ class StreamingWindowSpec extends SparkSpecBase {
       assert(rows(10L)._3 === 2)
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: Misra-Gries per window under micro-batch merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Hot user 1 dominates window [0,10); its MG counter must survive
+    // arbitrary micro-batch partial merges (retention above n/(k+1),
+    // estimates are lower bounds within that error) — the batch sketch
+    // guarantee carried into incremental execution, including
+    // out-of-order arrivals inside the watermark.
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("sec", "user")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "5 seconds")
+    val agg = stream.groupBy(window(col("ts"), "10 seconds"))
+      .agg(graft.sketch.GraftFunctions.frequentItems(col("user"), k = 3).as("mg"))
+    val q = agg.writeStream.format("memory").queryName("mg_win")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L), (2L, 1L), (3L, 2L), (11L, 9L))
+      q.processAllAvailable()
+      input.addData((4L, 1L), (5L, 3L), (2L, 1L)) // (2,1): out of order, in watermark
+      q.processAllAvailable()
+      input.addData((6L, 1L), (7L, 4L), (12L, 9L))
+      q.processAllAvailable()
+      val byWin = spark.table("mg_win")
+        .selectExpr("window.start", "mg").collect()
+        .map(r => r.getTimestamp(0).toInstant.getEpochSecond ->
+          graft.sketch.FrequentItems.deserialize(r.getAs[Array[Byte]](1)))
+        .groupBy(_._1).map { case (s, vs) => s -> vs.last._2 }
+      // window [0,10): n=8, user 1 true count 5 > n/(k+1)=2 -> retained,
+      // estimate in [5 - maxError, 5]
+      val w0 = byWin(0L)
+      assert(w0.n === 8L)
+      val est = w0.estimate(1L)
+      assert(est >= 5L - w0.maxError && est <= 5L && est > 0L)
+      // window [10,20): user 9 twice, below-capacity sketch is exact
+      assert(byWin(10L).estimate(9L) === 2L)
+    } finally q.stop()
+  }
 }
