@@ -1,0 +1,119 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/**
+ * CSV with the same discipline as [[JsonlSource]] — the other
+ * interchange format corpora and metadata tables actually arrive in
+ * (Common Crawl index shards, labeling exports, registry dumps):
+ *
+ *  - explicit schema — never `inferSchema`, which runs a whole extra
+ *    pass over 100 TB just to guess types, and guesses differently
+ *    shard to shard;
+ *  - malformed rows surface in `_corrupt` (the raw line verbatim)
+ *    instead of vanishing, and the corrupt column is an ORDINARY
+ *    column: `where _corrupt is not null` audits ingest without the
+ *    raw-scan projection restriction Spark puts on its built-in
+ *    corrupt-record slot (`from_csv` over a text scan parses per row,
+ *    so pruning can't falsify it);
+ *  - the default line-per-record path (`readCsvLines`) is a TEXT scan:
+ *    splittable per HDFS block, not just per file — the shape that
+ *    parallelizes a 100 TB directory regardless of shard sizing.
+ *
+ * Embedded newlines need RFC-4180 quoted multi-line records, which are
+ * inherently file-split (a block boundary can't tell a quoted newline
+ * from a record boundary): that path is [[readCsvMultiline]] /
+ * [[writeCsv]], at per-file parallelism.
+ */
+object CsvSource {
+
+  private val Slot = "__graft_corrupt_record__"
+
+  private def requireNoCorrupt(schema: StructType): Unit =
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema must not contain '_corrupt' — the reader adds that output column")
+
+  /** The canonical header line for `schema` (matches [[writeCsvLines]]). */
+  def headerFor(schema: StructType): String = schema.fieldNames.mkString(",")
+
+  /**
+   * Read line-per-record CSV (no embedded newlines) with an explicit
+   * schema via `from_csv` over a text scan. Parsed columns first;
+   * `_corrupt` holds the raw line when parsing failed. When `header`
+   * is set, lines equal to the canonical header are dropped (each
+   * shard of a headered export repeats it).
+   */
+  def readCsvLines(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame = {
+    requireNoCorrupt(schema)
+    val parseSchema = StructType(schema.fields :+ StructField(Slot, StringType))
+    val lines0 = spark.read.text(path)
+    val lines = if (header) lines0.where(col("value") =!= headerFor(schema)) else lines0
+    val parsed = lines.select(col("value"),
+      from_csv(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Slot)).as("r"))
+    parsed.select(
+      (schema.fieldNames.map(f => col(s"r.$f")) :+
+        coalesce(col(s"r.$Slot"),
+          when(col("r").isNull, col("value"))).as("_corrupt")).toIndexedSeq: _*)
+  }
+
+  /** Write line-per-record CSV shards via `to_csv` (quotes delimiters
+   *  and quotes; rejects embedded newlines up front — use [[writeCsv]]
+   *  + [[readCsvMultiline]] for those). */
+  def writeCsvLines(df: DataFrame, path: String, shards: Int, header: Boolean = true): Unit = {
+    val line = to_csv(struct(df.columns.map(col).toIndexedSeq: _*))
+    val out = df.select(line.as("value"))
+    val checked = out.select(
+      when(col("value").contains("\n") || col("value").contains("\r"),
+        raise_error(lit("writeCsvLines: embedded newline — use writeCsv (RFC-4180 multiline)")))
+        .otherwise(col("value")).as("value"))
+    val withHeader =
+      if (header)
+        checked.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(headerFor(df.schema))),
+          StructType(Seq(StructField("value", StringType))))
+          .unionAll(checked)
+      else checked
+    // header-first only matters per shard; each shard re-emits it on read
+    // anyway (readCsvLines drops header lines wherever they appear)
+    withHeader.repartition(shards).write.mode("overwrite").text(path)
+  }
+
+  /**
+   * Read RFC-4180 CSV (quoted embedded newlines supported) with an
+   * explicit schema via Spark's multiLine CSV reader. Per-FILE
+   * parallelism; `_corrupt` carries malformed records. NOTE: Spark
+   * disallows projecting ONLY the corrupt column from a raw CSV scan —
+   * this reader therefore always materializes it alongside the data
+   * columns; audit queries should select at least one data column or
+   * cache first.
+   */
+  def readCsvMultiline(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame = {
+    requireNoCorrupt(schema)
+    spark.read
+      .schema(schema.add(StructField("_corrupt", StringType)))
+      .option("header", header.toString)
+      .option("multiLine", "true")
+      // RFC-4180 doubled quotes (matches writeCsv)
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+  }
+
+  /** Write RFC-4180 quoted CSV shards (embedded delimiters, quotes, and
+   *  newlines survive a [[readCsvMultiline]] round-trip). */
+  def writeCsv(df: DataFrame, path: String, shards: Int, header: Boolean = true): Unit =
+    df.repartition(shards)
+      .write.mode("overwrite")
+      .option("header", header.toString)
+      // escape quotes by doubling (RFC 4180)
+      .option("escape", "\"")
+      .csv(path)
+}

@@ -157,6 +157,53 @@ object MinHashLsh {
   }
 
   /**
+   * (numHashes, bands) sized for `targetRecall` at Jaccard threshold `t`
+   * from the banding S-curve: with r = numHashes/bands rows per band, a
+   * pair at Jaccard t shares a band with probability t^r, so recall =
+   * 1 - (1 - t^r)^bands. Picks the LARGEST r whose required band count
+   * fits the `maxHashes` budget — more rows per band steepens the curve,
+   * which suppresses sub-threshold false candidates (candidate cost
+   * scales with bucket collisions, and r is the knob that controls them);
+   * bands are the linear-cost recall knob. Falls back to (maxHashes,
+   * maxHashes) — single-row bands — when even r = 1 cannot reach the
+   * target within budget: the caller asked for recall the budget cannot
+   * buy, and at scale the right move is raising `maxHashes`, not
+   * silently under-recalling (the round-2 lesson from the cosine path,
+   * `graft.ann.Knn.lshParamsForThreshold`).
+   *
+   * Use with [[candidatePairs]]:
+   * {{{
+   * val (h, b) = MinHashLsh.paramsForThreshold(0.4, targetRecall = 0.95)
+   * MinHashLsh.candidatePairs(df, "id", "text", numHashes = h, bands = b)
+   * }}}
+   * The defaults (128, 32) give recall ~0.974 at t = 0.7 and ~0.873 at
+   * t = 0.5 but only ~0.23 at t = 0.3 — general callers targeting low
+   * thresholds MUST size explicitly.
+   */
+  def paramsForThreshold(
+      threshold: Double, targetRecall: Double,
+      maxHashes: Int = 512, maxRows: Int = 16): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
+    var r = maxRows
+    while (r >= 1) {
+      val pBand = math.pow(threshold, r)
+      val need = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+      if (need.toLong * r <= maxHashes) return (math.max(1, need) * r, math.max(1, need))
+      r -= 1
+    }
+    (maxHashes, maxHashes)
+  }
+
+  /** The banding S-curve: recall of a pair at Jaccard `t` under
+   *  (numHashes, bands) — exposed so callers and tests can audit a
+   *  parameter choice. */
+  def recallAt(t: Double, numHashes: Int, bands: Int): Double = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    1.0 - math.pow(1.0 - math.pow(t, numHashes / bands), bands)
+  }
+
+  /**
    * Candidate near-duplicate pairs (idA < idB) with estimated Jaccard.
    * Input df must have (idCol: long, textCol: string).
    *

@@ -1,0 +1,69 @@
+package graft.io
+
+import java.nio.file.Files
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CsvSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("text", StringType),
+    StructField("score", LongType)))
+
+  test("lines round-trip: delimiters and quotes survive; corrupt audit is a plain filter") {
+    val dir = Files.createTempDirectory("graft-csvl").toString + "/t"
+    val rows = Seq(
+      (1L, "plain", 10L),
+      (2L, "comma, inside", 20L),
+      (3L, "a \"quoted\" word", 30L),
+      (5L, null.asInstanceOf[String], 50L))
+    CsvSource.writeCsvLines(rows.toDF("id", "text", "score"), dir, shards = 2)
+    val back = CsvSource.readCsvLines(spark, dir, schema)
+    // corrupt-only projection works (the built-in raw-scan slot forbids this)
+    assert(back.where(col("_corrupt").isNotNull).count() === 0)
+    assert(back.select("id", "text", "score").as[(Long, String, Long)]
+      .collect().toSet === rows.toSet)
+  }
+
+  test("lines writer rejects embedded newlines up front") {
+    val dir = Files.createTempDirectory("graft-csvl-nl").toString + "/t"
+    val df = Seq((1L, "line one\nline two", 10L)).toDF("id", "text", "score")
+    val e = intercept[Exception](CsvSource.writeCsvLines(df, dir, shards = 1))
+    assert(e.getMessage != null)
+  }
+
+  test("multiline round-trip: embedded newlines survive RFC-4180 quoting") {
+    val dir = Files.createTempDirectory("graft-csvm").toString + "/t"
+    val rows = Seq(
+      (1L, "plain", 10L),
+      (4L, "line one\nline two", 40L),
+      (3L, "a \"quoted\" word, with comma", 30L))
+    CsvSource.writeCsv(rows.toDF("id", "text", "score"), dir, shards = 2)
+    val back = CsvSource.readCsvMultiline(spark, dir, schema)
+    assert(back.select("id", "text", "score").as[(Long, String, Long)]
+      .collect().toSet === rows.toSet)
+  }
+
+  test("malformed rows surface in _corrupt with the raw line; good rows parse") {
+    val dir = Files.createTempDirectory("graft-csv-bad").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      "id,text,score\n1,ok,10\nnot_a_long,broken,xx\n3,fine,30\n")
+    val back = CsvSource.readCsvLines(spark, dir, schema)
+    assert(back.count() === 3)
+    val bad = back.where(col("_corrupt").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt") === "not_a_long,broken,xx")
+    assert(back.where(col("_corrupt").isNull).select("id").as[Long]
+      .collect().toSet === Set(1L, 3L))
+  }
+
+  test("schema containing _corrupt is rejected") {
+    val s = StructType(Seq(StructField("_corrupt", StringType)))
+    val e = intercept[IllegalArgumentException](
+      CsvSource.readCsvLines(spark, "/tmp/x", s))
+    assert(e.getMessage.contains("_corrupt"))
+  }
+}

@@ -275,6 +275,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Knn.lshParamsForThreshold(0.05, 0.999999, maxTables = 4) === ((4, 1)))
   }
 
+  test("MinHash paramsForThreshold: S-curve target met, budget fallback, defaults audited") {
+    // the returned params deliver the target recall under the S-curve
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); tr <- Seq(0.9, 0.99)) {
+      val (h, b) = MinHashLsh.paramsForThreshold(t, tr)
+      assert(h % b === 0)
+      assert(MinHashLsh.recallAt(t, h, b) >= tr, s"t=$t tr=$tr -> ($h, $b)")
+    }
+    // the documented default audit: (128, 32) under-recalls at t = 0.3
+    assert(MinHashLsh.recallAt(0.3, 128, 32) < 0.25)
+    val (h03, b03) = MinHashLsh.paramsForThreshold(0.3, 0.99)
+    assert(MinHashLsh.recallAt(0.3, h03, b03) >= 0.99 && h03 <= 512)
+    // rows per band never exceed maxRows; unreachable -> (maxHashes, maxHashes)
+    assert(MinHashLsh.paramsForThreshold(0.01, 0.999, maxHashes = 8) === ((8, 8)))
+  }
+
+  test("calibrated params catch low-Jaccard pairs the defaults were not sized for") {
+    import spark.implicits._
+    // 15 planted pairs at word-shingle Jaccard ~0.34 (52 of 100 words
+    // shared, disjoint vocab across pairs): deterministic signatures, so
+    // the found-set is stable run to run
+    val docs = (0 until 15).flatMap { p =>
+      val shared = (0 until 52).map(j => s"s${p}_$j")
+      val aTail = (52 until 100).map(j => s"a${p}_$j")
+      val bTail = (52 until 100).map(j => s"b${p}_$j")
+      Seq((p.toLong, (shared ++ aTail).mkString(" ")),
+        (p + 1000L, (shared ++ bTail).mkString(" ")))
+    }.toDF("id", "text").repartition(4)
+    val (h, b) = MinHashLsh.paramsForThreshold(0.3, 0.995)
+    val found = MinHashLsh.candidatePairs(docs, "id", "text",
+      numHashes = h, bands = b)
+      .where(col("id_a") + 1000L === col("id_b"))
+      .count()
+    assert(found === 15L, s"calibrated LSH found $found/15 planted pairs")
+    // per-pair confirm estimates sit near the true ~0.34 Jaccard
+    val ests = MinHashLsh.candidatePairs(docs, "id", "text", numHashes = h, bands = b)
+      .where(col("id_a") + 1000L === col("id_b"))
+      .select("est_jaccard").as[Double].collect()
+    assert(ests.forall(e => e > 0.15 && e < 0.55), ests.mkString(","))
+  }
+
   test("multimodal pipeline: blob plumbing + deterministic stub features") {
     import spark.implicits._
     import graft.multimodal._
