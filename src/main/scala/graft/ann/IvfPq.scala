@@ -1,0 +1,123 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF-PQ — the production composition for billion-scale ANN (Jégou et
+ * al. 2011 §V "IVFADC"; the default index family in public ANN systems):
+ * a coarse quantizer ([[IntKmeans]], `nlist` buckets) partitions the
+ * corpus, each vector stores only its bucket id plus the PQ codes of its
+ * RESIDUAL (vector − its coarse centroid), and a query scans just the
+ * `nprobe` nearest buckets, scoring codes by asymmetric distance against
+ * tables built from the query's per-bucket residual.
+ *
+ * Why residuals: within a bucket, vectors concentrate around their
+ * centroid, so residuals occupy a far smaller ball than raw vectors —
+ * the same codebook budget quantizes them with much less error (the
+ * paper's IVFADC-vs-ADC gap).
+ *
+ * All integer arithmetic on top of [[IntKmeans]] / [[ProductQuantizer]]
+ * — coarse training, residuals, codebooks, codes, probe ranking, and
+ * ADC scores are all exact int64, so the driver's DuckDB oracle replays
+ * the ENTIRE index build and search bit-for-bit.
+ *
+ * Scale shape:
+ *  - index build: coarse assignment is map-side (centroid literals,
+ *    zero Exchange); residual derivation is map-side arithmetic on the
+ *    assigned frame; PQ training reads ONE localCheckpoint of the
+ *    residual frame; encoding is map-side. The stored index is
+ *    (id, bucket, m byte-ish codes) — bytes per row instead of KB.
+ *  - search: the probed-bucket predicate (`bucket IN (...)`) is a
+ *    pushed-down filter — with the code table laid out by bucket
+ *    (`partitionBy(bucket)` or Z-order), it prunes files/row-groups, the
+ *    disk analog of Faiss's inverted lists, so a query touches
+ *    nprobe/nlist of the corpus; scoring is per-row table lookups
+ *    (array literals), and the final top-k runs through
+ *    [[graft.operators.TopK.perGroup]]'s salted gate.
+ */
+object IvfPq {
+
+  /** A built index: coarse centroids (cid 0..nlist-1), residual
+   *  codebooks, and the code table `(idCol, bucket, codes)`. */
+  case class Index(
+      coarse: Array[(Int, Array[Long])],
+      cb: ProductQuantizer.Codebooks,
+      codes: DataFrame)
+
+  private def centroidLit(coarse: Array[(Int, Array[Long])]): Column =
+    typedLit(coarse.sortBy(_._1).map(_._2.toSeq).toSeq)
+
+  private def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /**
+   * Build the index: coarse k-means (`nlist`, `coarseRounds`) →
+   * map-side residuals → PQ (`m` subspaces, `k` codes, `pqRounds`) on
+   * the residuals → map-side encode. The returned code table is the
+   * ONLY per-row state (localCheckpoint'd — callers at real scale
+   * persist it with `partitionBy("bucket")`).
+   */
+  def build(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int, coarseRounds: Int, m: Int, k: Int, pqRounds: Int): Index = {
+    val coarse = IntKmeans.train(df, idCol, vecCol, nlist, coarseRounds)
+    val res = zip_with(col("__vec"),
+      element_at(centroidLit(coarse), col("cluster") + 1), (a, b) => a - b)
+    val resDf = IntKmeans.assignKeepVec(df, idCol, vecCol, coarse)
+      .select(col(idCol), col("cluster").as("bucket"), res.as("__res"))
+      .localCheckpoint(false)
+    val cb = ProductQuantizer.train(resDf, idCol, "__res", dim, m, k, pqRounds)
+    val codes = resDf.select(col(idCol), col("bucket"),
+      ProductQuantizer.codesColumn(col("__res"), cb).as("codes"))
+    Index(coarse, cb, codes.localCheckpoint(false))
+  }
+
+  /**
+   * Top-k by IVFADC: for each query, rank coarse buckets by exact
+   * residual distance (driver-side — nlist entries), probe the nearest
+   * `nprobe`, and score only those buckets' codes with per-(query,
+   * bucket) ADC tables on the query residual. Output
+   * `(query_id, <idCol>, adc_dist2, rank)`, rank ordered by
+   * (adc_dist2, id) — a total order, deterministic.
+   */
+  def topK(
+      index: Index, idCol: String,
+      queries: Seq[(Long, Array[Long])],
+      nprobe: Int, topK: Int, gateBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val cents = index.coarse.sortBy(_._1)
+    // probe set per query: exact distance to every coarse centroid,
+    // (dist2, cid) sort makes ties deterministic (smaller cid wins)
+    val qProbes = queries.map { case (qid, q) =>
+      (qid, q, cents.map { case (cid, c) => (dist2(q, c), cid) }.sorted.take(nprobe))
+    }
+    val perQB = qProbes.flatMap { case (qid, q, probes) =>
+      probes.map { case (_, cid) =>
+        val cent = cents(cid)._2
+        val qres = Array.tabulate(q.length)(i => q(i) - cent(i))
+        val tables = index.cb.adcTables(qres)
+        val score = (0 until index.cb.m).map { s =>
+          element_at(typedLit(tables(s).toSeq), col("codes").getItem(s) + 1)
+        }.reduce(_ + _)
+        struct(lit(qid).as("query_id"), lit(cid).as("bucket"),
+          score.as("adc_dist2"))
+      }
+    }
+    val bucketSet = qProbes.flatMap(_._3.map(_._2)).distinct
+    val candidates = index.codes.where(col("bucket").isin(bucketSet: _*))
+    val scored = candidates
+      .select(col(idCol), col("bucket"), explode(array(perQB: _*)).as("__q"))
+      .where(col("__q.bucket") === col("bucket"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        col("__q.adc_dist2").as("adc_dist2"))
+    graft.operators.TopK.perGroup(
+        scored, Seq("query_id"),
+        Seq(col("adc_dist2").asc, col(idCol).asc),
+        saltCol = idCol, k = topK, gateBuckets = gateBuckets)
+      .select(col("query_id"), col(idCol), col("adc_dist2"), col("rank"))
+  }
+}

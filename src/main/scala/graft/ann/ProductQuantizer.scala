@@ -91,15 +91,18 @@ object ProductQuantizer {
     Codebooks(dim, m, k, books)
   }
 
-  /** `(idCol, codes array<int>)` — the nearest-codebook-entry id per
-   *  subspace, ties to the smallest cid (IntKmeans' rule). Map-only. */
-  def encode(
-      df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
-    val codes = array((0 until cb.m).map { s =>
-      IntKmeans.nearestCentroid(subSlice(col(vecCol), s, cb.subDim), cb.books(s))
+  /** The code vector as a Column over `vec` — the nearest-codebook-entry
+   *  id per subspace, ties to the smallest cid (IntKmeans' rule). Pure
+   *  map-side expression; [[encode]] and `IvfPq.build` both plan it. */
+  def codesColumn(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { s =>
+      IntKmeans.nearestCentroid(subSlice(vec, s, cb.subDim), cb.books(s))
     }: _*)
-    df.select(col(idCol), codes.as("codes"))
-  }
+
+  /** `(idCol, codes array<int>)` — map-only encode. */
+  def encode(
+      df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
+    df.select(col(idCol), codesColumn(col(vecCol), cb).as("codes"))
 
   /**
    * Top-k nearest codes per query by ADC distance:

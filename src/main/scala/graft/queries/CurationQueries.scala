@@ -279,6 +279,94 @@ object CurationQueries {
         col("adc_dist2"), col("rank").cast("long").as("rank"))
   }
 
+  // ---------- IVF-PQ (coarse buckets + residual PQ + probed ADC) ----------
+
+  val IvfNlist = 4
+  val IvfCoarseRounds = 1
+  val IvfPqRounds = 1
+  val IvfNprobe = 2
+
+  /** IVFADC over the hash embeddings (`graft.ann.IvfPq`): coarse k-means
+   *  buckets, PQ codebooks trained on RESIDUALS, queries probe their
+   *  `IvfNprobe` nearest buckets and score codes by ADC. Everything is
+   *  integer-exact, so the oracle replays the coarse training, every
+   *  residual, all `PqM` residual codebook trainings, the probe ranking,
+   *  and every ADC distance — any drift anywhere in the index build or
+   *  search surfaces as a hash mismatch. */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ann.IvfPq
+    val docs = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), HashEmbed.embed(col("text"), PqDim).as("emb"))
+      .localCheckpoint()
+    val idx = IvfPq.build(docs, "doc_id", "emb", PqDim,
+      IvfNlist, IvfCoarseRounds, PqM, PqK, IvfPqRounds)
+    val queries = docs.orderBy(col("doc_id")).limit(PqQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    IvfPq.topK(idx, "doc_id", queries, IvfNprobe, PqTopK)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("adc_dist2"), col("rank").cast("long").as("rank"))
+  }
+
+  val IvfpqTopKSql: String = {
+    val sub = PqDim / PqM
+    val coarse = duckKmeansCtes(IvfNlist, IvfCoarseRounds, "documents", "_c", "e")
+    val cFin = s"c${IvfCoarseRounds}_c"
+    val slices = (0 until PqM).map { s =>
+      s"""res_s$s AS (
+         |  SELECT doc_id, d - ${s * sub} AS d, x FROM res
+         |  WHERE d >= ${s * sub} AND d < ${(s + 1) * sub}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val trainings = (0 until PqM)
+      .map(s => duckKmeansCtes(PqK, IvfPqRounds, "documents", s"_r$s", s"res_s$s"))
+      .mkString(",\n")
+    val recon = (0 until PqM).map { s =>
+      s"""  SELECT a.doc_id, c.d + ${s * sub} AS d, c.cx
+         |  FROM asg_r$s a JOIN c${IvfPqRounds}_r$s c USING (cid)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${duckEmbedCtes(PqDim)},
+       |$coarse,
+       |res AS (
+       |  SELECT e.doc_id, e.d, CAST(e.x - c.cx AS BIGINT) AS x
+       |  FROM e JOIN asg_c a USING (doc_id)
+       |  JOIN $cFin c ON c.cid = a.cid AND c.d = e.d
+       |),
+       |$slices,
+       |$trainings,
+       |recon AS (
+       |$recon
+       |),
+       |qs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $PqQueries),
+       |qd AS (
+       |  SELECT q.doc_id AS qid, c.cid,
+       |         CAST(sum((e.x - c.cx) * (e.x - c.cx)) AS BIGINT) AS d2
+       |  FROM e JOIN qs q ON q.doc_id = e.doc_id
+       |  JOIN $cFin c ON c.d = e.d
+       |  GROUP BY q.doc_id, c.cid
+       |), probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       |    FROM qd) WHERE rk <= $IvfNprobe
+       |), qres AS (
+       |  SELECT p.qid, p.cid, e.d, CAST(e.x - c.cx AS BIGINT) AS x
+       |  FROM probes p JOIN e ON e.doc_id = p.qid
+       |  JOIN $cFin c ON c.cid = p.cid AND c.d = e.d
+       |), sc AS (
+       |  SELECT q.qid AS query_id, a.doc_id AS neighbor_id,
+       |         CAST(sum((q.x - r.cx) * (q.x - r.cx)) AS BIGINT) AS adc_dist2
+       |  FROM qres q JOIN asg_c a ON a.cid = q.cid
+       |  JOIN recon r ON r.doc_id = a.doc_id AND r.d = q.d
+       |  GROUP BY q.qid, a.doc_id
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, adc_dist2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_dist2, neighbor_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $PqTopK""".stripMargin
+  }
+
   val PqTopKSql: String = {
     val sub = PqDim / PqM
     val slices = (0 until PqM).map { s =>

@@ -1,0 +1,93 @@
+package graft.ann
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // deterministic integer vectors with cluster structure: 4 planted
+  // centers, id-dependent small offsets (so coarse buckets are real)
+  private def vecs(n: Int, dim: Int = 8) = {
+    (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until dim).map(d =>
+        (c * 40 + ((i * 13 + d * 7) % 5) - 2).toLong))
+    }.toDF("id", "vec")
+  }
+
+  private def buildSmall(n: Int = 64) = {
+    val df = vecs(n)
+    val idx = IvfPq.build(df, "id", "vec", dim = 8,
+      nlist = 4, coarseRounds = 2, m = 4, k = 3, pqRounds = 2)
+    (df, idx)
+  }
+
+  test("ADC score equals exact distance from query residual to residual reconstruction") {
+    val (df, idx) = buildSmall()
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    val codes = idx.codes.as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val cents = idx.coarse.sortBy(_._1).map(_._2)
+    val query = raw(5L).toArray
+    // probe ALL buckets so every vector is scored
+    val got = IvfPq.topK(idx, "id", Seq((5L, query)), nprobe = 4, topK = 64)
+      .select("id", "adc_dist2").as[(Long, Long)].collect().toMap
+    raw.keys.foreach { id =>
+      val (bucket, code) = codes(id)
+      val qres = query.zip(cents(bucket)).map { case (a, b) => a - b }
+      val recon = idx.cb.reconstruct(code)
+      val exact = qres.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(got(id) === exact, s"id=$id adc=${got(id)} exact=$exact")
+    }
+  }
+
+  test("nprobe limits the search to the nearest buckets; results only from probed buckets") {
+    val (df, idx) = buildSmall()
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    val query = raw(2L).toArray
+    val cents = idx.coarse.sortBy(_._1)
+    val probed = cents.map { case (cid, c) =>
+      (query.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+    }.sorted.take(2).map(_._2).toSet
+    val bucketOf = idx.codes.as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> r._2).toMap
+    val res = IvfPq.topK(idx, "id", Seq((2L, query)), nprobe = 2, topK = 64)
+      .select("id").as[Long].collect()
+    assert(res.nonEmpty)
+    assert(res.forall(id => probed.contains(bucketOf(id))),
+      "a result came from an unprobed bucket")
+    // with structured vectors the query's own bucket dominates: the top
+    // hit is the query itself (zero residual quantization error for its
+    // own code is not guaranteed, but rank-1 by (dist, id) must be in
+    // the query's bucket)
+    val top = IvfPq.topK(idx, "id", Seq((2L, query)), nprobe = 2, topK = 1)
+      .select("id").as[Long].head()
+    assert(bucketOf(top) === bucketOf(2L))
+  }
+
+  test("deterministic and partition-invariant; recall beats bucket fraction on clustered data") {
+    val df = vecs(120)
+    val idx1 = IvfPq.build(df.repartition(2), "id", "vec", 8, 4, 2, 4, 3, 2)
+    val idx8 = IvfPq.build(df.repartition(8), "id", "vec", 8, 4, 2, 4, 3, 2)
+    val raw = df.as[(Long, Seq[Long])].collect().toMap
+    val qs = Seq(1L, 2L, 3L).map(q => (q, raw(q).toArray))
+    val r1 = IvfPq.topK(idx1, "id", qs, nprobe = 1, topK = 5)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val r8 = IvfPq.topK(idx8, "id", qs, nprobe = 1, topK = 5)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 === r8)
+    // exact top-5 (excluding self) per query vs nprobe=1 IVFADC hits:
+    // on 4-center data the true neighbors share the query's bucket, so
+    // recall should be high even probing 1/4 of the corpus
+    val hits = qs.map { case (qid, q) =>
+      val exact = raw.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, id) }
+        .sorted.take(5).map(_._2).toSet
+      val approx = r1.filter(_._1 == qid).map(_._2)
+      (exact intersect approx).size
+    }.sum
+    assert(hits >= 9, s"recall@5 too low on clustered data: $hits/15")
+  }
+}
