@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+ * standard way to combine heterogeneous retrieval rankings (BM25 +
+ * embedding ANN, multiple ANN probes, cross-lingual runs) without score
+ * calibration: each system contributes `1 / (K + rank)` per document,
+ * and documents are re-ranked by the sum. RRF only consumes RANKS, so
+ * it is immune to incomparable score scales — which is exactly why
+ * hybrid lexical+semantic search defaults to it.
+ *
+ * Fixed-point: each contribution is `10^6 DIV (K + rank)` (floor
+ * division on int64) and the fused score is their exact integer sum —
+ * deterministic, replayable, no float accumulation. With K = 60 (the
+ * paper's constant) adjacent ranks differ by hundreds of micro-units,
+ * so the quantization never reorders at any realistic depth.
+ *
+ * Scale shape: a union of slim (group, id, rank) triples — ranks, not
+ * documents — one map-side-combined sum per (group, id), and the final
+ * cut through [[TopK.perGroup]]'s salted gate so no reducer sorts a
+ * whole hot group. Input rankings are typically top-k per query
+ * already, so the fused frame is (systems × k) rows per query — tiny
+ * next to any corpus.
+ */
+object RankFusion {
+
+  /** The paper's smoothing constant. */
+  val DefaultK = 60
+
+  /** `10^6 DIV (K + rank)` as an int64 column. */
+  def rrfContribution(rank: Column, kConst: Int = DefaultK): Column =
+    (lit(1000000L) / (lit(kConst.toLong) + rank.cast("long"))).cast("long")
+
+  /**
+   * Fuse rankings: each input must carry `groupCols` (e.g. query_id),
+   * `idCol` (the ranked document) and `rankCol` (1-based). Returns
+   * `(groupCols..., idCol, n_systems, rrf_micro, rank)` — top `topK`
+   * per group by (rrf_micro desc, id asc), `n_systems` = how many
+   * inputs ranked the document (the agreement signal).
+   */
+  def rrf(
+      rankings: Seq[DataFrame],
+      groupCols: Seq[String],
+      idCol: String,
+      rankCol: String,
+      topK: Int,
+      kConst: Int = DefaultK,
+      gateBuckets: Int = 64): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val slim = rankings.map { r =>
+      r.select((groupCols.map(col) :+ col(idCol) :+
+        rrfContribution(col(rankCol), kConst).as("__c")): _*)
+    }.reduce(_ unionAll _)
+    val fused = slim
+      .groupBy((groupCols.map(col) :+ col(idCol)): _*)
+      .agg(count(lit(1)).as("n_systems"), sum(col("__c")).as("rrf_micro"))
+    TopK.perGroup(fused, groupCols,
+        Seq(col("rrf_micro").desc, col(idCol).asc),
+        saltCol = idCol, k = topK, gateBuckets = gateBuckets)
+      .select((groupCols.map(col) :+ col(idCol) :+ col("n_systems") :+
+        col("rrf_micro") :+ col("rank")): _*)
+  }
+}

@@ -279,6 +279,99 @@ object CurationQueries {
         col("adc_dist2"), col("rank").cast("long").as("rank"))
   }
 
+  // ---------- hybrid retrieval: reciprocal-rank fusion ----------
+
+  val RrfDepth = 10
+  val RrfTopK = 5
+  val RrfQueries = 3
+
+  /** Hybrid lexical+semantic retrieval fused by RRF
+   *  (`graft.operators.RankFusion`): system A ranks by exact integer L2
+   *  over the hash embeddings, system B by distinct-word overlap with
+   *  the query document; both top-`RrfDepth` rankings fuse by
+   *  `10^6 DIV (60 + rank)` sums. The oracle replays both rankings
+   *  (with their tie rules) and the exact fused scores. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{RankFusion, TopK}
+    val docs = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        HashEmbed.embed(col("text"), PqDim).as("emb"))
+      .localCheckpoint()
+    val qRows = docs.orderBy(col("doc_id")).limit(RrfQueries).collect()
+    val qVecs = qRows.map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    val qToks = qRows.map(r => (r.getLong(0),
+      r.getString(1).trim.toLowerCase.split("\\s+").distinct.toSeq))
+
+    // system A — semantic: exact int64 squared L2, all queries one pass
+    val semScored = docs.select(col("doc_id"),
+      explode(array(qVecs.map { case (qid, q) =>
+        struct(lit(qid).as("query_id"),
+          aggregate(zip_with(col("emb"), typedLit(q.toSeq), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, d) => acc + d).as("d2"))
+      }.toIndexedSeq: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("doc_id"), col("__q.d2").as("d2"))
+    val sem = TopK.perGroup(semScored, Seq("query_id"),
+      Seq(col("d2").asc, col("doc_id").asc), saltCol = "doc_id", k = RrfDepth)
+
+    // system B — lexical: distinct-word overlap with the query document
+    val dToks = array_distinct(split(lower(trim(col("text"))), "\\s+"))
+    val lexScored = docs.select(col("doc_id"),
+      explode(array(qToks.map { case (qid, qt) =>
+        struct(lit(qid).as("query_id"),
+          size(array_intersect(dToks, typedLit(qt))).cast("long").as("ov"))
+      }.toIndexedSeq: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("doc_id"), col("__q.ov").as("ov"))
+    val lex = TopK.perGroup(lexScored, Seq("query_id"),
+      Seq(col("ov").desc, col("doc_id").asc), saltCol = "doc_id", k = RrfDepth)
+
+    RankFusion.rrf(Seq(sem, lex), Seq("query_id"), "doc_id", "rank", RrfTopK)
+      .select(col("query_id"), col("doc_id"),
+        col("n_systems"), col("rrf_micro"), col("rank").cast("long").as("rank"))
+  }
+
+  val HybridRrfSql: String =
+    s"""WITH ${duckEmbedCtes(PqDim)},
+       |qs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $RrfQueries),
+       |sd AS (
+       |  SELECT q.doc_id AS query_id, e.doc_id AS did,
+       |         CAST(sum((e.x - qe.x) * (e.x - qe.x)) AS BIGINT) AS d2
+       |  FROM e JOIN qs q ON true
+       |  JOIN e qe ON qe.doc_id = q.doc_id AND qe.d = e.d
+       |  GROUP BY q.doc_id, e.doc_id
+       |), sem AS (
+       |  SELECT query_id, did, rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, did) AS rk
+       |    FROM sd) WHERE rk <= $RrfDepth
+       |), dt AS (
+       |  SELECT doc_id,
+       |    list_distinct(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS toks
+       |  FROM documents
+       |), lx AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id AS did,
+       |         CAST(len(list_filter(d.toks, x -> list_contains(qt.toks, x))) AS BIGINT) AS ov
+       |  FROM dt d JOIN qs q ON true
+       |  JOIN dt qt ON qt.doc_id = q.doc_id
+       |), lex AS (
+       |  SELECT query_id, did, rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, did) AS rk
+       |    FROM lx) WHERE rk <= $RrfDepth
+       |), u AS (
+       |  SELECT query_id, did, 1000000 // (60 + rk) AS c FROM sem
+       |  UNION ALL
+       |  SELECT query_id, did, 1000000 // (60 + rk) FROM lex
+       |), f AS (
+       |  SELECT query_id, did, CAST(count(*) AS BIGINT) AS n_systems,
+       |         CAST(sum(c) AS BIGINT) AS rrf_micro
+       |  FROM u GROUP BY query_id, did
+       |), fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf_micro DESC, did) AS frank
+       |  FROM f
+       |)
+       |SELECT query_id, did AS doc_id, n_systems, rrf_micro,
+       |       CAST(frank AS BIGINT) AS rank
+       |FROM fr WHERE frank <= $RrfTopK""".stripMargin
+
   // ---------- IVF-PQ (coarse buckets + residual PQ + probed ADC) ----------
 
   val IvfNlist = 4

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RankFusionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("RRF: hand-computed fusion, agreement beats a single high rank") {
+    // system A ranks (d1, d2, d3); system B ranks (d2, d3, d4).
+    // d2: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 -> fused rank 1
+    // d1: 1e6/61 = 16393; d3: 1e6/63 + 1e6/62 = 15873 + 16129 = 32002
+    val a = Seq((1L, "d1", 1), (1L, "d2", 2), (1L, "d3", 3)).toDF("q", "doc", "rank")
+    val b = Seq((1L, "d2", 1), (1L, "d3", 2), (1L, "d4", 3)).toDF("q", "doc", "rank")
+    val got = RankFusion.rrf(Seq(a, b), Seq("q"), "doc", "rank", topK = 4)
+      .orderBy("rank")
+      .select("doc", "n_systems", "rrf_micro", "rank")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(got === Seq(
+      ("d2", 2L, 32522L, 1),
+      ("d3", 2L, 32002L, 2),
+      ("d1", 1L, 16393L, 3),
+      ("d4", 1L, 15873L, 4)))
+  }
+
+  test("ties break by id; single system is a stable pass-through reorder") {
+    val a = Seq((1L, "z", 1), (1L, "y", 1), (2L, "x", 1)).toDF("q", "doc", "rank")
+    val got = RankFusion.rrf(Seq(a), Seq("q"), "doc", "rank", topK = 2)
+      .select("q", "doc", "rank").as[(Long, String, Int)].collect().toSet
+    // same contribution 1e6/61 -> id order: y before z
+    assert(got === Set((1L, "y", 1), (1L, "z", 2), (2L, "x", 1)))
+  }
+
+  test("contribution quantization matches floor division") {
+    val df = Seq((1L, "a", 1), (1L, "b", 40), (1L, "c", 1000)).toDF("q", "doc", "rank")
+      .select(col("doc"), RankFusion.rrfContribution(col("rank")).as("c"))
+    val got = df.as[(String, Long)].collect().toMap
+    assert(got("a") === 1000000L / 61)
+    assert(got("b") === 1000000L / 100)
+    assert(got("c") === 1000000L / 1060)
+  }
+}
