@@ -310,6 +310,27 @@ object SimQueries {
        |SELECT id, min(id) OVER (PARTITION BY sha256(text)) AS cluster_id
        |FROM corpus""".stripMargin
 
+  /** Connected components on a planted LONG-DIAMETER graph: doc ids chain
+   *  in runs of 64 (edge i ~ i+1 unless i % 64 == 63; doc_ids are dense
+   *  from 0, so endpoints exist). Diameter 63 is the shape chained
+   *  paragraph/span near-dups produce at scale — min-label propagation
+   *  needs ~63 rounds on it; the large-star/small-star alternation
+   *  resolves it inside the default O(log^2) budget. The oracle is the
+   *  CLOSED FORM of the component minimum (floor(id/64)*64) — fully
+   *  independent of the engine's iteration. */
+  def ccChain(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir).select(col("doc_id").as("id"))
+    val edges = d.where(col("id") % 64 =!= 63)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .join(d.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+    graft.sim.Clustering.connectedComponents(edges, d)
+      .select(col("id"), col("cluster"))
+  }
+
+  val CcChainSql: String =
+    "SELECT doc_id AS id, doc_id - doc_id % 64 AS cluster FROM documents"
+
   /** Embedding-cosine near-dup: plant exactly-parallel copies (x2 scaling
    *  is exact in IEEE binary FP, so cosine(v, 2v) = 1 in every engine),
    *  find all pairs >= 0.8 via random-hyperplane LSH + exact confirm.

@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
  * pairs from exact-hash, MinHash-LSH, SimHash, or fingerprint overlap
  * become clusters; one representative per cluster is kept).
  *
- * Algorithm: large-star/small-star-style iterative min-label
- * propagation (Kiveris et al., "Connected Components in MapReduce and
- * Beyond", SoCC 2014 — the simple hash-join variant): every vertex
- * repeatedly adopts the minimum label in its neighborhood; converges in
- * O(diameter) rounds, each round two shuffles of the (slim) edge list.
- * Near-dup graphs have tiny components, so rounds are few; an explicit
- * iteration cap guards pathological inputs.
+ * Algorithm: alternating large-star/small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+ * round rewires the edge list toward the component minimum:
+ * large-star hangs every node's LARGER neighbors off the minimum of
+ * its neighborhood; small-star re-points its smaller-or-equal
+ * neighbors (and itself) at that minimum. The edge set converges to a
+ * star forest whose centers are the component minima in O(log^2 n)
+ * rounds REGARDLESS of graph diameter — a simple min-label
+ * propagation needs O(diameter) rounds, which a chained near-dup
+ * corpus (A~B~C~..., the shape paragraph- and span-level dedup
+ * produce) turns into hundreds of shuffles at scale. Every round is
+ * two groupBy+join passes over the slim (u,v) long-pair edge list;
+ * only edges ever shuffle, never documents.
  */
 object Clustering {
 
@@ -27,43 +33,66 @@ object Clustering {
   def connectedComponents(
       edges: DataFrame,
       vertices: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+      maxIterations: Int = 30): DataFrame = {
     val vCol = vertices.columns.head
     val Seq(sCol, dCol) = edges.columns.take(2).toSeq
 
-    // symmetric edge list
-    val sym = edges.select(col(sCol).as("a"), col(dCol).as("b"))
-      .unionAll(edges.select(col(dCol).as("a"), col(sCol).as("b")))
+    // canonical big->small orientation; self-loops dropped. localCheckpoint
+    // each round: iterative self-referencing plans otherwise grow the
+    // lineage (not the data) into the bottleneck.
+    var e = edges
+      .select(greatest(col(sCol), col(dCol)).as("u"),
+        least(col(sCol), col(dCol)).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
-      .cache()
-
-    // localCheckpoint each round: iterative self-referencing plans grow
-    // exponentially otherwise (lineage, not data, becomes the bottleneck)
-    var labels = vertices.select(col(vCol).as("id"), col(vCol).as("cluster"))
       .localCheckpoint(true)
-    var changed = 1L
+
+    // order-free edge-set signature: (count, XOR of per-edge hashes) —
+    // XOR never overflows and ignores partition order. Equal signatures
+    // across a round = the star forest reached its fixpoint.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var converged = sig._1 == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
-      // every vertex adopts min(own label, min neighbor label)
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nb_cluster"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nb_cluster")).as("min_nb"))
-      // fold the old label into the checkpointed frame so the change
-      // count is a cheap scan of checkpoint blocks, not a second
-      // join+shuffle per round
-      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"),
-          col("cluster").as("__old"))
+    while (!converged && iter < maxIterations) {
+      // large-star: for every node u, m(u) = min(neighborhood ∪ {u});
+      // each LARGER neighbor v of u re-attaches as (v, m(u)). Output rows
+      // keep big->small orientation automatically (v > u >= m(u)).
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val lMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.where(col("v") > col("u"))
+        .join(lMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the big->small edges: u's smaller neighbors and u
+      // itself all re-point at m(u) = min of the smaller neighborhood.
+      val sMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val stepped = large.join(sMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .unionAll(sMin.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      changed = stepped.where(col("cluster") =!= col("__old")).count()
-      labels = stepped.drop("__old")
+      val nextSig = signature(stepped)
+      converged = nextSig == sig
+      sig = nextSig
+      e = stepped
       iter += 1
     }
-    sym.unpersist()
-    labels
+
+    // fixpoint edge set is (child, componentMin) stars; centers appear
+    // only on the v side and singletons not at all — both label as self.
+    // (min-aggregate is a no-op at the fixpoint; it keeps the label
+    // well-defined if maxIterations cut the loop early.)
+    val stars = e.groupBy(col("u").as("id")).agg(min(col("v")).as("__c"))
+    vertices.select(col(vCol).as("id"))
+      .join(stars, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
   /** Cluster ids for a document table given near-dup pairs; singletons

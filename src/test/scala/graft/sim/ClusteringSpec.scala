@@ -21,12 +21,48 @@ class ClusteringSpec extends SparkSpecBase {
     val n = 60
     val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
     val vertices = (0 until n).map(_.toLong).toDF("id")
-    // min-label propagation jumps via neighbor minima: a 60-chain resolves
-    // well within 20 iterations because labels spread 1 hop per round from
-    // every already-correct vertex
     val got = Clustering.connectedComponents(edges, vertices, maxIterations = 65)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet === Set(0L))
+  }
+
+  test("diameter-4095 chain resolves within the DEFAULT round budget (star alternation)") {
+    import spark.implicits._
+    // a 4096-node path: min-label propagation would need ~4095 rounds;
+    // large-star/small-star must finish in O(log^2 n) — well under the
+    // default 30-round cap
+    val n = 4096
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val got = Clustering.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("random graphs: clusters equal a local union-find across densities") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2); nEdges <- Seq(50, 400)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val raw = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { i =>
+        // component label = min member id: path-compress to the root, which
+        // is the min because unions always attach the larger root
+        i.toLong -> find(i).toLong
+      }.toMap
+      val got = Clustering.connectedComponents(
+          raw.toDF("a", "b"), (0 until n).map(_.toLong).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed nEdges=$nEdges")
+    }
   }
 
   test("keepRepresentatives keeps min id per cluster, all singletons untouched") {
