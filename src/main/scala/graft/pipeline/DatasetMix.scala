@@ -197,4 +197,42 @@ object DatasetMix {
     df.where(graft.pipeline.GlobalShuffle.lcgKey(col(keyCol)) <=
       threshold.cast("long"))
   }
+
+  /**
+   * Cluster-aware train/eval split: rows that are (transitive)
+   * near-duplicates of each other always land on the same side — the
+   * split key is the connected component's MIN id over the `pairs`
+   * graph, not the row id. A plain per-row [[hashSplit]] puts ~p·(1-p)
+   * of every dup cluster's pairs across the train/eval boundary, and
+   * eval then measures memorization (the leakage Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better", measure
+   * on exactly this failure). Splitting on the cluster id makes
+   * cross-split leakage structurally impossible.
+   *
+   * Scale shape: connected components run over the PAIR GRAPH only
+   * (vertices = pair endpoints — orders of magnitude smaller than the
+   * corpus); the (id, cluster) relation is duplicate-set-sized, so AQE
+   * broadcasts the attach join and the corpus itself never shuffles.
+   * The split decision is a Lehmer permutation of the cluster id —
+   * exact int64 arithmetic, map-side, replayable in any engine.
+   *
+   * @return `docs` plus `cluster` (component min id; own id for
+   *         singletons) and `split` ('train' | 'eval').
+   */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct must be in [0,100]")
+    val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
+    val vertices = pairs.select(col(sCol).as("id"))
+      .unionAll(pairs.select(col(dCol).as("id")))
+      .distinct()
+    val comp = graft.sim.Clustering.connectedComponents(pairs, vertices)
+      .withColumnRenamed("id", idCol)
+    docs.join(comp, Seq(idCol), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        when(pmod(graft.pipeline.GlobalShuffle.lcgKey(col("cluster")),
+          lit(100L)) < trainPct, lit("train")).otherwise(lit("eval")))
+  }
 }

@@ -452,6 +452,28 @@ object MixQueries {
       |WHERE h1 * 48271 % 2147483647
       |      <= (2147483647 * least(1000000, greatest(0, w0))) // 1000000""".stripMargin
 
+  /** Leakage-safe train/eval split over the standard dup corpus: split
+   *  key = connected-component min id over the exact-duplicate pair
+   *  graph (LSH pairs, sha-confirmed — recall 1 on exact dups), so a
+   *  document and its duplicates can never straddle the train/eval
+   *  boundary. The oracle recomputes clusters as min-over-sha-group and
+   *  replays the Lehmer split arithmetic bit-for-bit. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = SimQueries.dupCorpus(spark, dir)
+    val pairs = SimQueries.minhashExactPairs(spark, dir)
+    DatasetMix.leakageSafeSplit(corpus, "id", pairs, trainPct = 80)
+      .select(col("id"), col("cluster"), col("split"))
+  }
+
+  val LeakageSplitSql: String =
+    s"""${SimQueries.DupCorpusSql}
+       |SELECT id, cluster,
+       |  CASE WHEN (((cluster % 2147483647 + 1) * 48271 % 2147483647)
+       |             * 48271 % 2147483647) % 100 < 80
+       |       THEN 'train' ELSE 'eval' END AS split
+       |FROM (SELECT id, min(id) OVER (PARTITION BY sha256(text)) AS cluster
+       |      FROM corpus)""".stripMargin
+
   /** ExactSubstr-style duplicated-span removal over a corpus with
    *  planted partial copies: every doc_id % 7 == 0 document reappears
    *  under id + DupOffset with a 2-token prefix — its grams duplicate

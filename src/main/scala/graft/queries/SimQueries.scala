@@ -17,14 +17,14 @@ object SimQueries {
 
   /** Duplicated corpus (same construction as DedupQueries): every
    *  doc_id % 3 == 0 text appears again under id+100000. */
-  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     d.select(col("doc_id").as("id"), col("text"))
       .unionAll(d.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + DedupQueries.DupOffset).as("id"), col("text")))
   }
 
-  private val DupCorpusSql: String =
+  private[queries] val DupCorpusSql: String =
     s"""WITH corpus AS (
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL SELECT doc_id + ${DedupQueries.DupOffset}, text FROM documents WHERE doc_id % 3 = 0

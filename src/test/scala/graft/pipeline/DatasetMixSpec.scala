@@ -173,4 +173,28 @@ class DatasetMixSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet
     assert(a === a2)
   }
+
+  test("leakageSafeSplit: no cluster straddles the boundary; singletons split per-id") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("id", "text")
+    // chains {0..4}, {10,11}, and a long transitive chain 100..139
+    val pairs = ((0L until 4L).map(i => (i, i + 1)) ++ Seq((10L, 11L)) ++
+      (100L until 139L).map(i => (i, i + 1))).toDF("a", "b")
+    val split = DatasetMix.leakageSafeSplit(docs, "id", pairs, trainPct = 70)
+    val rows = split.select("id", "cluster", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 500)
+    // every cluster maps to exactly one side
+    val sidesPerCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(sidesPerCluster.values.forall(_.size == 1))
+    // cluster ids are the component minima
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    (0L to 4L).foreach(i => assert(byId(i) === 0L))
+    assert(byId(10L) === 10L && byId(11L) === 10L)
+    (100L to 139L).foreach(i => assert(byId(i) === 100L))
+    assert(byId(50L) === 50L) // singleton
+    // both sides populated at 70/30 over ~455 clusters
+    val sides = rows.map(_._3).toSet
+    assert(sides === Set("train", "eval"))
+  }
 }
