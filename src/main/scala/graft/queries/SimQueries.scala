@@ -567,6 +567,56 @@ object SimQueries {
       |  AND len(list_intersect(a.grams, b.grams)) * 4 >=
       |      3 * len(list_distinct(a.grams || b.grams))""".stripMargin
 
+  /** Repository fork detection over the north-rule table shape:
+   *  documents group into synthetic 10-file repos (repo = doc_id DIV
+   *  10); every repo % 5 == 0 gets a PARTIAL fork — 6 of its files plus
+   *  one fork-unique file. Containment fork→parent = 6/7 >= 4/5 while
+   *  parent→fork = 6/10 < 4/5: the asymmetric relation only a directed
+   *  containment join can emit (Jaccard 6/11 misses it entirely).
+   *  Tokens are content sha256s — the file-identity measure real fork
+   *  dedup (The Stack's) uses. */
+  def repoForks(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val tok = sha2(coalesce(col("text"), lit("")), 256)
+    val base = d.select(expr("doc_id DIV 10").as("repo"), tok.as("tok"))
+    val forkFiles = d
+      .where(expr("(doc_id DIV 10) % 5 = 0") && col("doc_id") % 10 < 6)
+      .select(expr("doc_id DIV 10 + 1000000").as("repo"), tok.as("tok"))
+    val forkReadme = forkFiles.select(col("repo")).distinct()
+      .select(col("repo"),
+        concat(lit("forkfile_"), col("repo").cast("string")).as("tok"))
+    val repos = base.unionAll(forkFiles).unionAll(forkReadme)
+      .groupBy(col("repo")).agg(collect_set(col("tok")).as("toks"))
+    graft.sim.SetSimJoin.containmentJoinExact(repos, "repo", "toks", tNum = 4, tDen = 5)
+      .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"),
+        col("inter"), col("n_a"))
+  }
+
+  val RepoForksSql: String =
+    """WITH base AS (
+      |  SELECT doc_id // 10 AS repo, sha256(coalesce(text, '')) AS tok FROM documents
+      |), forkfiles AS (
+      |  SELECT doc_id // 10 + 1000000 AS repo, sha256(coalesce(text, '')) AS tok
+      |  FROM documents WHERE (doc_id // 10) % 5 = 0 AND doc_id % 10 < 6
+      |), forkreadme AS (
+      |  SELECT DISTINCT repo, 'forkfile_' || CAST(repo AS VARCHAR) AS tok FROM forkfiles
+      |), repos AS (
+      |  SELECT repo, tok FROM base
+      |  UNION ALL SELECT repo, tok FROM forkfiles
+      |  UNION ALL SELECT repo, tok FROM forkreadme
+      |), rset AS (
+      |  SELECT repo, count(DISTINCT tok) AS n FROM repos GROUP BY repo
+      |), pairs AS (
+      |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(DISTINCT a.tok) AS inter
+      |  FROM (SELECT DISTINCT repo, tok FROM repos) a
+      |  JOIN (SELECT DISTINCT repo, tok FROM repos) b
+      |    ON a.tok = b.tok AND a.repo <> b.repo
+      |  GROUP BY 1, 2
+      |)
+      |SELECT repo_a, repo_b, inter, na.n AS n_a
+      |FROM pairs JOIN rset na ON pairs.repo_a = na.repo
+      |WHERE inter * 5 >= 4 * na.n""".stripMargin
+
   /** Entity resolution by composition: typo-variant keys pair via the
    *  exact-complete fuzzy join, the pair graph closes into entities via
    *  `sim.Clustering.connectedComponents`, min-id becomes the canonical

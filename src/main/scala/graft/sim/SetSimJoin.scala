@@ -76,4 +76,61 @@ object SetSimJoin {
         size(array_union(col("t_a"), col("t_b"))).cast("long").as("uni"))
       .where(col("inter") * tDen >= lit(tNum) * col("uni"))
   }
+
+  /**
+   * EXACT directed containment join: every ordered pair (a, b) with
+   * |a∩b| >= t·|a| — "a is (mostly) contained in b". The asymmetric
+   * relation Jaccard cannot express: an excerpt inside a long document,
+   * or a partial repository fork, has high containment but low Jaccard
+   * (the containment of a 6-file subset-fork of a 10-file repo is 1.0
+   * while its Jaccard is 0.6).
+   *
+   * Prefix-filter (probe side only): with tokens in one global
+   * rarest-first order, if |a∩b| >= ceil(t·|a|) then the smallest common
+   * token sits within a's first |a| - ceil(t·|a|) + 1 tokens — so probing
+   * a's prefix against the FULL index of b-tokens finds every qualifying
+   * pair (the index side has no usable prefix bound because the overlap
+   * requirement scales with |a|, not |b| — the standard prefix-filter
+   * containment shape). Rarest-first prefixes keep the candidate join on
+   * RARE tokens; the exact |a∩b| confirm then removes false candidates.
+   *
+   * @return (id_a, id_b, inter, n_a) for every ORDERED pair a != b with
+   *         inter * tDen >= tNum * n_a; empty sets never pair
+   */
+  def containmentJoinExact(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .localCheckpoint(false)
+
+    val tok = sets.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+    val probePrefix = tok.join(dfreq, Seq("token"))
+      .withColumn("idx", row_number().over(w))
+      .where(col("idx") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("token"), col("id").as("id_a"))
+
+    val index = tok.select(col("token"), col("id").as("id_b"))
+    val pairs = probePrefix.join(index, Seq("token"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
+        size(col("t_a")).cast("long").as("n_a"))
+      .where(col("inter") * tDen >= lit(tNum) * col("n_a"))
+  }
 }

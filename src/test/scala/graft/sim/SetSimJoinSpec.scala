@@ -45,6 +45,36 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
   }
 
+  private def bruteContain(tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia != ib && sa.nonEmpty && sb.nonEmpty
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      na = sa.toSet.size.toLong
+      if inter * tDen >= tNum.toLong * na
+    } yield (ia, ib, inter, na)).toSet
+
+  test("containment: exact completeness vs brute force, ordered pairs") {
+    for ((n, d) <- Seq((1, 2), (4, 5), (1, 1))) {
+      val got = SetSimJoin
+        .containmentJoinExact(rows.toDF("id", "toks"), "id", "toks", n, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = bruteContain(n, d)
+      assert(got === want, s"t=$n/$d")
+      assert(want.nonEmpty, s"planted containments must exist at t=$n/$d")
+    }
+  }
+
+  test("containment is asymmetric: subset pairs emit one direction only") {
+    val data = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (2L, Seq("a", "b", "c", "d", "e", "x"))) // 5/6 in 1, but 5/10 back
+    val got = SetSimJoin
+      .containmentJoinExact(data.toDF("id", "toks"), "id", "toks", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L)))
+  }
+
   test("plan: equi-join on prefix tokens, token sets re-attach after dedup") {
     val df = SetSimJoin.jaccardJoinExact(rows.toDF("id", "toks"), "id", "toks", 3, 4)
     val p = df.queryExecution.executedPlan.toString
