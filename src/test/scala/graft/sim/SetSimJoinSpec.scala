@@ -81,4 +81,11 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"prefix filter must stay an equi-join:\n$p")
   }
+
+  test("plan: containment join is an equi-join too (probe prefix x token index)") {
+    val df = SetSimJoin.containmentJoinExact(rows.toDF("id", "toks"), "id", "toks", 4, 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay an equi-join:\n$p")
+  }
 }
