@@ -59,6 +59,19 @@ object KmvOps {
     when(th === domain, common).otherwise(divFloor(common * domain, th))
   }
 
+  /** Directed containment estimate ×10^6 (floor): |a∩b| / |a| from the
+   *  two KMV sketches alone — the sketch-space SCREEN for the exact
+   *  containment join (`sim.SetSimJoin.containmentJoinExact`): at corpus
+   *  scale, estimate containment from the bytes-sized sketches first and
+   *  run the exact join only on surviving candidate pairs. EXACT when
+   *  both sets are below k (both sketches then hold every value). */
+  def containmentEstimateMicro(
+      a: Column, b: Column, k: Int, domain: Long = Domain): Column = {
+    val inter = intersectionEstimate(a, b, k, domain)
+    val na = estimate(a, k, domain)
+    when(na === 0L, lit(0L)).otherwise(divFloor(inter * lit(1000000L), na))
+  }
+
   /** Per-group sketches + distinct estimates:
    *  `(groupCols*, kmv array<long>, distinct_est long)`. */
   def distinctEstimates(

@@ -65,6 +65,33 @@ class KmvOpsSpec extends SparkSpecBase {
       ((30L, 30L, 50L, 10L)))
   }
 
+  test("containment estimate: exact below k, directional, sane above k") {
+    import graft.plans.GraftExpressions.kmvSketchAgg
+    val k = 64
+    def sketch(ids: Seq[Long]) = ids.toDF("id")
+      .agg(kmvSketchAgg(KmvOps.sha52(col("id")), k).as("s"))
+    // exact path: a = 20 ids, b = 50 ids, a fully inside b
+    val sub = sketch(1L to 20L).crossJoin(sketch(1L to 50L).withColumnRenamed("s", "t"))
+      .select(
+        KmvOps.containmentEstimateMicro(col("s"), col("t"), k).as("ab"),
+        KmvOps.containmentEstimateMicro(col("t"), col("s"), k).as("ba"))
+      .head()
+    assert(sub.getLong(0) === 1000000L)          // 20/20
+    assert(sub.getLong(1) === 400000L)           // 20/50 — asymmetric
+    // above k: 1000-element sets, 80% overlap -> estimate near 0.8
+    val big = sketch(1L to 1000L)
+      .crossJoin(sketch(201L to 1200L).withColumnRenamed("s", "t"))
+      .select(KmvOps.containmentEstimateMicro(col("s"), col("t"), k))
+      .head().getLong(0)
+    assert(big > 400000L && big < 1000000L, s"est=$big for true 0.8")
+    // empty probe side never divides by zero
+    val e = sketch(Seq.empty[Long])
+      .crossJoin(sketch(1L to 10L).withColumnRenamed("s", "t"))
+      .select(KmvOps.containmentEstimateMicro(col("s"), col("t"), k))
+      .head().getLong(0)
+    assert(e === 0L)
+  }
+
   test("nulls are skipped, not hashed") {
     val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
       .agg(graft.plans.GraftExpressions.kmvSketchAgg(
