@@ -250,6 +250,75 @@ object SketchQueries {
       "user_id", KmvK)
   }
 
+  /** Directed containment estimates from KMV sketches alone: how much of
+   *  the purchaser set sits inside the clicker set (and vice versa) —
+   *  the bytes-sized screen for the exact containment join. The oracle
+   *  replays the sha-52 hashing, both bottom-k sketches, the joint-theta
+   *  intersection estimate, and the fixed-point division bit-for-bit. */
+  def kmvContainment(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def sk(d: DataFrame, n: String) = d.select(col("user_id"))
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(
+        graft.sketch.KmvOps.sha52(col("user_id")), KmvK).as(n))
+    // a strict subset relation: punched purchasers ⊂ clickers (every user
+    // clicks), so a→b reads 1.0 while b→a reads ~0.75 — the asymmetry a
+    // symmetric (Jaccard) sketch comparison cannot express
+    val a = e.where(col("event_type") === "purchase" && col("user_id") % 4 =!= 0)
+    val b = e.where(col("event_type") === "click")
+    sk(a, "ka").crossJoin(sk(b, "kb"))
+      .select(
+        graft.sketch.KmvOps.containmentEstimateMicro(col("ka"), col("kb"), KmvK)
+          .as("punched_in_click_micro"),
+        graft.sketch.KmvOps.containmentEstimateMicro(col("kb"), col("ka"), KmvK)
+          .as("click_in_punched_micro"))
+  }
+
+  val KmvContainmentSql: String = {
+    val d = graft.sketch.KmvOps.Domain
+    val k = KmvK
+    s"""WITH ha AS (
+       |  SELECT DISTINCT CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 13) AS h
+       |        FROM events WHERE event_type = 'purchase' AND user_id % 4 <> 0)
+       |), hb AS (
+       |  SELECT DISTINCT CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 13) AS h
+       |        FROM events WHERE event_type = 'click')
+       |), ka AS (
+       |  SELECT list(v ORDER BY v) AS s FROM (SELECT v FROM ha ORDER BY v LIMIT $k)
+       |), kb AS (
+       |  SELECT list(v ORDER BY v) AS s FROM (SELECT v FROM hb ORDER BY v LIMIT $k)
+       |), m AS (
+       |  SELECT ka.s AS sa, kb.s AS sb,
+       |    least(CASE WHEN len(ka.s) < $k THEN $d ELSE ka.s[$k] END,
+       |          CASE WHEN len(kb.s) < $k THEN $d ELSE kb.s[$k] END) AS th
+       |  FROM ka, kb
+       |), est AS (
+       |  SELECT
+       |    CAST(CASE WHEN len(sa) < $k THEN len(sa)
+       |              ELSE (${(k - 1).toLong} * $d) // sa[$k] END AS BIGINT) AS est_a,
+       |    CAST(CASE WHEN len(sb) < $k THEN len(sb)
+       |              ELSE (${(k - 1).toLong} * $d) // sb[$k] END AS BIGINT) AS est_b,
+       |    CAST(CASE WHEN th = $d
+       |              THEN len(list_filter(list_intersect(sa, sb), x -> x < th))
+       |              ELSE len(list_filter(list_intersect(sa, sb), x -> x < th)) * $d // th
+       |         END AS BIGINT) AS est_i
+       |  FROM m
+       |)
+       |SELECT
+       |  CAST(CASE WHEN est_a = 0 THEN 0
+       |            ELSE least(1000000, est_i * 1000000 // est_a) END AS BIGINT)
+       |    AS punched_in_click_micro,
+       |  CAST(CASE WHEN est_b = 0 THEN 0
+       |            ELSE least(1000000, est_i * 1000000 // est_b) END AS BIGINT)
+       |    AS click_in_punched_micro
+       |FROM est""".stripMargin
+  }
+
   val KmvSetOpsSql: String = {
     val d = graft.sketch.KmvOps.Domain
     val k = KmvK

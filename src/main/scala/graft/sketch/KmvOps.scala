@@ -69,7 +69,10 @@ object KmvOps {
       a: Column, b: Column, k: Int, domain: Long = Domain): Column = {
     val inter = intersectionEstimate(a, b, k, domain)
     val na = estimate(a, k, domain)
-    when(na === 0L, lit(0L)).otherwise(divFloor(inter * lit(1000000L), na))
+    // independent estimator errors can push the ratio past 1.0; true
+    // containment is bounded by 1, so clamp for downstream thresholds
+    when(na === 0L, lit(0L))
+      .otherwise(least(lit(1000000L), divFloor(inter * lit(1000000L), na)))
   }
 
   /** Per-group sketches + distinct estimates:
