@@ -33,29 +33,23 @@ import org.apache.spark.sql.functions._
  */
 object IntKmeans {
 
-  /** Exact squared L2 distance from an integer vector column to a
-   *  centroid literal. */
-  private def dist2Lit(vec: Column, c: Array[Long]): Column =
-    aggregate(zip_with(vec, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
-
-  /** Map-side nearest-centroid id: `array_min` over (dist2, cid) structs
-   *  orders lexicographically, so ties resolve to the smallest cluster
-   *  id — the deterministic tie rule the oracle replays. */
+  /** Map-side nearest-centroid id via the native broadcast-codebook
+   *  expression (`graft.plans.NearestCentroidL2Expr`): the whole
+   *  codebook rides the plan as ONE reference object, so the expression
+   *  tree is constant-size in k (the literal-per-centroid form broke
+   *  codegen at the k SemDeDup prescribes). Ties resolve to the
+   *  smallest cluster id — the deterministic tie rule the oracle
+   *  replays. */
   private[graft] def nearestCentroid(
       vec: Column, centroids: Array[(Int, Array[Long])]): Column =
-    array_min(array(centroids.map { case (cid, c) =>
-      struct(dist2Lit(vec, c).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    graft.plans.CentroidExprs.nearestL2(vec, centroids).getField("cid")
 
   /** Assignment frame `(id, cluster, dist2)` under fixed centroids —
    *  contains no Exchange (plan-testable). */
   def assign(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Long])]): DataFrame = {
-    val best = array_min(array(centroids.map { case (cid, c) =>
-      struct(dist2Lit(col(vecCol), c).as("d"), lit(cid).as("cid"))
-    }: _*))
+    val best = graft.plans.CentroidExprs.nearestL2(col(vecCol), centroids)
     df.select(col(idCol), best.as("__best"))
       .select(col(idCol), col("__best").getField("cid").as("cluster"),
         col("__best").getField("d").as("dist2"))

@@ -225,11 +225,6 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Dot product of a vector column with a fixed (driver-side) array. */
-  private def dotLit(v: Column, w: Array[Double]): Column =
-    aggregate(zip_with(v, typedLit(w.toSeq), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0.0) v else v.map(_ / n)
@@ -237,18 +232,17 @@ object Knn {
 
   /**
    * Nearest-centroid id for a (double-array) vector column, fully map-side:
-   * an argmax fold over the centroid literals via `array_max` on
-   * (similarity, -centroid_id) structs — NO cross-join, NO window, NO
+   * the whole codebook rides the plan as ONE reference object
+   * (`graft.plans.NearestCentroidDotExpr`), so the expression tree and the
+   * generated code are constant-size in the centroid count — the previous
+   * literal-per-centroid `array_max` fold broke whole-stage codegen at the
+   * k SemDeDup-scale clustering prescribes. NO cross-join, NO window, NO
    * Exchange. Centroids are stored unit-normalized, so argmax dot ==
    * argmax cosine; ties resolve to the smallest centroid id.
    */
   private[graft] def nearestCentroid(
-      vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
-    val scored = array(centroids.map { case (cid, cvec) =>
-      struct(dotLit(vec, cvec).as("s"), lit(-cid).as("negid"))
-    }: _*)
-    -array_max(scored).getField("negid")
-  }
+      vec: Column, centroids: Array[(Long, Array[Double])]): Column =
+    graft.plans.CentroidExprs.nearestDot(vec, centroids)
 
   /** Map-side bucket assignment of every vector (plan-testable: contains
    *  no Exchange). Output: (vid, __vvec: array<double>, bucket). */
@@ -376,17 +370,17 @@ object Knn {
     // assign every vector to its nearest centroid — map-side, no Exchange
     val assigned = assignBuckets(vectors, idCol, vecCol, centroids)
 
-    // per query: the nprobe nearest centroid buckets, also map-side
-    // (sort the scored centroid literals, slice the top nprobe);
-    // (-sim, cid) struct order == sim desc with smallest-cid tiebreak
-    val qscored = array(centroids.map { case (cid, cvec) =>
-      struct((-dotLit(col("__qvec"), cvec)).as("negs"), lit(cid).as("cid"))
-    }: _*)
+    // per query: the nprobe nearest centroid buckets, also map-side —
+    // the codebook-ordering expression returns ALL centroid ids in
+    // (sim desc, cid asc) probe order from one constant-size plan node;
+    // slice the top nprobe
     val probes = queries
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("__qvec"))
-      .withColumn("__probe", explode(slice(array_sort(qscored), 1, nprobe)))
-      .select(col("query_id"), col("__qvec"), col("__probe.cid").as("bucket"))
+      .withColumn("bucket",
+        explode(slice(graft.plans.CentroidExprs.orderDot(col("__qvec"), centroids),
+          1, nprobe)))
+      .select(col("query_id"), col("__qvec"), col("bucket"))
 
     // search only the probed buckets
     val w = Window.partitionBy(col("query_id"))

@@ -42,16 +42,34 @@ object CsvSource {
    * Read line-per-record CSV (no embedded newlines) with an explicit
    * schema via `from_csv` over a text scan. Parsed columns first;
    * `_corrupt` holds the raw line when parsing failed. When `header`
-   * is set, lines equal to the canonical header are dropped (each
-   * shard of a headered export repeats it).
+   * is set, ONLY the first line of each file is dropped, and only when
+   * it equals the canonical header — a legitimate data row whose CSV
+   * encoding happens to equal the header string survives anywhere else
+   * in the file. First-line detection uses the Hadoop text reader's
+   * per-file byte offsets (offset 0 <=> first record of its file), so
+   * the scan stays block-splittable exactly like `spark.read.text`.
    */
   def readCsvLines(
       spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame = {
     requireNoCorrupt(schema)
     val parseSchema = StructType(schema.fields :+ StructField(Slot, StringType))
-    val lines0 = spark.read.text(path)
-    val lines = if (header) lines0.where(col("value") =!= headerFor(schema)) else lines0
+    val lines: DataFrame = if (header) {
+      import org.apache.hadoop.io.{LongWritable, Text}
+      import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+      val hdr = headerFor(schema)
+      val withOff = spark.sparkContext
+        .newAPIHadoopFile(path, classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text])
+        .map { case (off, line) =>
+          org.apache.spark.sql.Row(off.get(), line.toString)
+        }
+      spark.createDataFrame(withOff, StructType(Seq(
+          StructField("__off", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+        .where(!(col("__off") === 0L && col("value") <=> lit(hdr)))
+        .select(col("value"))
+    } else spark.read.text(path)
     val parsed = lines.select(col("value"),
       from_csv(col("value"), parseSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Slot)).as("r"))
@@ -63,7 +81,10 @@ object CsvSource {
 
   /** Write line-per-record CSV shards via `to_csv` (quotes delimiters
    *  and quotes; rejects embedded newlines up front — use [[writeCsv]]
-   *  + [[readCsvMultiline]] for those). */
+   *  + [[readCsvMultiline]] for those). With `header=true` the canonical
+   *  header is emitted as the FIRST line of EVERY shard (prepended per
+   *  partition after the repartition), so any external CSV consumer can
+   *  read each shard as a standalone headered file. */
   def writeCsvLines(df: DataFrame, path: String, shards: Int, header: Boolean = true): Unit = {
     val line = to_csv(struct(df.columns.map(col).toIndexedSeq: _*))
     val out = df.select(line.as("value"))
@@ -71,16 +92,16 @@ object CsvSource {
       when(col("value").contains("\n") || col("value").contains("\r"),
         raise_error(lit("writeCsvLines: embedded newline — use writeCsv (RFC-4180 multiline)")))
         .otherwise(col("value")).as("value"))
+    val sharded = checked.repartition(shards)
     val withHeader =
-      if (header)
-        checked.sparkSession.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(headerFor(df.schema))),
-          StructType(Seq(StructField("value", StringType))))
-          .unionAll(checked)
-      else checked
-    // header-first only matters per shard; each shard re-emits it on read
-    // anyway (readCsvLines drops header lines wherever they appear)
-    withHeader.repartition(shards).write.mode("overwrite").text(path)
+      if (header) {
+        val hdr = headerFor(df.schema)
+        val enc = org.apache.spark.sql.Encoders.STRING
+        sharded.select(col("value")).as[String](enc)
+          .mapPartitions(it => Iterator.single(hdr) ++ it)(enc)
+          .toDF("value")
+      } else sharded
+    withHeader.write.mode("overwrite").text(path)
   }
 
   /**

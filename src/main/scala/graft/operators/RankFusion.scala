@@ -30,9 +30,15 @@ object RankFusion {
   /** The paper's smoothing constant. */
   val DefaultK = 60
 
-  /** `10^6 DIV (K + rank)` as an int64 column. */
-  def rrfContribution(rank: Column, kConst: Int = DefaultK): Column =
-    (lit(1000000L) / (lit(kConst.toLong) + rank.cast("long"))).cast("long")
+  /** `10^6 DIV (K + rank)` as an int64 column — a true IntegralDivide,
+   *  so the fixed-point contract holds for ANY scale constant / kConst,
+   *  not just those where double division happens to be exact. */
+  def rrfContribution(rank: Column, kConst: Int = DefaultK): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.exprOf(lit(1000000L)),
+      ColumnBridge.exprOf(lit(kConst.toLong) + rank.cast("long"))))
+  }
 
   /**
    * Fuse rankings: each input must carry `groupCols` (e.g. query_id),

@@ -141,6 +141,7 @@ object CurationQueries {
   val SemDedupK = 8
   val SemDedupRounds = 1
   val SemDedupThresholdMicro = 950000L
+  val SemDedupMaxCluster = 100000L
 
   /** SemDeDup over the planted-duplicate corpus (originals + exact
    *  copies at `DupOffset`, null-text rows at `NullOffset`): k-means
@@ -154,7 +155,8 @@ object CurationQueries {
       .select(col("id"), HashEmbed.embed(col("text"), KmeansDim).as("emb"))
       .localCheckpoint()
     graft.sim.Clustering
-      .semDeDupBlocked(emb, "id", "emb", SemDedupK, SemDedupRounds, SemDedupThresholdMicro)
+      .semDeDupBlocked(emb, "id", "emb", SemDedupK, SemDedupRounds,
+        SemDedupThresholdMicro, maxClusterSize = SemDedupMaxCluster)
       .select(col("id"))
   }
 
@@ -168,10 +170,13 @@ object CurationQueries {
        |), corpd AS (SELECT id AS doc_id, text FROM corp),
        |${duckEmbedCtes(KmeansDim, "corpd")},
        |${duckKmeansCtes(SemDedupK, SemDedupRounds, "corpd")},
-       |el AS (
+       |okc AS (
+       |  SELECT cid FROM asg GROUP BY cid HAVING count(*) <= $SemDedupMaxCluster
+       |), el AS (
        |  SELECT e.doc_id, asg.cid, list(e.x ORDER BY e.d) AS v,
        |         CAST(sum(e.x * e.x) AS BIGINT) AS n2
-       |  FROM e JOIN asg USING (doc_id) GROUP BY e.doc_id, asg.cid
+       |  FROM e JOIN asg USING (doc_id) JOIN okc ON asg.cid = okc.cid
+       |  GROUP BY e.doc_id, asg.cid
        |), pr AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM el a JOIN el b ON a.cid = b.cid AND a.doc_id < b.doc_id

@@ -574,14 +574,16 @@ object SimQueries {
    *  parent→fork = 6/10 < 4/5: the asymmetric relation only a directed
    *  containment join can emit (Jaccard 6/11 misses it entirely).
    *  Tokens are content sha256s — the file-identity measure real fork
-   *  dedup (The Stack's) uses. */
+   *  dedup (The Stack's) uses. Fork repo ids live in the NEGATIVE id
+   *  space (`-(repo) - 1`), disjoint from base repo ids at any scale
+   *  factor — an additive offset would collide once doc_id crosses it. */
   def repoForks(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     val tok = sha2(coalesce(col("text"), lit("")), 256)
     val base = d.select(expr("doc_id DIV 10").as("repo"), tok.as("tok"))
     val forkFiles = d
       .where(expr("(doc_id DIV 10) % 5 = 0") && col("doc_id") % 10 < 6)
-      .select(expr("doc_id DIV 10 + 1000000").as("repo"), tok.as("tok"))
+      .select(expr("-(doc_id DIV 10) - 1").as("repo"), tok.as("tok"))
     val forkReadme = forkFiles.select(col("repo")).distinct()
       .select(col("repo"),
         concat(lit("forkfile_"), col("repo").cast("string")).as("tok"))
@@ -596,7 +598,7 @@ object SimQueries {
     """WITH base AS (
       |  SELECT doc_id // 10 AS repo, sha256(coalesce(text, '')) AS tok FROM documents
       |), forkfiles AS (
-      |  SELECT doc_id // 10 + 1000000 AS repo, sha256(coalesce(text, '')) AS tok
+      |  SELECT -(doc_id // 10) - 1 AS repo, sha256(coalesce(text, '')) AS tok
       |  FROM documents WHERE (doc_id // 10) % 5 = 0 AND doc_id % 10 < 6
       |), forkreadme AS (
       |  SELECT DISTINCT repo, 'forkfile_' || CAST(repo AS VARCHAR) AS tok FROM forkfiles

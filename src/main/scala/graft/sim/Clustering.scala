@@ -81,6 +81,9 @@ object Clustering {
       val nextSig = signature(stepped)
       converged = nextSig == sig
       sig = nextSig
+      // round N is materialized (signature forced it) — release round
+      // N-1's checkpoint blocks so storage stays O(1) across iterations
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(e)
       e = stepped
       iter += 1
     }
@@ -230,11 +233,21 @@ object Clustering {
    * therefore the whole survivor set — is engine-exact and replayable.
    *
    * Scale shape: training shuffles k*dim partial sums per round;
-   * assignment is map-side (centroid literals) so the pair join's two
-   * sides need ONE exchange each (hash by cluster); per-cluster work is
-   * quadratic in cluster size, which `k` controls — SemDeDup runs k=110k
-   * on LAION for exactly this reason. Identical embeddings always share
-   * a cluster, so exact duplicates can never escape the blocking.
+   * assignment is map-side (the codebook rides the plan as ONE broadcast
+   * reference object — `graft.plans.NearestCentroidL2Expr` — so the plan
+   * is constant-size in k) and the pair join's two sides need ONE
+   * exchange each (hash by cluster); per-cluster work is quadratic in
+   * cluster size, which `k` controls — SemDeDup runs k=110k on LAION for
+   * exactly this reason. Identical embeddings always share a cluster, so
+   * exact duplicates can never escape the blocking.
+   *
+   * `maxClusterSize` is the same runaway-reducer guard as
+   * [[graft.sim.MinHashLsh]]'s `maxBucketSize`: clusters larger than the
+   * cap are EXCLUDED from pair enumeration (their members all survive),
+   * so one degenerate mega-cluster — near-constant embeddings, an
+   * all-zeros failure mode upstream — costs one count instead of a
+   * quadratic reducer that never finishes. Deterministic (a pure function
+   * of exact cluster sizes), so the oracle replays it.
    */
   def semDeDupBlocked(
       vectors: DataFrame,
@@ -242,12 +255,19 @@ object Clustering {
       vecCol: String,
       k: Int,
       rounds: Int,
-      thresholdMicro: Long): DataFrame = {
+      thresholdMicro: Long,
+      maxClusterSize: Long = 100000L): DataFrame = {
     import graft.ann.IntKmeans
     val centroids = IntKmeans.train(vectors, idCol, vecCol, k, rounds)
     val av = IntKmeans.assignKeepVec(vectors, idCol, vecCol, centroids)
-    val a = av.select(col(idCol).as("id_a"), col("cluster"), col("__vec").as("__va"))
-    val b = av.select(col(idCol).as("id_b"), col("cluster"), col("__vec").as("__vb"))
+    // one slim count per cluster (k rows), broadcast back as a semi-join
+    // gate on both pair sides — hot clusters never reach the pair join
+    val okClusters = av.groupBy(col("cluster")).count()
+      .where(col("count") <= maxClusterSize)
+      .select(col("cluster"))
+    val gated = av.join(broadcast(okClusters), Seq("cluster"), "left_semi")
+    val a = gated.select(col(idCol).as("id_a"), col("cluster"), col("__vec").as("__va"))
+    val b = gated.select(col(idCol).as("id_b"), col("cluster"), col("__vec").as("__vb"))
     val pairs = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
       .where(graft.text.HashEmbed.cosMicro(col("__va"), col("__vb")) >= thresholdMicro)

@@ -14,6 +14,18 @@ object ColumnBridge {
   def exprOf(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def toColumn(e: Expression): Column = Column(ExpressionColumnNode(e))
 
+  /** Release the cached blocks behind a `localCheckpoint()`ed frame (the
+   *  checkpointed plan is a LogicalRDD over the materialized RDD; plain
+   *  `df.unpersist()` can't reach it). No-op for non-checkpointed frames.
+   *  Iterative algorithms call this on round N-1 once round N is
+   *  materialized, so checkpoint storage stays O(1) in round count. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
+
   /** Register a SQL-callable function from an Expression builder
    *  (`sessionState.functionRegistry` is private[sql], hence here).
    *  Unlike `spark.udf.register`, the built expression tree keeps full

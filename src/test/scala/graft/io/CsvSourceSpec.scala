@@ -60,6 +60,38 @@ class CsvSourceSpec extends SparkSpecBase {
       .collect().toSet === Set(1L, 3L))
   }
 
+  test("header is the FIRST line of EVERY shard (external-consumer contract)") {
+    val dir = Files.createTempDirectory("graft-csvl-hdr").toString + "/t"
+    val rows = (1L to 20L).map(i => (i, s"row$i", i * 10L))
+    CsvSource.writeCsvLines(rows.toDF("id", "text", "score"), dir, shards = 3)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(shards.size === 3)
+    shards.foreach { f =>
+      val lines = Files.readAllLines(f.toPath)
+      assert(lines.get(0) === "id,text,score", s"shard ${f.getName}")
+      assert(lines.stream().filter(_ == "id,text,score").count() === 1L)
+    }
+    val back = CsvSource.readCsvLines(spark, dir, schema)
+    assert(back.where(col("_corrupt").isNotNull).count() === 0)
+    assert(back.select("id", "text", "score").as[(Long, String, Long)]
+      .collect().toSet === rows.toSet)
+  }
+
+  test("a data row whose encoding equals the header survives mid-file") {
+    val strSchema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val dir = Files.createTempDirectory("graft-csvl-hdrdata").toString
+    // line 1 is the real header (dropped); line 3 is a DATA row that
+    // happens to encode identically — it must parse, not vanish
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      "a,b\nx,y\na,b\nz,w\n")
+    val back = CsvSource.readCsvLines(spark, dir, strSchema)
+    assert(back.count() === 3)
+    assert(back.select("a", "b").as[(String, String)].collect().toSet ===
+      Set(("x", "y"), ("a", "b"), ("z", "w")))
+  }
+
   test("schema containing _corrupt is rejected") {
     val s = StructType(Seq(StructField("_corrupt", StringType)))
     val e = intercept[IllegalArgumentException](

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Pins the broadcast-codebook centroid expressions at SemDeDup-scale k:
+ *  the plan must stay constant-size in k and survive whole-stage codegen
+ *  with fallback DISABLED (the literal-per-centroid fold these replaced
+ *  broke codegen around k ~ 2000 at dim 64). */
+class CentroidExprsSpec extends SparkSpecBase {
+
+  private val K = 1024
+  private val Dim = 16
+
+  /** Deterministic pseudo-random codebook (no RNG — spec must replay). */
+  private def intCodebook: Array[(Int, Array[Long])] =
+    Array.tabulate(K)(c => (c, Array.tabulate(Dim)(d =>
+      ((c * 2654435761L + d * 40503L) % 1000L) - 500L)))
+
+  private def doubleCodebook: Array[(Long, Array[Double])] =
+    intCodebook.map { case (c, v) =>
+      val dv = v.map(_.toDouble)
+      val n = math.sqrt(dv.map(x => x * x).sum)
+      (c.toLong, if (n == 0) dv else dv.map(_ / n))
+    }
+
+  private def vecs(n: Int): Seq[(Long, Seq[Long])] =
+    (0 until n).map(i => (i.toLong, (0 until Dim).map(d =>
+      ((i * 48271L + d * 16807L) % 1000L) - 500L)))
+
+  /** Run `body` with codegen fallback disabled so a codegen failure is a
+   *  test failure, not a silent interpreted-mode rescue. */
+  private def codegenStrict[T](body: => T): T = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test(s"nearest-L2 at k=$K: codegen-strict, constant-size plan, exact argmin") {
+    import spark.implicits._
+    val cb = intCodebook
+    // materialized parquet (not a LocalTableScan, no codegen-fallback
+    // HOFs in the projection) so the centroid expression itself must sit
+    // inside a WholeStageCodegen span
+    val dir = java.nio.file.Files.createTempDirectory("centroid-spec").toString
+    vecs(200).toDF("id", "vec").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val res = codegenStrict {
+      df.select(col("id"), CentroidExprs.nearestL2(col("vec"), cb).as("best"))
+        .select(col("id"), col("best.cid"), col("best.d"))
+        .collect()
+    }
+    // brute-force reference with the same tie rule (smallest cid)
+    val expected = vecs(200).map { case (id, v) =>
+      val (d, cid) = cb.map { case (c, cv) =>
+        (v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+      }.min
+      id -> ((cid, d))
+    }.toMap
+    res.foreach { r =>
+      val (cid, d) = expected(r.getLong(0))
+      assert(r.getInt(1) === cid && r.getLong(2) === d, s"row ${r.getLong(0)}")
+    }
+    // plan is constant-size in k: the codebook is ONE reference object,
+    // not k literal subtrees (k=1024 of dim 16 as literals would be
+    // hundreds of KB of plan text)
+    val plan = df.select(CentroidExprs.nearestL2(col("vec"), cb))
+      .queryExecution.analyzed.toString
+    assert(plan.length < 2000, s"plan text ${plan.length} chars — codebook leaked into the tree?")
+    // and it stays inside whole-stage codegen (the compact plan renders a
+    // codegen'd operator with the `*(stageId)` prefix)
+    val phys = df.select(CentroidExprs.nearestL2(col("vec"), cb))
+      .queryExecution.executedPlan.toString
+    assert(phys.linesIterator.exists(_.trim.matches("""\*\(\d+\) Project .*""")), phys)
+  }
+
+  test(s"nearest-dot + probe order at k=$K: codegen-strict, matches brute force") {
+    import spark.implicits._
+    val cb = doubleCodebook
+    val dvecs = vecs(100).map { case (id, v) => (id, v.map(_.toDouble)) }
+    val df = dvecs.toDF("id", "vec")
+    val (nearest, ordered) = codegenStrict {
+      val n = df.select(col("id"), CentroidExprs.nearestDot(col("vec"), cb).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val o = df.select(col("id"),
+          slice(CentroidExprs.orderDot(col("vec"), cb), 1, 5).as("probe"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      (n, o)
+    }
+    dvecs.foreach { case (id, v) =>
+      val scored = cb.map { case (c, cv) =>
+        (-v.zip(cv).map { case (x, y) => x * y }.sum, c)
+      }.sorted
+      assert(nearest(id) === scored.head._2, s"nearest for $id")
+      assert(ordered(id) === scored.take(5).map(_._2).toList, s"probe order for $id")
+    }
+  }
+
+  test("ties resolve to the smallest centroid id (duplicate centroids)") {
+    import spark.implicits._
+    val dupInt: Array[(Int, Array[Long])] =
+      Array((7, Array(1L, 1L)), (3, Array(1L, 1L)), (5, Array(100L, 100L)))
+    val df = Seq((1L, Seq(0L, 0L))).toDF("id", "vec")
+    val cid = df.select(CentroidExprs.nearestL2(col("vec"), dupInt).getField("cid"))
+      .head().getInt(0)
+    assert(cid === 3)
+    val inv = math.sqrt(2.0)
+    val dupDot: Array[(Long, Array[Double])] =
+      Array((9L, Array(1 / inv, 1 / inv)), (4L, Array(1 / inv, 1 / inv)))
+    val dd = Seq((1L, Seq(1.0, 1.0))).toDF("id", "vec")
+    assert(dd.select(CentroidExprs.nearestDot(col("vec"), dupDot)).head().getLong(0) === 4L)
+    assert(dd.select(CentroidExprs.orderDot(col("vec"), dupDot))
+      .head().getSeq[Long](0).toList === List(4L, 9L))
+  }
+
+  test("semDeDupBlocked: giant cluster is excluded by the pair cap, not quadratically joined") {
+    import spark.implicits._
+    // ids 1,3..40 share one embedding (the degenerate mega-cluster); ids
+    // 2,101..105 share another. Seeds (two smallest ids) land one per group.
+    val giantIds = Seq(1L) ++ (3L to 40L)
+    val giant = giantIds.map(i => (i, Seq(10L, 10L)))
+    val small = Seq((2L, Seq(100L, 0L))) ++ (101L to 105L).map(i => (i, Seq(100L, 0L)))
+    val df = (giant ++ small).toDF("id", "emb")
+
+    def survivors(cap: Long): Set[Long] =
+      graft.sim.Clustering
+        .semDeDupBlocked(df, "id", "emb", k = 2, rounds = 1,
+          thresholdMicro = 950000L, maxClusterSize = cap)
+        .collect().map(_.getLong(0)).toSet
+
+    // cap binds: the 39-member cluster skips pair enumeration entirely —
+    // all 39 survive; the small cluster still dedups to its min id (2)
+    val capped = survivors(cap = 10L)
+    assert(giantIds.forall(capped.contains), "capped cluster members must all survive")
+    assert(capped.intersect(Set(2L, 101L, 102L, 103L, 104L, 105L)) === Set(2L))
+    // cap slack: identical embeddings collapse to the min id per cluster
+    val uncapped = survivors(cap = 100000L)
+    assert(uncapped === Set(1L, 2L))
+  }
+}
