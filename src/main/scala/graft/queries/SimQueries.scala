@@ -577,7 +577,9 @@ object SimQueries {
    *  dedup (The Stack's) uses. Fork repo ids live in the NEGATIVE id
    *  space (`-(repo) - 1`), disjoint from base repo ids at any scale
    *  factor — an additive offset would collide once doc_id crosses it. */
-  def repoForks(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic base+fork repo table shared by `repoForks` and
+   *  `screenedContainment`: `(repo, toks: array<string>)`. */
+  private def forkRepoSets(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     val tok = sha2(coalesce(col("text"), lit("")), 256)
     val base = d.select(expr("doc_id DIV 10").as("repo"), tok.as("tok"))
@@ -587,8 +589,12 @@ object SimQueries {
     val forkReadme = forkFiles.select(col("repo")).distinct()
       .select(col("repo"),
         concat(lit("forkfile_"), col("repo").cast("string")).as("tok"))
-    val repos = base.unionAll(forkFiles).unionAll(forkReadme)
+    base.unionAll(forkFiles).unionAll(forkReadme)
       .groupBy(col("repo")).agg(collect_set(col("tok")).as("toks"))
+  }
+
+  def repoForks(spark: SparkSession, dir: String): DataFrame = {
+    val repos = forkRepoSets(spark, dir)
     graft.sim.SetSimJoin.containmentJoinExact(repos, "repo", "toks", tNum = 4, tDen = 5)
       .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"),
         col("inter"), col("n_a"))
@@ -618,6 +624,91 @@ object SimQueries {
       |SELECT repo_a, repo_b, inter, na.n AS n_a
       |FROM pairs JOIN rset na ON pairs.repo_a = na.repo
       |WHERE inter * 5 >= 4 * na.n""".stripMargin
+
+  /** KMV sketch size for the screened containment join. 16 exceeds the
+   *  max repo set size (11), so the screen is provably LOSSLESS here
+   *  (both sketches hold every value → the estimate is exact) while the
+   *  code path is the generic estimator. */
+  val ScreenSketchK = 16
+
+  /** Screen threshold 0.7: passes every true fork→parent pair
+   *  (containment 6/7 ≈ 0.857) but prunes the parent→fork direction
+   *  (6/10 = 0.6) BEFORE the exact confirm ever touches the full token
+   *  arrays. */
+  val ScreenMicroMin = 700000L
+
+  /** The two-stage containment pipeline (`sketch screen` → `exact
+   *  confirm`) as ONE operator: `sim.SetSimJoin.containmentJoinScreened`
+   *  wires `KmvOps.containmentEstimateMicro` as the bytes-sized
+   *  prefilter feeding the exact join — candidate pairs that estimate
+   *  below `ScreenMicroMin` never re-attach their token arrays. The
+   *  oracle replays candidates, per-repo sha-52 bottom-k sketches, the
+   *  integer screen estimate, and the exact confirm bit-for-bit. */
+  def screenedContainment(spark: SparkSession, dir: String): DataFrame = {
+    val repos = forkRepoSets(spark, dir)
+    graft.sim.SetSimJoin.containmentJoinScreened(
+        repos, "repo", "toks", tNum = 4, tDen = 5,
+        sketchK = ScreenSketchK, screenMicro = ScreenMicroMin)
+      .select(col("id_a").as("repo_a"), col("id_b").as("repo_b"),
+        col("inter"), col("n_a"), col("screen_micro"))
+  }
+
+  val ScreenedContainmentSql: String = {
+    val k = ScreenSketchK
+    val d = graft.sketch.KmvOps.Domain
+    s"""WITH base AS (
+       |  SELECT doc_id // 10 AS repo, sha256(coalesce(text, '')) AS tok FROM documents
+       |), forkfiles AS (
+       |  SELECT -(doc_id // 10) - 1 AS repo, sha256(coalesce(text, '')) AS tok
+       |  FROM documents WHERE (doc_id // 10) % 5 = 0 AND doc_id % 10 < 6
+       |), forkreadme AS (
+       |  SELECT DISTINCT repo, 'forkfile_' || CAST(repo AS VARCHAR) AS tok FROM forkfiles
+       |), repos AS (
+       |  SELECT repo, tok FROM base
+       |  UNION ALL SELECT repo, tok FROM forkfiles
+       |  UNION ALL SELECT repo, tok FROM forkreadme
+       |), rtok AS (SELECT DISTINCT repo, tok FROM repos),
+       |rset AS (SELECT repo, count(*) AS n FROM rtok GROUP BY repo),
+       |hv AS (
+       |  SELECT DISTINCT repo, CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS v
+       |  FROM (SELECT repo, substr(sha256(tok), 1, 13) AS h FROM rtok)
+       |), sk AS (
+       |  SELECT repo, list(v ORDER BY v) AS s FROM (
+       |    SELECT repo, v, row_number() OVER (PARTITION BY repo ORDER BY v) AS rn
+       |    FROM hv
+       |  ) WHERE rn <= $k GROUP BY repo
+       |), pairs AS (
+       |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS inter
+       |  FROM rtok a JOIN rtok b ON a.tok = b.tok AND a.repo <> b.repo
+       |  GROUP BY 1, 2
+       |), scr AS (
+       |  SELECT repo_a, repo_b, inter, na.n AS n_a, ska.s AS sa, skb.s AS sb,
+       |    least(CASE WHEN len(ska.s) < $k THEN $d ELSE ska.s[$k] END,
+       |          CASE WHEN len(skb.s) < $k THEN $d ELSE skb.s[$k] END) AS th
+       |  FROM pairs JOIN rset na ON pairs.repo_a = na.repo
+       |             JOIN sk ska ON pairs.repo_a = ska.repo
+       |             JOIN sk skb ON pairs.repo_b = skb.repo
+       |), est AS (
+       |  SELECT repo_a, repo_b, inter, n_a,
+       |    CAST(CASE WHEN len(sa) < $k THEN len(sa)
+       |              ELSE (${(k - 1).toLong} * $d) // sa[$k] END AS BIGINT) AS est_a,
+       |    CAST(CASE WHEN th = $d
+       |              THEN len(list_filter(list_intersect(sa, sb), x -> x < th))
+       |              ELSE len(list_filter(list_intersect(sa, sb), x -> x < th)) * $d // th
+       |         END AS BIGINT) AS est_i
+       |  FROM scr
+       |), scrmicro AS (
+       |  SELECT repo_a, repo_b, inter, n_a,
+       |    CAST(CASE WHEN est_a = 0 THEN 0
+       |              ELSE least(1000000, est_i * 1000000 // est_a) END AS BIGINT)
+       |      AS screen_micro
+       |  FROM est
+       |)
+       |SELECT repo_a, repo_b, inter, n_a, screen_micro FROM scrmicro
+       |WHERE screen_micro >= $ScreenMicroMin AND inter * 5 >= 4 * n_a""".stripMargin
+  }
 
   /** Entity resolution by composition: typo-variant keys pair via the
    *  exact-complete fuzzy join, the pair graph closes into entities via

@@ -104,12 +104,65 @@ object SetSimJoin {
       tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    val sets = distinctSets(df, idCol, tokensCol)
+    confirmContainment(containmentCandidates(sets, tNum, tDen), sets, tNum, tDen)
+  }
 
-    val sets = df
-      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+  /**
+   * Sketch-SCREENED exact containment join: identical result contract to
+   * [[containmentJoinExact]] further restricted by a KMV sketch-space
+   * containment screen — the two-stage shape a 100 TB corpus needs:
+   *
+   *  1. candidate pairs come from the prefix filter (as in the exact
+   *     join) — slim (token, id) rows only;
+   *  2. each candidate is screened on the two ids' BYTES-SIZED KMV
+   *     sketches (<= sketchK longs per id, built once map-side —
+   *     `sketch.KmvOps.containmentEstimateMicro`); pairs whose estimated
+   *     containment falls below `screenMicro` are dropped WITHOUT ever
+   *     touching the full token arrays;
+   *  3. only screen survivors re-attach the full token sets for the
+   *     exact |a∩b| confirm.
+   *
+   * Pick `screenMicro` below the exact threshold by at least the KMV
+   * error margin (~1/sqrt(sketchK)) so the screen never drops a true
+   * pair; the estimate is EXACT whenever both sets hold fewer than
+   * sketchK distinct tokens (the sketches then contain every value), so
+   * with sketchK above the max set size the screen is provably lossless.
+   * Deterministic (sha-52 hashing + integer estimator), so a SQL oracle
+   * replays every screen decision bit-for-bit.
+   *
+   * @return (id_a, id_b, inter, n_a, screen_micro) for every ORDERED
+   *         pair with screen_micro >= screenMicro AND
+   *         inter * tDen >= tNum * n_a
+   */
+  def containmentJoinScreened(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int,
+      sketchK: Int,
+      screenMicro: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    require(sketchK > 1, "need sketchK > 1")
+    val sets = distinctSets(df, idCol, tokensCol)
+    val screened = screenCandidates(
+      containmentCandidates(sets, tNum, tDen), sets, sketchK, screenMicro)
+    confirmContainment(screened, sets, tNum, tDen)
+  }
+
+  /** `(id, toks)` with duplicate tokens collapsed and empties dropped;
+   *  checkpointed because candidates AND the confirm re-attach read it. */
+  private def distinctSets(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    df.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .localCheckpoint(false)
 
+  /** Prefix-filtered candidate ORDERED pairs (id_a, id_b): complete for
+   *  containment(a in b) >= tNum/tDen (probe-side prefix vs full index —
+   *  see [[containmentJoinExact]]'s scaladoc for the lemma). */
+  private[sim] def containmentCandidates(
+      sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val tok = sets.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("token"))
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -120,17 +173,45 @@ object SetSimJoin {
       .select(col("token"), col("id").as("id_a"))
 
     val index = tok.select(col("token"), col("id").as("id_b"))
-    val pairs = probePrefix.join(index, Seq("token"))
+    probePrefix.join(index, Seq("token"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
 
+  /** KMV containment screen over candidate pairs: joins each side with
+   *  its bottom-sketchK sha-52 sketch (slim — the full token arrays never
+   *  enter this join) and keeps pairs estimating >= screenMicro.
+   *  Output: (id_a, id_b, screen_micro). */
+  private[sim] def screenCandidates(
+      candidates: DataFrame, sets: DataFrame,
+      sketchK: Int, screenMicro: Long): DataFrame = {
+    import graft.sketch.KmvOps
+    val sk = sets.select(col("id"), explode(col("toks")).as("token"))
+      .groupBy(col("id"))
+      .agg(graft.plans.GraftExpressions.kmvSketchAgg(
+        KmvOps.sha52(col("token")), sketchK).as("kmv"))
+    candidates
+      .join(sk.select(col("id").as("id_a"), col("kmv").as("__ka")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("kmv").as("__kb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        KmvOps.containmentEstimateMicro(col("__ka"), col("__kb"), sketchK)
+          .as("screen_micro"))
+      .where(col("screen_micro") >= screenMicro)
+  }
+
+  /** Exact containment confirm: re-attach full token arrays to candidate
+   *  pairs and keep inter * tDen >= tNum * n_a. Any extra columns on
+   *  `pairs` (e.g. screen_micro) ride through unchanged. */
+  private def confirmContainment(
+      pairs: DataFrame, sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val extra = pairs.columns.filterNot(Set("id_a", "id_b")).map(col).toIndexedSeq
     pairs
       .join(sets.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(IndexedSeq(col("id_a"), col("id_b"),
         size(array_intersect(col("t_a"), col("t_b"))).cast("long").as("inter"),
-        size(col("t_a")).cast("long").as("n_a"))
+        size(col("t_a")).cast("long").as("n_a")) ++ extra: _*)
       .where(col("inter") * tDen >= lit(tNum) * col("n_a"))
   }
 }

@@ -88,4 +88,43 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must stay an equi-join:\n$p")
   }
+
+  test("screened containment: lossless screen (sketchK > max set) == exact join") {
+    // sketchK 16 > max set size 12 -> both sketches hold every value, the
+    // estimate is exact, so screening at exactly the join threshold keeps
+    // precisely the exact join's pairs
+    val screened = SetSimJoin
+      .containmentJoinScreened(rows.toDF("id", "toks"), "id", "toks",
+        tNum = 4, tDen = 5, sketchK = 16, screenMicro = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(screened === bruteContain(4, 5))
+    assert(screened.nonEmpty)
+  }
+
+  test("screened containment: screen provably prunes candidates before the confirm") {
+    val df = rows.toDF("id", "toks")
+    val sets = df.select(col("id"), array_distinct(col("toks")).as("toks"))
+      .where(size(col("toks")) > 0)
+    val candidates = SetSimJoin.containmentCandidates(sets, 4, 5)
+    val nCand = candidates.count()
+    val nScreened = SetSimJoin
+      .screenCandidates(candidates, sets, sketchK = 16, screenMicro = 800000L)
+      .count()
+    assert(nScreened < nCand,
+      s"screen must prune: $nScreened survivors of $nCand candidates")
+    assert(nScreened >= bruteContain(4, 5).size.toLong,
+      "every true pair must survive the (lossless-here) screen")
+  }
+
+  test("screened containment: estimation branch (sketchK < set sizes) still finds planted subset") {
+    // 40-token superset + a 30-token subset: containment 1.0; sketches
+    // truncate at k=8 so the generic estimator path runs
+    val sup = (0 until 40).map(i => s"w$i")
+    val data = Seq((1L, sup), (2L, sup.take(30)), (3L, (100 until 140).map(i => s"z$i")))
+    val got = SetSimJoin
+      .containmentJoinScreened(data.toDF("id", "toks"), "id", "toks",
+        tNum = 4, tDen = 5, sketchK = 8, screenMicro = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L)), s"got $got")
+  }
 }
