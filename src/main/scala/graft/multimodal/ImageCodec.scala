@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/**
+ * REAL image codec for the multimodal path — `javax.imageio` is pure
+ * JVM (BMP/PNG/GIF/JPEG readers ship with the JDK), so unlike the
+ * `BinaryPipeline.decodeStub` byte-mixer this decodes actual pixels:
+ * `aHash64`/`decodeGray` run blob → ImageIO → pixel grid → perceptual
+ * hash, the production shape of an image near-dup pipeline.
+ *
+ * The companion `encodeBmp24` is a hand-rolled 24-bit BMP writer
+ * (BITMAPINFOHEADER, bottom-up rows, BGR, stride padded to 4): its
+ * bytes are a deterministic pure function of the pixel function, so
+ * tests and SQL oracles can derive every pixel positionally while the
+ * DECODE side still exercises the real ImageIO parser — a byte-exact
+ * round-trip through a production codec, not a stub pair.
+ *
+ * All pixel arithmetic is integer-exact: gray = r+g+b (0..765, no
+ * division), hash-bit comparisons by cross-multiplication — so a SQL
+ * oracle replays every hash bit.
+ */
+object ImageCodec {
+
+  /** Hand-rolled 24-bit BMP: `gray(x, y)` in 0..255 becomes an
+   *  (r=g=b=gray) pixel; origin top-left (rows are written bottom-up,
+   *  per the format). */
+  def encodeBmp24(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "need positive dimensions")
+    val stride = (width * 3 + 3) & ~3
+    val dataSize = stride * height
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def i32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    i32(2, fileSize); i32(10, 54)
+    i32(14, 40); i32(18, width); i32(22, height)
+    out(26) = 1; out(28) = 24
+    i32(34, dataSize); i32(38, 2835); i32(42, 2835)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y).toLong.toInt * stride
+      var x = 0
+      while (x < width) {
+        val v = (gray(x, y) & 0xff).toByte
+        val p = rowOff + x * 3
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One decoded image: `gray(y * width + x)` = r+g+b of pixel (x, y). */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Int]) {
+    def graySum: Long = {
+      var s = 0L; var i = 0
+      while (i < gray.length) { s += gray(i); i += 1 }
+      s
+    }
+  }
+
+  /** REAL decode via ImageIO (any JDK-readable format: BMP/PNG/GIF/
+   *  JPEG). null for bytes no installed reader accepts. */
+  def decodeGray(blob: Array[Byte]): DecodedImage = {
+    if (blob == null || blob.length == 0) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(blob))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y * w + x) =
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, gray)
+  }
+
+  /**
+   * 64-bit average-hash over REAL decoded pixels: the image splits into
+   * an 8×8 cell grid with floor boundaries (cell (cx, cy) covers
+   * x ∈ [cx·w/8, (cx+1)·w/8), y likewise), and bit cy*8+cx is set iff
+   * the cell's mean gray exceeds the whole image's mean — compared
+   * integer-exactly by cross-multiplication (cellSum · w·h >
+   * totalSum · cellCount). In-place pixel edits flip few bits, so
+   * near-identical images land at small Hamming distance; pair at scale
+   * with `sim.SimHash.nearDupPairsOnHash` (Manku blocking, no O(n²)).
+   * null for undecodable bytes.
+   */
+  def aHash64(blob: Array[Byte]): java.lang.Long = {
+    val d = decodeGray(blob)
+    if (d == null) return null
+    aHash64(d)
+  }
+
+  def aHash64(d: DecodedImage): Long = {
+    val w = d.width
+    val h = d.height
+    val total = d.graySum
+    val n = w.toLong * h
+    var out = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y0 = (cy * h / 8).toInt
+      val y1 = ((cy + 1) * h / 8).toInt
+      var cx = 0
+      while (cx < 8) {
+        val x0 = (cx * w / 8).toInt
+        val x1 = ((cx + 1) * w / 8).toInt
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += d.gray(y * w + x); x += 1 }
+          y += 1
+        }
+        val cnt = (y1 - y0).toLong * (x1 - x0)
+        // cellMean > mean  <=>  s * n > total * cnt, exactly
+        if (s * n > total * cnt) out |= (1L << (cy * 8 + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+}

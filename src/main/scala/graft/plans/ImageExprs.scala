@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * REAL image decode (`graft.multimodal.ImageCodec`, backed by
+ * `javax.imageio`) as a native codegen'd expression: blob →
+ * struct(width, height, gray_sum, ahash). `gray_sum` is Σ(r+g+b) over
+ * every decoded pixel and `ahash` the 8×8 average-hash — together they
+ * pin the decode byte-for-byte (any pixel or orientation error moves
+ * both). Undecodable bytes → null (a corrupt-blob row filters out
+ * instead of failing the stage).
+ */
+case class ImageMetaExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("gray_sum", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  /** Decode + hash; null for undecodable bytes. */
+  def meta(blob: Array[Byte]): InternalRow = {
+    val d = graft.multimodal.ImageCodec.decodeGray(blob)
+    if (d == null) null
+    else new GenericInternalRow(Array[Any](
+      d.width, d.height, d.graySum, graft.multimodal.ImageCodec.aHash64(d)))
+  }
+
+  override def nullSafeEval(v: Any): Any = meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imageMeta", this, classOf[ImageMetaExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.meta($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_image_meta"
+}
+
+object ImageExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** struct(width, height, gray_sum, ahash) of a REAL-decoded image
+   *  blob; null when no installed ImageIO reader accepts the bytes. */
+  def imageMeta(blob: Column): Column = toColumn(ImageMetaExpr(exprOf(blob)))
+}

@@ -523,6 +523,115 @@ object SimQueries {
       |FROM hashed a JOIN hashed b ON a.id < b.id
       |WHERE bit_count(xor(a.bh, b.bh)) <= 3""".stripMargin
 
+  /** Synthetic image dimensions: 32×16 (w divisible by 8 and h by 8 is
+   *  NOT required — the hash uses floor cell boundaries — but 32×16
+   *  keeps the oracle's cell arithmetic obvious: 4×2-pixel cells). */
+  val ImgW = 32
+  val ImgH = 16
+
+  /** Deterministic grayscale test image for a (possibly perturbed) id:
+   *  pixel (x, y) has gray (base·31 + y·17 + x·7) mod 251; negative ids
+   *  are the PERTURBED copies of base = -id-1 (pixel (0,0) shifted by
+   *  +128 mod 251 — the one-pixel-edit near-dup shape). Encoded as a
+   *  24-bit BMP so the oracle derives every pixel positionally while
+   *  the engine decodes through the real ImageIO parser. */
+  private def imageBlobFor(id: Long): Array[Byte] = {
+    val base = if (id < 0) -id - 1 else id
+    val pert = id < 0
+    graft.multimodal.ImageCodec.encodeBmp24(ImgW, ImgH, (x, y) => {
+      val v = ((base * 31 + y * 17 + x * 7) % 251).toInt
+      if (pert && x == 0 && y == 0) (v + 128) % 251 else v
+    })
+  }
+
+  /** REAL image decode evidence: every 5th document gets a deterministic
+   *  32×16 BMP; the engine runs blob → `javax.imageio` decode → pixel
+   *  grid → (gray_sum, 8×8 average-hash) via the native
+   *  `plans.ImageMetaExpr`, and the oracle computes the SAME values
+   *  directly from the pixel FUNCTION (no byte parsing) — so any
+   *  decode defect (orientation flip, channel order, row padding)
+   *  breaks the hash match. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.map(id => (id, imageBlobFor(id))).toDF("doc_id", "img")
+    blobs.select(col("doc_id"),
+        graft.plans.ImageExprs.imageMeta(col("img")).as("m"))
+      .select(col("doc_id"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.gray_sum").as("gray_sum"), col("m.ahash").as("ahash"))
+  }
+
+  val ImageDecodeSql: String =
+    """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      |idx AS (SELECT unnest(range(0, 512)) AS i),
+      |px AS (
+      |  SELECT doc_id, i % 32 AS x, i // 32 AS y,
+      |         (doc_id * 31 + (i // 32) * 17 + (i % 32) * 7) % 251 AS v
+      |  FROM sub, idx
+      |), tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
+      |cell AS (
+      |  SELECT doc_id, (y // 2) * 8 + (x // 4) AS b, sum(v) AS s, count(*) AS cnt
+      |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 4)
+      |), hashed AS (
+      |  SELECT cell.doc_id,
+      |    CAST(sum(CASE WHEN s * 512 > total * cnt THEN
+      |      (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY cell.doc_id
+      |)
+      |SELECT t.doc_id, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+      |       CAST(3 * t.total AS BIGINT) AS gray_sum, h.ahash
+      |FROM tot t JOIN hashed h ON t.doc_id = h.doc_id""".stripMargin
+
+  /** Image near-dup over REAL decoded pixels: base images plus their
+   *  one-pixel-perturbed copies (negative id space), average-hashed via
+   *  the real ImageIO decode, paired by the SAME Manku block-subset
+   *  blocking the text SimHash uses — complete for hamming <= 3, so
+   *  found ⟺ hamming <= 3 and the oracle enumerates all pairs from
+   *  function-derived hashes. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.flatMap(d => Seq(d, -d - 1))
+      .map(id => (id, imageBlobFor(id))).toDF("id", "img")
+    val hashed = blobs.select(col("id"),
+      graft.plans.ImageExprs.imageMeta(col("img")).getField("ahash").as("bh"))
+    graft.sim.SimHash.nearDupPairsOnHash(hashed, "id", "bh", maxHamming = 3)
+  }
+
+  val ImageNearDupSql: String =
+    """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      |ids AS (
+      |  SELECT doc_id AS id, doc_id AS base, 0 AS pert FROM sub
+      |  UNION ALL SELECT -doc_id - 1, doc_id, 1 FROM sub
+      |), idx AS (SELECT unnest(range(0, 512)) AS i),
+      |px AS (
+      |  SELECT id, i % 32 AS x, i // 32 AS y,
+      |    CASE WHEN pert = 1 AND i = 0
+      |         THEN ((base * 31) % 251 + 128) % 251
+      |         ELSE (base * 31 + (i // 32) * 17 + (i % 32) * 7) % 251 END AS v
+      |  FROM ids, idx
+      |), tot AS (SELECT id, sum(v) AS total FROM px GROUP BY id),
+      |cell AS (
+      |  SELECT id, (y // 2) * 8 + (x // 4) AS b, sum(v) AS s, count(*) AS cnt
+      |  FROM px GROUP BY id, (y // 2) * 8 + (x // 4)
+      |), hashed AS (
+      |  SELECT cell.id,
+      |    CAST(sum(CASE WHEN s * 512 > total * cnt THEN
+      |      (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cell JOIN tot ON cell.id = tot.id GROUP BY cell.id
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      |FROM hashed a JOIN hashed b ON a.id < b.id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin
+
   /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of
    *  every 25th doc plus a front-padded copy (shifted grams — high but
    *  not full Jaccard), all pairs at J >= 3/4 via prefix filtering.

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The REAL-decode contract: bytes written by the hand-rolled BMP
+ *  encoder must come back pixel-exact through the actual `javax.imageio`
+ *  parser — including stride padding and bottom-up row order — and the
+ *  average-hash must be replayable from the pixel function alone. */
+class ImageCodecSpec extends SparkSpecBase {
+
+  private def pix(seed: Long)(x: Int, y: Int): Int =
+    ((seed * 31 + y * 17 + x * 7) % 251).toInt
+
+  test("BMP encode -> ImageIO decode round-trips pixels exactly (incl. padded strides)") {
+    // 13*3 = 39 bytes/row -> 1-byte stride pad; 32*3 = 96 -> no pad; 1x1 edge
+    for ((w, h) <- Seq((13, 7), (32, 16), (1, 1), (8, 8), (5, 64))) {
+      val blob = ImageCodec.encodeBmp24(w, h, pix(42L))
+      val d = ImageCodec.decodeGray(blob)
+      assert(d != null, s"${w}x$h must decode")
+      assert(d.width === w && d.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(d.gray(y * w + x) === 3 * pix(42L)(x, y),
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("aHash64 replays from the pixel function (floor cells, cross-multiplied means)") {
+    val (w, h) = (32, 16)
+    val blob = ImageCodec.encodeBmp24(w, h, pix(7L))
+    val got = ImageCodec.aHash64(blob)
+    // independent reference: v-sums (factor 3 cancels in the comparison)
+    val v = Array.tabulate(h, w)((y, x) => pix(7L)(x, y).toLong)
+    val total = v.flatten.sum
+    var want = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val (x0, x1) = (cx * w / 8, (cx + 1) * w / 8)
+      val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+      val s = (for (y <- y0 until y1; x <- x0 until x1) yield v(y)(x)).sum
+      if (s * w * h > total * ((x1 - x0) * (y1 - y0))) want |= 1L << (cy * 8 + cx)
+    }
+    assert(got === want)
+  }
+
+  test("one-pixel perturbation lands at small nonzero-or-equal hamming") {
+    val base = ImageCodec.aHash64(ImageCodec.encodeBmp24(32, 16, pix(99L)))
+    val pert = ImageCodec.aHash64(ImageCodec.encodeBmp24(32, 16, (x, y) =>
+      if (x == 0 && y == 0) (pix(99L)(0, 0) + 128) % 251 else pix(99L)(x, y)))
+    val hamming = java.lang.Long.bitCount(base ^ pert)
+    assert(hamming <= 3, s"one-pixel edit moved $hamming bits")
+    // and a DIFFERENT image is far away
+    val other = ImageCodec.aHash64(ImageCodec.encodeBmp24(32, 16, pix(12345L)))
+    assert(java.lang.Long.bitCount(base ^ other) > 3)
+  }
+
+  test("undecodable bytes -> null decode and null expression result") {
+    assert(ImageCodec.decodeGray("not an image".getBytes) == null)
+    assert(ImageCodec.decodeGray(Array.emptyByteArray) == null)
+    assert(ImageCodec.aHash64("junk".getBytes) == null)
+  }
+
+  test("ImageMetaExpr: struct fields over a real decode; corrupt blob row -> null") {
+    import spark.implicits._
+    val good = ImageCodec.encodeBmp24(32, 16, pix(5L))
+    val df = Seq((1L, good), (2L, "corrupt".getBytes)).toDF("id", "img")
+      .select(col("id"), graft.plans.ImageExprs.imageMeta(col("img")).as("m"))
+    val rows = df.select(col("id"), col("m.width"), col("m.height"),
+        col("m.gray_sum"), col("m.ahash"), col("m").isNull.as("mnull"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d = ImageCodec.decodeGray(good)
+    assert(rows(1L).getInt(1) === 32 && rows(1L).getInt(2) === 16)
+    assert(rows(1L).getLong(3) === d.graySum)
+    assert(rows(1L).getLong(4) === ImageCodec.aHash64(d))
+    assert(rows(2L).getBoolean(5), "corrupt blob must yield null struct")
+  }
+}
