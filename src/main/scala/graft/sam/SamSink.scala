@@ -85,6 +85,37 @@ object SamSink {
     (out, res)
   }
 
+  /**
+   * Cluster-scale SAM export: the composed stream written as `shards`
+   * RANGE-partitioned text files, each sorted by (section, order) within
+   * the shard — range partitioning makes shard i hold a contiguous slice
+   * of the global (section, order) order, so concatenating the `part-*`
+   * files in FILENAME order reproduces `writeSamText`'s single stream
+   * byte-for-byte (spec-pinned against the Picard corpus). This is the
+   * path that scales: no single-partition funnel; each shard writes in
+   * parallel and the final concat is a cheap filesystem/driver step (or
+   * the downstream consumer reads the shards in order directly).
+   */
+  def writeSamTextSharded(
+      spark: SparkSession,
+      inputPath: String,
+      outputDir: String,
+      shards: Int,
+      readsPerTemplate: Int = 2,
+      removeDuplicates: Boolean = false,
+      stripPrevious: Boolean = false,
+      cliArgs: Seq[String] = Seq.empty): Unit = {
+    require(shards > 0, "need at least one shard")
+    val (lines, res) = samTextLines(spark, inputPath, readsPerTemplate,
+      removeDuplicates, stripPrevious, cliArgs)
+    lines
+      .repartitionByRange(shards, col("section"), col("order"))
+      .sortWithinPartitions(col("section"), col("order"))
+      .select(col("line"))
+      .write.mode("overwrite").text(outputDir)
+    res.unpersistAll()
+  }
+
   /** Mark duplicates over a SAM text file and write the reference's
    *  output.sam equivalent as a single text file under `outputDir`
    *  (Spark text sink: `part-*` file inside the directory). */

@@ -1,0 +1,112 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/**
+ * The `TableSource` CONTRACT, pinned so a real Iceberg (DataSourceV2)
+ * implementation can drop in behind the same trait and be validated by
+ * the same assertions (no Iceberg runtime ships in this sandbox — see
+ * SURVEY.md §2 op 1):
+ *
+ *  1. shape — `load` yields the mandated repositories schema;
+ *  2. snapshot read — one loaded DataFrame is a stable snapshot: rows
+ *     appended to the underlying storage after `load` do NOT appear in
+ *     the already-loaded frame (what an Iceberg snapshot guarantees at
+ *     table level; here pinned at frame level via the file index);
+ *  3. partition pruning — a `lang = x` filter reaches the scan as a
+ *     partition filter (pruned file listing), not a post-scan filter;
+ *  4. column pruning — a narrow projection shrinks the scan's
+ *     ReadSchema (content must not be read for a repo/path listing).
+ *
+ * `verifyContract` is implementation-agnostic: it takes any TableSource
+ * plus a writer that appends rows to the source's storage.
+ */
+class TableSourceContractSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def repoRows(n: Int, langs: Seq[String]): DataFrame =
+    (0 until n).map { i =>
+      (s"repo${i % 7}", s"src/f$i.x", f"c$i%040d", langs(i % langs.size),
+        s"content of file $i")
+    }.toDF("repo", "path", "commit", "lang", "content")
+
+  /** The reusable contract body (items 1, 3, 4 — snapshot is storage-
+   *  specific, tested separately). */
+  private def verifyContract(src: TableSource, expectRows: Long): Unit = {
+    val df = src.load(spark)
+    // 1. shape
+    TableSource.requireRepoShape(df)
+    assert(df.count() === expectRows)
+    // 3. partition pruning: the lang filter must prune at the scan
+    val pruned = df.where(col("lang") === "scala").select(col("repo"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^]]*lang[^]]*\\].*"),
+      s"lang filter must reach the scan as a partition filter:\n$plan")
+    // 4. column pruning: content must not be in the read schema
+    val narrow = df.select(col("repo"), col("path"))
+    val readSchema = narrow.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("repo") && !readSchema.contains("content"),
+      s"narrow projection must prune the scan schema: $readSchema")
+  }
+
+  test("ParquetSource (lang-partitioned) satisfies the contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tablesource").toString
+    repoRows(200, Seq("scala", "python", "go", "rust"))
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    verifyContract(TableSource.ParquetSource(dir), expectRows = 200L)
+  }
+
+  test("loaded frame is a snapshot: post-load appends are not visible to it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tablesource-snap").toString
+    repoRows(100, Seq("scala", "python")).write.partitionBy("lang")
+      .mode("overwrite").parquet(dir)
+    val snapshot = TableSource.ParquetSource(dir).load(spark)
+    assert(snapshot.count() === 100L)
+    // append behind the snapshot's back
+    repoRows(50, Seq("go")).write.partitionBy("lang").mode("append").parquet(dir)
+    assert(snapshot.count() === 100L,
+      "an already-loaded frame must keep its snapshot (stable file index)")
+    // a FRESH load sees the new data
+    assert(TableSource.ParquetSource(dir).load(spark).count() === 150L)
+  }
+
+  test("schema contract: missing or mistyped columns are rejected at load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tablesource-bad").toString
+    Seq(("r", 1L)).toDF("repo", "content").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      TableSource.ParquetSource(dir).load(spark))
+    assert(e.getMessage.contains("path"), e.getMessage)
+  }
+
+  test("GeneratedSource satisfies shape + determinism (same seed, same bytes)") {
+    val src = TableSource.GeneratedSource(nRows = 500L, seed = 7L)
+    val a = src.load(spark)
+    TableSource.requireRepoShape(a)
+    val sig = a.select(sha2(concat_ws("",
+      col("repo"), col("path"), col("commit"), col("lang"),
+      coalesce(col("content"), lit(""))), 256).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    val sig2 = TableSource.GeneratedSource(nRows = 500L, seed = 7L).load(spark)
+      .select(sha2(concat_ws("",
+        col("repo"), col("path"), col("commit"), col("lang"),
+        coalesce(col("content"), lit(""))), 256).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")))
+      .head().getLong(0)
+    assert(sig === sig2, "generated source must be deterministic per seed")
+  }
+
+  test("CatalogSource satisfies shape over a catalog table") {
+    repoRows(50, Seq("scala")).write.mode("overwrite")
+      .saveAsTable("graft_contract_repos")
+    try {
+      val df = TableSource.CatalogSource("graft_contract_repos").load(spark)
+      TableSource.requireRepoShape(df)
+      assert(df.count() === 50L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_contract_repos")
+  }
+}

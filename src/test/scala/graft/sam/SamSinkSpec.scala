@@ -77,6 +77,33 @@ class SamSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("sharded export: shards concatenated in filename order == the single stream") {
+    assume(Files.exists(Paths.get(Root)))
+    val dir = Paths.get(Root, Case)
+    val inCopy = Paths.get("/tmp/graft_samsink_shard_input.sam")
+    Files.copy(dir.resolve("input.sam"), inCopy,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val singleDir = "/tmp/graft_samsink_shard_single"
+    val shardDir = "/tmp/graft_samsink_shard_multi"
+    val cliArgs = Seq("--input", inCopy.toString, "--output", shardDir)
+    SamSink.writeSamText(spark, inCopy.toString, singleDir, cliArgs = cliArgs)
+    SamSink.writeSamTextSharded(spark, inCopy.toString, shardDir, shards = 4,
+      cliArgs = cliArgs)
+
+    val parts = Files.list(Paths.get(shardDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    assert(parts.size > 1, "the sharded path must actually shard")
+    val concat = parts.flatMap(p => Files.readAllLines(p).asScala)
+    val single = readOut(singleDir)
+    assert(concat === single,
+      "filename-order concat of range-partitioned shards must reproduce the stream")
+    // and the stream itself is the Picard-golden one
+    assert(flagsOf(concat) === flagsOf(
+      Files.readAllLines(dir.resolve("output.sam")).asScala.toSeq))
+  }
+
   test("@PG chains PP: to a prior @PG only when it is the LAST header line") {
     import java.nio.file.Files
     val tmp = Files.createTempFile("samsink", ".sam")

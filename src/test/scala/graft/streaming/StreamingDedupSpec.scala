@@ -96,4 +96,63 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(handle.epochsCompleted(1) === 3L)
     } finally q.stop()
   }
+
+  test("soak: 22 epochs — constant sketch state, cross-epoch marks, FPR <= 2p throughout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = 1e-3
+    val Epochs = 22
+    val FreshPerEpoch = 100
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "content")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val handle = StreamingDedup.dedupStreamWithEpochSketch(
+      stream, "content",
+      DedupConfig(contentCol = "content", p = p, expectedN = 10000L),
+      refreshEvery = 1) { (marked, _) =>
+      sunk.synchronized {
+        sunk ++= marked.select("id", "is_duplicate").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1))
+      }
+    }
+    val q = handle.query
+    try {
+      val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val freshIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val dupIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (e <- 0 until Epochs) {
+        val fresh = (0 until FreshPerEpoch).map { i =>
+          val id = (e.toLong * 1000L) + i
+          freshIds += id
+          (id, s"soak epoch $e row $i")
+        }
+        // one dup of the PREVIOUS epoch's first row (cross-epoch mark)
+        val dup = if (e > 0) {
+          val id = 900000L + e
+          dupIds += id
+          Seq((id, s"soak epoch ${e - 1} row 0"))
+        } else Seq.empty
+        input.addData(fresh ++ dup: _*)
+        q.processAllAvailable()
+        stateBytes += handle.frozenSketch.serialize().length
+      }
+      val marks = sunk.synchronized(sunk.toMap)
+
+      // constant state: the probe sketch never grows across 22 epochs
+      assert(stateBytes.distinct.size === 1,
+        s"sketch state must be constant-size, got ${stateBytes.distinct}")
+      // every cross-epoch dup is marked (the probe lags at most one epoch)
+      dupIds.foreach(id => assert(marks(id), s"cross-epoch dup $id unmarked"))
+      // FPR: false marks among the 2200 fresh uniques stay within 2p
+      val falseMarks = freshIds.count(id => marks(id))
+      assert(falseMarks <= math.max(1L, (2 * p * freshIds.size).toLong),
+        s"$falseMarks false positives in ${freshIds.size} fresh rows exceeds 2p")
+      // capacity monitor: the accumulator estimate tracks genuine inserts
+      val inserted = handle.insertedEstimate
+      val planted = freshIds.size + dupIds.size
+      assert(math.abs(inserted.toDouble / freshIds.size - 1.0) < 0.1,
+        s"insertedEstimate $inserted should track ~${freshIds.size} uniques (planted $planted)")
+      assert(handle.epochsCompleted(1) === Epochs.toLong)
+    } finally q.stop()
+  }
 }
