@@ -79,8 +79,12 @@ object Bench {
     // second-scale flagship (default 8M rows): keeps the headline number
     // honest where fixed costs dominate the small run — rows scale 4x, so
     // a near-4x time ratio means the engine is throughput-bound, not
-    // overhead-bound. One rep (it is a scale signal, not a min-of-N race).
+    // overhead-bound. Min of `reps2` runs: this box shows up to 3x
+    // run-to-run disk variance (the r3 artifact recorded a 154 s outlier
+    // for a tree repeatedly measured at 30-70 s) — the least-interfered
+    // run is the engine's rate, same policy as the 2M leg.
     val dedupRows2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS2", "8000000").toLong
+    val reps2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS2", "2").toInt
     val (dedup2Sec, rps2) = if (dedupRows2 > 0) {
       val repos2 = graft.io.RepoTableGen.repositories(
         spark, dedupRows2, dupFraction = 0.3, nullFraction = 0.01,
@@ -88,25 +92,68 @@ object Bench {
       repos2.write.mode("overwrite").parquet("/tmp/graft_bench_repos2.parquet")
       val table2 = spark.read.parquet("/tmp/graft_bench_repos2.parquet")
       val cfg2 = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows2)
-      val t0 = System.nanoTime()
-      val res2 = graft.dedup.MarkDuplicates.run(table2, cfg2)
-      res2.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked2.parquet")
-      val sec = (System.nanoTime() - t0) / 1e9
-      res2.unpersistAll()
+      val sec = (1 to reps2).map { _ =>
+        val t0 = System.nanoTime()
+        val res2 = graft.dedup.MarkDuplicates.run(table2, cfg2)
+        res2.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked2.parquet")
+        val s = (System.nanoTime() - t0) / 1e9
+        res2.unpersistAll()
+        s
+      }.min
       (sec, dedupRows2 / sec)
     } else (0.0, 0.0)
 
-    val qs = (results ++ Seq("dedup_2m_rows" -> dedupSec, "dedup_8m_rows" -> dedup2Sec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + dedupSec + dedup2Sec
+    // hot-stratum token-budget gate: 90% of rows in ONE stratum — the
+    // shape the salted two-phase cumsum exists for. Same 2M-row input,
+    // salted (gateBuckets=64) vs single-window (gateBuckets=1); identical
+    // answers (DatasetMixSpec), the delta is the salting's win.
+    val hotRows = sys.env.getOrElse("SPARK_GRAFT_HOT_ROWS", "8000000").toLong
+    val (hotSaltedSec, hotSingleSec, hotKept) = if (hotRows > 0) {
+      import org.apache.spark.sql.functions._
+      spark.range(hotRows).select(
+          col("id"),
+          when(col("id") % 10 === 0,
+            concat(lit("small"), (col("id") % 3).cast("string")))
+            .otherwise(lit("hot")).as("lang"),
+          (col("id") % 40 + 1).as("tok"))
+        .write.mode("overwrite").parquet("/tmp/graft_bench_hot.parquet")
+      val hot = spark.read.parquet("/tmp/graft_bench_hot.parquet")
+      def run(buckets: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.pipeline.DatasetMix.tokenBudgetSample(
+          hot, "lang", "id", "tok", budgetTokens = 200000L,
+          gateBuckets = buckets).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // interleaved min-of-2 per variant so neither side pays the cold
+      // first-read/JIT warm-up alone
+      val (w1, keptB) = run(1); val (w64, keptA) = run(64)
+      val (s1, _) = run(1); val (s64, _) = run(64)
+      if (keptA != keptB)
+        System.err.println(s"BENCH FAILURE: hot-stratum gate changed the answer ($keptA vs $keptB)")
+      (math.min(w64, s64), math.min(w1, s1), keptA)
+    } else (0.0, 0.0, 0L)
+
+    val allQ = results ++ Seq(
+      "dedup_2m_rows" -> dedupSec, "dedup_8m_rows" -> dedup2Sec,
+      "quota_hot_salted" -> hotSaltedSec, "quota_hot_single" -> hotSingleSec)
+    def qjson(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = allQ.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"dedup2_rows":$dedupRows2%d,"dedup2_rows_per_sec":$rps2%.0f,"failed":$failedJson%s}"""
-    println(line)
-    // also persist to a file so the line survives any log-prefixing wrapper
+    def line(qs: String, extra: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"dedup2_rows":$dedupRows2%d,"dedup2_rows_per_sec":$rps2%.0f,"hot_rows":$hotRows%d,"hot_kept":$hotKept%d,"failed":$failedJson%s$extra%s}"""
+    // full artifact -> file (survives any log-prefixing wrapper)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      line(qjson(allQ.sortBy(_._1)), "") + "\n")
+    // stdout -> COMPACT line: the consumer keeps only a 2000-char tail of
+    // the run log, and the full per-query map does not fit (r3's parsed
+    // field was null for exactly this reason). Slowest 25 queries inline,
+    // full map in the file above.
+    val top = allQ.sortBy(-_._2).take(25).sortBy(_._1)
+    println(line(qjson(top),
+      s""","queries_run":${allQ.size},"queries_full":"$outPath""""))
     spark.stop()
   }
 }

@@ -27,6 +27,18 @@ object DatasetMix {
    * across runs/partitionings). `orderCol` must be a total order (unique
    * values) — the same requirement `quotaSample` already has for its
    * result to be well-defined.
+   *
+   * Example — corpus where one language holds 10^11 of 10^12 rows,
+   * per-language quota 10k:
+   * {{{
+   * // a single per-stratum window would funnel the 10^11-row stratum
+   * // through ONE reducer; with the gate each of the 64 salt buckets
+   * // emits <= 10k survivors, so the exact window sorts <= 640k rows
+   * // per stratum no matter how hot the stratum is:
+   * val sample = DatasetMix.quotaSample(docs, "lang", "doc_id", quota = 10000)
+   * // measured in Bench ("quota_hot_salted" vs "quota_hot_single"):
+   * // same answer, salted plan, on a 90%-one-stratum 2M-row input
+   * }}}
    */
   def approxQuotaGate(
       df: DataFrame, strataCol: String, orderCol: String, quota: Int,
