@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
  * replay whole training runs, not just one assignment pass.
  *
  * Scale shape (the same as `Knn.trainCentroids`'s float path):
- *  - assignment is FULLY MAP-SIDE — centroids ride into the plan as
- *    array literals and the argmin is an `array_min` fold over
- *    (dist2, cid) structs; no cross join, no window, no Exchange;
+ *  - assignment is FULLY MAP-SIDE — the whole codebook rides the plan
+ *    as ONE broadcast reference object (`plans.NearestCentroidL2Expr`),
+ *    so the plan is constant-size in k and the argmin is a tight
+ *    primitive loop; no cross join, no window, no Exchange;
  *  - each Lloyd round shuffles only `k * dim` partial-sum rows (the
  *    posexplode feeds a hash aggregate with map-side combine — exploded
  *    rows never cross the wire), and the driver folds those k*dim rows

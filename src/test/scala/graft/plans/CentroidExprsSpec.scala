@@ -120,6 +120,35 @@ class CentroidExprsSpec extends SparkSpecBase {
       .head().getSeq[Long](0).toList === List(4L, 9L))
   }
 
+  test("end-to-end at k=1000: train + semDeDupBlocked, codegen-strict") {
+    import spark.implicits._
+    // 2000 vectors in 1000 well-separated locations, two per location (a
+    // planted exact-dup per site: ids site and 10000+site — so the 1000
+    // smallest ids seed one centroid PER SITE). The whole SemDeDup
+    // pipeline — seed, one Lloyd round, assign, per-cluster pairs — must
+    // hold at k=1000 with codegen fallback off.
+    val dim = 8
+    val vecs = (0 until 1000).flatMap { site =>
+      val v = (0 until dim).map(d => (site.toLong * 1000L) + d * 7L)
+      Seq((site.toLong, v), (10000L + site, v))
+    }
+    val df = vecs.toDF("id", "emb")
+    val survivors = codegenStrict {
+      graft.sim.Clustering.semDeDupBlocked(
+        df, "id", "emb", k = 1000, rounds = 1,
+        thresholdMicro = 999999L, maxClusterSize = 100L)
+        .collect().map(_.getLong(0)).toSet
+    }
+    // identical embeddings always share a cluster -> each site keeps
+    // exactly its min id
+    assert(survivors === (0 until 1000).map(_.toLong).toSet)
+    // and the assignment plan at k=1000 stays constant-size
+    val centroids = graft.ann.IntKmeans.train(df, "id", "emb", 1000, 1)
+    val plan = graft.ann.IntKmeans.assign(df, "id", "emb", centroids)
+      .queryExecution.analyzed.toString
+    assert(plan.length < 4000, s"k=1000 plan text ${plan.length} chars")
+  }
+
   test("semDeDupBlocked: giant cluster is excluded by the pair cap, not quadratically joined") {
     import spark.implicits._
     // ids 1,3..40 share one embedding (the degenerate mega-cluster); ids
