@@ -1,8 +1,5 @@
 package graft.sketch
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.unsafe.Platform
-
 /**
  * A mergeable Bloom filter sketch: `m`-bit array backed by `Array[Long]`,
  * `k` probes per item derived from two seeded 64-bit hashes via
@@ -19,10 +16,13 @@ import org.apache.spark.unsafe.Platform
  *  - `countEstimate` is the Swamidass-Baldi estimator with the reference's
  *    integer `m/k` division (`src/bloomfilter.cxx:47-52`)
  *
- * Substitution note: the reference hashes with XXH3; the JVM/Spark tree
- * ships XXH64 (`org.apache.spark.sql.catalyst.expressions.XXH64`), which we
- * use with the same two seeds. The Bloom FPR bound is hash-agnostic; the
- * *sizing* formulas (BloomSizing) are what must match the reference exactly.
+ * Hash parity: the reference hashes with `XXH3_64bits_withSeed`
+ * (`src/bloomfilter.cxx:104-120`); probes here use the from-scratch
+ * [[Xxh3]] (verified bit-exact against the canonical C implementation in
+ * `Xxh3Spec`) with the same two seeds — so for identical items the probe
+ * addresses, and therefore the filter's exact bit pattern, match the
+ * reference bit-for-bit. The sizing formulas (BloomSizing) match exactly
+ * as well.
  *
  * The departure from the reference needed for distribution: `orInPlace`,
  * an associative + commutative bitwise-OR merge of two same-shaped
@@ -47,9 +47,9 @@ final class BloomSketch private[sketch] (
   @transient private[this] lazy val probes: Array[Long] = new Array[Long](k)
 
   @inline private[this] def hashA(item: Array[Byte]): Long =
-    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1)
+    Xxh3.hash(item, BloomSketch.Seed1)
   @inline private[this] def hashB(item: Array[Byte]): Long =
-    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2)
+    Xxh3.hash(item, BloomSketch.Seed2)
 
   /** k probe addresses: a_i = (a + i*b + sum(j<i)) mod m (reference
    *  `src/bloomfilter.cxx:104-120`: buf[i]=addr(a); a+=b; b+=i). */
