@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `graft.sketch.Xxh3` (bit-exact XXH3-64, the reference engine's Bloom
+ * probe hash) as a native codegen'd expression over binary or string
+ * input — the SQL-callable face of the hash so probe addresses and
+ * signatures computed in SQL match the library (and the reference)
+ * bit-for-bit.
+ */
+case class Xxh3Expr(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  // TypeCollection is private[sql]; the two admissible input types are
+  // checked directly instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_xxh3 requires BINARY or STRING input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case b: Array[Byte] => graft.sketch.Xxh3.hash(b, seed)
+    case s: UTF8String => graft.sketch.Xxh3.hash(s.getBytes, seed)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.sketch.Xxh3.hash($c, ${seed}L)")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.sketch.Xxh3.hash($c.getBytes(), ${seed}L)")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_xxh3"
+}
+
+object HashExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** XXH3-64 of a binary/string column with the given seed. */
+  def xxh3(c: Column, seed: Long = 0L): Column = toColumn(Xxh3Expr(exprOf(c), seed))
+}

@@ -319,6 +319,20 @@ object TextSketchExprs {
       one(name)(e => exprOf(f(toColumn(e))))
 
     one("graft_simhash64")(SimHash64Expr(_))
+    ColumnBridge.registerExprFunction(spark, "graft_xxh3", {
+      case Seq(t) => Xxh3Expr(t, 0L)
+      case Seq(t, s) =>
+        require(s.foldable, "graft_xxh3: seed must be a literal")
+        val seed = s.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"graft_xxh3: seed must be integral, got $other")
+        }
+        Xxh3Expr(t, seed)
+      case args => throw new IllegalArgumentException(
+        s"graft_xxh3 expects (bytes_or_text[, seed]), got ${args.length} args")
+    })
     ColumnBridge.registerExprFunction(spark, "graft_minhash_sig", {
       case Seq(t) => MinHashSigExpr(t, 128, 3)
       case Seq(t, n, s) =>

@@ -46,11 +46,32 @@ class SqlSurfaceSpec extends SparkSpecBase {
       "the quick brown fox, contact a@b.co or 10.0.0.1 now!"))
   }
 
+  test("graft_xxh3: SQL == Column API == Xxh3 library, string and binary, seeded") {
+    assert(registered)
+    val viaSql = spark.sql(
+      """SELECT id, graft_xxh3(text) AS h0, graft_xxh3(text, 43) AS h43,
+        |  graft_xxh3(encode(text, 'UTF-8'), 9967) AS hb
+        |FROM sql_surface_docs WHERE text IS NOT NULL""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val viaLib = Seq(
+      (1L, "the quick brown fox, contact a@b.co or 10.0.0.1 now!"),
+      (2L, "a b a b a b")).map { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      id -> ((graft.sketch.Xxh3.hash(b, 0L), graft.sketch.Xxh3.hash(b, 43L),
+        graft.sketch.Xxh3.hash(b, 9967L)))
+    }.toMap
+    assert(viaSql === viaLib)
+    // null flows through as null
+    assert(spark.sql("SELECT graft_xxh3(text) FROM sql_surface_docs WHERE text IS NULL")
+      .head().isNullAt(0))
+  }
+
   test("SQL calls plan without any ScalaUDF (stay codegen'd)") {
     assert(registered)
     val p = spark.sql(
       """SELECT graft_simhash64(text), graft_pii_scrub(text),
-        |  graft_token_count(text), graft_word_grams(text, 3)
+        |  graft_token_count(text), graft_word_grams(text, 3),
+        |  graft_xxh3(text, 43)
         |FROM sql_surface_docs""".stripMargin)
       .queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"), s"scalar surface must not plan a UDF:\n$p")
