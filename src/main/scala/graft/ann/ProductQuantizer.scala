@@ -110,7 +110,10 @@ object ProductQuantizer {
    * (adc_dist2, id) — a total order, so the result is deterministic.
    * All queries score in ONE pass over the code table (per-query lookup
    * tables are array literals; the per-row work is m element_at's and
-   * m-1 adds per query).
+   * m-1 adds per query). The literal tables size the PLAN by Q·m·k, so
+   * this path is for driver-sized query batches (the `Seq` parameter
+   * makes that explicit); route million-query batches through
+   * `Knn.ivfTopK`'s DataFrame-join formulation instead.
    */
   def adcTopK(
       codes: DataFrame, idCol: String, codesCol: String,
