@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = one JVM standing in for a whole cluster: 32 concurrent
+  // parquet writer tasks + a multi-GB broadcast keeper set at the 8M-row
+  // bench leg need more than 8g (OOM observed there); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

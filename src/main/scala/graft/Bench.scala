@@ -48,6 +48,19 @@ object Bench {
       name -> sec
     }
 
+    // between timed repetitions: a broadcast keeper set (GBs at the 8M
+    // leg) is only destroyed when the ContextCleaner sees its plan
+    // garbage-collected — back-to-back reps in one 8g heap otherwise
+    // stack two broadcasts plus 32 parquet writers and OOM. Unpersist +
+    // forced GC OUTSIDE the timed window.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(2000)
+      System.gc()
+    }
+
     // flagship: duplicate-marking throughput (rows/s) on the generated
     // table — min of `reps` runs (this box shows run-to-run I/O noise; the
     // least-interfered run is the engine's rate)
@@ -71,6 +84,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       markedCount = res.metrics.rowsMarkedDuplicate
       res.unpersistAll()
+      reclaim()
       sec
     }.min
     val rps = dedupRows / dedupSec
@@ -98,13 +112,14 @@ object Bench {
         res2.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked2.parquet")
         val s = (System.nanoTime() - t0) / 1e9
         res2.unpersistAll()
+        reclaim()
         s
       }.min
       (sec, dedupRows2 / sec)
     } else (0.0, 0.0)
 
     // hot-stratum token-budget gate: 90% of rows in ONE stratum — the
-    // shape the salted two-phase cumsum exists for. Same 2M-row input,
+    // shape the salted two-phase cumsum exists for. Default 8M-row input,
     // salted (gateBuckets=64) vs single-window (gateBuckets=1); identical
     // answers (DatasetMixSpec), the delta is the salting's win.
     val hotRows = sys.env.getOrElse("SPARK_GRAFT_HOT_ROWS", "8000000").toLong

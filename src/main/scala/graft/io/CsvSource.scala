@@ -48,6 +48,12 @@ object CsvSource {
    * in the file. First-line detection uses the Hadoop text reader's
    * per-file byte offsets (offset 0 <=> first record of its file), so
    * the scan stays block-splittable exactly like `spark.read.text`.
+   *
+   * Pairs with [[writeCsvLines]]'s header-first-in-every-shard layout.
+   * Data written by the PRE-header-fix writer (one header row unioned
+   * before `repartition`, landing mid-shard) does not round-trip: its
+   * stray header line is no longer at offset 0 and surfaces as one
+   * `_corrupt` row — rewrite such exports or drop the row by equality.
    */
   def readCsvLines(
       spark: SparkSession, path: String, schema: StructType,

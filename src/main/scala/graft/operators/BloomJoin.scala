@@ -36,8 +36,8 @@ import graft.sketch.{BloomSketch, BloomSizing}
  *
  * Key bytes: both sides canonicalize the key as the UTF-8 bytes of its
  * string form (cheap, type-agnostic, identical across sides) — the
- * sketch hashes those bytes with the same XXH64 double-hash the dedup
- * path uses.
+ * sketch hashes those bytes with the same seeded-XXH3
+ * Kirsch–Mitzenmacher double-hash the dedup path uses.
  */
 object BloomJoin {
 

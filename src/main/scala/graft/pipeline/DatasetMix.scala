@@ -37,7 +37,7 @@ object DatasetMix {
    * // per stratum no matter how hot the stratum is:
    * val sample = DatasetMix.quotaSample(docs, "lang", "doc_id", quota = 10000)
    * // measured in Bench ("quota_hot_salted" vs "quota_hot_single"):
-   * // same answer, salted plan, on a 90%-one-stratum 2M-row input
+   * // same answer, salted plan, on a 90%-one-stratum 8M-row input
    * }}}
    */
   def approxQuotaGate(

@@ -78,7 +78,12 @@ case class NearestCentroidL2Expr(
  *  by the caller, so argmax dot == argmax cosine): returns the winning
  *  cid (long); ties resolve to the smallest cid. Dots accumulate
  *  left-to-right in dimension order — bit-identical to the
- *  `aggregate(zip_with(vec, typedLit(c)))` fold it replaces. */
+ *  `aggregate(zip_with(vec, typedLit(c)))` fold it replaces for finite
+ *  dots. A NaN dot ranks ABOVE every finite dot (the same total order
+ *  `array_max` and [[CentroidOrderDotExpr]]'s probe sort use), so a
+ *  vector containing a NaN element — which makes every dot NaN —
+ *  deterministically lands on the smallest cid rather than on a
+ *  phantom bucket no probe list references. */
 case class NearestCentroidDotExpr(
     child: Expression, cids: Array[Long], codebook: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
@@ -99,7 +104,14 @@ case class NearestCentroidDotExpr(
       var j = 0
       while (j < n) { s += vec.getDouble(j) * c(j); j += 1 }
       val cid = cids(i)
-      if (s > bestS || (s == bestS && cid < bestCid)) { bestS = s; bestCid = cid }
+      if (java.lang.Double.isNaN(s)) {
+        // NaN > every finite dot (total-order parity with the probe
+        // sort); among NaN dots the smallest cid wins — never leaves
+        // the Long.MaxValue sentinel as a phantom assignment
+        if (java.lang.Double.isNaN(bestS)) { if (cid < bestCid) bestCid = cid }
+        else { bestS = s; bestCid = cid }
+      } else if (!java.lang.Double.isNaN(bestS) &&
+          (s > bestS || (s == bestS && cid < bestCid))) { bestS = s; bestCid = cid }
       i += 1
     }
     bestCid

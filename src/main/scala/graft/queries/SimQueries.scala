@@ -588,9 +588,17 @@ object SimQueries {
 
   /** Image near-dup over REAL decoded pixels: base images plus their
    *  one-pixel-perturbed copies (negative id space), average-hashed via
-   *  the real ImageIO decode, paired by the SAME Manku block-subset
-   *  blocking the text SimHash uses — complete for hamming <= 3, so
-   *  found ⟺ hamming <= 3 and the oracle enumerates all pairs from
+   *  the real ImageIO decode. Pairing runs over DISTINCT hash classes
+   *  (smallest member id as the class representative), not raw ids: a
+   *  corpus where one fingerprint repeats N/500 times would otherwise
+   *  grow every Manku bucket linearly in N until the runaway-bucket cap
+   *  silently dropped pairs the oracle keeps — over distinct hashes the
+   *  bucket volume is bounded by fingerprint DIVERSITY at any corpus
+   *  size, and exact-duplicate membership within a class is the exact
+   *  dedup family's job, not this query's. Classes are paired by the
+   *  SAME Manku block-subset blocking the text SimHash uses — complete
+   *  for hamming <= 3, so found ⟺ 1 <= hamming <= 3 between class
+   *  representatives and the oracle enumerates all class pairs from
    *  function-derived hashes. */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -600,7 +608,8 @@ object SimQueries {
       .map(id => (id, imageBlobFor(id))).toDF("id", "img")
     val hashed = blobs.select(col("id"),
       graft.plans.ImageExprs.imageMeta(col("img")).getField("ahash").as("bh"))
-    graft.sim.SimHash.nearDupPairsOnHash(hashed, "id", "bh", maxHamming = 3)
+    val reps = hashed.groupBy(col("bh")).agg(min(col("id")).as("id"))
+    graft.sim.SimHash.nearDupPairsOnHash(reps, "id", "bh", maxHamming = 3)
   }
 
   val ImageNearDupSql: String =
@@ -626,10 +635,12 @@ object SimQueries {
       |            ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END)
       |      ELSE 0 END) AS BIGINT) AS ahash
       |  FROM cell JOIN tot ON cell.id = tot.id GROUP BY cell.id
+      |), reps AS (
+      |  SELECT min(id) AS id, ahash FROM hashed GROUP BY ahash
       |)
       |SELECT a.id AS id_a, b.id AS id_b,
       |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
-      |FROM hashed a JOIN hashed b ON a.id < b.id
+      |FROM reps a JOIN reps b ON a.id < b.id
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin
 
   /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of

@@ -259,7 +259,12 @@ object Clustering {
       maxClusterSize: Long = 100000L): DataFrame = {
     import graft.ann.IntKmeans
     val centroids = IntKmeans.train(vectors, idCol, vecCol, k, rounds)
+    // checkpoint the assignment: the cluster-size gate below and the two
+    // pair-join sides each consume it, and at SemDeDup's k the O(k·dim)
+    // per-row nearest-centroid scan dominates the job — recomputing it
+    // per consumer would roughly double the work
     val av = IntKmeans.assignKeepVec(vectors, idCol, vecCol, centroids)
+      .localCheckpoint(false)
     // one slim count per cluster (k rows), broadcast back as a semi-join
     // gate on both pair sides — hot clusters never reach the pair join
     val okClusters = av.groupBy(col("cluster")).count()

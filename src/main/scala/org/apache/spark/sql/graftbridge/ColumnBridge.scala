@@ -16,12 +16,18 @@ object ColumnBridge {
 
   /** Release the cached blocks behind a `localCheckpoint()`ed frame (the
    *  checkpointed plan is a LogicalRDD over the materialized RDD; plain
-   *  `df.unpersist()` can't reach it). No-op for non-checkpointed frames.
-   *  Iterative algorithms call this on round N-1 once round N is
-   *  materialized, so checkpoint storage stays O(1) in round count. */
+   *  `df.unpersist()` can't reach it). No-op for non-checkpointed frames:
+   *  only RDDs that are actually checkpointed are touched, so a
+   *  LogicalRDD wrapping a caller-persisted RDD shared elsewhere (e.g.
+   *  `spark.createDataFrame(rdd)`) is left alone. Iterative algorithms
+   *  call this on round N-1 once round N is materialized, so checkpoint
+   *  storage stays O(1) in round count. */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          // checkpointData is set by (local)checkpoint() and nothing else
+          // (private[spark] — reachable from this bridge package)
+          if lr.rdd.checkpointData.isDefined =>
         lr.rdd.unpersist(blocking)
       case _ => ()
     }
