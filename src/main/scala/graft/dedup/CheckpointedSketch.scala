@@ -34,14 +34,7 @@ object CheckpointedSketch {
    * Returns the merged sketch and the per-partition manifest.
    */
   def build(df: DataFrame, cfg: DedupConfig, checkpointDir: String): (BloomSketch, Seq[SketchPartCheckpoint]) = {
-    val (m, k, n) = cfg.mem match {
-      case Some(spec) =>
-        val (m0, k0, n0) = BloomSizing.fromMemSpec(cfg.p, spec, cfg.mpow2)
-        (m0, k0, n0)
-      case None =>
-        val (m0, k0) = BloomSizing.mkMin(cfg.p, cfg.expectedN)
-        (m0, k0, cfg.expectedN)
-    }
+    val (m, k, n) = cfg.sketchShape
     val p = cfg.p
 
     val sigs = df
@@ -87,7 +80,11 @@ object CheckpointedSketch {
     // each slice OR-merges its files into ONE local sketch, and a
     // tree-reduce merges the slice results — the driver receives only the
     // final m/8 bytes.
-    val merged = mergePartials(df.sparkSession, manifests.map(_.file))
+    // an empty input (zero partitions -> zero partials) is a legitimate
+    // corpus: its sketch is the empty filter of the configured shape
+    val merged =
+      if (manifests.isEmpty) BloomSketch.empty(p, n, m, k)
+      else mergePartials(df.sparkSession, manifests.map(_.file))
 
     (merged, manifests)
   }
@@ -132,7 +129,18 @@ object CheckpointedSketch {
       args: Seq[String],
       metrics: DedupMetrics,
       manifests: Seq[SketchPartCheckpoint]): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too (same contract as Verify's dumper): a
+    // newline or tab inside a CLI arg must not produce invalid JSON in
+    // the provenance record
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val parts = manifests.map { m =>
       s"""{"pid":${m.pid},"rows":${m.rows},"inserted":${m.inserted},""" +
         s""""from_cache":${m.fromCache},"file":${q(m.file)}}"""

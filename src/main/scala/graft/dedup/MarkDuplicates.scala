@@ -16,6 +16,18 @@ import graft.sketch.{BloomSizing, BloomSketch, BloomSketchAggregator}
  * template" analog — counted, never tested, never marked
  * (`src/markdups.cxx:110-112`).
  *
+ * TIE CONTRACT: rows a signature group cannot distinguish — identical
+ * content AND identical `orderCols` key — are ALL kept (none is an
+ * arbitrary victim; there is no row identity to break the tie with that
+ * would reproduce across the plan's two evaluations of the input).
+ * `DedupConfig.orderColsUnique` declares whether the key totally orders
+ * rows: `true` (default — repo/path/commit-style keys) keeps the
+ * single-exchange plan and metrics assume no ties; `false` adds one slim
+ * (sig,key)-distinct pre-aggregation so `rowsMarkedDuplicate` counts
+ * exactly the rows the output marks and `keeperTiedRows` reports the
+ * indistinguishable extras. For strict all-but-one semantics, include a
+ * row-unique column (ingest offset, snapshot row id) in `orderCols`.
+ *
  * Scale design (100 TB / 10^12 rows):
  *  - The dedup decision shuffles only a slim projection (sig: 64 B hex +
  *    order key), never the content column. Map-side partial aggregation
@@ -34,6 +46,7 @@ object MarkDuplicates {
   val SigCol = "__sig"
   private val CntCol = "__sig_cnt"
   private val KeeperCol = "__sig_keeper"
+  private val KeeperCntCol = "__sig_keeper_cnt"
   private val PrevCol = "__prev_dup"
 
   /** Serialized signature width (32-byte sha256) in the keeper relation. */
@@ -45,9 +58,11 @@ object MarkDuplicates {
   /** Estimated serialized bytes of ONE keeper key, as a Column over the
    *  counts frame — mirrors `keyExpr`'s type cases: measured
    *  (octet_length) for string/binary keys (the widths that actually
-   *  vary), fixed defaultSize for scalar primitives, and a conservative
-   *  64 B for the struct fallback (nullable non-string order columns),
-   *  whose per-field widths a Column expression cannot cheaply observe. */
+   *  vary), fixed defaultSize for scalar primitives. The struct fallback
+   *  (nullable non-string order columns) is priced per FIELD — measured
+   *  widths for its string/binary members, defaultSize otherwise, plus a
+   *  16 B struct header — a flat constant there would let one wide text
+   *  field per key blow past `broadcastKeeperMaxBytes` unnoticed. */
   private def keeperBytesPerRow(withSig: DataFrame, cfg: DedupConfig): Column = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     def nullable(c: String) = withSig.schema(c).nullable
@@ -59,7 +74,14 @@ object MarkDuplicates {
           case dt => lit(dt.defaultSize.toLong)
         }
       case cols if cols.forall(isString) => octet_length(col(KeeperCol)).cast("long")
-      case _ => lit(64L)
+      case cols =>
+        cols.map { c =>
+          withSig.schema(c).dataType match {
+            case StringType | BinaryType =>
+              coalesce(octet_length(col(KeeperCol).getField(c)).cast("long"), lit(0L))
+            case dt => lit(dt.defaultSize.toLong)
+          }
+        }.reduce(_ + _) + lit(16L)
     }
   }
 
@@ -106,18 +128,34 @@ object MarkDuplicates {
     }
   }
 
-  /** Per-signature (count, keeper) over the slim projection — the one
-   *  heavy shuffle of the job. Map-side combine collapses repeats early.
-   *  Filters on content length BEFORE computing the signature so sha256
-   *  runs once per row (a filter on sig.isNotNull would inline the whole
-   *  CASE WHEN sha2 expression into the filter and hash twice). */
-  private def sigCounts(df: DataFrame, cfg: DedupConfig): DataFrame =
-    df
+  /** Per-signature (count, keeper, keeper-tie count) over the slim
+   *  projection — the one heavy shuffle of the job. Map-side combine
+   *  collapses repeats early. Filters on content length BEFORE computing
+   *  the signature so sha256 runs once per row (a filter on
+   *  sig.isNotNull would inline the whole CASE WHEN sha2 expression into
+   *  the filter and hash twice).
+   *
+   *  With `orderColsUnique` (default) the keeper-tie count is the
+   *  constant 1 and the plan is a single exchange. Without it, a
+   *  (sig,key)-keyed pre-aggregation feeds a second slim exchange of
+   *  ~distinct rows whose `min_by` recovers how many rows share the
+   *  keeper key — the price of exact metrics under a non-total order. */
+  private def sigCounts(df: DataFrame, cfg: DedupConfig): DataFrame = {
+    val slim = df
       .where(length(col(cfg.contentCol)) > 0)
       .select(unhex(sha2(col(cfg.contentCol), 256)).as(SigCol),
         keyExpr(df, cfg).as("__key"))
-      .groupBy(SigCol)
-      .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
+    if (cfg.orderColsUnique)
+      slim.groupBy(SigCol)
+        .agg(count(lit(1)).as(CntCol), min(col("__key")).as(KeeperCol))
+        .withColumn(KeeperCntCol, lit(1L))
+    else
+      slim.groupBy(col(SigCol), col("__key"))
+        .agg(count(lit(1)).as("__kc"))
+        .groupBy(SigCol)
+        .agg(sum(col("__kc")).as(CntCol), min(col("__key")).as(KeeperCol),
+          min_by(col("__kc"), col("__key")).as(KeeperCntCol))
+  }
 
   /** Re-marking semantics over an input that ALREADY has the output
    *  column (streammd `--strip-previous`, `src/markdups.cxx:126-129`):
@@ -142,7 +180,7 @@ object MarkDuplicates {
         .join(dupGroups, Seq(SigCol), "left_outer")
         .withColumn(cfg.outputCol,
           col(CntCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
-        .drop(CntCol, KeeperCol),
+        .drop(CntCol, KeeperCol, KeeperCntCol),
       cfg)
 
   private def applyOutputOptions(marked: DataFrame, cfg: DedupConfig): DataFrame = {
@@ -161,23 +199,24 @@ object MarkDuplicates {
   /**
    * Mark rows against an existing corpus sketch (incremental dedup, the
    * true streaming analog of streammd's probe): pure map-side, no shuffle;
-   * false positives bounded by the sketch's p.
+   * false positives bounded by the sketch's p. A pre-existing output
+   * column follows the same re-marking semantics as [[mark]]/[[run]]:
+   * OR'd in, or discarded under `stripPrevious`.
    */
-  def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame =
-    df.withColumn(cfg.outputCol,
-      graft.plans.GraftExpressions.bloomContains(sketch, signature(col(cfg.contentCol))))
+  def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val prepped = prepPrevious(df, cfg)
+    combinePrevious(
+      prepped.withColumn(cfg.outputCol,
+        graft.plans.GraftExpressions.bloomContains(sketch, signature(col(cfg.contentCol)))),
+      cfg)
+  }
 
   /** The Bloom aggregation column (binary signature input), shaped from
    *  cfg — the native TypedImperativeAggregate, whose partials serialize
    *  through the sketch wire format instead of Kryo (a p=1e-6 sketch past
    *  ~14M expected rows exceeds Kryo's default 64 MB output buffer). */
   def sketchAggColumn(cfg: DedupConfig): Column = {
-    val (m, k, n) = cfg.mem match {
-      case Some(spec) => BloomSizing.fromMemSpec(cfg.p, spec, cfg.mpow2)
-      case None =>
-        val (m0, k0) = BloomSizing.mkMin(cfg.p, cfg.expectedN)
-        (m0, k0, cfg.expectedN)
-    }
+    val (m, k, n) = cfg.sketchShape
     graft.plans.GraftExpressions.bloomSketchAgg(col(SigCol), cfg.p, m, k, n)
   }
 
@@ -222,7 +261,10 @@ object MarkDuplicates {
     val keeperWidth = keeperBytesPerRow(withSig, cfg)
     val baseAggs = Seq(
       coalesce(sum(col(CntCol)), lit(0L)).as("rows_non_null"),
-      coalesce(sum(col(CntCol) - 1), lit(0L)).as("dups"),
+      // rows the output actually marks: all but the keeper-key-tied rows
+      // (KeeperCntCol is the constant 1 under orderColsUnique)
+      coalesce(sum(col(CntCol) - col(KeeperCntCol)), lit(0L)).as("dups"),
+      coalesce(sum(col(KeeperCntCol) - 1), lit(0L)).as("keeper_tied"),
       count(lit(1)).as("distinct_sigs"),
       count(when(col(CntCol) > 1, 1)).as("dup_groups"),
       coalesce(sum(when(col(CntCol) > 1,
@@ -230,13 +272,14 @@ object MarkDuplicates {
         .as("keeper_bytes"))
     val aggs = if (cfg.buildSketch) baseAggs :+ sketchAggColumn(cfg).as("sketch") else baseAggs
     val row = counts.agg(aggs.head, aggs.tail: _*).head()
-    val rowsNonNull = row.getLong(0)
-    val dups = row.getLong(1)
+    val rowsNonNull = row.getAs[Long]("rows_non_null")
+    val dups = row.getAs[Long]("dups")
+    val keeperTied = row.getAs[Long]("keeper_tied")
     val keeperBytes = row.getAs[Long]("keeper_bytes")
     // exact count of inserted (distinct) signatures — streammd's
     // nadded = templates - unmapped - dups (src/streammd.cxx:143)
-    val nAdded = row.getLong(2)
-    val dupGroupRows = row.getLong(3)
+    val nAdded = row.getAs[Long]("distinct_sigs")
+    val dupGroupRows = row.getAs[Long]("dup_groups")
     // total row count is metadata-only on columnar sources; null-content
     // count follows by difference (sig is null iff content is null/empty)
     val rows = df.count()
@@ -254,9 +297,14 @@ object MarkDuplicates {
       sketch = sketch.map { s =>
         SketchMetrics(s.p, s.m, s.k, s.n, nAdded, s.countEstimate,
           nAdded.toDouble / s.n, s.marginalFpr(nAdded))
-      })
+      },
+      keeperTiedRows = keeperTied)
     metrics.sketch.foreach { sm =>
       if (sm.capacityUsed > 1.0 && !cfg.allowOvercapacity) {
+        // the guard aborts the run before a DedupResult (the only handle
+        // to unpersistAll) exists — release the cached keeper set here or
+        // it outlives the failure for the life of the session
+        counts.unpersist()
         throw new IllegalStateException(
           f"Bloom filter capacity exceeded: inserted ${sm.inserted}%d > n=${sm.n}%d " +
             f"(capacity used ${sm.capacityUsed * 100}%.1f%%, marginal FPR ${sm.marginalFpr}%.3g). " +
@@ -304,6 +352,13 @@ case class DedupConfig(
     // clear a pre-existing output column's stale flags instead of OR-ing
     // them in (streammd --strip-previous, src/streammd.cxx:84-88)
     stripPrevious: Boolean = false,
+    // declare whether orderCols totally orders rows within a signature
+    // group (a repo/path/commit key, a row id). True (default) keeps the
+    // single-exchange plan; metrics are exact exactly when the
+    // declaration holds. False buys tie-exact metrics (keeperTiedRows)
+    // with one extra slim exchange — see the TIE CONTRACT in the
+    // object doc
+    orderColsUnique: Boolean = true,
     allowOvercapacity: Boolean = false,
     buildSketch: Boolean = true,
     keepSignature: Boolean = false,
@@ -320,7 +375,18 @@ case class DedupConfig(
     // FPR of the dup-signature gate bloom in the bloom-gated mark path:
     // false positives only cost a wasted join probe, so a loose p keeps
     // the broadcast tiny (p=1e-3 -> ~1.8 bytes per duplicated signature)
-    gateFpr: Double = 1e-3)
+    gateFpr: Double = 1e-3) {
+
+  /** The one (m, k, n) sizing rule every sketch built from this config
+   *  shares (aggregated, checkpoint partials): memspec if given, else
+   *  mkMin(p, expectedN). Shapes that diverge fail orInPlace at merge. */
+  def sketchShape: (Long, Int, Long) = mem match {
+    case Some(spec) => BloomSizing.fromMemSpec(p, spec, mpow2)
+    case None =>
+      val (m0, k0) = BloomSizing.mkMin(p, expectedN)
+      (m0, k0, expectedN)
+  }
+}
 
 /** Mirrors streammd's counts struct + derived fraction
  *  (`src/markdups.h:33-36`, `src/markdups.cxx:202-234`). */
@@ -330,7 +396,10 @@ case class DedupMetrics(
     rowsMarkedDuplicate: Long,
     duplicateFraction: Double,
     nAdded: Long,
-    sketch: Option[SketchMetrics])
+    sketch: Option[SketchMetrics],
+    // rows indistinguishable from their group's keeper (kept, not
+    // marked); always 0 under orderColsUnique — see the TIE CONTRACT
+    keeperTiedRows: Long = 0L)
 
 case class SketchMetrics(
     p: Double, m: Long, k: Int, n: Long,

@@ -190,10 +190,24 @@ object BloomSketch {
     new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
   }
 
+  /** An empty sketch of the given shape (no insertions) — e.g. the
+   *  correct result of merging zero partials over an empty input. */
+  def empty(p: Double, n: Long, m: Long, k: Int): BloomSketch =
+    new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
+
   /** Wire format: magic:int, p:double, n:long, m:long, k:int, nWords:int,
    *  words... (big-endian). */
   def serialize(s: BloomSketch): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 8 + 4 + 4 + 8 * s.words.length)
+    // size the buffer in LONG arithmetic: at ~2 GiB of filter the int
+    // product 8*nWords wraps negative (allocate throws) or to a tiny
+    // positive (BufferOverflow later). Bigger filters cannot ship as one
+    // JVM array at all — fail actionably instead.
+    val sizeBytes = 4L + 8 + 8 + 8 + 4 + 4 + 8L * s.words.length
+    require(sizeBytes <= Int.MaxValue,
+      s"sketch too large to serialize as one array ($sizeBytes bytes; " +
+        "m=" + s.m + "): shard it — e.g. CheckpointedSketch partials " +
+        "over a finer partitioning, or a smaller memspec")
+    val buf = java.nio.ByteBuffer.allocate(sizeBytes.toInt)
     buf.putInt(Magic).putDouble(s.p).putLong(s.n).putLong(s.m).putInt(s.k)
     buf.putInt(s.words.length)
     var i = 0

@@ -23,15 +23,6 @@ final class CountMinSketch private (
   require(depth > 0 && width > 0, s"bad shape: $depth x $width")
   require(counts.length == depth * width, "counts length mismatch")
 
-  @inline private[this] def rowCol(a0: Long, b0: Long, row: Int): Int = {
-    // probe_i = (a + i*b + sum(j<i) j) mod width, as in BloomSketch
-    var a = a0
-    var b = b0
-    var i = 0
-    while (i < row) { a += b; b += i; i += 1 }
-    (java.lang.Long.remainderUnsigned(a, width.toLong)).toInt
-  }
-
   private[this] def hashes(item: Array[Byte]): (Long, Long) = (
     XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
     XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2))

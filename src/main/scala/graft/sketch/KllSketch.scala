@@ -10,10 +10,16 @@ import scala.collection.mutable.ArrayBuffer
  * and additive rank error is O(1/k) with high probability — k = 200
  * gives roughly 1-2% rank error in practice.
  *
- * Mergeable: concatenate levels pairwise, then re-compress. Compaction
- * keeps odd- or even-indexed items of the sorted level by a seeded coin,
- * so a single-threaded stream is reproducible; distributed results vary
- * within the rank-error bound (inherent to randomized quantile sketches).
+ * Mergeable: concatenate levels pairwise, then re-compress. The
+ * compaction coin (keep odd- vs even-indexed items) is a seeded HASH of
+ * (count, level, smallest item) rather than a shared pseudo-random
+ * stream: every distributed aggregation buffer starts from the same
+ * seed, so a stream-positional RNG would flip IDENTICAL coin sequences
+ * in every partition and the per-compaction errors — zero-mean only if
+ * independent — would all lean the same way instead of averaging out.
+ * Hashing in the buffer's own data decorrelates buffers while keeping
+ * the sketch fully deterministic (same input partitioning → same
+ * output), which the reproducibility tests rely on.
  *
  * NOT thread-safe (one instance per aggregation buffer).
  */
@@ -23,7 +29,6 @@ final class KllSketch(val k: Int, seed: Long) extends Serializable {
   private[sketch] var compactors: ArrayBuffer[ArrayBuffer[Double]] =
     ArrayBuffer(ArrayBuffer.empty[Double])
   private[sketch] var count: Long = 0L
-  private[this] val rng = new java.util.Random(seed)
 
   def n: Long = count
   private def numLevels: Int = compactors.length
@@ -68,15 +73,26 @@ final class KllSketch(val k: Int, seed: Long) extends Serializable {
     }
   }
 
+  /** Deterministic decorrelated coin: splitmix64-style mix of the seed
+   *  with the buffer's current state (see class doc). */
+  private def coin(lvl: Int, smallest: Double): Int = {
+    var h = seed ^ (count * 0x9E3779B97F4A7C15L) ^ (lvl.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= java.lang.Double.doubleToLongBits(smallest) * 0xFF51AFD7ED558CCDL
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^= h >>> 31
+    (h & 1L).toInt
+  }
+
   /** Sort level; compact an even-sized prefix by promoting every other
-   *  item (seeded coin offset) to level+1 with doubled weight; an odd
+   *  item (hash-coin offset) to level+1 with doubled weight; an odd
    *  leftover stays at this level with its original weight. */
   private def compactLevel(lvl: Int): Unit = {
     if (lvl + 1 == numLevels) compactors += ArrayBuffer.empty[Double]
     val items = compactors(lvl).toArray
     java.util.Arrays.sort(items)
     val evenLen = items.length & ~1
-    val offset = if (rng.nextBoolean()) 1 else 0
+    val offset = coin(lvl, items(0))
     val kept = new ArrayBuffer[Double](evenLen / 2)
     var i = offset
     while (i < evenLen) { kept += items(i); i += 2 }

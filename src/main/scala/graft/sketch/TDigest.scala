@@ -149,7 +149,6 @@ object TDigest {
     d.weights = ArrayBuffer.fill(nC)(0L)
     var i = 0
     while (i < nC) { d.means(i) = bb.getDouble(); d.weights(i) = bb.getLong(); i += 1 }
-    i = 0
     d
   }
 }

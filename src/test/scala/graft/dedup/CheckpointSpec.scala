@@ -81,4 +81,30 @@ class CheckpointSpec extends SparkSpecBase {
     assert(json.contains("\"ROWS\":5000"))
     res.unpersistAll()
   }
+
+  test("empty input yields the empty sketch of the configured shape") {
+    val dir = tmpDir("empty")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val (sketch, manifests) = CheckpointedSketch.build(empty, cfg, dir)
+    assert(manifests.forall(_.inserted == 0L))
+    val (m, k, n) = cfg.sketchShape
+    assert(sketch.m === m); assert(sketch.k === k); assert(sketch.n === n)
+    assert(sketch.countEstimate === 0L)
+    assert(!sketch.contains("anything".getBytes("UTF-8")))
+  }
+
+  test("lineage args with control characters still produce valid JSON") {
+    val dir = tmpDir("ctl")
+    val res = MarkDuplicates.run(df, cfg)
+    CheckpointedSketch.writeLineage(dir,
+      Seq("--filter", "a\nb\tc\rde\"f\\g"), res.metrics, Seq.empty)
+    val json = new String(
+      Files.readAllBytes(Paths.get(dir, "lineage.json")), "UTF-8")
+    assert(json.contains("a\\nb\\tc\\rd\\u0001e\\\"f\\\\g"))
+    // no raw control byte may survive inside the document
+    assert(!json.exists(c => c < ' ' && c != '\n'),
+      "raw control character leaked into lineage.json")
+    res.unpersistAll()
+  }
 }

@@ -211,4 +211,77 @@ class MarkDuplicatesSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() === 0L)
     assert(b.exceptAll(a).count() === 0L)
   }
+
+  test("TIE CONTRACT: key-tied rows are all kept; orderColsUnique=false makes metrics exact") {
+    import spark.implicits._
+    // ids 1,2 are fully tied (same content, same key k=0); 3 is a
+    // distinguishable duplicate of them; 4 is unique content
+    val df = Seq(
+      (1L, 0L, "dup"), (2L, 0L, "dup"), (3L, 9L, "dup"),
+      (4L, 1L, "solo")).toDF("id", "k", "content")
+    val c = DedupConfig(contentCol = "content", orderCols = Seq("k"),
+      p = 1e-4, expectedN = 10L, buildSketch = false)
+
+    // output (either flag): both tied rows keep, the distinguishable dup marks
+    for (unique <- Seq(true, false)) {
+      val marked = MarkDuplicates.mark(df, c.copy(orderColsUnique = unique))
+        .select("id", "is_duplicate").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(marked === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false),
+        s"orderColsUnique=$unique")
+    }
+
+    // exact metrics path: marked count matches the OUTPUT, ties reported
+    val exact = MarkDuplicates.run(df, c.copy(orderColsUnique = false))
+    assert(exact.metrics.rowsMarkedDuplicate === 1L)
+    assert(exact.metrics.keeperTiedRows === 1L)
+    assert(exact.marked.where(col("is_duplicate")).count() === 1L)
+    exact.unpersistAll()
+
+    // declared-unique path on tied data: documented upper bound (cnt-1)
+    val fast = MarkDuplicates.run(df, c)
+    assert(fast.metrics.rowsMarkedDuplicate === 2L)
+    assert(fast.metrics.keeperTiedRows === 0L)
+    fast.unpersistAll()
+
+    // on genuinely unique keys the two paths agree exactly
+    val exactBig = MarkDuplicates.run(repos, cfg.copy(
+      orderColsUnique = false, buildSketch = false))
+    val fastBig = MarkDuplicates.run(repos, cfg.copy(buildSketch = false))
+    assert(exactBig.metrics.rowsMarkedDuplicate === fastBig.metrics.rowsMarkedDuplicate)
+    assert(exactBig.metrics.keeperTiedRows === 0L)
+    assert(exactBig.marked.select("repo", "path", "commit", "is_duplicate")
+      .exceptAll(fastBig.marked.select("repo", "path", "commit", "is_duplicate"))
+      .count() === 0L)
+    exactBig.unpersistAll(); fastBig.unpersistAll()
+  }
+
+  test("markAgainst honors prior-flag OR / stripPrevious like mark()") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("id", "content")
+    val c = DedupConfig(contentCol = "content", orderCols = Seq("id"),
+      p = 1e-3, expectedN = 10L)
+    val sketch: BloomSketch = MarkDuplicates.buildSketch(corpus, c)
+    // row "a" was previously marked but misses nothing; row "zzz" was
+    // previously marked and MISSES the sketch -> must stay marked (OR)
+    val df = Seq((1L, "a", false), (2L, "zzz", true))
+      .toDF("id", "content", "is_duplicate")
+    val ord = MarkDuplicates.markAgainst(df, sketch, c)
+      .select("id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ord === Map(1L -> true, 2L -> true))
+    val stripped = MarkDuplicates.markAgainst(df, sketch, c.copy(stripPrevious = true))
+      .select("id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(stripped === Map(1L -> true, 2L -> false))
+  }
+
+  test("capacity-guard abort releases the cached keeper set") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[IllegalStateException](
+      MarkDuplicates.run(repos, cfg.copy(expectedN = 100L)))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after === before,
+      s"cached RDDs leaked by the aborted run: $before -> $after")
+  }
 }
