@@ -86,6 +86,53 @@ object DedupQueries {
        |   AS duplicate_fraction_ppm
        |FROM marked""".stripMargin
 
+  /** Tie-exact metrics (the TIE CONTRACT in [[MarkDuplicates]]): a corpus
+   *  with planted keeper-key ties — every doc_id%3==0 text reappears under
+   *  the SAME order key (indistinguishable: kept, counted in
+   *  keeper_tied_rows) and every doc_id%5==0 text reappears under a LARGER
+   *  key (distinguishable: marked). Runs the orderColsUnique=false path and
+   *  emits its metrics next to the count the output frame actually marks —
+   *  the oracle recomputes both from the same construction, so the gate
+   *  pins metrics == output. */
+  def dedupTieMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val tied = d.select(col("doc_id").as("id"), col("doc_id").as("k"), col("text"))
+      .unionAll(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + DupOffset).as("id"), col("doc_id").as("k"), col("text")))
+      .unionAll(d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2 * DupOffset).as("id"),
+          (col("doc_id") + DupOffset).as("k"), col("text")))
+    val res = MarkDuplicates.run(tied, DedupConfig(contentCol = "text",
+      orderCols = Seq("k"), orderColsUnique = false, buildSketch = false))
+    val markedInOutput = res.marked.where(col("is_duplicate")).count()
+    val m = res.metrics
+    res.unpersistAll()
+    Seq((m.rows - m.rowsNullContent, m.rowsMarkedDuplicate, m.keeperTiedRows,
+      m.nAdded, markedInOutput))
+      .toDF("rows_non_null", "rows_marked_duplicate", "keeper_tied_rows",
+        "distinct_sigs", "marked_in_output")
+  }
+
+  val DedupTieMetricsSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS id, doc_id AS k, text FROM documents
+       |  UNION ALL SELECT doc_id + $DupOffset, doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + ${2 * DupOffset}, doc_id + $DupOffset, text
+       |    FROM documents WHERE doc_id % 5 = 0
+       |), per_key AS (
+       |  SELECT sha256(text) AS sig, k, count(*) AS c FROM corpus
+       |  WHERE text IS NOT NULL AND text <> '' GROUP BY 1, 2
+       |), per_sig AS (
+       |  SELECT sig, sum(c) AS cnt, arg_min(c, k) AS kc FROM per_key GROUP BY 1
+       |)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS rows_non_null,
+       |       CAST(sum(cnt - kc) AS BIGINT) AS rows_marked_duplicate,
+       |       CAST(sum(kc - 1) AS BIGINT) AS keeper_tied_rows,
+       |       count(*) AS distinct_sigs,
+       |       CAST(sum(cnt - kc) AS BIGINT) AS marked_in_output
+       |FROM per_sig""".stripMargin
+
   /** Operator #8 (signature construction): sha256 per row, null for null/empty. */
   def sigSha256(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir).select(col("id"), MarkDuplicates.signatureHex(col("text")).as("sig"))
