@@ -1,0 +1,181 @@
+package graft.multimodal
+
+/**
+ * REAL audio codec for the multimodal path — the WAV/RIFF container is
+ * simple enough to parse exactly in pure JVM code, so unlike a byte-mixer
+ * stub this decodes actual PCM samples: `decodePcm16` walks the RIFF
+ * chunk list (not a fixed 44-byte offset — real files carry LIST/fact/
+ * cue chunks between `fmt ` and `data`), validates PCM/mono/16-bit, and
+ * returns the sample array; `energyHash64` fingerprints the decoded
+ * waveform.
+ *
+ * The companion `encodeWavPcm16` writes the canonical container, so its
+ * bytes are a deterministic pure function of the sample function — tests
+ * and SQL oracles derive every sample positionally while the DECODE side
+ * still exercises the chunk-walking parser, mirroring the
+ * `ImageCodec.encodeBmp24` / `decodeGray` pairing.
+ *
+ * All fingerprint arithmetic is integer-exact: frame energy = Σ s² in
+ * int64 and hash-bit comparisons are 128-bit cross-multiplications
+ * (`Math.multiplyHigh`), so the result is exact at ANY clip length — no
+ * double rounding, and a SQL oracle (DuckDB sums promote to HUGEINT)
+ * replays every bit.
+ */
+object AudioCodec {
+
+  /** Canonical RIFF/WAVE container: 44-byte header + little-endian
+   *  16-bit PCM mono samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, "need a positive sample rate")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def i32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def i16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); i32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); i32(16, 16)
+    i16(20, 1) // PCM
+    i16(22, 1) // mono
+    i32(24, sampleRate)
+    i32(28, sampleRate * 2) // byte rate
+    i16(32, 2) // block align
+    i16(34, 16) // bits per sample
+    tag(36, "data"); i32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** One decoded clip. `energySum` = Σ s² (int64-exact: ≤ n·2³⁰). */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Short]) {
+    def energySum: Long = {
+      var s = 0L; var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toLong; s += v * v; i += 1
+      }
+      s
+    }
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tagAt(b: Array[Byte], off: Int, s: String): Boolean =
+    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
+      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+
+  /**
+   * REAL chunk-walking decode: RIFF/WAVE envelope, then chunks in file
+   * order — `fmt ` must declare PCM(1)/mono/16-bit before the `data`
+   * chunk is accepted; unknown chunks (LIST, fact, cue …) are skipped
+   * with the spec's word alignment (odd sizes pad one byte). null for
+   * anything malformed, truncated, or in an unsupported layout — a
+   * corrupt-blob row filters out instead of failing the stage.
+   */
+  def decodePcm16(blob: Array[Byte]): DecodedAudio = {
+    if (blob == null || blob.length < 12) return null
+    if (!tagAt(blob, 0, "RIFF") || !tagAt(blob, 8, "WAVE")) return null
+    var pos = 12
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= blob.length) {
+      val size = le32(blob, pos + 4)
+      if (size < 0 || pos + 8 + size > blob.length) return null
+      if (tagAt(blob, pos, "fmt ")) {
+        if (size < 16) return null
+        val fmt = le16(blob, pos + 8)
+        val channels = le16(blob, pos + 10)
+        val bits = le16(blob, pos + 22)
+        if (fmt != 1 || channels != 1 || bits != 16) return null
+        sampleRate = le32(blob, pos + 12)
+        if (sampleRate <= 0) return null
+      } else if (tagAt(blob, pos, "data")) {
+        if (sampleRate < 0 || (size & 1) != 0) return null
+        val n = size / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((blob(pos + 8 + 2 * i) & 0xff) |
+            (blob(pos + 9 + 2 * i) << 8)).toShort
+          i += 1
+        }
+        samples = out
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (sampleRate < 0 || samples == null) null
+    else DecodedAudio(sampleRate, samples)
+  }
+
+  /** Exact sign of a·b − c·d for nonnegative int64 operands, via the
+   *  128-bit product — the fingerprint comparison must not wrap for
+   *  long clips (n·E·frameLen exceeds int64 past ~1M full-scale
+   *  samples). */
+  private def mulCmp(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
+  /**
+   * 64-bit energy fingerprint over REAL decoded samples: the clip splits
+   * into 64 frames with floor boundaries (frame i covers
+   * t ∈ [i·n/64, (i+1)·n/64)), and bit i is set iff the frame's mean
+   * energy exceeds the clip's mean energy — compared integer-exactly by
+   * 128-bit cross-multiplication (frameEnergy · n > totalEnergy ·
+   * frameLen). A localized edit moves few frames, so near-identical
+   * clips land at small Hamming distance; pair at scale with
+   * `sim.SimHash.nearDupPairsOnHash` (Manku blocking, no O(n²)).
+   * Clips shorter than 64 samples have empty frames and hash to a
+   * degenerate value; callers should gate on length. null input → 0
+   * is never returned here: call through [[energyHash64(blob:*]] for
+   * null-safe decoding.
+   */
+  def energyHash64(d: DecodedAudio): Long = {
+    val n = d.samples.length
+    if (n == 0) return 0L
+    val total = d.energySum
+    var out = 0L
+    var f = 0
+    while (f < 64) {
+      val t0 = (f.toLong * n / 64).toInt
+      val t1 = ((f + 1).toLong * n / 64).toInt
+      var s = 0L
+      var t = t0
+      while (t < t1) {
+        val v = d.samples(t).toLong; s += v * v; t += 1
+      }
+      if (t1 > t0 && mulCmp(s, n.toLong, total, (t1 - t0).toLong) > 0)
+        out |= 1L << f
+      f += 1
+    }
+    out
+  }
+
+  /** Decode + fingerprint; null for undecodable bytes. */
+  def energyHash64(blob: Array[Byte]): java.lang.Long = {
+    val d = decodePcm16(blob)
+    if (d == null) null else energyHash64(d)
+  }
+}

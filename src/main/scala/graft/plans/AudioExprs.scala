@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * REAL audio decode (`graft.multimodal.AudioCodec`, a chunk-walking
+ * RIFF/WAVE PCM parser) as a native codegen'd expression: blob →
+ * struct(sample_rate, n_samples, energy_sum, ehash). `energy_sum` is
+ * Σ s² over every decoded sample and `ehash` the 64-frame energy
+ * fingerprint — together they pin the decode byte-for-byte (any sample,
+ * endianness, or chunk-offset error moves both). Undecodable bytes →
+ * null (a corrupt-blob row filters out instead of failing the stage).
+ */
+case class AudioMetaExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("energy_sum", LongType, nullable = false),
+    StructField("ehash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  /** Decode + fingerprint; null for undecodable bytes. */
+  def meta(blob: Array[Byte]): InternalRow = {
+    val d = graft.multimodal.AudioCodec.decodePcm16(blob)
+    if (d == null) null
+    else new GenericInternalRow(Array[Any](
+      d.sampleRate, d.samples.length, d.energySum,
+      graft.multimodal.AudioCodec.energyHash64(d)))
+  }
+
+  override def nullSafeEval(v: Any): Any = meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("audioMeta", this, classOf[AudioMetaExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.meta($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_meta"
+}
+
+object AudioExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** struct(sample_rate, n_samples, energy_sum, ehash) of a REAL-decoded
+   *  WAV/PCM blob; null when the bytes are not a mono 16-bit PCM WAV. */
+  def audioMeta(blob: Column): Column = toColumn(AudioMetaExpr(exprOf(blob)))
+}

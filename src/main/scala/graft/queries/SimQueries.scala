@@ -643,6 +643,125 @@ object SimQueries {
       |FROM reps a JOIN reps b ON a.id < b.id
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin
 
+  /** Synthetic clip shape: 640 samples at 8 kHz — 64 uniform 10-sample
+   *  frames (the fingerprint uses floor frame boundaries, but a length
+   *  divisible by 64 keeps the oracle's frame arithmetic obvious). */
+  val AudioN = 640
+  val AudioRate = 8000
+
+  /** Deterministic PCM test clip for a (possibly perturbed) id: sample t
+   *  is (base·37 + t²·11 + t·29) mod 2001 − 1000; negative ids are the
+   *  PERTURBED copies of base = -id-1 (sample 0 shifted by +500 mod
+   *  2001 — the localized-edit near-dup shape). Encoded as a canonical
+   *  mono 16-bit WAV so the oracle derives every sample positionally
+   *  while the engine decodes through the real chunk-walking parser. */
+  private def audioBlobFor(id: Long): Array[Byte] = {
+    val base = if (id < 0) -id - 1 else id
+    val pert = id < 0
+    val samples = new Array[Short](AudioN)
+    var t = 0
+    while (t < AudioN) {
+      var v = ((base * 37 + t.toLong * t * 11 + t * 29) % 2001).toInt - 1000
+      if (pert && t == 0) v = (v + 1000 + 500) % 2001 - 1000
+      samples(t) = v.toShort
+      t += 1
+    }
+    graft.multimodal.AudioCodec.encodeWavPcm16(AudioRate, samples)
+  }
+
+  /** REAL audio decode evidence: every 7th document gets a deterministic
+   *  640-sample WAV; the engine runs blob → chunk-walking RIFF/PCM
+   *  parse → (energy_sum, 64-frame energy fingerprint) via the native
+   *  `plans.AudioMetaExpr`, and the oracle computes the SAME values
+   *  directly from the sample FUNCTION (no byte parsing) — so any
+   *  decode defect (endianness, chunk offset, sign extension) breaks
+   *  the hash match. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.map(id => (id, audioBlobFor(id))).toDF("doc_id", "wav")
+    blobs.select(col("doc_id"),
+        graft.plans.AudioExprs.audioMeta(col("wav")).as("m"))
+      .select(col("doc_id"),
+        col("m.sample_rate").as("sample_rate"), col("m.n_samples").as("n_samples"),
+        col("m.energy_sum").as("energy_sum"), col("m.ehash").as("ehash"))
+  }
+
+  val AudioDecodeSql: String =
+    s"""WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+      |idx AS (SELECT unnest(range(0, $AudioN)) AS t),
+      |smp AS (
+      |  SELECT doc_id, t,
+      |         (doc_id * 37 + t * t * 11 + t * 29) % 2001 - 1000 AS v
+      |  FROM sub, idx
+      |), tot AS (SELECT doc_id, sum(v * v) AS total FROM smp GROUP BY doc_id),
+      |frame AS (
+      |  SELECT doc_id, t // 10 AS f, sum(v * v) AS s
+      |  FROM smp GROUP BY doc_id, t // 10
+      |), hashed AS (
+      |  SELECT frame.doc_id,
+      |    CAST(sum(CASE WHEN s * 64 > total THEN
+      |      (CASE WHEN f = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(f AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS ehash
+      |  FROM frame JOIN tot ON frame.doc_id = tot.doc_id GROUP BY frame.doc_id
+      |)
+      |SELECT t.doc_id, CAST($AudioRate AS INT) AS sample_rate,
+      |       CAST($AudioN AS INT) AS n_samples,
+      |       CAST(t.total AS BIGINT) AS energy_sum, h.ehash
+      |FROM tot t JOIN hashed h ON t.doc_id = h.doc_id""".stripMargin
+
+  /** Audio near-dup over REAL decoded samples: base clips plus their
+   *  one-sample-perturbed copies (negative id space), energy-hashed via
+   *  the real RIFF/PCM decode. Same scale discipline as
+   *  [[imageNearDup]]: pairing runs over DISTINCT hash classes (smallest
+   *  member id as representative) through the Manku block-subset
+   *  blocking — complete for hamming <= 3, so found ⟺ 1 <= hamming <= 3
+   *  between class representatives and the oracle enumerates all class
+   *  pairs from function-derived hashes. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.flatMap(d => Seq(d, -d - 1))
+      .map(id => (id, audioBlobFor(id))).toDF("id", "wav")
+    val hashed = blobs.select(col("id"),
+      graft.plans.AudioExprs.audioMeta(col("wav")).getField("ehash").as("bh"))
+    val reps = hashed.groupBy(col("bh")).agg(min(col("id")).as("id"))
+    graft.sim.SimHash.nearDupPairsOnHash(reps, "id", "bh", maxHamming = 3)
+  }
+
+  val AudioNearDupSql: String =
+    s"""WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+      |ids AS (
+      |  SELECT doc_id AS id, doc_id AS base, 0 AS pert FROM sub
+      |  UNION ALL SELECT -doc_id - 1, doc_id, 1 FROM sub
+      |), idx AS (SELECT unnest(range(0, $AudioN)) AS t),
+      |smp AS (
+      |  SELECT id, t,
+      |    CASE WHEN pert = 1 AND t = 0
+      |         THEN ((base * 37) % 2001 + 500) % 2001 - 1000
+      |         ELSE (base * 37 + t * t * 11 + t * 29) % 2001 - 1000 END AS v
+      |  FROM ids, idx
+      |), tot AS (SELECT id, sum(v * v) AS total FROM smp GROUP BY id),
+      |frame AS (
+      |  SELECT id, t // 10 AS f, sum(v * v) AS s FROM smp GROUP BY id, t // 10
+      |), hashed AS (
+      |  SELECT frame.id,
+      |    CAST(sum(CASE WHEN s * 64 > total THEN
+      |      (CASE WHEN f = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(f AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS ehash
+      |  FROM frame JOIN tot ON frame.id = tot.id GROUP BY frame.id
+      |), reps AS (
+      |  SELECT min(id) AS id, ehash FROM hashed GROUP BY ehash
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(bit_count(xor(a.ehash, b.ehash)) AS INT) AS hamming
+      |FROM reps a JOIN reps b ON a.id < b.id
+      |WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""".stripMargin
+
   /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of
    *  every 25th doc plus a front-padded copy (shifted grams — high but
    *  not full Jaccard), all pairs at J >= 3/4 via prefix filtering.

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The REAL-decode contract for audio: bytes written by the canonical
+ *  WAV encoder must come back sample-exact through the chunk-walking
+ *  RIFF/PCM parser — including files with extra chunks between `fmt `
+ *  and `data` — and the energy fingerprint must be replayable from the
+ *  sample function alone. */
+class AudioCodecSpec extends SparkSpecBase {
+
+  private def smp(seed: Long)(t: Int): Short =
+    (((seed * 37 + t.toLong * t * 11 + t * 29) % 2001).toInt - 1000).toShort
+
+  private def clip(seed: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(smp(seed))
+
+  test("WAV encode -> chunk-walking decode round-trips samples exactly") {
+    for (n <- Seq(640, 1, 63, 100001)) {
+      val samples = clip(42L, n)
+      val d = AudioCodec.decodePcm16(AudioCodec.encodeWavPcm16(8000, samples))
+      assert(d != null, s"n=$n must decode")
+      assert(d.sampleRate === 8000)
+      assert(d.samples.toSeq === samples.toSeq, s"n=$n samples")
+    }
+  }
+
+  test("parser walks unknown chunks (LIST before data, odd-size + pad byte)") {
+    val samples = clip(7L, 640)
+    val canonical = AudioCodec.encodeWavPcm16(8000, samples)
+    // splice a 5-byte LIST chunk (odd size -> 1 pad byte) between
+    // "fmt " (ends at offset 36) and "data"
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = new Array[Byte](canonical.length + extra.length)
+    System.arraycopy(canonical, 0, spliced, 0, 36)
+    System.arraycopy(extra, 0, spliced, 36, extra.length)
+    System.arraycopy(canonical, 36, spliced, 36 + extra.length, canonical.length - 36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val d = AudioCodec.decodePcm16(spliced)
+    assert(d != null, "spliced LIST chunk must still decode")
+    assert(d.samples.toSeq === samples.toSeq)
+    assert(AudioCodec.energyHash64(spliced) ===
+      AudioCodec.energyHash64(canonical))
+  }
+
+  test("energyHash64 replays from the sample function (floor frames, cross-multiplied)") {
+    val n = 640
+    val samples = clip(5L, n)
+    val got = AudioCodec.energyHash64(AudioCodec.DecodedAudio(8000, samples))
+    val e = samples.map(s => s.toLong * s)
+    val total = e.sum
+    var want = 0L
+    for (f <- 0 until 64) {
+      val (t0, t1) = (f * n / 64, (f + 1) * n / 64)
+      val s = (t0 until t1).map(e).sum
+      if (BigInt(s) * n > BigInt(total) * (t1 - t0)) want |= 1L << f
+    }
+    assert(got === want)
+    // non-divisible length exercises the floor boundaries
+    val odd = clip(5L, 1003)
+    val gotOdd = AudioCodec.energyHash64(AudioCodec.DecodedAudio(8000, odd))
+    val eo = odd.map(s => s.toLong * s)
+    val to = eo.sum
+    var wantOdd = 0L
+    for (f <- 0 until 64) {
+      val (t0, t1) = (f * 1003 / 64, (f + 1) * 1003 / 64)
+      val s = (t0 until t1).map(eo).sum
+      if (t1 > t0 && BigInt(s) * 1003 > BigInt(to) * (t1 - t0)) wantOdd |= 1L << f
+    }
+    assert(gotOdd === wantOdd)
+  }
+
+  test("one-sample perturbation lands at small hamming; different clip is far") {
+    def hash(seed: Long, perturb: Boolean): Long = {
+      val s = clip(seed, 640)
+      if (perturb) s(0) = ((s(0) + 1000 + 500) % 2001 - 1000).toShort
+      AudioCodec.energyHash64(AudioCodec.DecodedAudio(8000, s))
+    }
+    val base = hash(99L, perturb = false)
+    val pert = hash(99L, perturb = true)
+    assert(java.lang.Long.bitCount(base ^ pert) <= 3,
+      "one-sample edit must move few fingerprint bits")
+    val other = hash(123456L, perturb = false)
+    assert(java.lang.Long.bitCount(base ^ other) > 3)
+  }
+
+  test("malformed layouts -> null (truncated, stereo, 8-bit, float, bad magic)") {
+    val good = AudioCodec.encodeWavPcm16(8000, clip(1L, 64))
+    assert(AudioCodec.decodePcm16(null) == null)
+    assert(AudioCodec.decodePcm16(Array.emptyByteArray) == null)
+    assert(AudioCodec.decodePcm16("not audio at all".getBytes) == null)
+    assert(AudioCodec.decodePcm16(good.take(50)) == null, "truncated data chunk")
+    def mangled(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    assert(AudioCodec.decodePcm16(mangled(0, 'X')) == null, "bad RIFF magic")
+    assert(AudioCodec.decodePcm16(mangled(20, 3)) == null, "IEEE float format")
+    assert(AudioCodec.decodePcm16(mangled(22, 2)) == null, "stereo")
+    assert(AudioCodec.decodePcm16(mangled(34, 8)) == null, "8-bit")
+    assert(AudioCodec.energyHash64("junk".getBytes) == null)
+  }
+
+  test("AudioMetaExpr: struct fields over a real decode; corrupt blob row -> null") {
+    import spark.implicits._
+    val samples = clip(5L, 640)
+    val good = AudioCodec.encodeWavPcm16(8000, samples)
+    val df = Seq((1L, good), (2L, "corrupt".getBytes)).toDF("id", "wav")
+      .select(col("id"), graft.plans.AudioExprs.audioMeta(col("wav")).as("m"))
+    val rows = df.select(col("id"), col("m.sample_rate"), col("m.n_samples"),
+        col("m.energy_sum"), col("m.ehash"), col("m").isNull.as("mnull"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d = AudioCodec.DecodedAudio(8000, samples)
+    assert(rows(1L).getInt(1) === 8000 && rows(1L).getInt(2) === 640)
+    assert(rows(1L).getLong(3) === d.energySum)
+    assert(rows(1L).getLong(4) === AudioCodec.energyHash64(d))
+    assert(rows(2L).getBoolean(5), "corrupt blob must yield null struct")
+  }
+}
