@@ -1,0 +1,188 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * REAL video container codec for the multimodal path — AVI is RIFF with
+ * NESTED list structure (`LIST hdrl` holding `avih` + `LIST strl`
+ * (`strh`/`strf`), then `LIST movi` holding one `00db` chunk per
+ * uncompressed DIB frame), so the parser exercises genuine container
+ * traversal: it walks the chunk tree, reads the frame geometry from the
+ * stream-format BITMAPINFOHEADER, and decodes each frame's bottom-up
+ * BGR rows (stride padded to 4) — the same pixel layout
+ * `ImageCodec.decodeGray` handles via ImageIO, here parsed directly
+ * because no JDK reader speaks AVI.
+ *
+ * The companion `encodeAviDib24` writes the canonical container, so its
+ * bytes are a deterministic pure function of the pixel function — tests
+ * and SQL oracles derive every pixel positionally while the DECODE side
+ * still exercises the nested-chunk parser, mirroring the
+ * `ImageCodec`/`AudioCodec` pairing. Frames reuse
+ * `ImageCodec.DecodedImage` and its integer-exact `aHash64`, so one
+ * perceptual-hash definition serves stills and frames alike.
+ */
+object VideoCodec {
+
+  /** Canonical uncompressed-DIB AVI: RIFF('AVI ') → LIST hdrl (avih +
+   *  LIST strl (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) → LIST
+   *  movi ('00db' per frame, bottom-up BGR rows, stride padded to 4).
+   *  `gray(f, x, y)` in 0..255 becomes frame f's (r=g=b) pixel. */
+  def encodeAviDib24(
+      width: Int, height: Int, fps: Int, frames: Int,
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames > 0, "bad geometry")
+    val stride = (width * 3 + 3) & ~3
+    val frameSize = stride * height
+    val buf = ArrayBuffer.empty[Byte]
+    def i32(v: Int): Unit = {
+      buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte
+      buf += ((v >> 16) & 0xff).toByte; buf += ((v >> 24) & 0xff).toByte
+    }
+    def i16(v: Int): Unit = {
+      buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte
+    }
+    def tag(s: String): Unit = s.foreach(c => buf += c.toByte)
+
+    tag("RIFF"); i32(0); tag("AVI ") // size patched at the end
+    // --- LIST hdrl ---
+    val hdrlSizeAt = buf.length + 4
+    tag("LIST"); i32(0); tag("hdrl")
+    tag("avih"); i32(56)
+    i32(1000000 / fps); i32(frameSize * fps); i32(0); i32(0)
+    i32(frames); i32(0); i32(1); i32(frameSize)
+    i32(width); i32(height); i32(0); i32(0); i32(0); i32(0)
+    tag("LIST"); i32(4 + 8 + 56 + 8 + 40); tag("strl")
+    tag("strh"); i32(56)
+    tag("vids"); tag("DIB "); i32(0); i16(0); i16(0); i32(0)
+    i32(1); i32(fps); i32(0); i32(frames)
+    i32(frameSize); i32(-1); i32(0)
+    i16(0); i16(0); i16(width); i16(height)
+    tag("strf"); i32(40)
+    i32(40); i32(width); i32(height); i16(1); i16(24)
+    i32(0); i32(frameSize); i32(2835); i32(2835); i32(0); i32(0)
+    val hdrlEnd = buf.length
+    patch32(buf, hdrlSizeAt, hdrlEnd - hdrlSizeAt - 4)
+    // --- LIST movi ---
+    val moviSizeAt = buf.length + 4
+    tag("LIST"); i32(0); tag("movi")
+    var f = 0
+    while (f < frames) {
+      tag("00db"); i32(frameSize)
+      var y = height - 1 // bottom-up rows
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = (gray(f, x, y) & 0xff).toByte
+          buf += v; buf += v; buf += v
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf += 0; pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    patch32(buf, moviSizeAt, buf.length - moviSizeAt - 4)
+    patch32(buf, 4, buf.length - 8)
+    buf.toArray
+  }
+
+  private def patch32(buf: ArrayBuffer[Byte], off: Int, v: Int): Unit = {
+    buf(off) = (v & 0xff).toByte
+    buf(off + 1) = ((v >> 8) & 0xff).toByte
+    buf(off + 2) = ((v >> 16) & 0xff).toByte
+    buf(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tagAt(b: Array[Byte], off: Int, s: String): Boolean =
+    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
+      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+
+  /**
+   * REAL nested-chunk decode: walks RIFF('AVI '), descends `LIST hdrl` →
+   * `LIST strl` to read the stream-format BITMAPINFOHEADER (must be
+   * 24-bit uncompressed BI_RGB), then `LIST movi` collecting `00db`/
+   * `00dc` frame chunks in order, each parsed bottom-up/BGR/padded
+   * exactly like a BMP payload. Unknown chunks anywhere (JUNK, idx1,
+   * vedt …) are skipped with the spec's word alignment. null for
+   * anything malformed, truncated, or in an unsupported layout.
+   */
+  def decodeFrames(blob: Array[Byte]): Array[ImageCodec.DecodedImage] = {
+    if (blob == null || blob.length < 12) return null
+    if (!tagAt(blob, 0, "RIFF") || !tagAt(blob, 8, "AVI ")) return null
+    var width = -1
+    var height = -1
+    val frames = ArrayBuffer.empty[ImageCodec.DecodedImage]
+    var bad = false
+
+    def decodeFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
+      val stride = (width * 3 + 3) & ~3
+      if (size != stride * height) return null
+      val gray = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val rowOff = off + (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val p = rowOff + x * 3
+          gray(y * width + x) =
+            (blob(p) & 0xff) + (blob(p + 1) & 0xff) + (blob(p + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      ImageCodec.DecodedImage(width, height, gray)
+    }
+
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (!bad && pos + 8 <= end) {
+        val size = le32(blob, pos + 4)
+        if (size < 0 || pos + 8 + size > end) { bad = true; return }
+        if (tagAt(blob, pos, "LIST") && size >= 4) {
+          // descend into hdrl/strl/movi; skip other list types
+          if (tagAt(blob, pos + 8, "hdrl") || tagAt(blob, pos + 8, "strl") ||
+            tagAt(blob, pos + 8, "movi"))
+            walk(pos + 12, pos + 8 + size)
+        } else if (tagAt(blob, pos, "strf")) {
+          if (size < 40) { bad = true; return }
+          val hdrSize = le32(blob, pos + 8)
+          val bits = le16(blob, pos + 8 + 14)
+          val compression = le32(blob, pos + 8 + 16)
+          if (hdrSize < 40 || bits != 24 || compression != 0) { bad = true; return }
+          width = le32(blob, pos + 8 + 4)
+          height = le32(blob, pos + 8 + 8)
+          if (width <= 0 || height <= 0) { bad = true; return }
+        } else if (tagAt(blob, pos, "00db") || tagAt(blob, pos, "00dc")) {
+          if (width < 0) { bad = true; return } // frame before format
+          val f = decodeFrame(pos + 8, size)
+          if (f == null) { bad = true; return }
+          frames += f
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+
+    walk(12, blob.length)
+    if (bad || width < 0 || frames.isEmpty) null else frames.toArray
+  }
+
+  /** Every `stride`-th frame's (index, gray_sum, aHash64) — the frame-
+   *  sampling primitive of a video curation pipeline; null for
+   *  undecodable bytes. */
+  def sampleFrameHashes(blob: Array[Byte], stride: Int): Array[(Int, Long, Long)] = {
+    require(stride > 0, "need a positive sampling stride")
+    val fs = decodeFrames(blob)
+    if (fs == null) return null
+    (0 until fs.length by stride).map { i =>
+      (i, fs(i).graySum, ImageCodec.aHash64(fs(i)))
+    }.toArray
+  }
+}

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * REAL video decode (`graft.multimodal.VideoCodec`, a nested-chunk
+ * RIFF/AVI parser over uncompressed DIB frames) as a native codegen'd
+ * expression: blob → array(struct(frame_idx, gray_sum, ahash)) for
+ * every `stride`-th frame. `gray_sum` + the per-frame 8×8 average-hash
+ * pin the decode byte-for-byte (any row-order, stride-padding, or
+ * chunk-offset error moves them). Undecodable bytes → null.
+ *
+ * Scale shape: the heavy bytes stay map-side — callers explode the
+ * RESULT array, so only slim (id, frame_idx, ahash) rows ever reach an
+ * exchange, never the video blob.
+ */
+case class VideoFrameHashesExpr(child: Expression, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("gray_sum", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  /** Decode + sample + hash; null for undecodable bytes. */
+  def frameHashes(blob: Array[Byte]): GenericArrayData = {
+    val fs = graft.multimodal.VideoCodec.sampleFrameHashes(blob, stride)
+    if (fs == null) null
+    else new GenericArrayData(fs.map { case (i, gs, h) =>
+      new GenericInternalRow(Array[Any](i, gs, h))
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any = frameHashes(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("videoFrames", this, classOf[VideoFrameHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.frameHashes($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_video_frame_hashes"
+}
+
+object VideoExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** array(struct(frame_idx, gray_sum, ahash)) over every `stride`-th
+   *  frame of a REAL-decoded AVI blob; null when the bytes are not an
+   *  uncompressed 24-bit DIB AVI. */
+  def videoFrameHashes(blob: Column, stride: Int = 1): Column =
+    toColumn(VideoFrameHashesExpr(exprOf(blob), stride))
+}

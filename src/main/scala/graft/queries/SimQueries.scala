@@ -762,6 +762,106 @@ object SimQueries {
       |FROM reps a JOIN reps b ON a.id < b.id
       |WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""".stripMargin
 
+  /** Synthetic video shape: 8 frames of 32×16 at 10 fps — two scenes
+   *  (frames 0-3 and 4-7) whose pixel structure swaps the x/y
+   *  coefficients at the cut, so consecutive within-scene hashes sit at
+   *  small hamming and the cut at large. */
+  val VidFrames = 8
+
+  /** Deterministic test video for an id: frame f's pixel (x, y) has gray
+   *  (id·31 + y·17 + x·7 + f·(x mod 5)·3) mod 251 for the first scene
+   *  and the x/y-swapped structure from frame 4 on. Encoded as an
+   *  uncompressed-DIB AVI so the oracle derives every pixel positionally
+   *  while the engine decodes through the real nested-chunk RIFF
+   *  parser. */
+  private def videoBlobFor(id: Long): Array[Byte] =
+    graft.multimodal.VideoCodec.encodeAviDib24(ImgW, ImgH, 10, VidFrames,
+      (f, x, y) => {
+        val structural = if (f < 4) y * 17 + x * 7 else x * 17 + y * 7
+        ((id * 31 + structural + f * (x % 5) * 3) % 251).toInt
+      })
+
+  /** REAL video decode + frame sampling evidence: every 17th document
+   *  gets a deterministic 8-frame AVI; the engine runs blob →
+   *  nested-chunk RIFF parse → every-2nd-frame (gray_sum, average-hash)
+   *  via the native `plans.VideoFrameHashesExpr` (the blob never leaves
+   *  the map side — only slim hash rows explode), and the oracle
+   *  computes the SAME values directly from the pixel FUNCTION. */
+  def videoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 17 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.map(id => (id, videoBlobFor(id))).toDF("doc_id", "vid")
+    blobs.select(col("doc_id"),
+        explode(graft.plans.VideoExprs.videoFrameHashes(col("vid"), 2)).as("fr"))
+      .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.gray_sum").as("gray_sum"), col("fr.ahash").as("ahash"))
+  }
+
+  /** Shared oracle prefix: per-(id, frame) totals and average-hashes
+   *  replayed from the pixel function. */
+  private val VideoHashSqlPrefix: String =
+    s"""WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+      |idx AS (SELECT unnest(range(0, ${ImgW * ImgH})) AS i),
+      |frm AS (SELECT unnest(range(0, $VidFrames)) AS f),
+      |px AS (
+      |  SELECT doc_id, f, i % $ImgW AS x, i // $ImgW AS y,
+      |    (doc_id * 31 +
+      |     CASE WHEN f < 4 THEN (i // $ImgW) * 17 + (i % $ImgW) * 7
+      |          ELSE (i % $ImgW) * 17 + (i // $ImgW) * 7 END +
+      |     f * ((i % $ImgW) % 5) * 3) % 251 AS v
+      |  FROM sub, idx, frm
+      |), tot AS (SELECT doc_id, f, sum(v) AS total FROM px GROUP BY doc_id, f),
+      |cell AS (
+      |  SELECT doc_id, f, (y // 2) * 8 + (x // 4) AS b, sum(v) AS s, count(*) AS cnt
+      |  FROM px GROUP BY doc_id, f, (y // 2) * 8 + (x // 4)
+      |), hashed AS (
+      |  SELECT cell.doc_id, cell.f,
+      |    CAST(sum(CASE WHEN s * ${ImgW * ImgH} > total * cnt THEN
+      |      (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END)
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cell JOIN tot ON cell.doc_id = tot.doc_id AND cell.f = tot.f
+      |  GROUP BY cell.doc_id, cell.f
+      |)""".stripMargin
+
+  val VideoFrameSampleSql: String =
+    s"""$VideoHashSqlPrefix
+      |SELECT t.doc_id, CAST(t.f AS INT) AS frame_idx,
+      |       CAST(3 * t.total AS BIGINT) AS gray_sum, h.ahash
+      |FROM tot t JOIN hashed h ON t.doc_id = h.doc_id AND t.f = h.f
+      |WHERE t.f % 2 = 0""".stripMargin
+
+  /** Scene-cut detection over REAL decoded frames — the segmentation
+   *  primitive a frame-sampling pipeline keys on: consecutive frame
+   *  hashes at hamming > 8 mark a cut (the synthetic videos swap pixel
+   *  structure at frame 4). The window is partitioned per video, so no
+   *  global funnel; only slim (id, frame, hash) rows shuffle. */
+  def videoSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 17 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.map(id => (id, videoBlobFor(id))).toDF("doc_id", "vid")
+    val frames = blobs.select(col("doc_id"),
+        explode(graft.plans.VideoExprs.videoFrameHashes(col("vid"), 1)).as("fr"))
+      .select(col("doc_id"), col("fr.frame_idx").as("f"), col("fr.ahash").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    frames.withColumn("prev", lag(col("h"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming", bit_count(col("h").bitwiseXOR(col("prev"))))
+      .where(col("hamming") > 8)
+      .select(col("doc_id"), col("f").as("cut_frame"), col("hamming"))
+  }
+
+  val VideoSceneCutsSql: String =
+    s"""$VideoHashSqlPrefix
+      |SELECT a.doc_id, CAST(a.f AS INT) AS cut_frame,
+      |       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      |FROM hashed a JOIN hashed b
+      |  ON a.doc_id = b.doc_id AND a.f = b.f + 1
+      |WHERE bit_count(xor(a.ahash, b.ahash)) > 8""".stripMargin
+
   /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of
    *  every 25th doc plus a front-padded copy (shifted grams — high but
    *  not full Jaccard), all pairs at J >= 3/4 via prefix filtering.

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The REAL-decode contract for video: bytes written by the canonical
+ *  AVI encoder must come back pixel-exact per frame through the
+ *  nested-chunk RIFF parser — including bottom-up rows, stride padding,
+ *  and unknown chunks spliced between lists — and the per-frame hash
+ *  must agree with `ImageCodec.aHash64` on the same pixels. */
+class VideoCodecSpec extends SparkSpecBase {
+
+  private def pix(seed: Long)(f: Int, x: Int, y: Int): Int =
+    ((seed * 31 + (if (f < 4) y * 17 + x * 7 else x * 17 + y * 7) +
+      f * (x % 5) * 3) % 251).toInt
+
+  test("AVI encode -> nested-chunk decode round-trips every frame's pixels") {
+    for ((w, h, n) <- Seq((32, 16, 8), (13, 7, 3), (1, 1, 1))) {
+      val blob = VideoCodec.encodeAviDib24(w, h, 10, n, pix(42L))
+      val frames = VideoCodec.decodeFrames(blob)
+      assert(frames != null, s"${w}x$h x$n must decode")
+      assert(frames.length === n)
+      for (f <- 0 until n) {
+        assert(frames(f).width === w && frames(f).height === h)
+        for (y <- 0 until h; x <- 0 until w)
+          assert(frames(f).gray(y * w + x) === 3 * pix(42L)(f, x, y),
+            s"frame $f pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  test("parser skips unknown chunks (JUNK spliced before movi)") {
+    val canonical = VideoCodec.encodeAviDib24(32, 16, 10, 4, pix(7L))
+    // find the movi LIST and splice a JUNK chunk before it
+    def findMovi(b: Array[Byte]): Int = {
+      var p = 12
+      while (p + 12 <= b.length) {
+        if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 8) == 'm' &&
+          b(p + 9) == 'o' && b(p + 10) == 'v' && b(p + 11) == 'i') return p
+        p += 1
+      }
+      -1
+    }
+    val at = findMovi(canonical)
+    assert(at > 0)
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 6, 0, 0, 0, 9, 9, 9, 9, 9, 9)
+    val spliced = new Array[Byte](canonical.length + junk.length)
+    System.arraycopy(canonical, 0, spliced, 0, at)
+    System.arraycopy(junk, 0, spliced, at, junk.length)
+    System.arraycopy(canonical, at, spliced, at + junk.length, canonical.length - at)
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val frames = VideoCodec.decodeFrames(spliced)
+    assert(frames != null && frames.length === 4)
+    assert(frames(2).graySum === VideoCodec.decodeFrames(canonical)(2).graySum)
+  }
+
+  test("frame hashes agree with ImageCodec on identical pixels; sampling strides") {
+    val blob = VideoCodec.encodeAviDib24(32, 16, 10, 8, pix(5L))
+    val all = VideoCodec.sampleFrameHashes(blob, 1)
+    assert(all.map(_._1).toSeq === (0 until 8))
+    for (f <- 0 until 8) {
+      val still = ImageCodec.decodeGray(
+        ImageCodec.encodeBmp24(32, 16, (x, y) => pix(5L)(f, x, y)))
+      assert(all(f)._2 === still.graySum, s"frame $f gray_sum")
+      assert(all(f)._3 === ImageCodec.aHash64(still), s"frame $f ahash")
+    }
+    val every2 = VideoCodec.sampleFrameHashes(blob, 2)
+    assert(every2.map(_._1).toSeq === Seq(0, 2, 4, 6))
+    assert(every2.map(_._3).toSeq === Seq(0, 2, 4, 6).map(all(_)._3))
+  }
+
+  test("the planted scene cut separates consecutive-frame hammings") {
+    val hashes = VideoCodec.sampleFrameHashes(
+      VideoCodec.encodeAviDib24(32, 16, 10, 8, pix(99L)), 1).map(_._3)
+    val hammings = (1 until 8).map(f =>
+      f -> java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1)))
+    val (cut, within) = hammings.partition(_._1 == 4)
+    assert(cut.head._2 > 8, s"structure swap at frame 4 moved only ${cut.head._2} bits")
+    assert(within.forall(_._2 <= 8),
+      s"within-scene frames drifted past the cut threshold: $within")
+  }
+
+  test("malformed layouts -> null (truncated, non-AVI, frame before format)") {
+    val good = VideoCodec.encodeAviDib24(32, 16, 10, 2, pix(1L))
+    assert(VideoCodec.decodeFrames(null) == null)
+    assert(VideoCodec.decodeFrames("not a video".getBytes) == null)
+    assert(VideoCodec.decodeFrames(good.take(100)) == null, "truncated movi")
+    val wav = AudioCodec.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    assert(VideoCodec.decodeFrames(wav) == null, "RIFF but WAVE, not AVI")
+    assert(VideoCodec.sampleFrameHashes("junk".getBytes, 2) == null)
+  }
+
+  test("VideoFrameHashesExpr: exploded rows over a real decode; corrupt -> null") {
+    import spark.implicits._
+    val good = VideoCodec.encodeAviDib24(32, 16, 10, 4, pix(5L))
+    val df = Seq((1L, good), (2L, "corrupt".getBytes)).toDF("id", "vid")
+      .select(col("id"),
+        graft.plans.VideoExprs.videoFrameHashes(col("vid"), 2).as("fs"))
+    assert(df.where(col("id") === 2L && col("fs").isNull).count() === 1L)
+    val rows = df.where(col("id") === 1L)
+      .select(explode(col("fs")).as("fr"))
+      .select(col("fr.frame_idx"), col("fr.ahash")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = VideoCodec.sampleFrameHashes(good, 2).map(t => t._1 -> t._3).toMap
+    assert(rows === want)
+  }
+}
