@@ -65,30 +65,31 @@ object Bench {
     // table — min of `reps` runs (this box shows run-to-run I/O noise; the
     // least-interfered run is the engine's rate)
     val reps = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", "2").toInt
-    val repos = graft.io.RepoTableGen.repositories(
-      spark, dedupRows, dupFraction = 0.3, nullFraction = 0.01,
-      numPartitions = Some(cpus.toInt * 2))
-    repos.write.mode("overwrite").parquet("/tmp/graft_bench_repos.parquet")
-    val table = spark.read.parquet("/tmp/graft_bench_repos.parquet")
-    val contentBytes = table.agg(
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.octet_length(
-          org.apache.spark.sql.functions.col("content")))).head().getLong(0)
-    val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows,
-      broadcastKeeperMaxRows = 20000000L)
     var markedCount = 0L
-    val dedupSec = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val res = graft.dedup.MarkDuplicates.run(table, cfg)
-      res.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked.parquet")
-      val sec = (System.nanoTime() - t0) / 1e9
-      markedCount = res.metrics.rowsMarkedDuplicate
-      res.unpersistAll()
-      reclaim()
-      sec
-    }.min
-    val rps = dedupRows / dedupSec
-    val mbps = contentBytes / 1e6 / dedupSec
+    val (dedupSec, rps, mbps) = if (dedupRows > 0) {
+      val repos = graft.io.RepoTableGen.repositories(
+        spark, dedupRows, dupFraction = 0.3, nullFraction = 0.01,
+        numPartitions = Some(cpus.toInt * 2))
+      repos.write.mode("overwrite").parquet("/tmp/graft_bench_repos.parquet")
+      val table = spark.read.parquet("/tmp/graft_bench_repos.parquet")
+      val contentBytes = table.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.octet_length(
+            org.apache.spark.sql.functions.col("content")))).head().getLong(0)
+      val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows,
+        broadcastKeeperMaxRows = 20000000L)
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val res = graft.dedup.MarkDuplicates.run(table, cfg)
+        res.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked.parquet")
+        val s = (System.nanoTime() - t0) / 1e9
+        markedCount = res.metrics.rowsMarkedDuplicate
+        res.unpersistAll()
+        reclaim()
+        s
+      }.min
+      (sec, dedupRows / sec, contentBytes / 1e6 / sec)
+    } else (0.0, 0.0, 0.0)
 
     // second-scale flagship (default 8M rows): keeps the headline number
     // honest where fixed costs dominate the small run — rows scale 4x, so
