@@ -16,7 +16,8 @@ import graft.ann.Knn
 object SimQueries {
 
   /** Duplicated corpus (same construction as DedupQueries): every
-   *  doc_id % 3 == 0 text appears again under id+100000. */
+   *  doc_id % 3 == 0 text appears again under id + DupOffset (10^12 —
+   *  collision-free against dense driver ids at any scale factor). */
   private[queries] def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
     d.select(col("doc_id").as("id"), col("text"))
@@ -484,8 +485,11 @@ object SimQueries {
   def binaryNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sub = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+    // perturbed copies live in the NEGATIVE id space (-id-1), disjoint
+    // from dense driver ids at ANY scale factor (an additive offset
+    // collides once the table passes it)
     val paired = sub.select(col("doc_id").as("id"), col("text"))
-      .unionAll(sub.select((col("doc_id") + 1000000L).as("id"),
+      .unionAll(sub.select((-col("doc_id") - 1).as("id"),
         concat(upper(substring(col("text"), 1, 1)),
           substring(col("text"), 2, Integer.MAX_VALUE)).as("text")))
     val hashed = paired.select(col("id"),
@@ -499,7 +503,7 @@ object SimQueries {
       |), pairedup AS (
       |  SELECT doc_id AS id, text FROM sub
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS id,
+      |  SELECT -doc_id - 1 AS id,
       |         upper(substr(text,1,1)) || substr(text,2) AS text FROM sub
       |), bytes AS (
       |  SELECT id,
