@@ -164,4 +164,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(ghExchanges === 1,
       s"gram rows must shuffle exactly once (window rk>1, no first-occ join):\n$p")
   }
+
+  test("multimodal decode queries: zero ScalaUDF; blobs never reach an Exchange") {
+    // image/audio/video blobs are KB-to-MB per row — the decode+hash
+    // expressions must run where the blob lives (map side) and only the
+    // slim (id, hash) projection may shuffle
+    val sim = graft.queries.SimQueries
+    for ((name, df, blobCol) <- Seq(
+        ("image_near_dup", sim.imageNearDup(spark, sf), "img"),
+        ("audio_near_dup", sim.audioNearDup(spark, sf), "wav"),
+        ("video_scene_cuts", sim.videoSceneCuts(spark, sf), "vid"))) {
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), s"$name plans a ScalaUDF:\n$p")
+      p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+        assert(!l.contains(blobCol), s"$name shuffles the $blobCol blob:\n$l")
+      }
+    }
+  }
 }
