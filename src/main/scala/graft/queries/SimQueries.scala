@@ -51,6 +51,46 @@ object SimQueries {
 
   val MinhashExactPairsSql: String = ExactPairsSql
 
+  /** Incremental (batch-vs-store) near-dup: the reference corpus' MinHash
+   *  signatures are computed ONCE (`MinHashLsh.signatureStore`), written
+   *  to parquet and READ BACK — proving the persisted-store schema — then
+   *  a new batch (the odd doc_ids plus planted exact copies of every
+   *  doc_id % 4 == 0 reference doc) probes the store via
+   *  `candidatePairsAgainstSigs`: the reference text is never re-read and
+   *  never re-hashed. Candidates confirmed by exact content equality ==
+   *  the cross-side sha256-equal pair set (recall 1 on exact duplicates,
+   *  the same oracle-exact contract as `minhash_exact_pairs`). */
+  def incrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val ref = d.where(col("doc_id") % 2 === 0).select(col("doc_id").as("id"), col("text"))
+    val newBatch = d.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + DedupQueries.DupOffset).as("id"), col("text")))
+    val storePath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_incr_sig_store.parquet").getPath
+    MinHashLsh.signatureStore(ref, "id", "text")
+      .write.mode("overwrite").parquet(storePath)
+    val store = spark.read.parquet(storePath)
+    val cands = MinHashLsh.candidatePairsAgainstSigs(newBatch, store, "id", "text")
+    cands
+      .join(newBatch.select(col("id").as("id_new"), sha2(col("text"), 256).as("sha_n")), Seq("id_new"))
+      .join(ref.select(col("id").as("id_ref"), sha2(col("text"), 256).as("sha_r")), Seq("id_ref"))
+      .where(col("sha_n") === col("sha_r"))
+      .select(col("id_new"), col("id_ref"))
+  }
+
+  val IncrementalNeardupSql: String =
+    s"""WITH ref AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0
+       |), newbatch AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupQueries.DupOffset}, text FROM documents WHERE doc_id % 4 = 0
+       |)
+       |SELECT n.id AS id_new, r.id AS id_ref
+       |FROM newbatch n JOIN ref r ON sha256(n.text) = sha256(r.text)""".stripMargin
+
   /** SimHash candidates (hamming <= 3) confirmed by exact equality. */
   def simhashExactPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)

@@ -292,19 +292,58 @@ object MinHashLsh {
       numHashes: Int = DefaultNumHashes,
       bands: Int = DefaultBands,
       shingleSize: Int = 3,
+      maxBucketPairs: Long = 10000L): DataFrame =
+    candidatePairsAgainstSigs(
+      // pin the ref signatures: the probe reads them three times (band
+      // counts, pruned join, sig re-attach) and without a store backing
+      // them each read would re-hash the reference text
+      newDf, signatureStore(refDf, idCol, textCol, numHashes, shingleSize)
+        .localCheckpoint(false),
+      idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
+
+  /**
+   * The persistable MinHash signature store of a corpus: `(idCol, sig:
+   * array<long>)`, one row per doc with non-empty shingles. Write this
+   * to the lake once per snapshot (append per ingested batch) and feed
+   * it to [[candidatePairsAgainstSigs]] — the shingle + numHashes-hash
+   * pass over full document text (the expensive step: O(bytes) per doc)
+   * then runs ONCE per document EVER, not once per incoming batch. Band
+   * expansion stays at probe time (a cheap array slice of the stored
+   * signature), so one store serves any `bands` choice.
+   */
+  def signatureStore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      shingleSize: Int = 3): DataFrame = df
+    .select(col(idCol).as("id"),
+      graft.plans.TextSketchExprs.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+    .where(col("sig").isNotNull)
+
+  /**
+   * [[candidatePairsAgainst]] with the reference side consumed as a
+   * PRECOMPUTED signature store (`(id, sig)`, from [[signatureStore]] —
+   * typically read back from the lake): the incremental shape where the
+   * prior corpus' text is never re-read and never re-hashed per batch.
+   */
+  def candidatePairsAgainstSigs(
+      newDf: DataFrame,
+      refSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = 3,
       maxBucketPairs: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    def sigsOf(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        graft.plans.TextSketchExprs.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
-      .where(col("sig").isNotNull)
-      .localCheckpoint(false)
     def bandedOf(sigs: DataFrame) = sigs
       .select(col("id"),
         posexplode(graft.plans.TextSketchExprs.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
-    val sigsNew = sigsOf(newDf)
-    val sigsRef = sigsOf(refDf)
+    val sigsNew = signatureStore(newDf, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(false)
+    val sigsRef = refSigs.select(col("id"), col("sig"))
     val bandedNew = bandedOf(sigsNew)
     val bandedRef = bandedOf(sigsRef)
     // a bucket is live iff BOTH sides land in it and the cross product is

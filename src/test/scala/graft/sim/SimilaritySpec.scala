@@ -90,6 +90,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(kept === Set(3L, 4L))
   }
 
+  test("signature store: parquet round-trip probes identically to text recompute") {
+    import spark.implicits._
+    val newSide = Seq(
+      (1L, baseText), (2L, perturb(baseText, 3, 7)),
+      (3L, (0 until 200).map(i => s"novel${i}q fresh$i").mkString(" "))
+    ).toDF("id", "text")
+    val refSide = Seq(
+      (11L, baseText),
+      (12L, (0 until 200).map(i => s"ref${i}y corpus$i").mkString(" ")),
+      (13L, null.asInstanceOf[String]) // no shingles -> not in the store
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    MinHashLsh.signatureStore(refSide, "id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    assert(store.count() === 2L, "null-text ref rows must not enter the store")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaStore = pairSet(
+      MinHashLsh.candidatePairsAgainstSigs(newSide, store, "id", "text"))
+    val viaText = pairSet(
+      MinHashLsh.candidatePairsAgainst(newSide, refSide, "id", "text"))
+    assert(viaStore === viaText, "persisted store must probe identically")
+    assert(viaStore.exists { case (n, r, e) => n == 1L && r == 11L && e == 1.0 })
+    assert(viaStore.exists { case (n, r, _) => n == 2L && r == 11L }, "near dup via store")
+  }
+
   test("cross-corpus plan: equi-join on (band, bucket), never a cross join") {
     import spark.implicits._
     val newSide = Seq((1L, baseText)).toDF("id", "text")
