@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+import graft.sim.MinHashLsh
+
+/**
+ * Streaming NEAR-duplicate detection: each micro-batch is probed against
+ * the lake-backed MinHash signature store ([[MinHashLsh.signatureStore]])
+ * and then appended to it — the streaming face of the same store the
+ * batch `incremental_neardup` path maintains, so one store serves batch
+ * backfills and the live stream interchangeably.
+ *
+ * Why the state lives in the LAKE and not in Spark's state store: LSH
+ * near-dup state is the banded corpus — every prior document × `bands`
+ * keys. A `flatMapGroupsWithState` keyed on (band, bucket) would pin the
+ * ENTIRE corpus's signatures in executor state stores forever (near-dup
+ * state cannot be watermark-expired: a year-old document still
+ * invalidates today's crawl), which at corpus scale is petabytes of
+ * HDFS-snapshotted state. A parquet store keeps per-batch cost at
+ * O(batch × colliding buckets) — the probe is the same slim
+ * (band, bucket) equi-join as the batch path, the prior corpus' text is
+ * never re-read and never re-hashed, and the store compacts/partitions
+ * like any other table (see `io.Compaction` for the small-file sweep).
+ *
+ * Batch-id-keyed appends make retries IDEMPOTENT: batch N's signatures
+ * land under `batch=N`, written with overwrite, so a replayed epoch
+ * (foreachBatch gives at-least-once) replaces its own partition instead
+ * of double-inserting. Duplicate store rows would not corrupt results —
+ * the pair path ends in a pair-key dropDuplicates — but idempotent
+ * writes keep the store size honest. Streaming batch ids count up from 0
+ * per checkpoint, so a BACKFILL seed (the batch `signatureStore` of the
+ * existing corpus) must live under a partition value no micro-batch will
+ * claim — use a non-numeric one, e.g. `batch=backfill` (readStore picks
+ * up every `batch=*` directory regardless of value type).
+ *
+ * Emitted per batch (to `sink`): `(id_new, id_ref, est_jaccard)` with
+ * `est_jaccard >= threshold` — `id_ref` the prior-seen document
+ * (store member, or the lower id within the same batch) and `id_new`
+ * the later arrival a first-seen-wins policy would mark. Within-batch
+ * pairs ARE detected (both sides of an intra-batch duplicate also enter
+ * the store; keeper choice stays downstream policy, exactly as in the
+ * batch `MarkDuplicates` contract).
+ */
+object StreamingNearDup {
+
+  /** Store schema as written by [[MinHashLsh.signatureStore]] plus the
+   *  idempotence partition column added by the writer. */
+  private val StoreSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", ArrayType(LongType))))
+
+  /** Read the signature store, tolerating a store that has no batches
+   *  yet (first epoch): an absent/empty directory reads as an empty
+   *  frame of the store schema rather than a schema-inference error. */
+  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    val p = new Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasBatches)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
+    else spark.read.schema(StoreSchema).parquet(storePath).select(col("id"), col("sig"))
+  }
+
+  /**
+   * Start the stream. `stream` must carry (`idCol`: long, `textCol`:
+   * string); `sink` receives the thresholded pair frame and the batch id
+   * once per micro-batch (write it, or join it back to the batch to mark
+   * rows — same freedom `foreachBatch` always gives).
+   */
+  def nearDupStreamAgainstStore(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      threshold: Double = 0.8,
+      numHashes: Int = MinHashLsh.DefaultNumHashes,
+      bands: Int = MinHashLsh.DefaultBands,
+      shingleSize: Int = 3,
+      maxBucketPairs: Long = 10000L)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // pin the batch: it feeds the cross probe, the within probe, and
+        // the store append — without this each consumer re-reads the
+        // micro-batch source
+        val pinned = batch.localCheckpoint(false)
+        val store = readStore(spark, storePath)
+        val cross = MinHashLsh.candidatePairsAgainstSigs(
+            pinned, store, idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
+          .select(col("id_new"), col("id_ref"), col("est_jaccard"))
+        // within-batch pairs: candidatePairs emits id_a < id_b; the lower
+        // id is the first-seen side under the deterministic id order, so
+        // it takes the ref role
+        val within = MinHashLsh.candidatePairs(
+            pinned, idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
+          .select(col("id_b").as("id_new"), col("id_a").as("id_ref"), col("est_jaccard"))
+        sink(cross.unionAll(within).where(col("est_jaccard") >= threshold), batchId)
+        MinHashLsh.signatureStore(pinned, idCol, textCol, numHashes, shingleSize)
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .start()
+  }
+}

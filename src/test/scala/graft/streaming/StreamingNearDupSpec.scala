@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpecBase
+
+class StreamingNearDupSpec extends SparkSpecBase {
+
+  private def longText(tag: String): String =
+    (0 until 200).map(i => s"$tag${i}w common$i").mkString(" ")
+
+  private def perturb(text: String): String = {
+    val toks = text.split(" ")
+    toks.updated(5, "CHANGED").mkString(" ") // 1 of 400 tokens
+  }
+
+  test("streaming near-dup: cross-batch + within-batch pairs, store grows per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storePath = java.nio.file.Files.createTempDirectory("snd_store").toString
+    val base = longText("alpha")
+    val other = longText("zeta")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "text")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamingNearDup.nearDupStreamAgainstStore(
+      stream, "id", "text", storePath, threshold = 0.8) { (pairs, _) =>
+      sunk.synchronized {
+        sunk ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      // epoch 1: store empty; the two docs are unrelated -> no pairs
+      input.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      assert(sunk.isEmpty, s"unrelated first batch must emit nothing, got $sunk")
+      assert(StreamingNearDup.readStore(spark, storePath).count() === 2L)
+
+      // epoch 2: 3 = near-dup of stored 1 (cross), 4 = exact copy of 3
+      // (within-batch), 5 = novel
+      input.addData((3L, perturb(base)), (4L, perturb(base)), (5L, longText("novel")))
+      q.processAllAvailable()
+      val pairs = sunk.synchronized(sunk.toSet)
+      assert(pairs.exists { case (n, r, e) => n == 3L && r == 1L && e >= 0.8 },
+        s"cross-batch near-dup 3~1 missing: $pairs")
+      assert(pairs.exists { case (n, r, e) => n == 4L && r == 1L && e >= 0.8 },
+        s"cross-batch near-dup 4~1 missing: $pairs")
+      assert(pairs.exists { case (n, r, e) => n == 4L && r == 3L && e == 1.0 },
+        s"within-batch exact pair 4~3 missing: $pairs")
+      assert(!pairs.exists { case (n, _, _) => n == 5L || n == 2L },
+        s"novel/unrelated docs must not pair: $pairs")
+      // both sides of the intra-batch dup entered the store
+      assert(StreamingNearDup.readStore(spark, storePath).count() === 5L)
+    } finally q.stop()
+  }
+
+  test("replayed epoch is idempotent: batch-keyed overwrite, store size unchanged") {
+    import spark.implicits._
+    val storePath = java.nio.file.Files.createTempDirectory("snd_replay").toString
+    val docs = Seq((10L, longText("rho")), (11L, longText("sigma"))).toDF("id", "text")
+    // simulate foreachBatch replay of the SAME batch id
+    graft.sim.MinHashLsh.signatureStore(docs, "id", "text")
+      .write.mode("overwrite").parquet(s"$storePath/batch=7")
+    graft.sim.MinHashLsh.signatureStore(docs, "id", "text")
+      .write.mode("overwrite").parquet(s"$storePath/batch=7")
+    assert(StreamingNearDup.readStore(spark, storePath).count() === 2L,
+      "replaying a batch id must replace, not append")
+    // a batch backfill seed lives under a NON-numeric partition value so
+    // no micro-batch id (they count up from 0) can ever overwrite it
+    graft.sim.MinHashLsh.signatureStore(
+        Seq((12L, longText("tau"))).toDF("id", "text"), "id", "text")
+      .write.mode("overwrite").parquet(s"$storePath/batch=backfill")
+    assert(StreamingNearDup.readStore(spark, storePath).count() === 3L,
+      "mixed numeric + backfill partitions must both be read")
+  }
+
+  test("readStore on an empty/absent store yields the empty typed frame") {
+    val storePath = java.nio.file.Files.createTempDirectory("snd_empty").toString
+    val df = StreamingNearDup.readStore(spark, storePath)
+    assert(df.count() === 0L)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "sig"))
+    val absent = StreamingNearDup.readStore(spark, storePath + "/nope")
+    assert(absent.count() === 0L)
+  }
+}
