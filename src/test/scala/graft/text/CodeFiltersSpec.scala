@@ -59,4 +59,29 @@ class CodeFiltersSpec extends SparkSpecBase {
     val c = "no secrets here: url https://example.com/path and AKIB1234"
     assert(one(c).select(redactSecrets(col("c"))).head().getString(0) === c)
   }
+
+  test("license detection: SPDX outranks phrases; family + permissive gate") {
+    def fam(c: String): (String, String, Boolean) = {
+      val r = one(c).select(
+        spdxId(col("c")), licenseFamily(col("c")), isPermissive(col("c"))).head()
+      (r.getString(0), r.getString(1), r.getBoolean(2))
+    }
+    assert(fam("// SPDX-License-Identifier: MIT\ncode") === (("mit", "permissive", true)))
+    assert(fam("# spdx-license-identifier:\tApache-2.0\n") === (("apache-2.0", "permissive", true)))
+    assert(fam("// SPDX-License-Identifier: GPL-3.0-only\n") === (("gpl-3.0-only", "copyleft", false)))
+    assert(fam("// SPDX-License-Identifier: WTFPL\n") === (("wtfpl", "other", false)))
+    // SPDX wins even when a conflicting phrase is also present
+    assert(fam("// SPDX-License-Identifier: MPL-2.0\n/* MIT License */")
+      === (("mpl-2.0", "copyleft", false)))
+    // phrase fallbacks
+    assert(fam("Permission is hereby granted, free of charge, to any person...")
+      === (("", "permissive", true)))
+    assert(fam("under the GNU Lesser General Public License v2.1")
+      === (("", "copyleft", false)))
+    assert(fam("just code, no license anywhere") === (("", "unknown", false)))
+    assert(fam(null) === (("", "unknown", false)))
+    // marker beyond the 2000-char header window is not scanned
+    val buried = ("x" * 2100) + "\n// SPDX-License-Identifier: MIT"
+    assert(fam(buried) === (("", "unknown", false)))
+  }
 }
