@@ -9,9 +9,14 @@ import org.apache.spark.sql.SparkSession
  * efficiency = (T_N / T_4N) / 4. Results recorded in BENCH/BASELINE.md.
  *
  * SPARK_GRAFT_SCALE_JOB selects the job: "dedup" (default — the
- * flagship duplicate-marking pass) or "corpus" (the cleaning pipeline:
+ * flagship duplicate-marking pass), "corpus" (the cleaning pipeline:
  * PII scrub -> quality gate -> exact dedup over the same generated
- * table, i.e. one fused map span plus the slim signature exchange).
+ * table, i.e. one fused map span plus the slim signature exchange), or
+ * "neardup" (the MinHash-LSH candidate-pair pipeline: the map-heavy
+ * shingle+128-hash signature pass, slim banded triples through the
+ * live-bucket prune, the (band,bucket) equi-join — the second-most-run
+ * job family after exact dedup, and the one whose cost is dominated by
+ * per-byte CPU, exactly what extra cores should absorb).
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
@@ -48,10 +53,33 @@ object ScalingBench {
         scrubPii = true, minQuality = Some(20), exactDedup = true)
     }
 
+    def nearDupPairs(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val docs = t.where(col("content").isNotNull)
+        .select(xxhash64(col("repo"), col("path"), col("commit")).as("id"),
+          col("content").as("text"))
+      graft.sim.MinHashLsh.candidatePairs(docs, "id", "text")
+    }
+
     def timeJob(cores: Int): Double = {
       val spark = session(cores)
       spark.sparkContext.setLogLevel("ERROR")
       val table = spark.read.parquet(input)
+      if (job == "neardup") {
+        nearDupPairs(table.limit(20000)).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        if (sys.env.get("SPARK_GRAFT_WARM").contains("full")) {
+          table.agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.octet_length(
+              org.apache.spark.sql.functions.col("content")))).head()
+        }
+        val t0 = System.nanoTime()
+        nearDupPairs(table).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.stop()
+        return sec
+      }
       if (job == "corpus") {
         // same warm-up + page-cache + noop-sink protocol as the dedup leg
         corpusClean(table.limit(100000))
