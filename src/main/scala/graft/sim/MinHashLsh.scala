@@ -78,11 +78,107 @@ object MinHashLsh {
       text: org.apache.spark.unsafe.types.UTF8String,
       shingleSize: Int,
       numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (text == null) return null
-    val sh = shingleHashes(text.toString, shingleSize)
-    if (sh.isEmpty) null
+    val sig = signatureUtf8(text, shingleSize, numHashes)
+    if (sig == null) null
     else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(signature(sh, numHashes))
+      .fromPrimitiveArray(sig)
+  }
+
+  /**
+   * Byte-level signature path — the per-row hot loop of every corpus-wide
+   * near-dup pass. Scans the UTF-8 bytes once, replicating the String
+   * path's tokenization exactly (`String.trim` strips end chars <= U+0020;
+   * Java-regex `\s` is the six ASCII bytes 0x09-0x0D,0x20; UTF-8
+   * continuation bytes are >= 0x80, so a byte-wise split can never cut a
+   * multi-byte code point), assembles each single-space-joined word
+   * n-gram in ONE reusable scratch buffer, and folds its XXH64 straight
+   * into the signature. Hashes EXACTLY the bytes `shingleHashes` hashes,
+   * and the MinHash fold is invariant to shingle order and duplication,
+   * so the result is bit-identical to
+   * `signature(shingleHashes(text.toString, n), numHashes)` — pinned by
+   * `SimilaritySpec` over adversarial whitespace/unicode inputs — while
+   * allocating O(1) objects per row instead of O(words) (no regex split,
+   * no per-gram String/byte[]/boxed-Long).
+   *
+   * Returns null when the text is null or yields no shingles.
+   */
+  def signatureUtf8(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int,
+      numHashes: Int): Array[Long] = {
+    if (text == null) return null
+    val bytes = text.getBytes
+    // String.trim semantics: strip leading/trailing chars <= U+0020
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xFF) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xFF) <= 0x20) hi -= 1
+    if (lo >= hi) return null
+    // token spans: split on runs of Java-regex \s = [\t\n\x0B\f\r ]
+    @inline def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+    var w = 0
+    var i = lo
+    var inTok = false
+    while (i < hi) {
+      if (isWs(bytes(i))) inTok = false
+      else if (!inTok) { w += 1; inTok = true }
+      i += 1
+    }
+    val starts = new Array[Int](w)
+    val ends = new Array[Int](w)
+    i = lo; inTok = false
+    var t = 0
+    while (i < hi) {
+      if (isWs(bytes(i))) { if (inTok) ends(t - 1) = i; inTok = false }
+      else if (!inTok) { starts(t) = i; t += 1; inTok = true }
+      i += 1
+    }
+    if (inTok) ends(w - 1) = hi
+    val count = math.max(1, w - n + 1)
+    // a gram's joined bytes never exceed its source span (>=1 separator
+    // byte per joined space), so one text-sized scratch covers every gram
+    val scratch = new Array[Byte](hi - lo)
+    val (a, b) = cachedCoeffs(numHashes)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    // open-addressing gram-hash dedup (linear probe, load <= 0.5; slot 0
+    // means empty, a zero hash is tracked by flag). Duplicate grams would
+    // only redo idempotent mins — the set just skips the k-fold for them.
+    val cap = Integer.highestOneBit(math.max(4, 2 * count - 1)) * 2
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    var zeroSeen = false
+    var g = 0
+    while (g < count) {
+      val last = math.min(g + n, w) - 1
+      var len = 0
+      var k = g
+      while (k <= last) {
+        if (k > g) { scratch(len) = 0x20; len += 1 }
+        val wl = ends(k) - starts(k)
+        System.arraycopy(bytes, starts(k), scratch, len, wl)
+        len += wl
+        k += 1
+      }
+      val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 91L)
+      var fresh = false
+      if (h == 0L) { fresh = !zeroSeen; zeroSeen = true }
+      else {
+        var idx = ((h ^ (h >>> 32)).toInt) & mask
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = h; fresh = true }
+      }
+      if (fresh) {
+        var j = 0
+        while (j < numHashes) {
+          val v = a(j) * h + b(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      g += 1
+    }
+    sig
   }
 
   /** MinHash signature: component i = min over shingles of a_i*h + b_i. */

@@ -44,9 +44,51 @@ object SimHash {
   }
 
   /** Codegen entry point (see `graft.plans.SimHash64Expr`): UTF8String in,
-   *  fingerprint out (0 for null/empty, matching simhash64(null)). */
-  def simhash64Utf8(text: org.apache.spark.unsafe.types.UTF8String): Long =
-    if (text == null) 0L else simhash64(text.toString)
+   *  fingerprint out (0 for null/empty, matching simhash64(null)).
+   *
+   *  Byte-level per-row hot loop: each word's hash input is EXACTLY its
+   *  UTF-8 byte span in the text (no join bytes), so the scan hashes
+   *  straight out of the text's byte array — no regex split, no per-word
+   *  String or byte[] — replicating `String.trim` + Java-regex `\s+`
+   *  tokenization byte-wise (the six ASCII `\s` bytes can never split a
+   *  multi-byte code point). Bit-identical to `simhash64(text.toString)`;
+   *  pinned by `SimilaritySpec`. */
+  def simhash64Utf8(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    if (text == null) return 0L
+    val bytes = text.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && (bytes(lo) & 0xFF) <= 0x20) lo += 1
+    while (hi > lo && (bytes(hi - 1) & 0xFF) <= 0x20) hi -= 1
+    if (lo >= hi) return 0L
+    @inline def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+    val acc = new Array[Int](64)
+    var i = lo
+    var tokStart = -1
+    while (i <= hi) {
+      val atEnd = i == hi
+      if (atEnd || isWs(bytes(i))) {
+        if (tokStart >= 0) {
+          val h = XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + tokStart, i - tokStart, 733L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 

@@ -37,6 +37,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(MinHashLsh.estimatedJaccard(s1, s2) === 1.0)
   }
 
+  test("byte-level signatureUtf8 is bit-identical to the String path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def oldPath(s: String, n: Int, k: Int): Array[Long] = {
+      val sh = MinHashLsh.shingleHashes(s, n)
+      if (sh.isEmpty) null else MinHashLsh.signature(sh, k)
+    }
+    val adversarial = Seq(
+      baseText,
+      "  \t leading and trailing \n\r ",
+      "tabs\tand\nnewlines\u000bvt\u000cff\rcr separators",
+      "multi   space\t\t runs   between words",
+      "\u0001ctrl\u0000inside\u001ftokens\u0001", // <0x09 ctrl chars: trim ends, keep middle
+      "nbsp is not a separator",             // U+00A0 is not Java \s
+      "unicode 你好世界 words 😀 emoji mixed",
+      "one",                                       // fewer words than n -> 1 gram
+      "exactly three words",
+      "dup dup dup dup dup dup dup dup",           // heavy shingle duplication
+      "", "   ", "\t\n\r", null
+    )
+    val rnd = new scala.util.Random(97)
+    val alphabet = "ab \t\né中xyz  \r"
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (s <- adversarial ++ fuzz; n <- Seq(1, 3, 5)) {
+      val fast = MinHashLsh.signatureUtf8(
+        if (s == null) null else UTF8String.fromString(s), n, 128)
+      val slow = if (s == null) null else oldPath(s, n, 128)
+      if (slow == null) assert(fast == null, s"expected null for ${scala.runtime.ScalaRunTime.stringOf(s)} n=$n")
+      else assert(fast != null && fast.sameElements(slow),
+        s"signature mismatch for ${scala.runtime.ScalaRunTime.stringOf(s)} n=$n")
+    }
+  }
+
+  test("byte-level simhash64Utf8 is bit-identical to the String path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val adversarial = Seq(
+      baseText,
+      "  \t leading and trailing \n\r ",
+      "tabs\tand\nnewlines\u000bvt\u000cff\rcr separators",
+      "multi   space\t\t runs   between words",
+      "\u0001ctrl\u0000inside\u001ftokens\u0001",
+      "nbsp is not a separator",
+      "unicode 你好世界 words 😀 emoji mixed",
+      "one", "", "   ", "\t\n\r", null
+    )
+    val rnd = new scala.util.Random(61)
+    val alphabet = "ab \t\né中xyz  \r"
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (s <- adversarial ++ fuzz) {
+      val fast = SimHash.simhash64Utf8(if (s == null) null else UTF8String.fromString(s))
+      val slow = SimHash.simhash64(s)
+      assert(fast === slow,
+        s"simhash mismatch for ${scala.runtime.ScalaRunTime.stringOf(s)}")
+    }
+  }
+
   test("LSH candidatePairs finds near-dups and skips unrelated docs") {
     import spark.implicits._
     val docs = Seq(
