@@ -83,7 +83,7 @@ object CheckpointedSketch {
     // an empty input (zero partitions -> zero partials) is a legitimate
     // corpus: its sketch is the empty filter of the configured shape
     val merged =
-      if (manifests.isEmpty) BloomSketch.empty(p, n, m, k)
+      if (manifests.isEmpty) BloomSketch.withCapacity(p, n, m, k)
       else mergePartials(df.sparkSession, manifests.map(_.file))
 
     (merged, manifests)

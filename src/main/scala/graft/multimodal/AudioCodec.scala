@@ -100,7 +100,9 @@ object AudioCodec {
     var samples: Array[Short] = null
     while (pos + 8 <= blob.length) {
       val size = le32(blob, pos + 4)
-      if (size < 0 || pos + 8 + size > blob.length) return null
+      // bounds in LONG: a declared size near Int.MaxValue wraps pos+8+size
+      // negative and would sail past the guard into negative indexing
+      if (size < 0 || pos.toLong + 8 + size > blob.length) return null
       if (tagAt(blob, pos, "fmt ")) {
         if (size < 16) return null
         val fmt = le16(blob, pos + 8)
@@ -130,8 +132,9 @@ object AudioCodec {
   /** Exact sign of a·b − c·d for nonnegative int64 operands, via the
    *  128-bit product — the fingerprint comparison must not wrap for
    *  long clips (n·E·frameLen exceeds int64 past ~1M full-scale
-   *  samples). */
-  private def mulCmp(a: Long, b: Long, c: Long, d: Long): Int = {
+   *  samples). Shared with `ImageCodec.aHash64`, whose cellSum·w·h
+   *  cross-product wraps the same way on gigapixel stills/frames. */
+  private[multimodal] def mulCmp(a: Long, b: Long, c: Long, d: Long): Int = {
     val hi1 = Math.multiplyHigh(a, b)
     val hi2 = Math.multiplyHigh(c, d)
     if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)

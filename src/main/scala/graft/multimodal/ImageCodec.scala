@@ -131,8 +131,10 @@ object ImageCodec {
           y += 1
         }
         val cnt = (y1 - y0).toLong * (x1 - x0)
-        // cellMean > mean  <=>  s * n > total * cnt, exactly
-        if (s * n > total * cnt) out |= (1L << (cy * 8 + cx))
+        // cellMean > mean  <=>  s·n > total·cnt — via the 128-bit product:
+        // around gigapixel images total·cnt ≈ 12n² wraps int64 and the
+        // comparison would invert (AudioCodec solved the same overflow)
+        if (AudioCodec.mulCmp(s, n, total, cnt) > 0) out |= (1L << (cy * 8 + cx))
         cx += 1
       }
       cy += 1

@@ -123,8 +123,12 @@ object VideoCodec {
     var bad = false
 
     def decodeFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
-      val stride = (width * 3 + 3) & ~3
-      if (size != stride * height) return null
+      // geometry in LONG: width/height come from the strf header, not
+      // from the blob, so width*3 / stride*height can wrap Int for a
+      // crafted header and alias a mismatched frame size
+      val strideL = (width.toLong * 3 + 3) & ~3L
+      if (strideL * height != size) return null
+      val stride = strideL.toInt // == size/height, bounded by blob.length
       val gray = new Array[Int](width * height)
       var y = 0
       while (y < height) {
@@ -145,7 +149,9 @@ object VideoCodec {
       var pos = start
       while (!bad && pos + 8 <= end) {
         val size = le32(blob, pos + 4)
-        if (size < 0 || pos + 8 + size > end) { bad = true; return }
+        // bounds in LONG: a declared size near Int.MaxValue wraps
+        // pos+8+size negative and would sail past into negative indexing
+        if (size < 0 || pos.toLong + 8 + size > end) { bad = true; return }
         if (tagAt(blob, pos, "LIST") && size >= 4) {
           // descend into hdrl/strl/movi; skip other list types
           if (tagAt(blob, pos + 8, "hdrl") || tagAt(blob, pos + 8, "strl") ||
@@ -159,7 +165,11 @@ object VideoCodec {
           if (hdrSize < 40 || bits != 24 || compression != 0) { bad = true; return }
           width = le32(blob, pos + 8 + 4)
           height = le32(blob, pos + 8 + 8)
-          if (width <= 0 || height <= 0) { bad = true; return }
+          // a real frame needs >= 3*w*h payload bytes, so w*h beyond the
+          // blob length is malformed — and bounding it here keeps every
+          // later geometry product inside int64
+          if (width <= 0 || height <= 0 ||
+            width.toLong * height > blob.length) { bad = true; return }
         } else if (tagAt(blob, pos, "00db") || tagAt(blob, pos, "00dc")) {
           if (width < 0) { bad = true; return } // frame before format
           val f = decodeFrame(pos + 8, size)

@@ -67,8 +67,12 @@ object SimQueries {
       .select(col("doc_id").as("id"), col("text"))
       .unionAll(d.where(col("doc_id") % 4 === 0)
         .select((col("doc_id") + DedupQueries.DupOffset).as("id"), col("text")))
-    val storePath = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_incr_sig_store.parquet").getPath
+    // per-run unique dir: a fixed tmpdir name would let two concurrent
+    // invocations (e.g. parallel scale factors) overwrite each other's
+    // store between write and read-back
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_incr_sig_store").resolve("store.parquet")
+      .toString
     MinHashLsh.signatureStore(ref, "id", "text")
       .write.mode("overwrite").parquet(storePath)
     val store = spark.read.parquet(storePath)

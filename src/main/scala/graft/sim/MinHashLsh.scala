@@ -107,6 +107,13 @@ object MinHashLsh {
       n: Int,
       numHashes: Int): Array[Long] = {
     if (text == null) return null
+    // invalid UTF-8 (mis-decoded crawl bytes): toString substitutes
+    // U+FFFD, so raw-byte hashing would diverge from the String path —
+    // take the slow path there to keep "bit-identical" by construction
+    if (!text.isValid) {
+      val hs = shingleHashes(text.toString, n)
+      return if (hs.isEmpty) null else signature(hs, numHashes)
+    }
     val bytes = text.getBytes
     // String.trim semantics: strip leading/trailing chars <= U+0020
     var lo = 0

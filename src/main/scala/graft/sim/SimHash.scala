@@ -55,6 +55,10 @@ object SimHash {
    *  pinned by `SimilaritySpec`. */
   def simhash64Utf8(text: org.apache.spark.unsafe.types.UTF8String): Long = {
     if (text == null) return 0L
+    // invalid UTF-8 (mis-decoded crawl bytes): toString substitutes
+    // U+FFFD, so raw-byte hashing would diverge from the String path —
+    // take the slow path there to keep "bit-identical" by construction
+    if (!text.isValid) return simhash64(text.toString)
     val bytes = text.getBytes
     var lo = 0
     var hi = bytes.length

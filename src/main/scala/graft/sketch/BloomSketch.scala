@@ -159,7 +159,11 @@ object BloomSketch {
   /** Reference seeds, streammd `src/bloomfilter.h:38-40`. */
   val Seed1 = 43L
   val Seed2 = 9967L
-  private val Magic = 0x42534b31 // "BSK1"
+  // "BSK2": bumped from "BSK1" when probe hashing moved XXH64 -> XXH3.
+  // Bit positions depend on the probe hash, so OR-merging a pre-XXH3
+  // partial into an XXH3 filter would silently yield false negatives;
+  // rejecting the old magic turns that into a loud resume error instead.
+  private val Magic = 0x42534b32
 
   private[sketch] def wordsFor(m: Long): Int = {
     val w = (m + 63) >>> 6
@@ -189,11 +193,6 @@ object BloomSketch {
     val (m, k, n) = BloomSizing.fromMemSpec(p, memspec, mpow2)
     new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
   }
-
-  /** An empty sketch of the given shape (no insertions) — e.g. the
-   *  correct result of merging zero partials over an empty input. */
-  def empty(p: Double, n: Long, m: Long, k: Int): BloomSketch =
-    new BloomSketch(p, n, m, k, new Array[Long](wordsFor(m)))
 
   /** Wire format: magic:int, p:double, n:long, m:long, k:int, nWords:int,
    *  words... (big-endian). */

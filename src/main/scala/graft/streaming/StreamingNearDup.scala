@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import graft.sim.MinHashLsh
 
 /**
@@ -48,22 +48,48 @@ import graft.sim.MinHashLsh
 object StreamingNearDup {
 
   /** Store schema as written by [[MinHashLsh.signatureStore]] plus the
-   *  idempotence partition column added by the writer. */
+   *  idempotence partition column added by the writer (declared STRING so
+   *  numeric micro-batch partitions and the `batch=backfill` seed coexist
+   *  without mixed-type partition inference). */
   private val StoreSchema = StructType(Seq(
     StructField("id", LongType),
-    StructField("sig", ArrayType(LongType))))
+    StructField("sig", ArrayType(LongType)),
+    StructField("batch", StringType)))
 
   /** Read the signature store, tolerating a store that has no batches
    *  yet (first epoch): an absent/empty directory reads as an empty
-   *  frame of the store schema rather than a schema-inference error. */
-  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+   *  frame of the store schema rather than a schema-inference error.
+   *
+   *  `excludeBatchesAtOrAbove`: drop partitions whose NUMERIC batch id is
+   *  >= the given micro-batch id. foreachBatch is at-least-once: a crash
+   *  between the `batch=N` store append and the streaming checkpoint
+   *  commit replays batch N against a store that already holds its own
+   *  signatures — without the exclusion every replayed document collides
+   *  with itself in all bands and is emitted as its own duplicate.
+   *  Non-numeric partitions (the backfill seed) always pass. */
+  def readStore(
+      spark: SparkSession,
+      storePath: String,
+      excludeBatchesAtOrAbove: Option[Long] = None): DataFrame = {
     val p = new Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBatches = fs.exists(p) &&
       fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatches)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
-    else spark.read.schema(StoreSchema).parquet(storePath).select(col("id"), col("sig"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(StoreSchema.dropRight(1)))
+    else {
+      val full = spark.read.schema(StoreSchema).parquet(storePath)
+      val scoped = excludeBatchesAtOrAbove match {
+        // "backfill" try_casts to null (ANSI-safe); coalesce keeps
+        // non-numeric partitions
+        case Some(b) =>
+          full.where(coalesce(expr("try_cast(batch as long)") < lit(b), lit(true)))
+        case None    => full
+      }
+      scoped.select(col("id"), col("sig"))
+    }
   }
 
   /**
@@ -92,7 +118,10 @@ object StreamingNearDup {
         // the store append — without this each consumer re-reads the
         // micro-batch source
         val pinned = batch.localCheckpoint(false)
-        val store = readStore(spark, storePath)
+        // exclude this (and any later) batch's own partition: an
+        // at-least-once replay must probe the store as it stood BEFORE
+        // the batch first ran, or every replayed row self-collides
+        val store = readStore(spark, storePath, excludeBatchesAtOrAbove = Some(batchId))
         val cross = MinHashLsh.candidatePairsAgainstSigs(
             pinned, store, idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
           .select(col("id_new"), col("id_ref"), col("est_jaccard"))

@@ -92,6 +92,30 @@ class VideoCodecSpec extends SparkSpecBase {
     val wav = AudioCodec.encodeWavPcm16(8000, Array[Short](1, 2, 3))
     assert(VideoCodec.decodeFrames(wav) == null, "RIFF but WAVE, not AVI")
     assert(VideoCodec.sampleFrameHashes("junk".getBytes, 2) == null)
+    // declared chunk size near Int.MaxValue: pos+8+size wraps Int — must
+    // decode to null, not index negatively
+    val hugeChunk = "RIFF    AVI JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte)
+    assert(VideoCodec.decodeFrames(hugeChunk) == null, "Int-overflow chunk size")
+    // crafted strf geometry whose w*3 / stride*h products wrap Int: the
+    // header is rejected (no frame could fit the blob anyway)
+    val bigGeom = good.clone()
+    // strf BITMAPINFOHEADER width field: 46341^2 overflows Int
+    val strfAt = {
+      var i = 0
+      while (!(bigGeom(i) == 's' && bigGeom(i + 1) == 't' &&
+        bigGeom(i + 2) == 'r' && bigGeom(i + 3) == 'f')) i += 1
+      i
+    }
+    def put32(off: Int, v: Int): Unit = {
+      bigGeom(off) = (v & 0xff).toByte
+      bigGeom(off + 1) = ((v >> 8) & 0xff).toByte
+      bigGeom(off + 2) = ((v >> 16) & 0xff).toByte
+      bigGeom(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put32(strfAt + 8 + 4, 46341) // width
+    put32(strfAt + 8 + 8, 46341) // height
+    assert(VideoCodec.decodeFrames(bigGeom) == null, "Int-overflow frame geometry")
   }
 
   test("VideoFrameHashesExpr: exploded rows over a real decode; corrupt -> null") {

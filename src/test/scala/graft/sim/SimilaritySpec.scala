@@ -71,6 +71,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("invalid UTF-8 bytes: both byte-level paths match the String (U+FFFD) path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def oldPath(s: String, n: Int, k: Int): Array[Long] = {
+      val sh = MinHashLsh.shingleHashes(s, n)
+      if (sh.isEmpty) null else MinHashLsh.signature(sh, k)
+    }
+    // lone continuation byte, truncated 3-byte seq, overlong, bare 0xFF
+    val invalids = Seq(
+      Array[Byte]('a', 0x80.toByte, 'b', ' ', 'c', 'd'),
+      Array[Byte]('w', 'o', 'r', 'd', ' ', 0xE4.toByte, 0xB8.toByte),
+      Array[Byte](0xC0.toByte, 0xAF.toByte, ' ', 'o', 'k'),
+      Array[Byte](0xFF.toByte, ' ', 'x', ' ', 0xFF.toByte))
+    for (bytes <- invalids) {
+      val u = UTF8String.fromBytes(bytes)
+      assert(!u.isValid, "fixture should be malformed UTF-8")
+      val viaString = u.toString // substitutes U+FFFD
+      for (n <- Seq(1, 3)) {
+        val fast = MinHashLsh.signatureUtf8(u, n, 128)
+        val slow = oldPath(viaString, n, 128)
+        assert((fast == null) == (slow == null) &&
+          (fast == null || fast.sameElements(slow)),
+          s"minhash mismatch on ${bytes.mkString(",")} n=$n")
+      }
+      assert(SimHash.simhash64Utf8(u) === SimHash.simhash64(viaString),
+        s"simhash mismatch on ${bytes.mkString(",")}")
+    }
+  }
+
   test("byte-level simhash64Utf8 is bit-identical to the String path") {
     import org.apache.spark.unsafe.types.UTF8String
     val adversarial = Seq(

@@ -74,6 +74,18 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(back.countEstimate === bf.countEstimate)
   }
 
+  test("deserialize rejects pre-XXH3 (BSK1) partials instead of silently merging") {
+    val bf = BloomSketch(1e-4, 1000L)
+    items(10).foreach(bf.add)
+    val bytes = bf.serialize()
+    // a partial persisted before the XXH64 -> XXH3 probe swap: same layout,
+    // old magic — OR-merging it would yield false negatives, so it must
+    // fail loudly at deserialize
+    java.nio.ByteBuffer.wrap(bytes).putInt(0, 0x42534b31) // "BSK1"
+    val e = intercept[IllegalArgumentException](BloomSketch.deserialize(bytes))
+    assert(e.getMessage.contains("magic"))
+  }
+
   test("merge is union: merged sketch contains both sides' items") {
     val a = BloomSketch(1e-4, 10000L)
     val b = BloomSketch(1e-4, 10000L)

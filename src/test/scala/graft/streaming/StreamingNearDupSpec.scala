@@ -72,6 +72,13 @@ class StreamingNearDupSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$storePath/batch=backfill")
     assert(StreamingNearDup.readStore(spark, storePath).count() === 3L,
       "mixed numeric + backfill partitions must both be read")
+    // a replayed batch must probe the store as it stood BEFORE the batch
+    // first ran — its own partition (already written, checkpoint not yet
+    // committed) is excluded, or every replayed row self-collides
+    assert(StreamingNearDup.readStore(spark, storePath, Some(7L)).count() === 1L,
+      "exclusion at the replayed batch id must drop its own partition")
+    assert(StreamingNearDup.readStore(spark, storePath, Some(8L)).count() === 3L,
+      "prior numeric batches and the backfill seed must survive exclusion")
   }
 
   test("readStore on an empty/absent store yields the empty typed frame") {
