@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.DatasetMix
 
@@ -104,7 +104,12 @@ object MixQueries {
    *  with the untouched bulk of the base passing through MAP-SIDE
    *  (`SnapshotMerge.latest` composes the Bloom-gated anti join); the
    *  oracle replays the merge as a plain rank window over the union. */
-  val NewDocOffset = 2000000L
+  /** New-in-delta ids live in the NEGATIVE id space (`-(doc_id) - 1`),
+   *  disjoint from base doc_ids at ANY scale factor — an additive
+   *  offset would collide with real ids once the table outgrew it
+   *  (the repoForks lesson). */
+  private def newDocId(id: Column): Column = -id - 1
+  private val NewDocIdSql = "-doc_id - 1"
 
   /** Snapshot diff (`operators.SnapshotDiff`): old = documents, new =
    *  the same table with every 5th doc rewritten (changed), every
@@ -121,7 +126,7 @@ object MixQueries {
           .otherwise(col("text")).as("text"),
         col("lang"))
       .unionAll(d.where(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + NewDocOffset).as("doc_id"),
+        .select(newDocId(col("doc_id")).as("doc_id"),
           col("text"), col("lang")))
     graft.operators.SnapshotDiff.diff(oldDf, newDf,
       keyCols = Seq("doc_id"), compareCols = Seq("text", "lang"))
@@ -136,7 +141,7 @@ object MixQueries {
        |         lang
        |  FROM documents WHERE doc_id % 5 <> 2
        |  UNION ALL
-       |  SELECT doc_id + ${NewDocOffset}, text, lang
+       |  SELECT $NewDocIdSql, text, lang
        |  FROM documents WHERE doc_id % 5 = 1
        |)
        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -158,7 +163,7 @@ object MixQueries {
       .select(col("doc_id"), lit(2L).as("version"),
         concat(lit("v2 "), col("text")).as("text"), col("lang"))
       .unionAll(d.where(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + NewDocOffset).as("doc_id"),
+        .select(newDocId(col("doc_id")).as("doc_id"),
           lit(1L).as("version"), col("text"), col("lang")))
     graft.operators.SnapshotMerge.latest(base, updates, "doc_id", "version")
       .select(col("doc_id"), col("version"), col("lang"),
@@ -173,7 +178,7 @@ object MixQueries {
        |  SELECT doc_id, CAST(2 AS BIGINT), 'v2 ' || text, lang, 1
        |  FROM documents WHERE doc_id % 5 = 0
        |  UNION ALL
-       |  SELECT doc_id + ${NewDocOffset}, CAST(1 AS BIGINT), text, lang, 1
+       |  SELECT $NewDocIdSql, CAST(1 AS BIGINT), text, lang, 1
        |  FROM documents WHERE doc_id % 5 = 1
        |), u AS (
        |  SELECT * FROM base UNION ALL SELECT * FROM upd
