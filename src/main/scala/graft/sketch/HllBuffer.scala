@@ -1,0 +1,204 @@
+package graft.sketch
+
+import com.esotericsoftware.kryo.{Kryo, KryoSerializable}
+import com.esotericsoftware.kryo.io.{Input, Output}
+
+/**
+ * Sparse-to-dense HLL aggregation buffer (the "sparse mode" idea of
+ * HLL++, Heule et al. 2013 §5.3, re-expressed for this library): a
+ * group's aggregation state starts as a small append-only array of packed
+ * `(registerIndex, rank)` entries and upgrades to the dense register
+ * array only once the group has seen enough DISTINCT register indexes to
+ * justify the m bytes. LOSSLESS by construction: entries max-combine per
+ * index — exactly the dense update rule — so the [[HllSketch]] produced
+ * by [[toSketch]] is bit-identical (registers, serialized bytes,
+ * estimate) to feeding the same items into a dense sketch directly. Only
+ * the aggregation buffer's memory and shuffle footprint changes.
+ *
+ * Why it matters at 100 TB: `groupBy(highCardKey).agg(hll(col))` holds
+ * one buffer PER GROUP in the hash-aggregate map and ships one per group
+ * per map task through the exchange. Dense p=14 is 16 KiB regardless of
+ * group size; the long tail of a power-law key (repos, domains, authors)
+ * has a handful of distincts each — sparse packs one distinct register as
+ * 4 bytes, so a 100-distinct group ships ~0.4 KiB (40× less) and map-side
+ * memory scales with observed distincts, not m × live groups.
+ *
+ * Entry packing: `idx << 6 | rank` in one Int — idx < 2^18 (precision is
+ * capped at 18 by HllSketch) and rank <= 64-p+1 <= 61 < 2^6. Appends are
+ * O(1); when the array fills it is compacted (sort ascending, keep the
+ * last entry of each idx run — rank lives in the low bits, so the max
+ * rank per idx sorts last). Compaction is amortized O(log cap) per add.
+ *
+ * Wire format (KryoSerializable, used by the Aggregator's kryo buffer
+ * encoder): compact first, then either `[p, -1, m dense bytes]` or
+ * `[p, count, count packed ints]` — never unused capacity.
+ *
+ * NOT thread-safe (one instance per aggregation buffer).
+ */
+final class HllBuffer(private var precision: Int)
+    extends Serializable with KryoSerializable {
+
+  def this() = this(14) // kryo no-arg construction; overwritten by read()
+
+  private var dense: Array[Byte] = _
+  private var entries: Array[Int] = new Array[Int](HllBuffer.InitialCap)
+  private var n: Int = 0
+
+  /** Distinct-register threshold past which dense (m bytes) is no bigger
+   *  than the packed entries (4 bytes each). */
+  private[this] def denseThreshold: Int = (1 << precision) / 4
+
+  private[sketch] def isDense: Boolean = dense != null
+
+  def add(item: Array[Byte]): Unit = {
+    import org.apache.spark.unsafe.Platform
+    addHash(org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, HllSketch.Seed))
+  }
+
+  def add(item: String): Unit = add(item.getBytes("UTF-8"))
+
+  def addLong(v: Long): Unit =
+    addHash(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, HllSketch.Seed))
+
+  /** Same idx/rank derivation as HllSketch.addHash — kept in lockstep. */
+  def addHash(h: Long): Unit = {
+    val idx = (h >>> (64 - precision)).toInt
+    val w = h << precision
+    val rank0 = if (w == 0) (64 - precision + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
+    val r = math.min(rank0, 64 - precision + 1)
+    if (dense != null) {
+      if (dense(idx) < r) dense(idx) = r.toByte
+    } else {
+      appendPacked((idx << 6) | r)
+    }
+  }
+
+  private[this] def appendPacked(packed: Int): Unit = {
+    if (dense == null && n == entries.length) compactOrGrow()
+    if (dense != null) { // already dense, or compactOrGrow just upgraded
+      val idx = packed >>> 6
+      val r = (packed & 0x3f).toByte
+      if (dense(idx) < r) dense(idx) = r
+    } else {
+      entries(n) = packed
+      n += 1
+    }
+  }
+
+  /** Sort + max-combine per idx in place; upgrade to dense past the
+   *  threshold; grow if compaction freed less than a quarter. */
+  private[this] def compactOrGrow(): Unit = {
+    compact()
+    if (n > denseThreshold) densify()
+    else if (n > entries.length - (entries.length >> 2))
+      entries = java.util.Arrays.copyOf(entries, entries.length << 1)
+  }
+
+  /** Dedup entries[0..n) to one max-rank entry per idx (ascending). */
+  private[this] def compact(): Unit = {
+    if (dense != null || n == 0) return
+    java.util.Arrays.sort(entries, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      // last entry of an idx run carries the max rank (rank = low bits)
+      if (i + 1 == n || (entries(i) >>> 6) != (entries(i + 1) >>> 6)) {
+        entries(w) = entries(i)
+        w += 1
+      }
+      i += 1
+    }
+    n = w
+  }
+
+  private[this] def densify(): Unit = {
+    val regs = new Array[Byte](1 << precision)
+    var i = 0
+    while (i < n) {
+      val idx = entries(i) >>> 6
+      val r = (entries(i) & 0x3f).toByte
+      if (regs(idx) < r) regs(idx) = r
+      i += 1
+    }
+    dense = regs
+    entries = null
+    n = 0
+  }
+
+  /** Merge `other` in; mutates and returns `this`. Associative and
+   *  commutative up to buffer representation — the RESULTING registers
+   *  are identical for any merge order (per-idx max). */
+  def mergeInPlace(other: HllBuffer): HllBuffer = {
+    require(other.precision == precision,
+      s"cannot merge HLL buffers of different precision: $precision vs ${other.precision}")
+    if (other.dense != null) {
+      if (dense == null) densify() // folds any sparse entries into the registers
+      var i = 0
+      val m = dense.length
+      while (i < m) {
+        if (dense(i) < other.dense(i)) dense(i) = other.dense(i)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < other.n) { appendPacked(other.entries(i)); i += 1 }
+    }
+    this
+  }
+
+  /** The dense sketch this buffer denotes — bit-identical to direct adds. */
+  def toSketch: HllSketch = {
+    val s = HllSketch(precision)
+    if (dense != null) {
+      System.arraycopy(dense, 0, s.registers, 0, dense.length)
+    } else {
+      var i = 0
+      while (i < n) {
+        val idx = entries(i) >>> 6
+        val r = (entries(i) & 0x3f).toByte
+        if (s.registers(idx) < r) s.registers(idx) = r
+        i += 1
+      }
+    }
+    s
+  }
+
+  /** Packed wire size if serialized now (after compaction) — test hook. */
+  private[sketch] def compactedEntryCount: Int = { compact(); n }
+
+  override def write(kryo: Kryo, out: Output): Unit = {
+    out.writeInt(precision)
+    if (dense != null) {
+      out.writeInt(-1)
+      out.writeBytes(dense)
+    } else {
+      compact()
+      out.writeInt(n)
+      var i = 0
+      while (i < n) { out.writeInt(entries(i)); i += 1 }
+    }
+  }
+
+  override def read(kryo: Kryo, in: Input): Unit = {
+    precision = in.readInt()
+    val count = in.readInt()
+    if (count == -1) {
+      dense = in.readBytes(1 << precision)
+      entries = null
+      n = 0
+    } else {
+      dense = null
+      entries = new Array[Int](math.max(count, HllBuffer.InitialCap))
+      var i = 0
+      while (i < count) { entries(i) = in.readInt(); i += 1 }
+      n = count
+    }
+  }
+}
+
+object HllBuffer {
+  private val InitialCap = 8
+
+  def apply(precision: Int = 14): HllBuffer = new HllBuffer(precision)
+}

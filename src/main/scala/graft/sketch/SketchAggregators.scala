@@ -11,28 +11,34 @@ import org.apache.spark.sql.functions.udaf
  * and merging them associatively at the exchange. Registered per session
  * via [[GraftFunctions.register]] for SQL use.
  */
-class HllAggregator(precision: Int) extends Aggregator[String, HllSketch, Array[Byte]] {
-  override def zero: HllSketch = HllSketch(precision)
-  override def reduce(buf: HllSketch, v: String): HllSketch = {
+/** Buffer is the sparse-to-dense [[HllBuffer]], not the dense sketch:
+ *  per-group state and shuffled partials scale with observed distincts
+ *  (4 bytes each) instead of a flat 16 KiB at p=14 — the difference
+ *  between feasible and OOM for groupBy over a power-law key whose long
+ *  tail has few distincts per group. `finish` densifies, so the output
+ *  bytes (and estimates) are bit-identical to the dense-buffer version. */
+class HllAggregator(precision: Int) extends Aggregator[String, HllBuffer, Array[Byte]] {
+  override def zero: HllBuffer = HllBuffer(precision)
+  override def reduce(buf: HllBuffer, v: String): HllBuffer = {
     if (v != null) buf.add(v)
     buf
   }
-  override def merge(a: HllSketch, b: HllSketch): HllSketch = a.maxInPlace(b)
-  override def finish(buf: HllSketch): Array[Byte] = buf.serialize()
-  override def bufferEncoder: Encoder[HllSketch] = Encoders.kryo[HllSketch]
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
+  override def finish(buf: HllBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
 /** HLL over long inputs (ids) — avoids string conversion in the hot path. */
-class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllSketch, Array[Byte]] {
-  override def zero: HllSketch = HllSketch(precision)
-  override def reduce(buf: HllSketch, v: java.lang.Long): HllSketch = {
+class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllBuffer, Array[Byte]] {
+  override def zero: HllBuffer = HllBuffer(precision)
+  override def reduce(buf: HllBuffer, v: java.lang.Long): HllBuffer = {
     if (v != null) buf.addLong(v)
     buf
   }
-  override def merge(a: HllSketch, b: HllSketch): HllSketch = a.maxInPlace(b)
-  override def finish(buf: HllSketch): Array[Byte] = buf.serialize()
-  override def bufferEncoder: Encoder[HllSketch] = Encoders.kryo[HllSketch]
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
+  override def finish(buf: HllBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 

@@ -1,0 +1,116 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Losslessness, merge-law, and wire-size proofs for the sparse-to-dense
+ *  HLL aggregation buffer. The contract under test: ANY sequence of
+ *  adds/merges through HllBuffer yields a sketch BIT-IDENTICAL to dense
+ *  HllSketch fed the same items, while small groups serialize in O(
+ *  distincts) bytes instead of O(m). */
+class HllBufferSpec extends AnyFunSuite {
+
+  private def denseOf(p: Int, items: Seq[String]): Array[Byte] = {
+    val s = HllSketch(p)
+    items.foreach(s.add)
+    s.serialize()
+  }
+
+  private def kryoBytes(buf: HllBuffer): Array[Byte] = {
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val out = new com.esotericsoftware.kryo.io.Output(1 << 20)
+    kryo.writeObject(out, buf)
+    out.toBytes
+  }
+
+  private def kryoRoundTrip(buf: HllBuffer): HllBuffer = {
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val in = new com.esotericsoftware.kryo.io.Input(kryoBytes(buf))
+    kryo.readObject(in, classOf[HllBuffer])
+  }
+
+  test("bit-identical to dense across the sparse->dense threshold") {
+    // p=10: m=1024, dense threshold = 256 distinct registers. Sizes chosen
+    // to land well below, around, and well above the upgrade point.
+    for (n <- Seq(0, 1, 7, 100, 250, 300, 1000, 20000)) {
+      val items = (0 until n).map(i => s"item-$i")
+      val buf = HllBuffer(10)
+      items.foreach(buf.add)
+      assert(java.util.Arrays.equals(buf.toSketch.serialize(), denseOf(10, items)),
+        s"n=$n diverged from dense")
+    }
+  }
+
+  test("heavy duplication stays sparse (compaction dedups, never upgrades)") {
+    val buf = HllBuffer(14)
+    // one million adds of 50 distincts: appends + compactions must settle
+    // at 50 packed entries, not drift toward the dense upgrade
+    (0 until 1000000).foreach(i => buf.add(s"dup-${i % 50}"))
+    assert(!buf.isDense, "50-distinct group must remain sparse at p=14")
+    assert(buf.compactedEntryCount <= 50)
+    assert(buf.toSketch.estimate === 50L) // linear-counting range: exact
+  }
+
+  test("merge == bulk insert for every sparse/dense combination") {
+    val p = 10
+    def mk(lo: Int, hi: Int): Seq[String] = (lo until hi).map(i => s"x$i")
+    // (small, small) both sparse; (small, big) sparse x dense both ways;
+    // (big, big) both dense
+    val cases = Seq((0, 40, 40, 80), (0, 40, 40, 5000), (0, 5000, 5000, 5040),
+      (0, 5000, 5000, 10000), (0, 40, 20, 60) /* overlapping */)
+    for ((a0, a1, b0, b1) <- cases) {
+      val a = HllBuffer(p); mk(a0, a1).foreach(a.add)
+      val b = HllBuffer(p); mk(b0, b1).foreach(b.add)
+      val merged = a.mergeInPlace(b).toSketch.serialize()
+      val direct = denseOf(p, mk(a0, a1) ++ mk(b0, b1))
+      assert(java.util.Arrays.equals(merged, direct),
+        s"merge($a0..$a1, $b0..$b1) diverged from bulk insert")
+    }
+  }
+
+  test("merge result independent of merge order (assoc/comm up to registers)") {
+    val p = 10
+    val parts = Seq(0 until 30, 30 until 60, 60 until 3000, 3000 until 3030)
+      .map(r => r.map(i => s"m$i"))
+    def run(order: Seq[Int]): Array[Byte] = {
+      val bufs = parts.map { items => val b = HllBuffer(p); items.foreach(b.add); b }
+      order.map(bufs).reduce(_ mergeInPlace _).toSketch.serialize()
+    }
+    val expected = run(Seq(0, 1, 2, 3))
+    for (perm <- Seq(Seq(3, 2, 1, 0), Seq(2, 0, 3, 1), Seq(1, 3, 0, 2)))
+      assert(java.util.Arrays.equals(run(perm), expected), s"order $perm diverged")
+  }
+
+  test("kryo wire format: small group ships O(distincts), round-trips exactly") {
+    val small = HllBuffer(14)
+    (0 until 100).foreach(i => small.add(s"s$i"))
+    val smallBytes = kryoBytes(small)
+    // 100 packed ints + header + kryo class name: far under the 16 KiB dense array
+    assert(smallBytes.length < 1000,
+      s"sparse 100-distinct buffer serialized to ${smallBytes.length} bytes")
+    val back = kryoRoundTrip(small)
+    assert(java.util.Arrays.equals(back.toSketch.serialize(), small.toSketch.serialize()))
+
+    val big = HllBuffer(14)
+    (0 until 200000).foreach(i => big.add(s"b$i"))
+    assert(big.isDense)
+    val backBig = kryoRoundTrip(big)
+    assert(java.util.Arrays.equals(backBig.toSketch.serialize(), big.toSketch.serialize()))
+    // round-tripped buffers keep aggregating correctly (sparse and dense)
+    back.add("post-roundtrip")
+    backBig.mergeInPlace(back)
+    val direct = HllSketch(14)
+    (0 until 200000).foreach(i => direct.add(s"b$i"))
+    (0 until 100).foreach(i => direct.add(s"s$i"))
+    direct.add("post-roundtrip")
+    assert(java.util.Arrays.equals(backBig.toSketch.serialize(), direct.serialize()))
+  }
+
+  test("addLong path matches dense addLong bit-for-bit") {
+    val buf = HllBuffer(12)
+    val s = HllSketch(12)
+    (0L until 4096L).foreach { v => buf.addLong(v * 2654435761L); s.addLong(v * 2654435761L) }
+    assert(java.util.Arrays.equals(buf.toSketch.serialize(), s.serialize()))
+  }
+}
