@@ -1,0 +1,175 @@
+package graft.sketch
+
+import com.esotericsoftware.kryo.{Kryo, KryoSerializable}
+import com.esotericsoftware.kryo.io.{Input, Output}
+
+/**
+ * Sparse-to-dense count-min aggregation buffer, the [[HllBuffer]]
+ * discipline applied to CMS: a group's state starts as an EXACT map from
+ * the item's two seeded XXH64 values — all a [[CountMinSketch]] add ever
+ * reads — to its running count, and replays into the dense depth×width
+ * matrix only once the distinct-item count justifies it. LOSSLESS: cell
+ * increments are commutative sums of per-item counts, so the dense matrix
+ * obtained by replaying (hashA, hashB, count) triples is bit-identical
+ * (counts, serialized bytes, every estimate) to direct adds.
+ *
+ * Why it matters at 100 TB: the default 5×65536 long matrix is 2.5 MiB —
+ * PER GROUP in a hash aggregate and per shipped partial. A long-tail
+ * group with a few hundred distinct items carries ~24 bytes each sparse
+ * (two hashes + count on the wire) instead of 2.5 MiB: the difference
+ * between a per-key frequency sketch being usable and OOM under
+ * `groupBy(highCardKey).agg(cms(col))`.
+ *
+ * Keyed on BOTH 64-bit hashes — the full input of the K-M row derivation
+ * — so sparse-mode counting introduces no collision class the dense
+ * sketch doesn't already have.
+ *
+ * Wire format (KryoSerializable): `[depth, width, -1, matrix]` dense or
+ * `[depth, width, n, n×(hashA, hashB, count)]` sparse, entries sorted for
+ * deterministic bytes. NOT thread-safe (one instance per buffer).
+ */
+final class CmsBuffer(private var depth: Int, private var width: Int)
+    extends Serializable with KryoSerializable {
+
+  def this() = this(5, 65536) // kryo no-arg construction; overwritten by read()
+
+  private var dense: CountMinSketch = _
+  private var sparse: java.util.HashMap[CmsBuffer.Key, java.lang.Long] =
+    new java.util.HashMap()
+
+  /** Distinct-item threshold past which the dense matrix (8·d·w bytes) is
+   *  no worse than ~80-byte map entries in memory (24 bytes on the wire). */
+  private[this] def denseThreshold: Int = math.max(64, depth * width / 16)
+
+  private[sketch] def isDense: Boolean = dense != null
+  private[sketch] def sparseSize: Int = if (sparse == null) 0 else sparse.size()
+
+  def add(item: String): Unit = add(item.getBytes("UTF-8"), 1L)
+  def add(item: String, c: Long): Unit = add(item.getBytes("UTF-8"), c)
+
+  def add(item: Array[Byte], c: Long = 1L): Unit = {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    addHashed(
+      XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
+      XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2),
+      c)
+  }
+
+  private def addHashed(a: Long, b: Long, c: Long): Unit = {
+    if (dense != null) {
+      dense.addHashed(a, b, c)
+    } else {
+      sparse.merge(new CmsBuffer.Key(a, b), c, (x, y) => x + y)
+      if (sparse.size() > denseThreshold) densify()
+    }
+  }
+
+  private[this] def densify(): Unit = {
+    val s = CountMinSketch(depth, width)
+    val it = sparse.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      s.addHashed(e.getKey.a, e.getKey.b, e.getValue)
+    }
+    dense = s
+    sparse = null
+  }
+
+  /** Merge `other` in; mutates and returns `this`. The resulting cell
+   *  sums are identical for any merge order. */
+  def mergeInPlace(other: CmsBuffer): CmsBuffer = {
+    require(other.depth == depth && other.width == width,
+      s"cannot merge CMS buffers of different shape: ${depth}x$width vs ${other.depth}x${other.width}")
+    if (other.dense != null) {
+      if (dense == null) densify()
+      dense.addInPlace(other.dense)
+    } else {
+      val it = other.sparse.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        addHashed(e.getKey.a, e.getKey.b, e.getValue)
+      }
+    }
+    this
+  }
+
+  /** The dense sketch this buffer denotes — bit-identical to direct adds.
+   *  Pure: does not change the buffer's representation. */
+  def toSketch: CountMinSketch = {
+    if (dense != null) dense.copySketch()
+    else {
+      val s = CountMinSketch(depth, width)
+      val it = sparse.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        s.addHashed(e.getKey.a, e.getKey.b, e.getValue)
+      }
+      s
+    }
+  }
+
+  override def write(kryo: Kryo, out: Output): Unit = {
+    out.writeInt(depth)
+    out.writeInt(width)
+    if (dense != null) {
+      out.writeInt(-1)
+      val cs = dense.counts
+      var i = 0
+      while (i < cs.length) { out.writeLong(cs(i)); i += 1 }
+    } else {
+      val keys = new java.util.ArrayList(sparse.keySet())
+      java.util.Collections.sort(keys)
+      out.writeInt(keys.size())
+      val it = keys.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        out.writeLong(k.a); out.writeLong(k.b); out.writeLong(sparse.get(k))
+      }
+    }
+  }
+
+  override def read(kryo: Kryo, in: Input): Unit = {
+    depth = in.readInt()
+    width = in.readInt()
+    val count = in.readInt()
+    if (count == -1) {
+      val s = CountMinSketch(depth, width)
+      val cs = s.counts
+      var i = 0
+      while (i < cs.length) { cs(i) = in.readLong(); i += 1 }
+      dense = s
+      sparse = null
+    } else {
+      dense = null
+      sparse = new java.util.HashMap()
+      var i = 0
+      while (i < count) {
+        sparse.put(new CmsBuffer.Key(in.readLong(), in.readLong()),
+          java.lang.Long.valueOf(in.readLong()))
+        i += 1
+      }
+    }
+  }
+}
+
+object CmsBuffer {
+
+  def apply(depth: Int = 5, width: Int = 65536): CmsBuffer = new CmsBuffer(depth, width)
+
+  /** The two seeded XXH64 values — everything a CMS add derives cells
+   *  from — as a map key with a total order for deterministic wire bytes. */
+  final class Key(val a: Long, val b: Long)
+      extends Comparable[Key] with Serializable {
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => k.a == a && k.b == b
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * java.lang.Long.hashCode(a) + java.lang.Long.hashCode(b)
+    override def compareTo(o: Key): Int = {
+      val c = java.lang.Long.compare(a, o.a)
+      if (c != 0) c else java.lang.Long.compare(b, o.b)
+    }
+  }
+}

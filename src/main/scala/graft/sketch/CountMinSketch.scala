@@ -29,6 +29,12 @@ final class CountMinSketch private (
 
   def add(item: Array[Byte], c: Long = 1L): Unit = {
     val (a0, b0) = hashes(item)
+    addHashed(a0, b0, c)
+  }
+
+  /** Add from the two precomputed seeded hashes (the full input of the
+   *  row derivation) — lets [[CmsBuffer]] replay sparse counts exactly. */
+  def addHashed(a0: Long, b0: Long, c: Long): Unit = {
     var a = a0
     var b = b0
     var r = 0

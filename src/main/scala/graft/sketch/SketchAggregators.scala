@@ -42,15 +42,20 @@ class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllBu
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-class CmsAggregator(depth: Int, width: Int) extends Aggregator[String, CountMinSketch, Array[Byte]] {
-  override def zero: CountMinSketch = CountMinSketch(depth, width)
-  override def reduce(buf: CountMinSketch, v: String): CountMinSketch = {
+/** Buffer is the sparse-to-dense [[CmsBuffer]]: the default 5×65536 long
+ *  matrix is 2.5 MiB per group, so dense buffers make per-key frequency
+ *  sketches OOM under a high-cardinality groupBy; sparse mode keeps
+ *  long-tail groups at ~24 wire bytes per distinct item, bit-identical
+ *  output (see CmsBuffer scaladoc). */
+class CmsAggregator(depth: Int, width: Int) extends Aggregator[String, CmsBuffer, Array[Byte]] {
+  override def zero: CmsBuffer = CmsBuffer(depth, width)
+  override def reduce(buf: CmsBuffer, v: String): CmsBuffer = {
     if (v != null) buf.add(v)
     buf
   }
-  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.addInPlace(b)
-  override def finish(buf: CountMinSketch): Array[Byte] = buf.serialize()
-  override def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
+  override def merge(a: CmsBuffer, b: CmsBuffer): CmsBuffer = a.mergeInPlace(b)
+  override def finish(buf: CmsBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def bufferEncoder: Encoder[CmsBuffer] = Encoders.kryo[CmsBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 

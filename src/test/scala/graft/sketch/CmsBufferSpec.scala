@@ -1,0 +1,104 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Losslessness, merge-law, and wire-size proofs for the sparse-to-dense
+ *  CMS aggregation buffer: any add/merge sequence through CmsBuffer must
+ *  yield a sketch BIT-IDENTICAL to dense CountMinSketch fed the same
+ *  items, while small groups serialize in O(distincts) bytes. */
+class CmsBufferSpec extends AnyFunSuite {
+
+  private val D = 3
+  private val W = 1024 // threshold = max(64, 3*1024/16) = 192 distincts
+
+  private def denseOf(items: Seq[(String, Long)]): Array[Byte] = {
+    val s = CountMinSketch(D, W)
+    items.foreach { case (k, c) => s.add(k, c) }
+    s.serialize()
+  }
+
+  private def kryoBytes(buf: CmsBuffer): Array[Byte] = {
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val out = new com.esotericsoftware.kryo.io.Output(1 << 24)
+    kryo.writeObject(out, buf)
+    out.toBytes
+  }
+
+  private def kryoRoundTrip(buf: CmsBuffer): CmsBuffer = {
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val in = new com.esotericsoftware.kryo.io.Input(kryoBytes(buf))
+    kryo.readObject(in, classOf[CmsBuffer])
+  }
+
+  test("bit-identical to dense across the sparse->dense threshold") {
+    for (n <- Seq(0, 1, 50, 190, 200, 2000)) {
+      val items = (0 until n).map(i => s"item-$i" -> (i % 7 + 1).toLong)
+      val buf = CmsBuffer(D, W)
+      items.foreach { case (k, c) => buf.add(k, c) }
+      assert(java.util.Arrays.equals(buf.toSketch.serialize(), denseOf(items)),
+        s"n=$n diverged from dense")
+      assert(buf.isDense == (n > 192), s"n=$n wrong representation")
+    }
+  }
+
+  test("heavy duplication stays sparse (counts accumulate, no upgrade)") {
+    val buf = CmsBuffer(D, W)
+    (0 until 500000).foreach(i => buf.add(s"dup-${i % 40}"))
+    assert(!buf.isDense, "40-distinct group must remain sparse")
+    assert(buf.sparseSize === 40)
+    assert(buf.toSketch.estimate("dup-0") === 12500L)
+  }
+
+  test("merge == bulk insert for every sparse/dense combination") {
+    def mk(lo: Int, hi: Int): Seq[(String, Long)] =
+      (lo until hi).map(i => s"x$i" -> ((i % 3) + 1).toLong)
+    val cases = Seq((0, 50, 50, 100), (0, 50, 50, 600), (0, 600, 600, 650),
+      (0, 600, 600, 1200), (0, 50, 25, 75) /* overlapping */)
+    for ((a0, a1, b0, b1) <- cases) {
+      val a = CmsBuffer(D, W); mk(a0, a1).foreach { case (k, c) => a.add(k, c) }
+      val b = CmsBuffer(D, W); mk(b0, b1).foreach { case (k, c) => b.add(k, c) }
+      val merged = a.mergeInPlace(b).toSketch.serialize()
+      assert(java.util.Arrays.equals(merged, denseOf(mk(a0, a1) ++ mk(b0, b1))),
+        s"merge($a0..$a1, $b0..$b1) diverged from bulk insert")
+    }
+  }
+
+  test("merge result independent of merge order") {
+    val parts = Seq(0 until 30, 30 until 60, 60 until 900, 900 until 930)
+      .map(r => r.map(i => s"m$i" -> 2L))
+    def run(order: Seq[Int]): Array[Byte] = {
+      val bufs = parts.map { items =>
+        val b = CmsBuffer(D, W); items.foreach { case (k, c) => b.add(k, c) }; b
+      }
+      order.map(bufs).reduce(_ mergeInPlace _).toSketch.serialize()
+    }
+    val expected = run(Seq(0, 1, 2, 3))
+    for (perm <- Seq(Seq(3, 2, 1, 0), Seq(2, 0, 3, 1), Seq(1, 3, 0, 2)))
+      assert(java.util.Arrays.equals(run(perm), expected), s"order $perm diverged")
+  }
+
+  test("kryo wire format: small group ships O(distincts), round-trips exactly") {
+    val small = CmsBuffer() // default 5x65536: dense wire would be ~2.5 MiB
+    (0 until 100).foreach(i => small.add(s"s$i"))
+    val smallBytes = kryoBytes(small)
+    assert(smallBytes.length < 4000,
+      s"sparse 100-distinct buffer serialized to ${smallBytes.length} bytes")
+    val back = kryoRoundTrip(small)
+    assert(java.util.Arrays.equals(back.toSketch.serialize(), small.toSketch.serialize()))
+
+    val big = CmsBuffer(D, W)
+    (0 until 5000).foreach(i => big.add(s"b$i"))
+    assert(big.isDense)
+    val backBig = kryoRoundTrip(big)
+    // round-tripped buffers keep aggregating correctly (sparse into dense)
+    backBig.mergeInPlace(kryoRoundTrip {
+      val c = CmsBuffer(D, W); (0 until 10).foreach(i => c.add(s"extra$i")); c
+    })
+    val direct = CountMinSketch(D, W)
+    (0 until 5000).foreach(i => direct.add(s"b$i"))
+    (0 until 10).foreach(i => direct.add(s"extra$i"))
+    assert(java.util.Arrays.equals(backBig.toSketch.serialize(), direct.serialize()))
+  }
+}
