@@ -68,6 +68,40 @@ object SketchQueries {
       |       true AS within_4se, true AS rollup_merge_exact
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-KEY sketch rollup, fully distributed: one HLL of distinct
+   *  event_ids PER USER (the high-cardinality-key shape, so every
+   *  per-group buffer exercises sparse mode), re-aggregated to the global
+   *  level with the `hllMerge` UDAF — a second distributed aggregation
+   *  over the STORED sketch column, never a driver-side collect of group
+   *  sketches (what [[hllRollup]] does for its 5 groups is wrong at 10^7
+   *  keys). Deterministic claim: the merged sketch is BYTE-IDENTICAL to
+   *  the sketch built directly on the whole table — register max is
+   *  associative over any grouping AND any merge order, and the sparse
+   *  buffers are lossless. */
+  def hllPerKeyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(GraftFunctions.hllSketchLong(col("event_id")).as("sk"))
+    val merged = HllSketch.deserialize(
+      perUser.agg(SketchMerge.hllMerge(col("sk"))).head().getAs[Array[Byte]](0))
+    val direct = HllSketch.deserialize(
+      ev.agg(GraftFunctions.hllSketchLong(col("event_id"))).head().getAs[Array[Byte]](0))
+    val nKeys = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val nExact = ev.select(countDistinct(col("event_id"))).head().getLong(0)
+    val se = HllSketch(14).standardError
+    Seq((nKeys, nExact,
+      java.util.Arrays.equals(merged.serialize(), direct.serialize()),
+      math.abs(merged.estimate.toDouble / nExact - 1.0) <= 4 * se))
+      .toDF("n_keys", "n_exact", "rollup_merge_exact", "within_4se")
+  }
+
+  val HllPerKeyRollupSql: String =
+    """SELECT count(DISTINCT user_id) AS n_keys,
+      |       count(DISTINCT event_id) AS n_exact,
+      |       true AS rollup_merge_exact, true AS within_4se
+      |FROM events""".stripMargin
+
   /** CMS frequency per event_type: never under, over by <= eps*N. */
   def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

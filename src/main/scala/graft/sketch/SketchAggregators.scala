@@ -131,6 +131,8 @@ object GraftFunctions {
     spark.udf.register("graft_kll", udaf(new KllAggregator(200)))
     spark.udf.register("graft_tdigest", udaf(new TDigestAggregator(100.0)))
     spark.udf.register("graft_freq", udaf(new FrequentItemsAggregator(64)))
+    // stored-sketch re-aggregation: graft_*_merge union serialized sketches
+    SketchMerge.register(spark)
     // scalar surface (simhash/minhash/text stats/PII/grams) — registered
     // as native-or-composed expression trees, fully codegen'd
     graft.plans.TextSketchExprs.registerSql(spark)

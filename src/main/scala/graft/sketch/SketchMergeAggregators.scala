@@ -1,0 +1,116 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Distributed union of STORED sketches: each aggregator here takes a
+ * BINARY column holding serialized sketches (the output of the build
+ * aggregators in [[SketchAggregators]]) and returns the serialized union
+ * — the lakehouse pattern where per-partition / per-group / per-day
+ * sketches are persisted in a table once and rolled up to any grouping at
+ * query time WITHOUT touching raw data again. Before these, rollups had
+ * to collect sketch rows to the driver (fine for 5 groups, wrong for 10^7
+ * stored partials); a merge UDAF keeps the union associative, map-side
+ * combined, and fully distributed.
+ *
+ * The buffer adopts the FIRST input's shape (precision / depth×width / k
+ * / compression / m,k), so callers never re-specify it; merging sketches
+ * of mismatched shapes fails loudly with the sketch's own require
+ * message. Empty input (no rows / all null) unions to NULL.
+ */
+final class SketchUnion[S >: Null <: AnyRef](var s: S) extends Serializable
+
+private[sketch] abstract class SketchMergeAggregator[S >: Null <: AnyRef]
+    extends Aggregator[Array[Byte], SketchUnion[S], Array[Byte]] {
+  protected def deser(bytes: Array[Byte]): S
+  protected def union(a: S, b: S): S
+  protected def ser(s: S): Array[Byte]
+
+  override def zero: SketchUnion[S] = new SketchUnion[S](null)
+  override def reduce(buf: SketchUnion[S], v: Array[Byte]): SketchUnion[S] = {
+    if (v != null) {
+      val in = deser(v)
+      buf.s = if (buf.s == null) in else union(buf.s, in)
+    }
+    buf
+  }
+  override def merge(a: SketchUnion[S], b: SketchUnion[S]): SketchUnion[S] = {
+    if (b.s != null) a.s = if (a.s == null) b.s else union(a.s, b.s)
+    a
+  }
+  override def finish(buf: SketchUnion[S]): Array[Byte] =
+    if (buf.s == null) null else ser(buf.s)
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Union of HLL sketches (register max): result is BIT-IDENTICAL to the
+ *  sketch built directly on the union of the underlying streams. */
+class HllMergeAggregator extends SketchMergeAggregator[HllSketch] {
+  protected def deser(b: Array[Byte]): HllSketch = HllSketch.deserialize(b)
+  protected def union(a: HllSketch, b: HllSketch): HllSketch = a.maxInPlace(b)
+  protected def ser(s: HllSketch): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[HllSketch]] = Encoders.kryo
+}
+
+/** Union of count-min sketches (cell sum): bit-identical to direct build. */
+class CmsMergeAggregator extends SketchMergeAggregator[CountMinSketch] {
+  protected def deser(b: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(b)
+  protected def union(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.addInPlace(b)
+  protected def ser(s: CountMinSketch): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[CountMinSketch]] = Encoders.kryo
+}
+
+/** Union of Bloom filters (bitwise OR): bit-identical to direct build. */
+class BloomMergeAggregator extends SketchMergeAggregator[BloomSketch] {
+  protected def deser(b: Array[Byte]): BloomSketch = BloomSketch.deserialize(b)
+  protected def union(a: BloomSketch, b: BloomSketch): BloomSketch = a.orInPlace(b)
+  protected def ser(s: BloomSketch): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[BloomSketch]] = Encoders.kryo
+}
+
+/** Union of KLL sketches (compactor merge): rank-error bound is preserved
+ *  (not bit-determinism — compaction depends on merge grouping). */
+class KllMergeAggregator extends SketchMergeAggregator[KllSketch] {
+  protected def deser(b: Array[Byte]): KllSketch = KllSketch.deserialize(b)
+  protected def union(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
+  protected def ser(s: KllSketch): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[KllSketch]] = Encoders.kryo
+}
+
+/** Union of t-digests (centroid merge + recompress): k1 bound preserved. */
+class TDigestMergeAggregator extends SketchMergeAggregator[TDigest] {
+  protected def deser(b: Array[Byte]): TDigest = TDigest.deserialize(b)
+  protected def union(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
+  protected def ser(s: TDigest): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[TDigest]] = Encoders.kryo
+}
+
+/** Union of Misra-Gries summaries (counter sum + reduction): retention
+ *  guarantee (count > n/(k+1) survives) and lower-bound property hold. */
+class FrequentItemsMergeAggregator extends SketchMergeAggregator[FrequentItems] {
+  protected def deser(b: Array[Byte]): FrequentItems = FrequentItems.deserialize(b)
+  protected def union(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  protected def ser(s: FrequentItems): Array[Byte] = s.serialize()
+  override def bufferEncoder: Encoder[SketchUnion[FrequentItems]] = Encoders.kryo
+}
+
+/** Column + SQL entry points for stored-sketch re-aggregation. */
+object SketchMerge {
+  def hllMerge(c: Column): Column = udaf(new HllMergeAggregator).apply(c)
+  def cmsMerge(c: Column): Column = udaf(new CmsMergeAggregator).apply(c)
+  def bloomMerge(c: Column): Column = udaf(new BloomMergeAggregator).apply(c)
+  def kllMerge(c: Column): Column = udaf(new KllMergeAggregator).apply(c)
+  def tdigestMerge(c: Column): Column = udaf(new TDigestMergeAggregator).apply(c)
+  def freqMerge(c: Column): Column = udaf(new FrequentItemsMergeAggregator).apply(c)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_hll_merge", udaf(new HllMergeAggregator))
+    spark.udf.register("graft_cms_merge", udaf(new CmsMergeAggregator))
+    spark.udf.register("graft_bloom_merge", udaf(new BloomMergeAggregator))
+    spark.udf.register("graft_kll_merge", udaf(new KllMergeAggregator))
+    spark.udf.register("graft_tdigest_merge", udaf(new TDigestMergeAggregator))
+    spark.udf.register("graft_freq_merge", udaf(new FrequentItemsMergeAggregator))
+  }
+}

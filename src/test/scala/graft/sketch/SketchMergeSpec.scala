@@ -1,0 +1,107 @@
+package graft.sketch
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Stored-sketch re-aggregation through real Spark: build per-group
+ *  sketches with the build UDAFs, union the serialized column with the
+ *  merge UDAFs, and pin each sketch family's merge contract —
+ *  bit-identity for the deterministic unions (HLL register max, CMS cell
+ *  sum, Bloom OR), published bounds for the randomized ones (KLL,
+ *  t-digest, Misra-Gries). */
+class SketchMergeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // 120 groups x ~40 rows; values/items overlap across groups so the
+  // union is not just a concatenation
+  private lazy val rows = (0 until 5000).map { i =>
+    (i % 120L, s"item-${i % 700}", (i % 997).toDouble, (i % 50).toLong)
+  }.toDF("grp", "item", "x", "hot").cache()
+
+  test("hll_merge == direct build, bit-identical") {
+    val perGroup = rows.groupBy("grp").agg(GraftFunctions.hllSketch(col("item")).as("sk"))
+    val merged = perGroup.agg(SketchMerge.hllMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    val direct = rows.agg(GraftFunctions.hllSketch(col("item"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("cms_merge == direct build, bit-identical") {
+    val perGroup = rows.groupBy("grp").agg(GraftFunctions.cmsSketch(col("item")).as("sk"))
+    val merged = perGroup.agg(SketchMerge.cmsMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    val direct = rows.agg(GraftFunctions.cmsSketch(col("item"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+    assert(CountMinSketch.deserialize(merged).totalCount === 5000L)
+  }
+
+  test("bloom_merge == direct build, bit-identical") {
+    val perGroup = rows.groupBy("grp")
+      .agg(GraftFunctions.bloomSketch(sha2(col("item"), 256), 1e-4, 10000L).as("sk"))
+    val merged = perGroup.agg(SketchMerge.bloomMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    val direct = rows.agg(GraftFunctions.bloomSketch(sha2(col("item"), 256), 1e-4, 10000L))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("kll_merge: n preserved, quantiles within rank bound of exact") {
+    val perGroup = rows.groupBy("grp").agg(GraftFunctions.kllSketch(col("x")).as("sk"))
+    val merged = KllSketch.deserialize(
+      perGroup.agg(SketchMerge.kllMerge(col("sk"))).head().getAs[Array[Byte]](0))
+    assert(merged.n === 5000L)
+    val sorted = rows.select("x").as[Double].collect().sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.02, s"q=$q est=$est rank=$rank")
+    }
+  }
+
+  test("tdigest_merge: total weight preserved, quantiles near exact") {
+    val perGroup = rows.groupBy("grp").agg(GraftFunctions.tdigestSketch(col("x")).as("sk"))
+    val merged = TDigest.deserialize(
+      perGroup.agg(SketchMerge.tdigestMerge(col("sk"))).head().getAs[Array[Byte]](0))
+    assert(merged.n === 5000L)
+    val sorted = rows.select("x").as[Double].collect().sorted
+    for (q <- Seq(0.01, 0.5, 0.99)) {
+      val est = merged.quantile(q)
+      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.03, s"q=$q est=$est rank=$rank")
+    }
+  }
+
+  test("freq_merge: every heavy item retained with a valid lower bound") {
+    // hot has 50 distinct values, 100 occurrences each; k=64 counters
+    // retain anything above n/(k+1) = 77 — i.e. all of them
+    val perGroup = rows.groupBy("grp").agg(GraftFunctions.frequentItems(col("hot")).as("sk"))
+    val merged = FrequentItems.deserialize(
+      perGroup.agg(SketchMerge.freqMerge(col("sk"))).head().getAs[Array[Byte]](0))
+    val est = merged.items.toMap
+    (0L until 50L).foreach { v =>
+      assert(est.contains(v), s"heavy item $v dropped")
+      assert(est(v) <= 100L, s"lower bound ${est(v)} exceeds true count")
+    }
+  }
+
+  test("null sketches are skipped; all-null group unions to null") {
+    val withNull = rows.groupBy("grp").agg(GraftFunctions.hllSketch(col("item")).as("sk"))
+      .withColumn("sk", when(col("grp") < 60, col("sk")))
+    val merged = withNull.agg(SketchMerge.hllMerge(col("sk"))).head().getAs[Array[Byte]](0)
+    val direct = rows.where(col("grp") < 60)
+      .agg(GraftFunctions.hllSketch(col("item"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+    val allNull = withNull.where(col("grp") >= 60)
+      .agg(SketchMerge.hllMerge(col("sk"))).head()
+    assert(allNull.isNullAt(0))
+  }
+
+  test("SQL surface: graft_hll_merge registered and consistent") {
+    GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("merge_rows")
+    val viaSql = spark.sql(
+      """SELECT graft_hll_merge(sk) FROM (
+        |  SELECT grp, graft_hll(item) AS sk FROM merge_rows GROUP BY grp
+        |)""".stripMargin).head().getAs[Array[Byte]](0)
+    val direct = rows.agg(GraftFunctions.hllSketch(col("item"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, direct))
+  }
+}
