@@ -43,4 +43,9 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Drain the async listener bus (private[spark]) — lets tests read
+   *  stage metrics deterministically after an action returns. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext, timeoutMs: Long = 30000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -1,0 +1,60 @@
+package graft.sketch
+
+import graft.SparkSpecBase
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MEASURED proof that sparse aggregation buffers shrink the shuffled
+ *  partials, not just the in-memory state: run `groupBy(key).agg(hll)` /
+ *  `agg(cms)` over many small groups and read the actual shuffle-write
+ *  bytes off the stage metrics. Dense partials would be ~16 KiB (HLL
+ *  p=14) / ~2.5 MiB (CMS 5×65536) per group per map task; the asserted
+ *  ceilings are more than 10× below the dense floor, so a silent
+ *  regression to dense-on-the-wire fails loudly. */
+class SketchShuffleBytesSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def shuffleWriteBytes(job: => DataFrame): Long = {
+    @volatile var bytes = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      job.collect()
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    bytes
+  }
+
+  // 2000 groups x 10 distinct items, spread over 8 input partitions so
+  // most groups produce a partial in several map tasks
+  private lazy val rows = (0 until 20000)
+    .map(i => (i % 2000L, s"item-${i % 2000}-${i / 2000}"))
+    .toDF("grp", "item").repartition(8).cache()
+
+  test("per-group HLL partials ship sparse: bytes << groups x 16 KiB") {
+    rows.count() // materialize cache outside the measured window
+    val bytes = shuffleWriteBytes(
+      rows.groupBy("grp").agg(GraftFunctions.hllSketch(col("item")).as("sk")))
+    // dense floor: 2000 groups x 8 maps x 16 KiB = 256 MiB; sparse
+    // reality: ~10 entries x 4 B + kryo overhead per partial
+    val denseFloor = 2000L * (1 << 14)
+    assert(bytes > 0, "no shuffle measured — job shape changed")
+    assert(bytes < denseFloor / 10,
+      s"shuffled $bytes bytes; dense floor is $denseFloor — sparse wire format regressed?")
+  }
+
+  test("per-group CMS partials ship sparse: bytes << groups x 2.5 MiB") {
+    rows.count()
+    val bytes = shuffleWriteBytes(
+      rows.groupBy("grp").agg(GraftFunctions.cmsSketch(col("item")).as("sk")))
+    val denseFloor = 2000L * 5 * 65536 * 8
+    assert(bytes > 0, "no shuffle measured — job shape changed")
+    assert(bytes < denseFloor / 100,
+      s"shuffled $bytes bytes; dense floor is $denseFloor — sparse wire format regressed?")
+  }
+}
