@@ -31,6 +31,11 @@ import com.esotericsoftware.kryo.io.{Input, Output}
 final class CmsBuffer(private var depth: Int, private var width: Int)
     extends Serializable with KryoSerializable {
 
+  // same fail-fast window as CountMinSketch: a bad shape must throw at
+  // Aggregator.zero, not after the whole input scan when a group densifies
+  require(depth > 0 && width > 0, s"bad shape: $depth x $width")
+  require(depth.toLong * width <= Int.MaxValue, s"shape overflows: $depth x $width")
+
   def this() = this(5, 65536) // kryo no-arg construction; overwritten by read()
 
   private var dense: CountMinSketch = _
@@ -48,12 +53,9 @@ final class CmsBuffer(private var depth: Int, private var width: Int)
   def add(item: String, c: Long): Unit = add(item.getBytes("UTF-8"), c)
 
   def add(item: Array[Byte], c: Long = 1L): Unit = {
-    import org.apache.spark.unsafe.Platform
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    addHashed(
-      XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
-      XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2),
-      c)
+    // the shared derivation — sparse counts and dense adds cannot drift
+    val (a, b) = CountMinSketch.itemHashes(item)
+    addHashed(a, b, c)
   }
 
   private def addHashed(a: Long, b: Long, c: Long): Unit = {
@@ -65,14 +67,19 @@ final class CmsBuffer(private var depth: Int, private var width: Int)
     }
   }
 
-  private[this] def densify(): Unit = {
-    val s = CountMinSketch(depth, width)
+  /** Replay every sparse (hashA, hashB, count) into `s` — the one loop
+   *  both densify and toSketch share. */
+  private[this] def replayInto(s: CountMinSketch): CountMinSketch = {
     val it = sparse.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       s.addHashed(e.getKey.a, e.getKey.b, e.getValue)
     }
-    dense = s
+    s
+  }
+
+  private[this] def densify(): Unit = {
+    dense = replayInto(CountMinSketch(depth, width))
     sparse = null
   }
 
@@ -95,19 +102,18 @@ final class CmsBuffer(private var depth: Int, private var width: Int)
   }
 
   /** The dense sketch this buffer denotes — bit-identical to direct adds.
-   *  Pure: does not change the buffer's representation. */
+   *  Pure (no representation change); the caller owns the result. */
   def toSketch: CountMinSketch = {
     if (dense != null) dense.copySketch()
-    else {
-      val s = CountMinSketch(depth, width)
-      val it = sparse.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        s.addHashed(e.getKey.a, e.getKey.b, e.getValue)
-      }
-      s
-    }
+    else replayInto(CountMinSketch(depth, width))
   }
+
+  /** Serialized dense sketch without the defensive matrix copy
+   *  [[toSketch]] makes (2.5 MiB at the default shape) — the
+   *  Aggregator.finish hot path. */
+  def toBytes: Array[Byte] =
+    if (dense != null) dense.serialize()
+    else replayInto(CountMinSketch(depth, width)).serialize()
 
   override def write(kryo: Kryo, out: Output): Unit = {
     out.writeInt(depth)

@@ -23,12 +23,8 @@ final class CountMinSketch private (
   require(depth > 0 && width > 0, s"bad shape: $depth x $width")
   require(counts.length == depth * width, "counts length mismatch")
 
-  private[this] def hashes(item: Array[Byte]): (Long, Long) = (
-    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
-    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2))
-
   def add(item: Array[Byte], c: Long = 1L): Unit = {
-    val (a0, b0) = hashes(item)
+    val (a0, b0) = CountMinSketch.itemHashes(item)
     addHashed(a0, b0, c)
   }
 
@@ -52,7 +48,7 @@ final class CountMinSketch private (
 
   /** Point estimate: min over rows (never underestimates). */
   def estimate(item: Array[Byte]): Long = {
-    val (a0, b0) = hashes(item)
+    val (a0, b0) = CountMinSketch.itemHashes(item)
     var a = a0
     var b = b0
     var r = 0
@@ -111,6 +107,16 @@ final class CountMinSketch private (
 
 object CountMinSketch {
   private val Magic = 0x434d5331 // "CMS1"
+
+  /** The ONE item-hash derivation (everything a CMS add reads) — shared
+   *  with [[CmsBuffer]]'s sparse counts so the two paths cannot drift. */
+  private[sketch] def itemHashes(item: Array[Byte]): (Long, Long) = (
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed1),
+    XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, BloomSketch.Seed2))
+
+  /** Zero-copy view over an existing counts array (buffer internals). */
+  private[sketch] def wrap(depth: Int, width: Int, counts: Array[Long]): CountMinSketch =
+    new CountMinSketch(depth, width, counts)
 
   def apply(depth: Int = 5, width: Int = 65536): CountMinSketch =
     new CountMinSketch(depth, width, new Array[Long](depth * width))

@@ -38,6 +38,11 @@ import com.esotericsoftware.kryo.io.{Input, Output}
 final class HllBuffer(private var precision: Int)
     extends Serializable with KryoSerializable {
 
+  // same fail-fast window as HllSketch: a bad precision must throw at
+  // Aggregator.zero, not after the whole input scan at finish (and the
+  // idx << 6 Int packing is only safe for the validated range)
+  require(precision >= 4 && precision <= 18, s"precision out of range: $precision")
+
   def this() = this(14) // kryo no-arg construction; overwritten by read()
 
   private var dense: Array[Byte] = _
@@ -61,16 +66,15 @@ final class HllBuffer(private var precision: Int)
   def addLong(v: Long): Unit =
     addHash(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, HllSketch.Seed))
 
-  /** Same idx/rank derivation as HllSketch.addHash — kept in lockstep. */
   def addHash(h: Long): Unit = {
-    val idx = (h >>> (64 - precision)).toInt
-    val w = h << precision
-    val rank0 = if (w == 0) (64 - precision + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
-    val r = math.min(rank0, 64 - precision + 1)
+    // the shared derivation — sparse entries and dense updates cannot drift
+    val packed = HllSketch.packedIdxRank(h, precision)
     if (dense != null) {
-      if (dense(idx) < r) dense(idx) = r.toByte
+      val idx = packed >>> 6
+      val r = (packed & 0x3f).toByte
+      if (dense(idx) < r) dense(idx) = r
     } else {
-      appendPacked((idx << 6) | r)
+      appendPacked(packed)
     }
   }
 
@@ -147,7 +151,8 @@ final class HllBuffer(private var precision: Int)
     this
   }
 
-  /** The dense sketch this buffer denotes — bit-identical to direct adds. */
+  /** The dense sketch this buffer denotes — bit-identical to direct adds.
+   *  The caller owns the result (fresh register array). */
   def toSketch: HllSketch = {
     val s = HllSketch(precision)
     if (dense != null) {
@@ -164,16 +169,27 @@ final class HllBuffer(private var precision: Int)
     s
   }
 
+  /** Serialized dense sketch without the defensive register copy
+   *  [[toSketch]] makes — the Aggregator.finish hot path. */
+  def toBytes: Array[Byte] =
+    if (dense != null) HllSketch.wrap(precision, dense).serialize()
+    else toSketch.serialize()
+
   /** Packed wire size if serialized now (after compaction) — test hook. */
   private[sketch] def compactedEntryCount: Int = { compact(); n }
 
   override def write(kryo: Kryo, out: Output): Unit = {
+    if (dense == null) {
+      // a grown array can hold > denseThreshold distincts between fill
+      // points; never let a partial ship larger than the dense form
+      compact()
+      if (n > denseThreshold) densify()
+    }
     out.writeInt(precision)
     if (dense != null) {
       out.writeInt(-1)
       out.writeBytes(dense)
     } else {
-      compact()
       out.writeInt(n)
       var i = 0
       while (i < n) { out.writeInt(entries(i)); i += 1 }

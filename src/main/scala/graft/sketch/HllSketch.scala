@@ -26,7 +26,6 @@ final class HllSketch private (val precision: Int, val registers: Array[Byte])
   val m: Int = 1 << precision
   require(registers.length == m, "register array length mismatch")
 
-  private[this] val idxShift = 64 - precision
 
   def add(item: Array[Byte]): Unit = {
     val h = XXH64.hashUnsafeBytes(item, Platform.BYTE_ARRAY_OFFSET, item.length, HllSketch.Seed)
@@ -38,11 +37,9 @@ final class HllSketch private (val precision: Int, val registers: Array[Byte])
   def addLong(v: Long): Unit = addHash(XXH64.hashLong(v, HllSketch.Seed))
 
   def addHash(h: Long): Unit = {
-    val idx = (h >>> idxShift).toInt
-    val w = h << precision
-    // rank in [1, 64-precision+1]; w == 0 -> max rank
-    val rank = if (w == 0) (64 - precision + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
-    val r = math.min(rank, 64 - precision + 1).toByte
+    val packed = HllSketch.packedIdxRank(h, precision)
+    val idx = packed >>> 6
+    val r = (packed & 0x3f).toByte
     if (registers(idx) < r) registers(idx) = r
   }
 
@@ -107,6 +104,20 @@ object HllSketch {
 
   def apply(precision: Int = 14): HllSketch =
     new HllSketch(precision, new Array[Byte](1 << precision))
+
+  /** The ONE idx/rank derivation, packed `idx << 6 | rank` — shared by
+   *  the dense update and [[HllBuffer]]'s sparse entries so the two paths
+   *  cannot drift. rank in [1, 64-precision+1] <= 61 < 2^6; idx < 2^18. */
+  private[sketch] def packedIdxRank(h: Long, precision: Int): Int = {
+    val idx = (h >>> (64 - precision)).toInt
+    val w = h << precision
+    val rank = if (w == 0) (64 - precision + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
+    (idx << 6) | math.min(rank, 64 - precision + 1)
+  }
+
+  /** Zero-copy view over an existing register array (buffer internals). */
+  private[sketch] def wrap(precision: Int, registers: Array[Byte]): HllSketch =
+    new HllSketch(precision, registers)
 
   def deserialize(bytes: Array[Byte]): HllSketch = {
     val buf = java.nio.ByteBuffer.wrap(bytes)

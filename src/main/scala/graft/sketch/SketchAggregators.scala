@@ -24,7 +24,7 @@ class HllAggregator(precision: Int) extends Aggregator[String, HllBuffer, Array[
     buf
   }
   override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
-  override def finish(buf: HllBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def finish(buf: HllBuffer): Array[Byte] = buf.toBytes
   override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
@@ -37,7 +37,7 @@ class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllBu
     buf
   }
   override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
-  override def finish(buf: HllBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def finish(buf: HllBuffer): Array[Byte] = buf.toBytes
   override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
@@ -54,7 +54,7 @@ class CmsAggregator(depth: Int, width: Int) extends Aggregator[String, CmsBuffer
     buf
   }
   override def merge(a: CmsBuffer, b: CmsBuffer): CmsBuffer = a.mergeInPlace(b)
-  override def finish(buf: CmsBuffer): Array[Byte] = buf.toSketch.serialize()
+  override def finish(buf: CmsBuffer): Array[Byte] = buf.toBytes
   override def bufferEncoder: Encoder[CmsBuffer] = Encoders.kryo[CmsBuffer]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

@@ -79,6 +79,12 @@ class CmsBufferSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(run(perm), expected), s"order $perm diverged")
   }
 
+  test("bad shape fails at construction (Aggregator.zero), not at densify") {
+    intercept[IllegalArgumentException](CmsBuffer(0, 1024))
+    intercept[IllegalArgumentException](CmsBuffer(5, -1))
+    intercept[IllegalArgumentException](CmsBuffer(1 << 16, 1 << 16)) // d*w overflows Int
+  }
+
   test("kryo wire format: small group ships O(distincts), round-trips exactly") {
     val small = CmsBuffer() // default 5x65536: dense wire would be ~2.5 MiB
     (0 until 100).foreach(i => small.add(s"s$i"))

@@ -107,6 +107,27 @@ class HllBufferSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(backBig.toSketch.serialize(), direct.serialize()))
   }
 
+  test("bad precision fails at construction (Aggregator.zero), not at finish") {
+    intercept[IllegalArgumentException](HllBuffer(3))
+    intercept[IllegalArgumentException](HllBuffer(19))
+  }
+
+  test("wire format never ships a sparse partial larger than dense") {
+    // p=10: threshold 256. Land between fill points with > threshold
+    // distincts (fill at 256 -> grow to 512 -> 255 more appends), then
+    // serialize: write() must densify rather than ship ~511 entries.
+    val buf = HllBuffer(10)
+    (0 until 511).foreach(i => buf.add(s"w$i"))
+    assert(!buf.isDense, "precondition: still sparse between fill points")
+    val bytes = kryoBytes(buf)
+    assert(buf.isDense, "write() must densify an over-threshold buffer")
+    assert(bytes.length <= 1024 + 64, s"partial shipped ${bytes.length} bytes > dense")
+    val back = kryoRoundTrip(buf)
+    val direct = HllSketch(10)
+    (0 until 511).foreach(i => direct.add(s"w$i"))
+    assert(java.util.Arrays.equals(back.toSketch.serialize(), direct.serialize()))
+  }
+
   test("addLong path matches dense addLong bit-for-bit") {
     val buf = HllBuffer(12)
     val s = HllSketch(12)
