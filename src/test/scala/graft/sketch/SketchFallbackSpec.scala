@@ -1,0 +1,60 @@
+package graft.sketch
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The sparse buffers' kryo write/read path is exercised mid-aggregation
+ *  when ObjectHashAggregate spills to sort-based fallback (the 100 TB
+ *  regime: more live groups than the hash map holds). Force the fallback
+ *  after 2 groups and pin that per-group results stay bit-identical to
+ *  the direct dense build — a compact-on-write or read-state bug that
+ *  only bites under memory pressure fails here, not in production. */
+class SketchFallbackSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val Key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  private def withFallback[T](body: => T): T = {
+    val prev = spark.conf.getOption(Key)
+    spark.conf.set(Key, "2")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(Key, v)
+      case None => spark.conf.unset(Key)
+    }
+  }
+
+  private lazy val rows = (0 until 30000)
+    .map(i => (i % 500L, s"item-${i % 3000}"))
+    .toDF("grp", "item").repartition(8).cache()
+
+  test("HLL per-group results survive sort-based fallback bit-identically") {
+    rows.count()
+    val got = withFallback {
+      rows.groupBy("grp").agg(GraftFunctions.hllSketch(col("item")).as("sk"))
+        .as[(Long, Array[Byte])].collect().toMap
+    }
+    assert(got.size === 500)
+    // replay three groups densely (group g sees item-(g + 500k) for k=0..5)
+    for (g <- Seq(0L, 123L, 499L)) {
+      val dense = HllSketch(14)
+      (0 until 30000).filter(_ % 500 == g).map(i => s"item-${i % 3000}").foreach(dense.add)
+      assert(java.util.Arrays.equals(got(g), dense.serialize()), s"group $g diverged")
+    }
+  }
+
+  test("CMS per-group results survive sort-based fallback bit-identically") {
+    rows.count()
+    val got = withFallback {
+      rows.groupBy("grp").agg(GraftFunctions.cmsSketch(col("item")).as("sk"))
+        .as[(Long, Array[Byte])].collect().toMap
+    }
+    assert(got.size === 500)
+    for (g <- Seq(0L, 321L, 499L)) {
+      val dense = CountMinSketch(5, 65536)
+      (0 until 30000).filter(_ % 500 == g).map(i => s"item-${i % 3000}").foreach(dense.add(_))
+      assert(java.util.Arrays.equals(got(g), dense.serialize()), s"group $g diverged")
+    }
+  }
+}
