@@ -3,9 +3,10 @@ package graft.dedup
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.sketch.{BloomSketch, BloomSizing}
+import org.apache.spark.sql.graftbridge.HadoopConfBox
+import graft.sketch.BloomSketch
 
 /** Per-partition checkpoint record (the lineage manifest row). */
 case class SketchPartCheckpoint(
@@ -25,9 +26,47 @@ case class SketchPartCheckpoint(
  * (streammd `src/markdups.cxx:62-83`) written as lineage.json.
  *
  * Partition identity is positional: resume assumes the same input files
- * and partitioning (standard for deterministic batch sources).
+ * and partitioning (standard for deterministic batch sources). That
+ * assumption is GUARDED, not silent: the first run persists the partition
+ * count (`npartitions`), and a resume whose split planning yields a
+ * different count fails loudly instead of skipping partitions whose
+ * positional ids happen to collide with stale partials — a same-count
+ * re-split (different rows, same partition total) remains undetectable,
+ * so resume on a different cluster size / `spark.sql.files.*` conf should
+ * start from a fresh checkpoint dir.
+ *
+ * All filesystem access goes through the session's Hadoop configuration
+ * (shipped to executors via [[HadoopConfBox]]), so `spark.hadoop.*`
+ * settings — object-store credentials, endpoints, defaultFS — apply to
+ * the checkpoint dir exactly as to the rest of the job.
  */
 object CheckpointedSketch {
+
+  private val NumPartitionsFile = "npartitions"
+
+  /** Atomic write-then-rename of a small driver-side file; returns the
+   *  winning content if a concurrent writer got there first. */
+  private def writeOnceSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, path: Path, content: String): String = {
+    if (!fs.exists(path)) {
+      val tmp = new Path(path.getParent, s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false)
+        if (!fs.exists(path))
+          throw new java.io.IOException(s"rename to $path failed and no winner exists")
+      }
+    }
+    val in = fs.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf)
+      while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
 
   /**
    * Build (or resume) the merged sketch over the signature column of df.
@@ -42,12 +81,25 @@ object CheckpointedSketch {
       .as(Encoders.BINARY)
 
     val dir = checkpointDir
-    new Path(dir).getFileSystem(new Configuration())
-      .mkdirs(new Path(dir))
+    val spark = df.sparkSession
+    val confBox = new HadoopConfBox(spark.sparkContext)
+    val driverFs = new Path(dir).getFileSystem(confBox.conf)
+    driverFs.mkdirs(new Path(dir))
+
+    // positional-resume guard: a resume whose file-split planning differs
+    // (other cluster size, other spark.sql.files.* conf) would silently
+    // skip partitions with colliding ids — refuse it loudly instead
+    val numParts = sigs.rdd.getNumPartitions
+    val recorded = writeOnceSmallFile(
+      driverFs, new Path(s"$dir/$NumPartitionsFile"), numParts.toString).trim
+    require(recorded == numParts.toString,
+      s"checkpoint dir $dir was written under $recorded input partitions but this run " +
+        s"plans $numParts — split planning changed; resume from a fresh checkpoint dir " +
+        "or rerun with the original parallelism/conf")
 
     val manifests = sigs.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val conf = new Configuration()
+      val conf = confBox.conf
       val path = new Path(s"$dir/part-$pid.sketch")
       val fs = path.getFileSystem(conf)
       if (fs.exists(path)) {
@@ -67,8 +119,13 @@ object CheckpointedSketch {
         val out = fs.create(tmp, true)
         try out.write(sk.serialize()) finally out.close()
         if (!fs.rename(tmp, path)) {
-          // a concurrent attempt won the rename; use its result
+          // dest-exists means a concurrent attempt won the rename (use its
+          // result); any other failed rename lost this partition's work
+          // and MUST NOT be recorded as success
           fs.delete(tmp, false)
+          if (!fs.exists(path))
+            throw new java.io.IOException(
+              s"rename to $path failed with no concurrent winner — partial lost")
         }
         Iterator.single(SketchPartCheckpoint(pid, rows, inserted, fromCache = false, path.toString))
       }
@@ -104,11 +161,12 @@ object CheckpointedSketch {
         BloomSketch.deserialize(bytes.toByteArray)
       } finally in.close()
     }
+    val confBox = new HadoopConfBox(spark.sparkContext)
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
     val mergedBytes = spark.sparkContext.parallelize(files, slices)
       .mapPartitions { it =>
-        val conf = new Configuration()
+        val conf = confBox.conf
         var acc: BloomSketch = null
         it.foreach { f =>
           val sk = readSketch(conf, f)
@@ -128,7 +186,14 @@ object CheckpointedSketch {
       checkpointDir: String,
       args: Seq[String],
       metrics: DedupMetrics,
-      manifests: Seq[SketchPartCheckpoint]): Unit = {
+      manifests: Seq[SketchPartCheckpoint],
+      conf: Configuration = null): Unit = {
+    // session Hadoop conf by default (spark.hadoop.* creds/endpoints);
+    // an explicit conf wins, bare Configuration only with no session up
+    val hadoopConf =
+      if (conf != null) conf
+      else SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(new Configuration())
     // escape control chars too (same contract as Verify's dumper): a
     // newline or tab inside a CLI arg must not produce invalid JSON in
     // the provenance record
@@ -157,9 +222,18 @@ object CheckpointedSketch {
          |"DUPLICATE_FRACTION":${metrics.duplicateFraction},
          |"SKETCH":$sketchJson,
          |"CHECKPOINTS":$parts}""".stripMargin
+    // same write-then-rename discipline as the sketch partials: a crash
+    // mid-write must never leave truncated JSON at the canonical path
     val path = new Path(s"$checkpointDir/lineage.json")
-    val fs = path.getFileSystem(new Configuration())
-    val out = fs.create(path, true)
+    val fs = path.getFileSystem(hadoopConf)
+    val tmp = new Path(s"$checkpointDir/.lineage.json.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false) // re-run refreshes provenance
+    if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(path))
+        throw new java.io.IOException(s"rename to $path failed — lineage not written")
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.sketch.{BloomSizing, BloomSketch, BloomSketchAggregator}
+import graft.sketch.{BloomSizing, BloomSketch}
 
 /**
  * Distributed duplicate marking with streammd semantics
@@ -119,10 +119,19 @@ object MarkDuplicates {
     cfg.orderCols match {
       case Seq(single) if !nullable(single) => col(single)
       case cols if cols.forall(isString) =>
+        // the no-NUL contract is ENFORCED, not assumed: a U+0000 inside an
+        // order column would make two distinct keys encode identically, and
+        // colliding keys both equal the group min so NEITHER row gets
+        // marked — silent under-marking. Fail the row loudly instead.
+        def noNul(c: String): Column =
+          when(col(c).contains(lit("\u0000")),
+            raise_error(lit(s"order column '$c' contains U+0000 — " +
+              "use non-string order columns or strip NULs first")))
+            .otherwise(col(c))
         if (cols.exists(nullable))
           concat_ws("\u0000",
-            cols.map(c => coalesce(concat(lit("v"), col(c)), lit("n"))): _*)
-        else concat_ws("\u0000", cols.map(col): _*)
+            cols.map(c => coalesce(concat(lit("v"), noNul(c)), lit("n"))): _*)
+        else concat_ws("\u0000", cols.map(noNul): _*)
       case Seq(single) => struct(col(single))
       case cols => struct(cols.map(col): _*)
     }
@@ -201,14 +210,17 @@ object MarkDuplicates {
    * true streaming analog of streammd's probe): pure map-side, no shuffle;
    * false positives bounded by the sketch's p. A pre-existing output
    * column follows the same re-marking semantics as [[mark]]/[[run]]:
-   * OR'd in, or discarded under `stripPrevious`.
+   * OR'd in, or discarded under `stripPrevious`. Output options are
+   * honored exactly like [[mark]]: `removeDuplicates` filters marked rows
+   * out and `keepSignature` retains the signature column.
    */
   def markAgainst(df: DataFrame, sketch: BloomSketch, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val prepped = prepPrevious(df, cfg)
-    combinePrevious(
-      prepped.withColumn(cfg.outputCol,
-        graft.plans.GraftExpressions.bloomContains(sketch, signature(col(cfg.contentCol)))),
+    val withSig = prepPrevious(df, cfg).withColumn(SigCol, signature(col(cfg.contentCol)))
+    val marked = combinePrevious(
+      withSig.withColumn(cfg.outputCol,
+        graft.plans.GraftExpressions.bloomContains(sketch, col(SigCol))),
       cfg)
+    applyOutputOptions(marked, cfg)
   }
 
   /** The Bloom aggregation column (binary signature input), shaped from

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
-  /** Deterministic salt in [0, buckets) from arbitrary columns. */
-  def saltCol(buckets: Int, cols: Column*): Column =
+  /** Deterministic salt in [0, buckets) from arbitrary columns.
+   *  buckets >= 1 enforced: pmod by 0 would yield a NULL salt and the
+   *  mitigation would silently do nothing. */
+  def saltCol(buckets: Int, cols: Column*): Column = {
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
     pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
+  }
 
   /**
    * Hash-repartition on `keys` with hot-key salting: every row's target

@@ -49,3 +49,13 @@ object ColumnBridge {
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext, timeoutMs: Long = 30000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
 }
+
+/** Serializable carrier for the session's Hadoop configuration — wraps
+ *  the private[spark] SerializableConfiguration so executor-side
+ *  filesystem access (checkpoint partials) sees every `spark.hadoop.*`
+ *  setting (object-store credentials, endpoints, defaultFS) instead of a
+ *  bare `new Configuration()`. */
+final class HadoopConfBox(sc: org.apache.spark.SparkContext) extends Serializable {
+  private val boxed = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
+  def conf: org.apache.hadoop.conf.Configuration = boxed.value
+}

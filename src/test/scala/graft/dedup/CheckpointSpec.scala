@@ -56,6 +56,19 @@ class CheckpointSpec extends SparkSpecBase {
     assert(resumed === full, "resume must reproduce the full-run sketch")
   }
 
+  test("resume refuses a checkpoint written under different split planning") {
+    val dir = tmpDir("guard")
+    CheckpointedSketch.build(df, cfg, dir)
+    val resplit = df.repartition(df.rdd.getNumPartitions + 3)
+    val e = intercept[IllegalArgumentException](
+      CheckpointedSketch.build(resplit, cfg, dir))
+    assert(e.getMessage.contains("split planning changed"))
+    // same planning still resumes cleanly after the failed attempt
+    val (again, m) = CheckpointedSketch.build(df, cfg, dir)
+    assert(m.forall(_.fromCache))
+    assert(again === CheckpointedSketch.build(df, cfg, tmpDir("guard2"))._1)
+  }
+
   test("executor-side merge handles 64+ partials and matches the direct sketch") {
     val dir = tmpDir("wide")
     val wide = df.repartition(64)

@@ -130,6 +130,32 @@ class MarkDuplicatesSpec extends SparkSpecBase {
     assert(res.metrics.sketch.get.capacityUsed > 1.0)
   }
 
+  test("markAgainst honors removeDuplicates and keepSignature like mark()") {
+    val corpus = RepoTableGen.repositories(spark, 2000L, dupFraction = 0.0,
+      nullFraction = 0.0, seed = 7L)
+    val sketch: BloomSketch = MarkDuplicates.buildSketch(
+      corpus, cfg.copy(expectedN = 2000L))
+    // every corpus row probes positive -> removeDuplicates filters ALL out
+    val removed = MarkDuplicates.markAgainst(
+      corpus, sketch, cfg.copy(removeDuplicates = true))
+    assert(removed.count() === 0L, "marked rows must be filtered out")
+    val kept = MarkDuplicates.markAgainst(
+      corpus, sketch, cfg.copy(keepSignature = true))
+    assert(kept.columns.contains(MarkDuplicates.SigCol))
+    assert(!MarkDuplicates.markAgainst(corpus, sketch, cfg)
+      .columns.contains(MarkDuplicates.SigCol))
+  }
+
+  test("a U+0000 inside a string order column fails loudly, never under-marks") {
+    import spark.implicits._
+    val df = Seq(
+      ("same content", "x\u0000", "y"),
+      ("same content", "x", "\u0000y")).toDF("content", "a", "b")
+    val c = cfg.copy(orderCols = Seq("a", "b"), orderColsUnique = false)
+    val e = intercept[Exception](MarkDuplicates.mark(df, c).collect())
+    assert(e.getMessage.contains("U+0000"))
+  }
+
   test("markAgainst sketch: no false negatives, FPR <= 2p on fresh rows") {
     val p = 1e-3
     val corpus = RepoTableGen.repositories(spark, 10000L, dupFraction = 0.0,

@@ -47,6 +47,12 @@ class SkewSpec extends SparkSpecBase {
     assert(saltedParts >= 4L, s"hot repo spread over only $saltedParts partitions")
   }
 
+  test("saltCol rejects buckets < 1 (pmod-by-zero would null the salt)") {
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException](Skew.saltCol(0, col("x")))
+    intercept[IllegalArgumentException](Skew.saltCol(-4, col("x")))
+  }
+
   test("hotKeys finds the dominant key") {
     val df = RepoTableGen.repositories(spark, 5000L, dupFraction = 0.0,
       nullFraction = 0.0, hotFraction = 0.5, nRepos = 20, seed = 23L)
