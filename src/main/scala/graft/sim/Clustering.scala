@@ -88,10 +88,18 @@ object Clustering {
       iter += 1
     }
 
+    // non-convergence must be LOUD: an unconverged edge set yields split
+    // clusters (one component labeled as several), which silently
+    // under-merges near-dup groups downstream. The alternation converges
+    // in O(log^2 n) rounds, so hitting the budget means the budget is too
+    // small for the graph — raise it rather than accept wrong clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations rounds — " +
+          "clusters would be split/non-canonical; raise maxIterations")
+
     // fixpoint edge set is (child, componentMin) stars; centers appear
     // only on the v side and singletons not at all — both label as self.
-    // (min-aggregate is a no-op at the fixpoint; it keeps the label
-    // well-defined if maxIterations cut the loop early.)
     val stars = e.groupBy(col("u").as("id")).agg(min(col("v")).as("__c"))
     vertices.select(col(vCol).as("id"))
       .join(stars, Seq("id"), "left_outer")

@@ -151,7 +151,15 @@ object MinHashLsh {
     // open-addressing gram-hash dedup (linear probe, load <= 0.5; slot 0
     // means empty, a zero hash is tracked by flag). Duplicate grams would
     // only redo idempotent mins — the set just skips the k-fold for them.
-    val cap = Integer.highestOneBit(math.max(4, 2 * count - 1)) * 2
+    // The table is a pure optimization, so its size is CAPPED (a
+    // pathological ~10^9-gram row would otherwise overflow the Int sizing
+    // into a negative allocation, or OOM the executor): once `inserted`
+    // hits cap/2 further unseen grams fold WITHOUT being inserted —
+    // duplicates past that point redo idempotent mins, never lose one.
+    val cap = math.min(1 << 26,
+      Integer.highestOneBit(math.max(4, math.min(count, 1 << 24) * 2 - 1)) * 2)
+    val maxInserted = cap >> 1
+    var inserted = 0
     val mask = cap - 1
     val table = new Array[Long](cap)
     var zeroSeen = false
@@ -173,7 +181,10 @@ object MinHashLsh {
       else {
         var idx = ((h ^ (h >>> 32)).toInt) & mask
         while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & mask
-        if (table(idx) == 0L) { table(idx) = h; fresh = true }
+        if (table(idx) == 0L) {
+          fresh = true
+          if (inserted < maxInserted) { table(idx) = h; inserted += 1 }
+        }
       }
       if (fresh) {
         var j = 0
@@ -405,8 +416,10 @@ object MinHashLsh {
       idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
 
   /**
-   * The persistable MinHash signature store of a corpus: `(idCol, sig:
-   * array<long>)`, one row per doc with non-empty shingles. Write this
+   * The persistable MinHash signature store of a corpus — output schema
+   * is literally `(id, sig: array<long>)` regardless of `idCol` (the
+   * probe side hard-requires those names), one row per doc with
+   * non-empty shingles. Write this
    * to the lake once per snapshot (append per ingested batch) and feed
    * it to [[candidatePairsAgainstSigs]] — the shingle + numHashes-hash
    * pass over full document text (the expensive step: O(bytes) per doc)
@@ -446,7 +459,15 @@ object MinHashLsh {
           .as(Seq("band", "bucket")))
     val sigsNew = signatureStore(newDf, idCol, textCol, numHashes, shingleSize)
       .localCheckpoint(false)
-    val sigsRef = refSigs.select(col("id"), col("sig"))
+    // a store written under a different numHashes would band-hash into a
+    // disjoint key space and the probe would return ~zero pairs with no
+    // error — every duplicate silently kept. Fail the row loudly instead.
+    val sigsRef = refSigs.select(col("id"),
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"signature store length "), size(col("sig")).cast("string"),
+          lit(s" != numHashes $numHashes — probe and store must use the same numHashes"))))
+        .as("sig"))
     val bandedNew = bandedOf(sigsNew)
     val bandedRef = bandedOf(sigsRef)
     // a bucket is live iff BOTH sides land in it and the cross product is
@@ -456,7 +477,9 @@ object MinHashLsh {
       .agg(count(lit(1)).as("__nn"))
       .join(bandedRef.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("__nr")), Seq("band", "bucket"))
-      .where(col("__nn") * col("__nr") <= maxBucketPairs)
+      // division form of nn*nr <= cap: the multiply would wrap negative
+      // past 2^63 on exactly the mega-buckets this gate exists to drop
+      .where(col("__nn") <= expr(s"${maxBucketPairs}L DIV greatest(__nr, 1L)"))
       .select(col("band"), col("bucket"))
     val prunedNew = bandedNew.join(live, Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("id").as("id_new"))

@@ -46,20 +46,8 @@ object SetSimJoin {
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
 
-    val sets = df
-      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
-      .where(size(col("toks")) > 0)
-      .localCheckpoint(false) // consumed by ranking AND the verify re-attach
-
-    val tok = sets.select(col("id"), size(col("toks")).as("n"),
-      explode(col("toks")).as("token"))
-    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
-    val prefix = tok.join(dfreq, Seq("token"))
-      .withColumn("idx", row_number().over(w))
-      // prefix length = n - ceil(t*n) + 1
-      .where(col("idx") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("token"), col("id"))
+    val sets = distinctSets(df, idCol, tokensCol)
+    val (_, prefix) = tokensAndPrefix(sets, tNum, tDen)
 
     val a = prefix.select(col("token"), col("id").as("id_a"))
     val b = prefix.select(col("token"), col("id").as("id_b"))
@@ -151,27 +139,45 @@ object SetSimJoin {
     confirmContainment(screened, sets, tNum, tDen)
   }
 
-  /** `(id, toks)` with duplicate tokens collapsed and empties dropped;
-   *  checkpointed because candidates AND the confirm re-attach read it. */
+  /** `(id, toks)` with duplicate tokens collapsed, NULL tokens removed,
+   *  and empties dropped; checkpointed because candidates AND the confirm
+   *  re-attach read it. Null removal is a correctness requirement, not
+   *  hygiene: the candidate equi-join can never match a null token key,
+   *  but array_intersect/array_union DO count null as equal — a pair
+   *  qualifying only through null "tokens" would be verified correct yet
+   *  never surface as a candidate, breaking the exactness contract. */
   private def distinctSets(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
-    df.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+    df.select(col(idCol).as("id"),
+        array_compact(array_distinct(col(tokensCol))).as("toks"))
       .where(size(col("toks")) > 0)
       .localCheckpoint(false)
+
+  /** Exploded `(id, n, token)` rows plus the rarest-first prefix
+   *  `(token, id)` rows of length n - ceil(t·n) + 1 per set, ordered by
+   *  (global df, token) — the ONE prefix-filter implementation shared by
+   *  the exact Jaccard join (both sides) and the containment probe side,
+   *  so the lemma's arithmetic cannot diverge between them. */
+  private def tokensAndPrefix(
+      sets: DataFrame, tNum: Int, tDen: Int): (DataFrame, DataFrame) = {
+    val tok = sets.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+    val prefix = tok.join(dfreq, Seq("token"))
+      .withColumn("idx", row_number().over(w))
+      // prefix length = n - ceil(t*n) + 1
+      .where(col("idx") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("token"), col("id"))
+    (tok, prefix)
+  }
 
   /** Prefix-filtered candidate ORDERED pairs (id_a, id_b): complete for
    *  containment(a in b) >= tNum/tDen (probe-side prefix vs full index —
    *  see [[containmentJoinExact]]'s scaladoc for the lemma). */
   private[sim] def containmentCandidates(
       sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val tok = sets.select(col("id"), size(col("toks")).as("n"),
-      explode(col("toks")).as("token"))
-    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
-    val probePrefix = tok.join(dfreq, Seq("token"))
-      .withColumn("idx", row_number().over(w))
-      .where(col("idx") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("token"), col("id").as("id_a"))
-
+    val (tok, prefix) = tokensAndPrefix(sets, tNum, tDen)
+    val probePrefix = prefix.select(col("token"), col("id").as("id_a"))
     val index = tok.select(col("token"), col("id").as("id_b"))
     probePrefix.join(index, Seq("token"))
       .where(col("id_a") =!= col("id_b"))
@@ -187,7 +193,14 @@ object SetSimJoin {
       candidates: DataFrame, sets: DataFrame,
       sketchK: Int, screenMicro: Long): DataFrame = {
     import graft.sketch.KmvOps
-    val sk = sets.select(col("id"), explode(col("toks")).as("token"))
+    // sketch only ids the prefix filter actually surfaced: the candidate
+    // set touches a small fraction of a 100 TB corpus, and building KMV
+    // sketches for every document would make the screen corpus-sized
+    val neededIds = candidates.select(col("id_a").as("id"))
+      .unionAll(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val sk = sets.join(neededIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(col("toks")).as("token"))
       .groupBy(col("id"))
       .agg(graft.plans.GraftExpressions.kmvSketchAgg(
         KmvOps.sha52(col("token")), sketchK).as("kmv"))

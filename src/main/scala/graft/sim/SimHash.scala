@@ -176,10 +176,16 @@ object SimHash {
       nBlocks: Int = 6,
       maxBucketSize: Long = 10000L): DataFrame =
     // fingerprint via the native codegen'd expression
-    // (graft.plans.SimHash64Expr) — no per-row ScalaUDF converter
+    // (graft.plans.SimHash64Expr) — no per-row ScalaUDF converter.
+    // Featureless rows (null/empty/whitespace-only text) all fingerprint
+    // to 0 and would pair with EACH OTHER as hamming-0 "duplicates" of
+    // unknown, unrelated content — exclude them (a real text hashing to
+    // exactly 0 is a 2^-64 event; MinHashLsh drops null signatures for
+    // the same reason).
     nearDupPairsOnHash(
       df.select(col(idCol).as("id"),
-        graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh")),
+        graft.plans.TextSketchExprs.simhash64(col(textCol)).as("sh"))
+        .where(col("sh").isNotNull && col("sh") =!= 0L),
       "id", "sh", maxHamming, nBlocks, maxBucketSize)
 
   /**
@@ -203,8 +209,12 @@ object SimHash {
 
     // combo-key expansion via the native codegen'd expression
     // (graft.plans.SimHashKeysExpr) — no per-row ScalaUDF converter
-    // anywhere in the corpus-wide passes
+    // anywhere in the corpus-wide passes. Null fingerprints cannot pair;
+    // an all-zero PRECOMPUTED hash is kept (e.g. a blank image's block
+    // hash is legitimately 0 and blank images ARE near-dups) — the text
+    // entry point above filters its featureless rows itself.
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
+      .where(col("sh").isNotNull)
       .localCheckpoint(false)
     val keyed = hashed
       .select(col("id"),

@@ -40,6 +40,16 @@ class ClusteringSpec extends SparkSpecBase {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("non-convergence within the round budget throws, never splits clusters") {
+    import spark.implicits._
+    // a 64-node chain cannot converge in 1 round
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (0L until 64L).toDF("id")
+    val e = intercept[IllegalStateException](
+      graft.sim.Clustering.connectedComponents(edges, verts, maxIterations = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("random graphs: clusters equal a local union-find across densities") {
     import spark.implicits._
     for (seed <- Seq(1, 2); nEdges <- Seq(50, 400)) {

@@ -127,4 +127,17 @@ class SetSimJoinSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((2L, 1L)), s"got $got")
   }
+
+  test("null tokens are stripped, not silently un-matchable") {
+    // exact Jaccard over null-stripped sets: (1,[x,null]) vs (2,[x,null])
+    // must pair on {x} alone (J=1), and [null]-only sets must vanish
+    val df = Seq(
+      (1L, Seq[String]("x", null)),
+      (2L, Seq[String](null, "x")),
+      (3L, Seq[String](null))).toDF("id", "toks")
+    val got = SetSimJoin.jaccardJoinExact(df, "id", "toks", tNum = 1, tDen = 1)
+      .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((1L, 2L, 1L, 1L)))
+  }
 }

@@ -442,4 +442,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(feats(1L).feature.toSeq === feats(3L).feature.toSeq, "stub decode deterministic")
     assert(feats(1L).feature.toSeq !== feats(2L).feature.toSeq)
   }
+
+  test("signature-store numHashes mismatch fails loudly, never returns empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val store64 = MinHashLsh.signatureStore(docs, "id", "text", numHashes = 64)
+    val e = intercept[Exception](
+      MinHashLsh.candidatePairsAgainstSigs(docs, store64, "id", "text",
+        numHashes = 128).collect())
+    assert(e.getMessage.contains("numHashes"))
+  }
+
+  test("featureless rows never pair in SimHash near-dup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "   \t  "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "real content one two three"), (6L, "real content one two three"))
+      .toDF("id", "text")
+    val pairs = SimHash.nearDupPairs(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((5L, 6L)),
+      s"null/empty/whitespace rows must not pair; got $pairs")
+  }
 }
