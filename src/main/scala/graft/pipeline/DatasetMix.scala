@@ -156,7 +156,10 @@ object DatasetMix {
       df: DataFrame, strataCol: String, orderCol: String, totalTarget: Long,
       gateBuckets: Int = 64): DataFrame = {
     val quotas = sqrtTemperatureQuotas(df, strataCol, totalTarget)
-    val maxQuota = quotas.agg(max(col("quota"))).head().getLong(0)
+      .localCheckpoint(false) // read twice: the max below + the broadcast join
+    val maxRow = quotas.agg(max(col("quota"))).head()
+    if (maxRow.isNullAt(0)) return df.limit(0) // empty input: empty sample
+    val maxQuota = maxRow.getLong(0)
     val gated =
       if (gateBuckets > 1 && maxQuota <= Int.MaxValue)
         approxQuotaGate(df, strataCol, orderCol, maxQuota.toInt, gateBuckets)
@@ -202,12 +205,30 @@ object DatasetMix {
    */
   def weightedBernoulliSample(
       df: DataFrame, keyCol: String, weightPpm: Column): DataFrame = {
+    requireIntegral(df, keyCol, "weightedBernoulliSample")
     val p = graft.pipeline.GlobalShuffle.LcgMod
     val w = greatest(lit(0L), least(lit(1000000L), weightPpm))
-    // threshold = floor(P * w / 10^6) exactly (P*10^6 ~ 2.1e15 < 2^63)
+    // threshold = floor(P * w / 10^6) exactly (P*10^6 ~ 2.1e15 < 2^63);
+    // compare is STRICT: P(keep) = threshold/P (keys uniform on [0, P)),
+    // so weight 0 keeps NOTHING — inclusive would admit lcgKey == 0 rows
+    // into a probability-0 sample (~465 leaked rows per 10^12)
     val threshold = (lit(p) * w - pmod(lit(p) * w, lit(1000000L))) / lit(1000000L)
-    df.where(graft.pipeline.GlobalShuffle.lcgKey(col(keyCol)) <=
+    df.where(graft.pipeline.GlobalShuffle.lcgKey(col(keyCol)) <
       threshold.cast("long"))
+  }
+
+  /** The Lehmer/LCG permutation is integer arithmetic: a string key would
+   *  cast to null inside pmod and every derived decision silently
+   *  misroutes (all-eval splits, empty samples). Fail construction-time. */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"$op: column '$c' must be an integral type for the Lehmer permutation, " +
+        s"got ${df.schema(c).dataType} — hash non-numeric keys first (xxhash64)")
   }
 
   /**
@@ -235,6 +256,7 @@ object DatasetMix {
       docs: DataFrame, idCol: String, pairs: DataFrame,
       trainPct: Int = 80): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, "trainPct must be in [0,100]")
+    requireIntegral(docs, idCol, "leakageSafeSplit")
     val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
     val vertices = pairs.select(col(sCol).as("id"))
       .unionAll(pairs.select(col(dCol).as("id")))

@@ -57,8 +57,11 @@ object IncrementalDedup {
       }
     val sigged = newBatch.withColumn("__sig",
       unhex(sha2(col(contentCol), 256)))
+    // two consumers (the confirm slice + the final join) — truncate the
+    // lineage so the batch's upstream plan and sha256 run once, not twice
     val gated = sigged.withColumn("__hit",
       GraftExpressions.bloomContains(sketch, col("__sig")))
+      .localCheckpoint(false)
     // exact confirm for the hit slice only; misses are novel by the
     // filter's no-false-negative guarantee
     val confirmed = gated.where(col("__hit"))

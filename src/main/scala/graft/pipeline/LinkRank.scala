@@ -65,7 +65,12 @@ object LinkRank {
       val contrib = graph
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          expr(s"($damping * rank_micro) DIV ($Micro * deg)").as("c"))
+          // identical integer values, but through DECIMAL(38,0): the
+          // int64 product damping * rank_micro wraps negative once a hub
+          // accumulates ~1.08e13 micro of rank mass (~1.3e7 nodes' worth)
+          // — silently corrupting every downstream ordering at web scale
+          expr(s"(CAST($damping AS DECIMAL(38,0)) * rank_micro)" +
+            s" DIV (CAST($Micro AS DECIMAL(38,0)) * deg)").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("c"))
       ranks = nodes.join(contrib, Seq("node"), "left_outer")

@@ -45,8 +45,10 @@ object ParagraphDedup {
           x => x.getField("__para")),
         sep).as(textCol))
     // a document whose every paragraph was removed must survive as ''
-    // (it has no rows in `kept`), so restore ids from the input side
-    df.select(col(idCol))
+    // (it has no rows in `kept`), so restore ids from the input side.
+    // Every NON-text column rides through — the doc promises "df with
+    // textCol rewritten", not a two-column projection.
+    df.drop(textCol)
       .join(rebuilt, Seq(idCol), "left_outer")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }

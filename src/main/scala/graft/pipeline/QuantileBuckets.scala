@@ -64,8 +64,12 @@ object QuantileBuckets {
     val cuts = groupThresholds(df, groupCol, valueCol, qs, k)
       .withColumnRenamed(groupCol, "__qb_g")
     df.join(broadcast(cuts), df(groupCol) <=> cuts("__qb_g"))
+      // unscoreable rows (null/NaN value) get a NULL bucket, not bucket 0:
+      // `t < null`/`t < NaN` keeps no cut, which would silently label a
+      // failed score as head/top-quality
       .withColumn("bucket",
-        size(filter(col("cuts"), t => t < col(valueCol).cast("double"))))
+        when(col(valueCol).isNull || isnan(col(valueCol).cast("double")), lit(null))
+          .otherwise(size(filter(col("cuts"), t => t < col(valueCol).cast("double")))))
       .drop("cuts", "__qb_g")
   }
 }

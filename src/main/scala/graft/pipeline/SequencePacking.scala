@@ -66,11 +66,15 @@ object SequencePacking {
     withBucket
       .join(offsetsDf, Seq("__bucket"))
       .withColumn("start_token", start)
-      .withColumn("pack_id", floor(col("start_token") / contextLen).cast("long"))
+      // integral DIV, not floor(double /): long division through double
+      // mis-floors past 2^53 total tokens while the pmod-derived offset
+      // stays exact — the two would disagree at exactly the scale this
+      // operator targets
+      .withColumn("pack_id", expr(s"start_token DIV ${contextLen}L"))
       .withColumn("pack_offset", pmod(col("start_token"), lit(contextLen)).cast("long"))
       .withColumn("spans_packs",
         col(nTokensCol) > 0 &&
-          floor((col("start_token") + col(nTokensCol) - 1) / contextLen) > col("pack_id"))
+          expr(s"(start_token + ${nTokensCol} - 1) DIV ${contextLen}L") > col("pack_id"))
       .drop("__bucket", "__boffset")
   }
 }

@@ -120,7 +120,8 @@ object SpanDedup {
       .where(col("__rk") > 1)
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__t"))
-      .distinct()
+      // no distinct(): collect_set deduplicates — a pre-distinct would be
+      // one full extra exchange of the covered-position rows
       .groupBy(col(idCol))
       .agg(collect_set(col("__t")).as("__cut"))
 

@@ -56,11 +56,19 @@ object UrlDedup {
    */
   def markUrlDuplicates(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val slim = df.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
-    val keepers = slim.groupBy(col("norm_url"))
+    // null URL = NO url, not a shared one: such rows are their own
+    // keeper, never duplicates of each other. A plain equi-join would
+    // silently DROP them (null keys never match); a null-safe join would
+    // wrongly cluster them all as one "URL".
+    val withUrl = slim.where(col("norm_url").isNotNull)
+    val keepers = withUrl.groupBy(col("norm_url"))
       .agg(min(col(idCol)).as("keeper_id"))
-    slim.join(keepers, "norm_url")
+    withUrl.join(keepers, "norm_url")
       .select(col(idCol), col("norm_url"), col("keeper_id"),
         (col(idCol) =!= col("keeper_id")).as("is_url_dup"))
+      .unionByName(slim.where(col("norm_url").isNull)
+        .select(col(idCol), col("norm_url"), col(idCol).as("keeper_id"),
+          lit(false).as("is_url_dup")))
   }
 
   /** `markUrlDuplicates` keeping only the canonical page per URL. */

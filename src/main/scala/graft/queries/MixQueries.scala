@@ -455,7 +455,7 @@ object MixQueries {
       |  FROM documents
       |)
       |WHERE h1 * 48271 % 2147483647
-      |      <= (2147483647 * least(1000000, greatest(0, w0))) // 1000000""".stripMargin
+      |      < (2147483647 * least(1000000, greatest(0, w0))) // 1000000""".stripMargin
 
   /** Leakage-safe train/eval split over the standard dup corpus: split
    *  key = connected-component min id over the exact-duplicate pair

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Regression tests for the silent-failure fixes in the pipeline
+ *  operators: null-key row loss, probability-zero sample leakage,
+ *  non-numeric Lehmer keys, unscoreable-row bucketing, metadata-dropping
+ *  projections, and empty-input NPEs. */
+class PipelineGuardsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("URL dedup keeps null-url rows as their own keepers, never drops or clusters them") {
+    val df = Seq(
+      (1L, "http://a.com/x"), (2L, "https://www.a.com/x/"), // same normalized
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val marked = UrlDedup.markUrlDuplicates(df, "id", "url")
+    assert(marked.count() === 4, "null-url rows must not vanish")
+    val nulls = marked.where(col("norm_url").isNull)
+      .select("id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(nulls === Map(3L -> 3L, 4L -> 4L), "each null-url row is its own keeper")
+    assert(marked.where(col("is_url_dup")).select("id").as[Long].collect().toSet === Set(2L))
+    assert(UrlDedup.dedupByUrl(df, "id", "url").count() === 3)
+  }
+
+  test("weight-0 Bernoulli sample is empty, even for keys whose lcgKey is 0") {
+    // key k with k % 2147483647 == 2147483646 drives lcgKey to 0
+    val df = Seq(2147483646L, 1L, 42L, 4294967293L).toDF("doc_id")
+    assert(DatasetMix.weightedBernoulliSample(df, "doc_id", lit(0L)).count() === 0L)
+    // and weight 10^6 keeps everything
+    assert(DatasetMix.weightedBernoulliSample(df, "doc_id", lit(1000000L)).count() === 4L)
+  }
+
+  test("non-integral Lehmer keys are rejected loudly, not cast to null") {
+    val df = Seq(("u-1", 1L), ("u-2", 2L)).toDF("uid", "v")
+    val e1 = intercept[IllegalArgumentException](
+      DatasetMix.weightedBernoulliSample(df, "uid", lit(500000L)))
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException](
+      DatasetMix.leakageSafeSplit(df, "uid", Seq(("a", "b")).toDF("a", "b")))
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("null/NaN scores bucket as NULL, not head") {
+    val df = Seq(
+      ("en", Some(1.0)), ("en", Some(2.0)), ("en", Some(3.0)), ("en", Some(4.0)),
+      ("en", None), ("en", Some(Double.NaN)))
+      .toDF("lang", "score")
+    val labeled = QuantileBuckets.label(df, "lang", "score", Seq(1.0 / 3, 2.0 / 3))
+    val bad = labeled.where(
+      (col("score").isNull || isnan(col("score"))) && col("bucket").isNotNull).count()
+    assert(bad === 0L, "unscoreable rows must get a NULL bucket")
+    assert(labeled.where(col("bucket").isNotNull).count() === 4L)
+  }
+
+  test("paragraph dedup preserves non-text columns") {
+    val df = Seq(
+      (1L, "keep me\ndup para", "en", "web"),
+      (2L, "dup para\nother", "de", "book"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = ParagraphDedup.dedupParagraphs(df, "doc_id", "text", "\n")
+    assert(out.columns.toSet === Set("doc_id", "text", "lang", "source"))
+    val r2 = out.where(col("doc_id") === 2).head()
+    assert(r2.getAs[String]("lang") === "de")
+    assert(r2.getAs[String]("text") === "other") // "dup para" first seen in doc 1
+  }
+
+  test("sqrt-temperature sample of an empty frame is empty, not an NPE") {
+    val df = Seq((1L, "a")).toDF("doc_id", "src").where(lit(false))
+    assert(DatasetMix.sqrtTemperatureSample(df, "src", "doc_id", 100L).count() === 0L)
+  }
+}
