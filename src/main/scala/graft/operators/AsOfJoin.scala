@@ -52,9 +52,20 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "asOf needs at least one key column")
     val spark = probes.sparkSession
 
+    // SQL join semantics: a null key or null time can never satisfy
+    // `r.key = p.key AND r.t <= p.t`, so such reference rows are dropped
+    // up front. Without this, the window's nulls-first time order would
+    // carry a null-time reference into every probe that precedes the
+    // key's first real reference, and null-key probes would "match"
+    // null-key references (Window.partitionBy groups nulls together,
+    // unlike an equi-join). Null-key/null-time PROBES still pass
+    // through with null reference columns — left-join semantics.
+    val matchable = (keyCols :+ timeCol).map(col(_).isNotNull).reduce(_ && _)
+
     // one reference per (key, time): greatest value tuple wins (ties
     // cannot depend on partition order)
     val refSlim = refs
+      .where(matchable)
       .groupBy((keyCols :+ timeCol).map(col): _*)
       .agg(max(struct(valueCols.map(col): _*)).as("__rv"))
       .select(keyCols.map(col) ++ Seq(

@@ -41,7 +41,25 @@ import graft.sketch.{BloomSketch, BloomSizing}
  */
 object BloomJoin {
 
-  private def keyBytes(c: Column): Column = c.cast("string").cast("binary")
+  private[operators] def keyBytes(c: Column): Column =
+    c.cast("string").cast("binary")
+
+  /** The sketch canonicalizes keys as string bytes; the confirming exact
+   *  join uses Spark's own equality (with implicit numeric coercion).
+   *  If the two key columns have different types those two notions can
+   *  disagree (e.g. INT 42 stringifies "42", DECIMAL "42.00" — the gate
+   *  would drop every row the exact join matches), so mixed-type keys
+   *  are rejected up front: cast both sides to a common type first. */
+  private def requireSameKeyType(
+      large: DataFrame, largeKey: String,
+      filterKeys: DataFrame, filterKey: String): Unit = {
+    val lt = large.schema(largeKey).dataType
+    val ft = filterKeys.schema(filterKey).dataType
+    require(lt == ft,
+      s"BloomJoin key type mismatch: $largeKey is $lt but $filterKey is $ft" +
+        " — cast both sides to a common type first (the string-bytes sketch" +
+        " canonicalization does not follow the exact join's type coercion)")
+  }
 
   private[operators] def buildSketch(
       keys: DataFrame, keyCol: String, p: Double): BloomSketch = {
@@ -70,6 +88,7 @@ object BloomJoin {
       large: DataFrame, largeKey: String,
       filterKeys: DataFrame, filterKey: String,
       sketch: BloomSketch): DataFrame = {
+    requireSameKeyType(large, largeKey, filterKeys, filterKey)
     // map-side gate: misses are definitively non-members (no false
     // negatives) and never reach the exchange. No distinct on the
     // filter side — left_semi output is unaffected by duplicate
@@ -98,6 +117,7 @@ object BloomJoin {
       large: DataFrame, largeKey: String,
       filterKeys: DataFrame, filterKey: String,
       sketch: BloomSketch): DataFrame = {
+    requireSameKeyType(large, largeKey, filterKeys, filterKey)
     val probe = GraftExpressions.bloomContains(sketch, keyBytes(col(largeKey)))
     val cols = large.columns.map(col).toIndexedSeq
     val misses = large.where(!probe).select(cols: _*)

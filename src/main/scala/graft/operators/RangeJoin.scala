@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
  */
 object RangeJoin {
 
-  private def bucketOf(t: Column, w: Long): Column =
-    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+  private def bucketOf(t: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    // t - pmod(t, w) is exactly divisible by w, so IntegralDivide yields
+    // the exact floor(t / w) on int64 — Column./ would round-trip
+    // through double, where |t| > 2^53 loses exactness
+    val aligned = t - pmod(t, lit(w))
+    ColumnBridge.toColumn(IntegralDivide(
+      ColumnBridge.exprOf(aligned), ColumnBridge.exprOf(lit(w))))
+  }
 
   /**
    * @param points     point side; all columns pass through
@@ -46,9 +54,6 @@ object RangeJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val payload = intervals.columns
-      .filterNot(c => keyCols.contains(c)).toSeq
-
     val tiled = intervals.withColumn("__cell",
       explode(sequence(bucketOf(col(startCol), bucketWidth),
         bucketOf(col(endCol), bucketWidth))))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExpressions
 
 /**
  * Snapshot DIFF — the audit companion to `SnapshotMerge`: classify every
@@ -65,11 +66,23 @@ object SnapshotDiff {
  * Requires (key, version) unique within each side — the usual snapshot
  * contract; ties WITHIN one side on the same version are not
  * resolvable by any merge rule.
+ *
+ * Null keys follow MERGE INTO semantics: null never matches ON, so
+ * every null-key delta row is an INSERT (passed through verbatim, never
+ * collapsed against other null-key rows) and null-key base rows are
+ * untouched by definition.
  */
 object SnapshotMerge {
 
   /** All columns of `base`/`updates` (same schema), one row per key:
-   *  the highest-(version, side) row, untouched base rows unshuffled. */
+   *  the highest-(version, side) row, untouched base rows unshuffled.
+   *
+   *  Base I/O: exactly TWO scans — one for the map-side bloom-miss
+   *  pass-through, one for the p-bounded hit slice, which is persisted
+   *  (it is |touched| + p·|base| rows) so the false-positive and
+   *  contested legs don't each re-read the snapshot. The persisted
+   *  slice is released when the job's SparkContext drops it; a merge is
+   *  normally the terminal action of its job. */
   def latest(
       base: DataFrame, updates: DataFrame,
       keyCol: String, versionCol: String,
@@ -77,18 +90,38 @@ object SnapshotMerge {
     val cols = base.columns.toIndexedSeq
     require(updates.columns.toIndexedSeq == cols,
       s"schema mismatch: base $cols vs updates ${updates.columns.toSeq}")
-    val updatedKeys = updates.select(col(keyCol)).distinct()
 
-    // ONE sketch build shared by both gates (the anti and semi legs
-    // probe the same key set — building it twice would double-scan the
-    // delta)
+    // MERGE null semantics: null-key delta rows are inserts, routed
+    // around the per-key aggregation (groupBy would collapse them all
+    // into one null group and silently drop rows).
+    val nullKeyInserts = updates.where(col(keyCol).isNull)
+    val keyedUpdates = updates.where(col(keyCol).isNotNull)
+    val updatedKeys = keyedUpdates.select(col(keyCol)).distinct()
+
+    // ONE sketch build shared by both gates (the pass-through and
+    // contested legs probe the same key set — building it twice would
+    // double-scan the delta)
     val sketch = BloomJoin.buildSketch(updatedKeys, keyCol, p)
+    val probe = GraftExpressions.bloomContains(
+      sketch, BloomJoin.keyBytes(col(keyCol)))
+
     // map-side pass-through for the untouched bulk of the snapshot
-    val untouched = BloomJoin.antiWithSketch(base, keyCol, updatedKeys, keyCol, sketch)
+    // (null-key base rows probe false and pass through here too)
+    val misses = base.where(!probe)
+    // the p-bounded hit slice, computed ONCE: both remaining legs read
+    // the persisted slice instead of re-scanning the full base
+    val hits = base.where(probe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bloom false positives: key not actually updated — pass through
+    val falsePositives = hits
+      .join(updatedKeys, Seq(keyCol), "left_anti")
+      .select(cols.map(col): _*) // the join moves the key first — restore
     // the touched slice: base rows losing-or-defending their key + delta
-    val contested = BloomJoin.semiWithSketch(base, keyCol, updatedKeys, keyCol, sketch)
+    val contested = hits
+      .join(updatedKeys, Seq(keyCol), "left_semi")
+      .select(cols.map(col): _*)
       .withColumn("__side", lit(0))
-      .unionAll(updates.withColumn("__side", lit(1)))
+      .unionAll(keyedUpdates.withColumn("__side", lit(1)))
     val winners = contested
       .groupBy(col(keyCol))
       .agg(max_by(
@@ -97,6 +130,7 @@ object SnapshotMerge {
       .select(col(keyCol) +: cols.filterNot(_ == keyCol)
         .map(c => col(s"__row.$c").as(c)): _*)
       .select(cols.map(col): _*)
-    untouched.unionAll(winners)
+    misses.unionAll(falsePositives).unionAll(winners)
+      .unionAll(nullKeyInserts)
   }
 }

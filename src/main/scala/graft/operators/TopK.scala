@@ -35,6 +35,12 @@ object TopK {
       k: Int,
       gateBuckets: Int = 64): DataFrame = {
     require(k >= 1 && gateBuckets >= 1)
+    // the output carries a fresh `rank` column (and the gate uses
+    // `__gate_rk` internally) — a pre-existing column of either name
+    // would be silently clobbered by withColumn, so fail fast instead
+    require(!df.columns.contains("rank") && !df.columns.contains("__gate_rk"),
+      "TopK.perGroup input already has a 'rank'/'__gate_rk' column — " +
+        "rename it first; the output's rank column would overwrite it")
     val gated = if (gateBuckets > 1) {
       val salt = pmod(xxhash64(col(saltCol)), lit(gateBuckets.toLong))
       val gw = Window.partitionBy((groupCols.map(col) :+ salt): _*)

@@ -27,7 +27,12 @@ import graft.sketch.{BloomSketch, BloomSketchAggregator}
 object StreamingDedup {
 
   /** Exact streaming dedup: keep first occurrence of each signature.
-   *  Pass an event-time column + watermark to bound state. */
+   *  Pass an event-time column + watermark to bound state: the dedup key
+   *  stays the SIGNATURE ALONE (`dropDuplicatesWithinWatermark`), so a
+   *  re-arrival with a different timestamp is still dropped — per-key
+   *  state simply expires once the watermark passes it. (A naive
+   *  `dropDuplicates(sig, eventTime)` would silently admit duplicates
+   *  whose timestamps differ.) */
   def dedupExactStream(
       stream: DataFrame,
       contentCol: String,
@@ -39,7 +44,7 @@ object StreamingDedup {
     eventTimeCol match {
       case Some(tc) =>
         withSig.withWatermark(tc, watermark)
-          .dropDuplicates(MarkDuplicates.SigCol, tc)
+          .dropDuplicatesWithinWatermark(MarkDuplicates.SigCol)
       case None =>
         withSig.dropDuplicates(MarkDuplicates.SigCol)
     }

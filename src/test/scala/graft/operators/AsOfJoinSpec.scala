@@ -53,6 +53,41 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got === 9L)
   }
 
+  test("null-time references never match (no nulls-first carry-forward)") {
+    // a null-time ref would sort FIRST in the window and be carried into
+    // every probe that precedes the key's first real reference
+    val refsWithNull = Seq(
+      (Some(1L), Option.empty[Long], Some(999L)),
+      (Some(1L), Some(10L), Some(100L))
+    ).toDF("user", "t", "ref_id")
+    val p = Seq((1L, 5L, 900L), (1L, 11L, 901L)).toDF("user", "t", "probe_id")
+    val out = AsOfJoin.asOf(p, refsWithNull, Seq("user"), "t", Seq("ref_id"))
+      .select(col("probe_id"), col("ref_id_ref"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(900L) === None,          // no ref at or before t=5
+      "null-time reference must not be carried into early probes")
+    assert(out(901L) === Some(100L))
+  }
+
+  test("null-key rows follow equi-join semantics: no null-null match") {
+    val refsWithNull = Seq(
+      (Option.empty[Long], Some(5L), Some(777L)),
+      (Some(1L), Some(10L), Some(100L))
+    ).toDF("user", "t", "ref_id")
+    val p = Seq(
+      (Option.empty[Long], Some(10L), Some(900L)),
+      (Some(1L), Some(12L), Some(901L))
+    ).toDF("user", "t", "probe_id")
+    val out = AsOfJoin.asOf(p, refsWithNull, Seq("user"), "t", Seq("ref_id"))
+      .select(col("probe_id"), col("ref_id_ref"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(900L) === None,
+      "null-key probe must not match null-key reference")
+    assert(out(901L) === Some(100L))
+  }
+
   test("plan: one keyed exchange over the union, no cross product") {
     val df = AsOfJoin.asOf(probes, refs, Seq("user"), "t", Seq("ref_id"))
     val p = df.queryExecution.executedPlan.toString

@@ -42,6 +42,25 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(BloomJoin.antiJoin(large, "key", empty, "fk").count() === 10000L)
   }
 
+  test("mixed-type keys fail fast (string canonicalization vs join coercion)") {
+    // INT vs DOUBLE keys: "42" vs "42.0" string bytes would make every
+    // probe miss the gate while the exact join's coercion WOULD match —
+    // a silent empty result. The operator must reject instead.
+    val l = Seq((1L, 42), (2L, 7)).toDF("id", "key")            // int key
+    val f = Seq(42.0, 9.0).toDF("fk")                            // double key
+    val e1 = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(l, "key", f, "fk")
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.antiJoin(l, "key", f, "fk")
+    }
+    assert(e2.getMessage.contains("key type mismatch"))
+    // same type on both sides still works
+    assert(BloomJoin.semiJoin(l, "key",
+      Seq(42, 9).toDF("fk"), "fk").count() === 1L)
+  }
+
   test("plan: the Bloom probe filters the large side BELOW its join exchange") {
     // parquet-backed inputs: LocalRelation data would let the optimizer
     // evaluate the Bloom filter eagerly at plan time and hide it

@@ -53,6 +53,24 @@ class SnapshotMergeSpec extends SparkSpecBase {
     assert(got.toSeq === (0L until 1000L).map(i => (i, s"base-$i")))
   }
 
+  test("null-key delta rows are inserts (MERGE ON never matches null)") {
+    val baseN = base.unionAll(
+      Seq((Option.empty[Long], Some(1L), Some("base-null")))
+        .toDF("k", "version", "payload"))
+    val updatesN = updates.unionAll(
+      Seq((Option.empty[Long], Some(9L), Some("ins-A")),
+        (Option.empty[Long], Some(8L), Some("ins-B")))
+        .toDF("k", "version", "payload"))
+    val got = SnapshotMerge.latest(baseN, updatesN, "k", "version")
+    // every null-key row survives: the untouched base row AND both
+    // delta inserts (groupBy(null) must not collapse them to one)
+    val nullRows = got.where(col("k").isNull)
+      .collect().map(_.getString(2)).sorted.toSeq
+    assert(nullRows === Seq("base-null", "ins-A", "ins-B"))
+    // keyed rows unaffected
+    assert(got.where(col("k").isNotNull).count() === 1050L)
+  }
+
   // ---- SnapshotDiff ----
 
   test("diff classifies added/removed/changed with null-safe comparison") {

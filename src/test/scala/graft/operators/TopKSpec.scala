@@ -36,4 +36,13 @@ class TopKSpec extends SparkSpecBase {
     assert("Window".r.findAllIn(p).size >= 2, s"expected gate + exact windows:\n$p")
     assert(gated.count() === 5L * k)
   }
+
+  test("a pre-existing rank column fails fast instead of being clobbered") {
+    val withRank = df.withColumn("rank", lit(99))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(withRank, Seq("g"),
+        Seq(col("score").desc, col("id").asc), saltCol = "id", k = 3)
+    }
+    assert(e.getMessage.contains("rank"))
+  }
 }

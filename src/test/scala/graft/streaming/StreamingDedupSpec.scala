@@ -26,6 +26,29 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermarked exact dedup keys on signature alone (differing timestamps still dup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("id", "ts", "content")
+    val deduped = StreamingDedup.dedupExactStream(
+      stream, "content", eventTimeCol = Some("ts"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    try {
+      // same content, DIFFERENT event times, within the watermark window:
+      // the second arrival must still be dropped
+      input.addData((1L, ts(0), "alpha"), (2L, ts(3), "alpha"), (3L, ts(4), "beta"))
+      q.processAllAvailable()
+      input.addData((4L, ts(5), "alpha")) // cross-batch, different ts again
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sketch-probe streaming mark: corpus hits flagged, fresh rows pass (FPR-bounded)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
