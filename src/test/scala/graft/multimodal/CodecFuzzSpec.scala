@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Deterministic fuzz over the hand-rolled binary parsers — the property
+ * a 100 TB corpus actually needs: decode is TOTAL. Arbitrary bytes,
+ * bit-flipped valid blobs, and truncated valid blobs must come back as
+ * null (a filtered corrupt row), never as a thrown exception (a failed
+ * stage, which at 10^12 blobs means the job never finishes: some blob
+ * somewhere WILL be corrupt).
+ *
+ * Seeded `scala.util.Random` (not ScalaCheck) so every run exercises
+ * the identical corpus — a failure here reproduces byte-for-byte.
+ */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val Rounds = 400
+
+  private def rng = new scala.util.Random(0xC0DEC5L)
+
+  /** Valid blobs to mutate — one per codec, mid-size. */
+  private def bmp: Array[Byte] =
+    ImageCodec.encodeBmp24(37, 23, (x, y) => (x * 7 + y * 13) & 0xff)
+  private def wav: Array[Byte] =
+    AudioCodec.encodeWavPcm16(8000, Array.tabulate(500)(i => (i * 31).toShort))
+  private def avi: Array[Byte] =
+    VideoCodec.encodeAviDib24(16, 12, 5, 4, (f, x, y) => (f * 50 + x + y) & 0xff)
+
+  private def mutate(r: scala.util.Random, base: Array[Byte]): Array[Byte] = {
+    val b = base.clone()
+    val flips = 1 + r.nextInt(8)
+    var i = 0
+    while (i < flips) { b(r.nextInt(b.length)) = r.nextInt(256).toByte; i += 1 }
+    b
+  }
+
+  private def truncate(r: scala.util.Random, base: Array[Byte]): Array[Byte] =
+    base.take(r.nextInt(base.length + 1))
+
+  /** The fuzz corpus for one valid blob: random bytes, mutations,
+   *  truncations, truncated mutations. */
+  private def corpus(base: Array[Byte]): Iterator[Array[Byte]] = {
+    val r = rng
+    val randoms = Iterator.fill(Rounds) {
+      val b = new Array[Byte](r.nextInt(4096)); r.nextBytes(b); b
+    }
+    val mutated = Iterator.fill(Rounds)(mutate(r, base))
+    val truncated = Iterator.fill(Rounds)(truncate(r, base))
+    val both = Iterator.fill(Rounds)(truncate(r, mutate(r, base)))
+    randoms ++ mutated ++ truncated ++ both ++
+      Iterator(Array.emptyByteArray, null)
+  }
+
+  test("ImageCodec.decodeGray/aHash64 are total; non-null decodes are well-formed") {
+    corpus(bmp).foreach { blob =>
+      val d = ImageCodec.decodeGray(blob)
+      if (d != null) {
+        assert(d.width > 0 && d.height > 0)
+        assert(d.gray.length == d.width * d.height)
+        assert(d.gray.forall(g => g >= 0 && g <= 765))
+        ImageCodec.aHash64(d) // must not throw on any accepted image
+      }
+      ImageCodec.aHash64(blob)
+    }
+  }
+
+  test("AudioCodec.decodePcm16/energyHash64 are total; non-null decodes are well-formed") {
+    corpus(wav).foreach { blob =>
+      val d = AudioCodec.decodePcm16(blob)
+      if (d != null) assert(d.sampleRate > 0)
+      AudioCodec.energyHash64(blob)
+    }
+  }
+
+  test("VideoCodec.decodeFrames/sampleFrameHashes are total; non-null decodes are well-formed") {
+    corpus(avi).foreach { blob =>
+      val fs = VideoCodec.decodeFrames(blob)
+      if (fs != null) {
+        assert(fs.nonEmpty)
+        fs.foreach { f =>
+          assert(f != null && f.width > 0 && f.height > 0)
+          assert(f.gray.length == f.width * f.height)
+        }
+      }
+      val sampled = VideoCodec.sampleFrameHashes(blob, 2)
+      assert((sampled == null) == (fs == null),
+        "sampleFrameHashes and decodeFrames must agree on decodability")
+    }
+  }
+
+  test("BinaryPipeline.cdcCuts is total; cuts are strictly ascending 1-based ends") {
+    val r = rng
+    val blobs = Iterator.fill(Rounds) {
+      val b = new Array[Byte](r.nextInt(8192)); r.nextBytes(b); b
+    } ++ Iterator(Array.emptyByteArray, null)
+    blobs.foreach { blob =>
+      Seq(1, 8, 12).foreach { maskBits =>
+        val cuts = BinaryPipeline.cdcCuts(blob, maskBits)
+        if (blob == null || blob.isEmpty) assert(cuts.isEmpty)
+        else {
+          assert(cuts.last == blob.length, "last cut = blob length")
+          assert(cuts.head >= 1)
+          cuts.sliding(2).foreach {
+            case Array(a, b) => assert(a < b, "cuts strictly ascending")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+}
