@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Session extension entry point — the deployment wiring for clusters:
+ *
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ *
+ * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+ *
+ * Injects the engine's Catalyst rules; today that is
+ * [[graft.plans.RewriteCountDistinctToHll]] — exact
+ * `COUNT(DISTINCT col)` → one-pass mergeable HLL estimate, gated OFF by
+ * default behind `spark.graft.approxCountDistinct.enabled` so attaching
+ * the extension never changes any plan until a session opts in.
+ *
+ * The SQL function surface (`graft_hll`, `graft_minhash_sig`, …) stays
+ * session-registered via `GraftFunctions.register(spark)`: those are
+ * UDAF/expression registrations a session owner calls once, orthogonal
+ * to plan rewriting.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCountDistinctToHll)
+  }
+}

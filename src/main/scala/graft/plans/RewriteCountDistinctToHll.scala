@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.aggregate.ResolveEncodersInScalaAgg
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Opt-in Catalyst rewrite: exact `COUNT(DISTINCT col)` → the mergeable
+ * HLL estimate (`sketch.HllCountLongAggregator` /
+ * `HllCountStringAggregator`).
+ *
+ * WHY a rule: Spark plans an exact distinct count as
+ * `RewriteDistinctAggregates`' Expand (every input row duplicated per
+ * distinct-aggregate group) followed by TWO exchanges — at 10^12 rows a
+ * `COUNT(DISTINCT user_id) GROUP BY domain` shuffles the expanded input
+ * twice. The sketch aggregate is one pass, map-side partials, ONE slim
+ * exchange of (group, sparse-HLL) partials, and mergeable across any
+ * partitioning — the standard accuracy/cost trade every warehouse
+ * offers as an approx mode, here opt-in per session:
+ *
+ *   spark.conf.set("spark.graft.approxCountDistinct.enabled", "true")
+ *   // optional, default 14 (σ ≈ 1.04/√2^14 ≈ 0.81% relative error):
+ *   spark.conf.set("spark.graft.approxCountDistinct.precision", "14")
+ *
+ * Registered by `graft.GraftExtensions`
+ * (`spark.sql.extensions=graft.GraftExtensions`). The rule runs in the
+ * operator-optimization batch, BEFORE `RewriteDistinctAggregates`
+ * expands; with the flag unset (default) plans are byte-identical to
+ * stock Spark.
+ *
+ * Scope guards (each keeps semantics exact where approximation has no
+ * contract): single-argument COUNT(DISTINCT x) only (multi-column
+ * distinct tuples, FILTER clauses, and non-Count distincts pass
+ * through); string and integer-family inputs only (int family widens to
+ * long — same distinct cardinality); top-level plan Aggregates only
+ * (subquery expressions pass through). Result stays BIGINT; null inputs
+ * are ignored exactly like COUNT(DISTINCT). The estimate is
+ * deterministic for a given input SET (insertion is idempotent and
+ * merge order-free), so repeated runs agree — the property the
+ * correctness oracle replays.
+ */
+object RewriteCountDistinctToHll extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.approxCountDistinct.enabled"
+  val PrecisionKey = "spark.graft.approxCountDistinct.precision"
+
+  private def rewritable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    val precision = conf.getConfString(PrecisionKey, "14").toInt
+    require(precision >= 4 && precision <= 18,
+      s"$PrecisionKey must be in [4, 18], got $precision")
+    var changed = false
+    val rewritten = plan.transformUp {
+      case agg: Aggregate if agg.resolved =>
+        agg.transformExpressions {
+          case AggregateExpression(Count(Seq(child)), _, true, None, _)
+              if rewritable(child.dataType) =>
+            changed = true
+            hllCount(child, precision)
+        }
+    }
+    // The injected ScalaAggregator carries unresolved encoders (the
+    // analyzer's resolution pass ran before this rule existed in the
+    // plan); resolve them in place.
+    if (changed) ResolveEncodersInScalaAgg(rewritten) else plan
+  }
+
+  /** The replacement aggregate expression, built through the public
+   *  Column surface (`functions.udaf(...).apply`) and unwrapped back to
+   *  Catalyst — so the ScalaAggregator plumbing matches exactly what a
+   *  user writing `GraftFunctions.hllSketchLong` would get. */
+  private def hllCount(child: Expression, precision: Int): Expression = {
+    val aggCol = child.dataType match {
+      case StringType =>
+        udaf(new graft.sketch.HllCountStringAggregator(precision))
+          .apply(ColumnBridge.toColumn(child))
+      case LongType =>
+        udaf(new graft.sketch.HllCountLongAggregator(precision))
+          .apply(ColumnBridge.toColumn(child))
+      case _ => // int family: widen — bijective into long, same cardinality
+        udaf(new graft.sketch.HllCountLongAggregator(precision))
+          .apply(ColumnBridge.toColumn(Cast(child, LongType)))
+    }
+    ColumnBridge.exprOf(aggCol)
+  }
+}

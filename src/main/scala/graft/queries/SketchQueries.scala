@@ -102,6 +102,43 @@ object SketchQueries {
       |       true AS rollup_merge_exact, true AS within_4se
       |FROM events""".stripMargin
 
+  /** The Catalyst-rule path end-to-end: the SAME `countDistinct` query
+   *  is run twice in one session — stock (exact), then with
+   *  `spark.graft.approxCountDistinct.enabled=true`, under which
+   *  `graft.plans.RewriteCountDistinctToHll` (injected by
+   *  `GraftExtensions`, attached to the Verify/Bench sessions via the
+   *  production `spark.sql.extensions` string) replaces the exact
+   *  distinct count with the one-pass mergeable HLL aggregate. The row
+   *  pins: the exact counts (oracle-checkable), that the rewrite FIRED
+   *  (plan contains the sketch aggregate — fails loudly if the
+   *  extension is missing), and that every per-type estimate is within
+   *  4 standard errors of exact. */
+  def approxCountDistinctRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    def q = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val key = graft.plans.RewriteCountDistinctToHll.EnabledKey
+    spark.conf.set(key, "true")
+    val (rewroteFired, est) =
+      try {
+        val df = q
+        val fired = df.queryExecution.executedPlan.toString.contains("hllcount")
+        (fired, df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      } finally spark.conf.unset(key)
+    val se = HllSketch(14).standardError
+    exact.toSeq.sortBy(_._1).map { case (tpe, n) =>
+      (tpe, n, rewroteFired,
+        math.abs(est(tpe).toDouble / n - 1.0) <= 4 * se)
+    }.toDF("event_type", "n_exact", "rewrite_fired", "within_4se")
+  }
+
+  val ApproxCountDistinctRewriteSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       true AS rewrite_fired, true AS within_4se
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** CMS frequency per event_type: never under, over by <= eps*N. */
   def cmsEventCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -42,6 +42,37 @@ class HllLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllBu
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** COUNT(DISTINCT)-shaped HLL over long inputs: same sparse-to-dense
+ *  buffer as [[HllLongAggregator]], but `finish` returns the ESTIMATE
+ *  itself (a bigint, like COUNT) instead of the serialized sketch —
+ *  the drop-in aggregate `plans.RewriteCountDistinctToHll` substitutes
+ *  for exact `COUNT(DISTINCT col)` when the session opts in. */
+class HllCountLongAggregator(precision: Int) extends Aggregator[java.lang.Long, HllBuffer, Long] {
+  override def zero: HllBuffer = HllBuffer(precision)
+  override def reduce(buf: HllBuffer, v: java.lang.Long): HllBuffer = {
+    if (v != null) buf.addLong(v)
+    buf
+  }
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
+  override def finish(buf: HllBuffer): Long = buf.toSketch.estimate
+  override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** COUNT(DISTINCT)-shaped HLL over string inputs (see
+ *  [[HllCountLongAggregator]]). */
+class HllCountStringAggregator(precision: Int) extends Aggregator[String, HllBuffer, Long] {
+  override def zero: HllBuffer = HllBuffer(precision)
+  override def reduce(buf: HllBuffer, v: String): HllBuffer = {
+    if (v != null) buf.add(v)
+    buf
+  }
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = a.mergeInPlace(b)
+  override def finish(buf: HllBuffer): Long = buf.toSketch.estimate
+  override def bufferEncoder: Encoder[HllBuffer] = Encoders.kryo[HllBuffer]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 /** Buffer is the sparse-to-dense [[CmsBuffer]]: the default 5×65536 long
  *  matrix is 2.5 MiB per group, so dense buffers make per-key frequency
  *  sketches OOM under a high-cardinality groupBy; sparse mode keeps

@@ -9,6 +9,10 @@ object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the production wiring under test: extensions load from the STATIC
+    // conf at context creation; every injected rule is flag-gated off by
+    // default, so this is inert except where a spec opts in
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/**
+ * End-to-end proof of the `GraftExtensions` wiring: the shared test
+ * session is created with `spark.sql.extensions=graft.GraftExtensions`
+ * (the exact production config string — a static conf, loaded at
+ * context creation), and COUNT(DISTINCT) rewrites to the HLL aggregate
+ * when — and only when — the session opts in at runtime.
+ */
+class RewriteCountDistinctToHllSpec extends SparkSpecBase {
+
+  private def withFlag[A](on: Boolean)(body: => A): A = {
+    spark.conf.set(RewriteCountDistinctToHll.EnabledKey, on.toString)
+    try body
+    finally spark.conf.unset(RewriteCountDistinctToHll.EnabledKey)
+  }
+
+  /** 40k rows, 5 groups; group g holds exactly the 200 values
+   *  v ∈ [0, 1000) with v ≡ g (mod 5); 777 distinct strings overall. */
+  private def groupedDf =
+    spark.range(40000)
+      .select((col("id") % 5).as("g"), (col("id") % 1000).as("v"),
+        concat(lit("u"), (col("id") % 777).cast("string")).as("s"))
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flag off (default): plans and results are stock-exact") {
+    val df = groupedDf.groupBy("g").agg(countDistinct(col("v")).as("d"))
+    assert(!planString(df).contains("hllcount"),
+      "no sketch aggregate may appear without opt-in")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == (0L until 5L).map(_ -> 200L).toMap)
+  }
+
+  test("flag on: COUNT(DISTINCT long) runs as HLL — no distinct expansion, estimate within bound") {
+    withFlag(on = true) {
+      val df = groupedDf.groupBy("g").agg(countDistinct(col("v")).as("d"))
+      val plan = planString(df)
+      assert(plan.contains("hllcount"), s"sketch aggregate missing:\n$plan")
+      assert(!plan.contains("count(distinct"),
+        s"exact distinct count must be gone:\n$plan")
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == (0L until 5L).toSet)
+      rows.values.foreach { est =>
+        // 200 distincts at p=14 sit in the small-range linear-counting
+        // regime: the estimate is essentially exact; 5% is generous.
+        assert(math.abs(est - 200L) <= 10, s"estimate $est vs exact 200")
+      }
+    }
+  }
+
+  test("flag on: one-pass plan shape — single slim exchange, no per-key pre-aggregation") {
+    withFlag(on = true) {
+      val df = groupedDf.groupBy("g").agg(countDistinct(col("v")).as("d"))
+      val plan = planString(df)
+      // exact distinct needs two aggregate layers keyed (g, v) then g;
+      // the sketch plan groups by g only — no (g, v)-keyed aggregate
+      assert(!plan.matches("(?s).*keys=\\[g[^\\]]*, v.*"),
+        s"per-(g,v) pre-aggregation survived:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
+  test("flag on: string input, global aggregate, mixed with exact aggs") {
+    withFlag(on = true) {
+      val df = groupedDf.agg(
+        countDistinct(col("s")).as("d"),
+        sum(col("v")).as("sv"),
+        count(lit(1)).as("n"))
+      val plan = planString(df)
+      assert(plan.contains("hllcount"))
+      assert(!plan.contains("Expand"),
+        s"multi-aggregate distinct Expand must be gone:\n$plan")
+      val r = df.head()
+      // exact companions stay exact
+      assert(r.getAs[Long]("n") == 40000L)
+      val exactSum = groupedDf.agg(sum(col("v"))).head().getLong(0)
+      assert(r.getAs[Long]("sv") == exactSum)
+      // 777 distinct strings, p=14 → linear-counting regime
+      assert(math.abs(r.getAs[Long]("d") - 777L) <= 25,
+        s"estimate ${r.getAs[Long]("d")} vs exact 777")
+    }
+  }
+
+  test("guards: FILTER clause and multi-column distinct stay exact") {
+    withFlag(on = true) {
+      val filtered = spark.sql(
+        "SELECT count(DISTINCT v) FILTER (WHERE v < 100) AS d FROM " +
+          "(SELECT id % 1000 AS v FROM range(40000))")
+      assert(!planString(filtered).contains("hllcount"),
+        "FILTER-clause distinct must not rewrite")
+      assert(filtered.head().getLong(0) == 100L, "FILTER result stays exact")
+
+      val multi = groupedDf.groupBy("g").agg(countDistinct(col("v"), col("s")).as("d"))
+      assert(!planString(multi).contains("hllcount"),
+        "multi-column distinct must not rewrite")
+      // per group: 8000 ids, all (id%1000, id%777) pairs distinct
+      // (lcm(1000,777) = 777000 > 40000)
+      assert(multi.collect().map(_.getLong(1)).toSet == Set(8000L),
+        "multi-column distinct result stays exact")
+    }
+  }
+
+  test("runtime toggle: same session flips between exact and sketch plans") {
+    def df = groupedDf.groupBy("g").agg(countDistinct(col("v")).as("d"))
+    spark.conf.set(RewriteCountDistinctToHll.EnabledKey, "true")
+    assert(planString(df).contains("hllcount"))
+    spark.conf.set(RewriteCountDistinctToHll.EnabledKey, "false")
+    assert(!planString(df).contains("hllcount"))
+    spark.conf.unset(RewriteCountDistinctToHll.EnabledKey)
+  }
+
+  test("int-family input widens to long and rewrites") {
+    withFlag(on = true) {
+      val df = groupedDf.select(col("v").cast("int").as("vi"))
+        .agg(countDistinct(col("vi")).as("d"))
+      assert(planString(df).contains("hllcount"))
+      assert(math.abs(df.head().getLong(0) - 1000L) <= 30)
+    }
+  }
+}
