@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, IsNull, Literal, Or, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -33,13 +33,15 @@ import org.apache.spark.sql.types._
  * expands; with the flag unset (default) plans are byte-identical to
  * stock Spark.
  *
- * Scope guards (each keeps semantics exact where approximation has no
- * contract): single-argument COUNT(DISTINCT x) only (multi-column
- * distinct tuples, FILTER clauses, and non-Count distincts pass
- * through); string and integer-family inputs only (int family widens to
- * long — same distinct cardinality); top-level plan Aggregates only
- * (subquery expressions pass through). Result stays BIGINT; null inputs
- * are ignored exactly like COUNT(DISTINCT). The estimate is
+ * Coverage: any COUNT(DISTINCT ...) whose arguments XxHash64 can hash —
+ * single string/integer-family arguments feed the sketch directly;
+ * everything else (multi-column tuples, doubles, decimals, dates,
+ * binary, nested types) reduces to one null-correct 64-bit tuple hash
+ * first (see [[hllCount]]). Scope guards (each keeps semantics exact
+ * where approximation has no contract): FILTER clauses and non-Count
+ * distincts pass through; top-level plan Aggregates only (subquery
+ * expressions pass through). Result stays BIGINT; rows with any null
+ * argument are ignored exactly like COUNT(DISTINCT). The estimate is
  * deterministic for a given input SET (insertion is idempotent and
  * merge order-free), so repeated runs agree — the property the
  * correctness oracle replays.
@@ -49,8 +51,22 @@ object RewriteCountDistinctToHll extends Rule[LogicalPlan] {
   val EnabledKey = "spark.graft.approxCountDistinct.enabled"
   val PrecisionKey = "spark.graft.approxCountDistinct.precision"
 
-  private def rewritable(dt: DataType): Boolean = dt match {
+  /** Types that feed the HLL directly (exact identity into the sketch's
+   *  own hash). Everything else — including multi-column distinct
+   *  tuples — goes through the 64-bit tuple-hash path. */
+  private def direct(dt: DataType): Boolean = dt match {
     case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Can XxHash64 hash every argument? (It covers all atomic and
+   *  nested SQL types; this guards exotic ones like VARIANT.) */
+  private def hashable(children: Seq[Expression]): Boolean =
+    XxHash64(children, 42L).checkInputDataTypes().isSuccess
+
+  private def canRewrite(children: Seq[Expression]): Boolean = children match {
+    case Seq(c) if direct(c.dataType) => true
+    case cs if cs.nonEmpty => hashable(cs)
     case _ => false
   }
 
@@ -63,10 +79,10 @@ object RewriteCountDistinctToHll extends Rule[LogicalPlan] {
     val rewritten = plan.transformUp {
       case agg: Aggregate if agg.resolved =>
         agg.transformExpressions {
-          case AggregateExpression(Count(Seq(child)), _, true, None, _)
-              if rewritable(child.dataType) =>
+          case AggregateExpression(Count(children), _, true, None, _)
+              if canRewrite(children) =>
             changed = true
-            hllCount(child, precision)
+            hllCount(children, precision)
         }
     }
     // The injected ScalaAggregator carries unresolved encoders (the
@@ -78,18 +94,34 @@ object RewriteCountDistinctToHll extends Rule[LogicalPlan] {
   /** The replacement aggregate expression, built through the public
    *  Column surface (`functions.udaf(...).apply`) and unwrapped back to
    *  Catalyst — so the ScalaAggregator plumbing matches exactly what a
-   *  user writing `GraftFunctions.hllSketchLong` would get. */
-  private def hllCount(child: Expression, precision: Int): Expression = {
-    val aggCol = child.dataType match {
-      case StringType =>
+   *  user writing `GraftFunctions.hllSketchLong` would get.
+   *
+   *  Single string/integer-family arguments feed the sketch directly.
+   *  Everything else — multi-column tuples, doubles, decimals, dates,
+   *  binary, nested types — reduces to ONE 64-bit `XxHash64` over the
+   *  argument tuple first (exactly how Spark's own
+   *  `approx_count_distinct` consumes its input), nulled out when any
+   *  argument is null to preserve COUNT(DISTINCT ...)'s
+   *  all-arguments-non-null row filter. The extra hash layer adds only
+   *  birthday-collision error (~n²/2⁶⁵ — far below the HLL's own σ for
+   *  any n the estimate itself can resolve). */
+  private def hllCount(children: Seq[Expression], precision: Int): Expression = {
+    val aggCol = children match {
+      case Seq(child) if child.dataType == StringType =>
         udaf(new graft.sketch.HllCountStringAggregator(precision))
           .apply(ColumnBridge.toColumn(child))
-      case LongType =>
+      case Seq(child) if child.dataType == LongType =>
         udaf(new graft.sketch.HllCountLongAggregator(precision))
           .apply(ColumnBridge.toColumn(child))
-      case _ => // int family: widen — bijective into long, same cardinality
+      case Seq(child) if direct(child.dataType) =>
+        // int family: widen — bijective into long, same cardinality
         udaf(new graft.sketch.HllCountLongAggregator(precision))
           .apply(ColumnBridge.toColumn(Cast(child, LongType)))
+      case cs =>
+        val anyNull = cs.map(IsNull(_): Expression).reduce(Or)
+        val hashed = If(anyNull, Literal(null, LongType), XxHash64(cs, 42L))
+        udaf(new graft.sketch.HllCountLongAggregator(precision))
+          .apply(ColumnBridge.toColumn(hashed))
     }
     ColumnBridge.exprOf(aggCol)
   }

@@ -87,7 +87,7 @@ class RewriteCountDistinctToHllSpec extends SparkSpecBase {
     }
   }
 
-  test("guards: FILTER clause and multi-column distinct stay exact") {
+  test("guard: FILTER-clause distinct stays exact") {
     withFlag(on = true) {
       val filtered = spark.sql(
         "SELECT count(DISTINCT v) FILTER (WHERE v < 100) AS d FROM " +
@@ -95,14 +95,38 @@ class RewriteCountDistinctToHllSpec extends SparkSpecBase {
       assert(!planString(filtered).contains("hllcount"),
         "FILTER-clause distinct must not rewrite")
       assert(filtered.head().getLong(0) == 100L, "FILTER result stays exact")
+    }
+  }
 
+  test("multi-column distinct rewrites through the null-correct tuple hash") {
+    withFlag(on = true) {
       val multi = groupedDf.groupBy("g").agg(countDistinct(col("v"), col("s")).as("d"))
-      assert(!planString(multi).contains("hllcount"),
-        "multi-column distinct must not rewrite")
+      val plan = planString(multi)
+      assert(plan.contains("hllcount"), s"tuple-hash rewrite missing:\n$plan")
+      assert(plan.contains("xxhash64"), s"tuple hash missing:\n$plan")
       // per group: 8000 ids, all (id%1000, id%777) pairs distinct
-      // (lcm(1000,777) = 777000 > 40000)
-      assert(multi.collect().map(_.getLong(1)).toSet == Set(8000L),
-        "multi-column distinct result stays exact")
+      // (lcm(1000,777) = 777000 > 40000); p=14 σ ≈ 0.81% → 4σ ≈ 260
+      multi.collect().map(_.getLong(1)).foreach { est =>
+        assert(math.abs(est - 8000L) <= 300, s"estimate $est vs exact 8000")
+      }
+
+      // COUNT(DISTINCT a, b) skips rows where ANY argument is null —
+      // the hash must too
+      val withNulls = spark.range(1000)
+        .select(col("id").as("a"),
+          when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7).as("b"))
+      val est = withNulls.agg(countDistinct(col("a"), col("b")).as("d")).head().getLong(0)
+      // exact: 900 rows survive the null filter, all (a, b) distinct
+      assert(math.abs(est - 900L) <= 40, s"estimate $est vs exact 900")
+    }
+  }
+
+  test("non-integer single column (double) rewrites through the hash path") {
+    withFlag(on = true) {
+      val df = groupedDf.select((col("v").cast("double") / 4.0).as("x"))
+        .agg(countDistinct(col("x")).as("d"))
+      assert(planString(df).contains("hllcount"))
+      assert(math.abs(df.head().getLong(0) - 1000L) <= 40)
     }
   }
 
@@ -113,6 +137,20 @@ class RewriteCountDistinctToHllSpec extends SparkSpecBase {
     spark.conf.set(RewriteCountDistinctToHll.EnabledKey, "false")
     assert(!planString(df).contains("hllcount"))
     spark.conf.unset(RewriteCountDistinctToHll.EnabledKey)
+  }
+
+  test("empty input and all-null input both estimate 0, like COUNT(DISTINCT)") {
+    withFlag(on = true) {
+      val empty = spark.range(0).select(col("id").as("v"))
+        .agg(countDistinct(col("v")).as("d"))
+      assert(planString(empty).contains("hllcount"))
+      assert(empty.head().getLong(0) == 0L)
+
+      val allNull = spark.range(100)
+        .select(lit(null).cast("long").as("v"))
+        .agg(countDistinct(col("v")).as("d"))
+      assert(allNull.head().getLong(0) == 0L)
+    }
   }
 
   test("int-family input widens to long and rewrites") {
