@@ -429,4 +429,77 @@ object SketchQueries {
        |       END AS BIGINT) AS est_intersection
        |FROM m""".stripMargin
   }
+
+  /** WEIGHTED heavy hitters (Berinde et al. 2010): which keys dominate
+   *  BYTES, not row counts — the shape a corpus pass needs ("which repos
+   *  hold most of the corpus by volume"). One map-side weighted
+   *  Misra-Gries pass over (key, n_chars); every key holding > W/(k+1)
+   *  = 1.54% of total bytes (k=64) is guaranteed in the candidate set,
+   *  so the 2% exact-confirm cut below it must match the oracle's plain
+   *  HAVING row-for-row. Only the ≤64 candidates are re-scanned exactly
+   *  (semi-filter + partial agg) — the byte-weight tail never shuffles. */
+  def heavyBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = spark.read.parquet(s"$dir/documents.parquet").select(
+      when(col("doc_id") % 10 < 3, col("doc_id") % 7)
+        .otherwise(col("doc_id") % 9973 + 7).as("key"),
+      col("n_chars").as("bytes"))
+    val first = keyed.agg(sum(col("bytes")).as("w"),
+      GraftFunctions.frequentItemsWeighted(col("key"), col("bytes"), k = 64).as("sk"))
+      .head()
+    val w = first.getLong(0)
+    val candidates = FrequentItems.deserialize(first.getAs[Array[Byte]](1))
+      .items.map(_._1)
+    keyed.where(col("key").isin(candidates: _*))
+      .groupBy(col("key"))
+      .agg(sum(col("bytes")).as("bytes_exact"))
+      .where(col("bytes_exact") * 50 >= w) // exact >= 2% of total bytes
+  }
+
+  val HeavyBytesSql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN doc_id % 10 < 3 THEN doc_id % 7
+      |              ELSE doc_id % 9973 + 7 END AS key,
+      |         n_chars AS bytes
+      |  FROM documents
+      |), tot AS (SELECT sum(bytes) AS w FROM keyed)
+      |SELECT key, CAST(sum(bytes) AS BIGINT) AS bytes_exact
+      |FROM keyed, tot
+      |GROUP BY key, w
+      |HAVING sum(bytes) * 50 >= w""".stripMargin
+
+  /** JOIN-SIZE ESTIMATION from sketches (Cormode & Muthukrishnan 2005
+   *  §4.2): |A ⋈ B| on an equi-key is the inner product of the two
+   *  sides' key-frequency vectors, and the row-wise min of CMS
+   *  cross-products estimates it with guarantee
+   *  exact <= est <= exact + eps·Na·Nb. At 100 TB this is THE planner
+   *  input: two one-pass mergeable sketches (built map-side, reusable
+   *  across queries) answer "how big would this join be" BEFORE any
+   *  shuffle is committed — choose broadcast vs sort-merge vs salted
+   *  from the estimate instead of discovering skew mid-job. The query
+   *  also runs the exact join so the oracle can pin both the count and
+   *  the (deterministically-true) bound booleans. */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    val sa = CountMinSketch.deserialize(
+      orders.agg(GraftFunctions.cmsSketch(col("o_custkey").cast("string")))
+        .head().getAs[Array[Byte]](0))
+    val sb = CountMinSketch.deserialize(
+      cust.agg(GraftFunctions.cmsSketch(col("c_custkey").cast("string")))
+        .head().getAs[Array[Byte]](0))
+    val est = sa.innerProductEstimate(sb)
+    val exact = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+    val slack = (sa.epsilon * sa.totalCount * sb.totalCount).toLong
+    Seq((exact, est >= exact, est <= exact + slack))
+      .toDF("join_rows_exact", "never_under", "within_eps_na_nb")
+  }
+
+  val CmsJoinSizeSql: String =
+    """SELECT count(*) AS join_rows_exact, true AS never_under,
+      |       true AS within_eps_na_nb
+      |FROM orders JOIN customer
+      |  ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'""".stripMargin
 }

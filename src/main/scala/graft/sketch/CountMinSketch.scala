@@ -77,6 +77,45 @@ final class CountMinSketch private (
   /** eps such that estimate <= true + eps*N w.p. >= 1 - e^-depth. */
   def epsilon: Double = math.E / width
 
+  /** Inner-product estimate (Cormode & Muthukrishnan 2005 §4.2): per
+   *  row r, dot_r = Σ_j counts_a(r,j)·counts_b(r,j); the estimate is
+   *  min over rows. For the frequency vectors a, b the two sketches
+   *  summarize, guarantees a·b <= estimate <= a·b + eps·N_a·N_b with
+   *  probability >= 1 - e^-depth — and a·b over join-key frequencies IS
+   *  the equi-join output size |A ⋈ B|, so this answers "how big is the
+   *  join" from two one-pass mergeable sketches BEFORE any shuffle is
+   *  planned (choose broadcast vs sort-merge vs salt at 100 TB without
+   *  running the join). Requires identical shapes (same seeds are
+   *  structural: both sides use [[CountMinSketch.itemHashes]]).
+   *  Per-row sums saturate at Long.MaxValue instead of overflowing —
+   *  counts can reach 10^12 at target scale, so cross products can
+   *  exceed int64; a saturated row can only raise the min, never break
+   *  the never-underestimate guarantee. */
+  def innerProductEstimate(other: CountMinSketch): Long = {
+    require(other.depth == depth && other.width == width,
+      s"cannot inner-product CMS of different shape: ${depth}x$width vs ${other.depth}x${other.width}")
+    var minV = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var saturated = false
+      var j = r * width
+      val end = j + width
+      while (j < end && !saturated) {
+        val a = counts(j)
+        val b = other.counts(j)
+        if (a != 0L && b != 0L) {
+          try dot = Math.addExact(dot, Math.multiplyExact(a, b))
+          catch { case _: ArithmeticException => saturated = true }
+        }
+        j += 1
+      }
+      if (!saturated && dot < minV) minV = dot
+      r += 1
+    }
+    minV
+  }
+
   /** Element-wise sum merge; mutates and returns `this`. */
   def addInPlace(other: CountMinSketch): CountMinSketch = {
     require(other.depth == depth && other.width == width,

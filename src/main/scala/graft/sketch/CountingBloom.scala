@@ -1,0 +1,213 @@
+package graft.sketch
+
+/**
+ * Counting Bloom filter (Fan et al. 2000, "Summary cache"): the deletable
+ * member of the Bloom family. Where [[BloomSketch]]'s bits can only be
+ * set — so retired items pin filter occupancy forever — this sketch keeps
+ * an 8-bit saturating counter per cell: insert increments all k probe
+ * cells, delete decrements them, membership is "all k cells nonzero".
+ *
+ * This is what RETENTION-aware dedup needs at scale: a corpus that both
+ * gains and expires documents (TTL'd crawl snapshots, epoch-windowed
+ * streaming state) would otherwise have to rebuild the whole filter every
+ * expiry; here the expired epoch's signatures are simply removed and the
+ * capacity they held is reclaimed in place.
+ *
+ * Probe parity: cells are addressed by the SAME Kirsch-Mitzenmacher
+ * double hash over the from-scratch [[Xxh3]] with the reference seeds
+ * 43/9967 that [[BloomSketch]] uses (streammd `src/bloomfilter.cxx:
+ * 104-120`), and (m, k) come from the same [[BloomSizing]] formulas — so
+ * for a given (p, n) the cell addresses match the plain filter's bit
+ * addresses one-for-one, and the FPR analysis carries over with "set
+ * bit" replaced by "nonzero counter": while the LIVE (inserted minus
+ * removed) item count stays <= n, observed FPR <= 2p exactly as for the
+ * plain filter.
+ *
+ * Correctness contract for delete: only remove items that were
+ * previously added (and at most as many times as added) — removing a
+ * never-inserted item could zero a cell a live item still needs, i.e. a
+ * false negative. The retention use case satisfies this by construction:
+ * every expiry removes exactly the keys its epoch inserted.
+ *
+ * Saturation: a counter stuck at 255 is never decremented (sticky), the
+ * standard safeguard — a saturated cell can only cause a (bounded-rate)
+ * false POSITIVE, never a false negative. P(any cell reaches 16) is
+ * already ~1e-15 per cell at optimal load, so 8-bit cells are far past
+ * safe at the configured p.
+ *
+ * Mergeable: cell-wise SATURATING sum — associative and commutative
+ * (once a sum clamps at 255 every regrouping clamps too), so partials
+ * built map-side merge at the exchange like every other sketch here.
+ *
+ * NOT thread-safe (one instance per aggregation buffer / partition).
+ */
+final class CountingBloom private (
+    val p: Double,
+    val n: Long,
+    val m: Long,
+    val k: Int,
+    val cells: Array[Byte]) extends Serializable {
+
+  require(k > 0 && k <= 64, s"k out of range: $k")
+  require(m > 0, s"m must be positive: $m")
+  require(cells.length == m,
+    s"cells length mismatch: ${cells.length} vs m=$m")
+
+  private[this] val mpow2: Boolean = (m & (m - 1)) == 0
+  private[this] val mask: Long = if (mpow2) m - 1 else 0L
+  @transient private[this] lazy val probes: Array[Long] = new Array[Long](k)
+
+  @inline private[this] def fillProbes(item: Array[Byte]): Unit = {
+    var a = Xxh3.hash(item, BloomSketch.Seed1)
+    var b = Xxh3.hash(item, BloomSketch.Seed2)
+    var i = 0
+    while (i < k) {
+      probes(i) = if (mpow2) a & mask else java.lang.Long.remainderUnsigned(a, m)
+      a += b
+      b += i
+      i += 1
+    }
+  }
+
+  @inline private[this] def cellAt(idx: Long): Int = cells(idx.toInt) & 0xFF
+
+  /** True iff every probe cell is nonzero (possible membership). */
+  def contains(item: Array[Byte]): Boolean = {
+    fillProbes(item)
+    var i = 0
+    while (i < k) {
+      if (cellAt(probes(i)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Insert: increment all k probe cells (saturating at 255). Returns
+   *  true if the item was NOT already (apparently) present — the same
+   *  probe-and-insert verdict shape as [[BloomSketch.add]], but the
+   *  increments always happen so a later [[remove]] balances. */
+  def add(item: Array[Byte]): Boolean = {
+    fillProbes(item)
+    var present = true
+    var i = 0
+    while (i < k) {
+      val c = cellAt(probes(i))
+      if (c == 0) present = false
+      if (c < 255) cells(probes(i).toInt) = (c + 1).toByte
+      i += 1
+    }
+    !present
+  }
+
+  /** Delete a previously-added item: decrement its k probe cells.
+   *  Sticky saturation: cells at 255 are left untouched. Cells already
+   *  at 0 are left at 0 (only reachable by violating the delete
+   *  contract; clamping contains the damage to this item). Returns true
+   *  if the item read as present before removal. */
+  def remove(item: Array[Byte]): Boolean = {
+    fillProbes(item)
+    var present = true
+    var i = 0
+    while (i < k) {
+      if (cellAt(probes(i)) == 0) present = false
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      val c = cellAt(probes(i))
+      if (c > 0 && c < 255) cells(probes(i).toInt) = (c - 1).toByte
+      i += 1
+    }
+    present
+  }
+
+  def contains(item: String): Boolean = contains(item.getBytes("UTF-8"))
+  def add(item: String): Boolean = add(item.getBytes("UTF-8"))
+  def remove(item: String): Boolean = remove(item.getBytes("UTF-8"))
+
+  /** Number of nonzero cells (occupancy — the FPR driver). */
+  def nonzeroCells: Long = {
+    var c = 0L
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i) != 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Swamidass-Baldi LIVE-cardinality estimate over nonzero occupancy —
+   *  tracks inserts minus removes, which the plain filter's estimator
+   *  structurally cannot. Same integer m/k division as the reference. */
+  def countEstimate: Long = {
+    val mOverK = m / k
+    math.ceil(mOverK * -math.log(1.0 - nonzeroCells.toDouble / m)).toLong
+  }
+
+  /** Cell-wise saturating-sum merge (associative, commutative; identity =
+   *  empty sketch). Requires identical shape. Mutates and returns `this`. */
+  def addInPlace(other: CountingBloom): CountingBloom = {
+    require(other.m == m && other.k == k,
+      s"cannot merge sketches of different shape: ($m,$k) vs (${other.m},${other.k})")
+    val oc = other.cells
+    var i = 0
+    while (i < cells.length) {
+      val s = (cells(i) & 0xFF) + (oc(i) & 0xFF)
+      cells(i) = (if (s > 255) 255 else s).toByte
+      i += 1
+    }
+    this
+  }
+
+  def copySketch(): CountingBloom = new CountingBloom(p, n, m, k, cells.clone())
+
+  def serialize(): Array[Byte] = {
+    val sizeBytes = 4L + 8 + 8 + 8 + 4 + 8 + m
+    require(sizeBytes <= Int.MaxValue,
+      s"sketch too large to serialize as one array ($sizeBytes bytes; m=$m)")
+    val buf = java.nio.ByteBuffer.allocate(sizeBytes.toInt)
+    buf.putInt(CountingBloom.Magic).putDouble(p).putLong(n).putLong(m).putInt(k)
+    buf.putLong(m)
+    buf.put(cells)
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case c: CountingBloom =>
+      c.m == m && c.k == k && java.util.Arrays.equals(c.cells, cells)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * m.hashCode() + k) + java.util.Arrays.hashCode(cells)
+  override def toString: String =
+    s"CountingBloom(p=$p, n=$n, m=$m, k=$k, nonzero=$nonzeroCells)"
+}
+
+object CountingBloom {
+  private val Magic = 0x43424c31 // "CBL1"
+
+  /** Sized from (p, n) via the reference's `BloomSizing.mkMin` — one
+   *  byte per cell, so memory is 8x the plain filter's at equal (m, k):
+   *  the price of deletability. */
+  def apply(p: Double, n: Long): CountingBloom = {
+    val (m, k) = BloomSizing.mkMin(p, n)
+    require(m <= Int.MaxValue.toLong,
+      s"m=$m cells exceed a single JVM byte array: shard via partials")
+    new CountingBloom(p, n, m, k, new Array[Byte](m.toInt))
+  }
+
+  def deserialize(bytes: Array[Byte]): CountingBloom = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = buf.getInt()
+    require(magic == Magic, f"bad CountingBloom magic: 0x$magic%08x")
+    val p = buf.getDouble()
+    val n = buf.getLong()
+    val m = buf.getLong()
+    val k = buf.getInt()
+    val len = buf.getLong()
+    require(len == m, s"cell count mismatch: $len vs m=$m")
+    val cells = new Array[Byte](m.toInt)
+    buf.get(cells)
+    new CountingBloom(p, n, m, k, cells)
+  }
+}

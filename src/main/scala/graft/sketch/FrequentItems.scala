@@ -48,31 +48,44 @@ final class FrequentItems private (
     -1
   }
 
-  /** Drop zero-valued slots in place, keeping the arrays dense. */
-  private def compact(): Unit = {
-    var w = 0
-    var i = 0
-    while (i < used) {
-      if (vals(i) > 0L) {
-        keys(w) = keys(i); vals(w) = vals(i); w += 1
-      }
-      i += 1
-    }
-    used = w
-  }
+  def add(x: Long): this.type = add(x, 1L)
 
-  def add(x: Long): this.type = {
-    total += 1
+  /** WEIGHTED add (Berinde et al. 2010 generalization): the item arrives
+   *  with weight `w` instead of a unit. Reduction uses the SAME
+   *  (k+1)-th-largest rule as [[mergeInPlace]] — a weighted insert IS a
+   *  merge with a one-item summary — so all bounds carry over with n
+   *  replaced by W = total weight: every key with true weight >
+   *  W/(k+1) is present, and each stored estimate is a lower bound
+   *  short by at most W/(k+1). The unit case degenerates exactly to
+   *  classic decrement-all (stored counters are always >= 1, so the
+   *  (k+1)-th largest of {w=1} ∪ counters is 1).
+   *
+   *  This is the heavy-hitters shape a corpus pass actually needs at
+   *  scale: "which repos dominate BYTES", not "which repos have the
+   *  most rows" — see the `heavy_bytes` driver query. */
+  def add(x: Long, w: Long): this.type = {
+    require(w >= 0L, s"weight must be >= 0: $w")
+    if (w == 0L) return this
+    total += w
     val i = indexOf(x)
-    if (i >= 0) vals(i) += 1L
+    if (i >= 0) vals(i) += w
     else if (used < k) {
-      keys(used) = x; vals(used) = 1L; used += 1
+      keys(used) = x; vals(used) = w; used += 1
     } else {
-      // decrement-all: one unit of every counter cancels against this
-      // item's unit (k+1 distinct items retire together)
+      // (k+1)-th largest of the k stored counters plus the incoming w
+      // is the minimum of all k+1 values; subtracting it retires at
+      // least one counter, so used <= k afterwards
+      var m = w
       var j = 0
-      while (j < used) { vals(j) -= 1L; j += 1 }
-      compact()
+      while (j < used) { if (vals(j) < m) m = vals(j); j += 1 }
+      var wr = 0
+      j = 0
+      while (j < used) {
+        if (vals(j) - m > 0L) { keys(wr) = keys(j); vals(wr) = vals(j) - m; wr += 1 }
+        j += 1
+      }
+      used = wr
+      if (w - m > 0L) { keys(used) = x; vals(used) = w - m; used += 1 }
     }
     this
   }

@@ -116,6 +116,26 @@ class FrequentItemsAggregator(k: Int) extends Aggregator[java.lang.Long, Frequen
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** WEIGHTED Misra-Gries candidates over (key, weight) pairs: every key
+ *  whose total weight exceeds W/(k+1) is guaranteed present (W = sum of
+ *  all weights). Null keys/weights and non-positive weights are skipped
+ *  (a zero-weight observation carries no mass). The at-scale question
+ *  this answers that the unit-count sketch cannot: "which repos dominate
+ *  BYTES" over a 10^12-row corpus, in one map-side pass. */
+class FrequentItemsWeightedAggregator(k: Int)
+    extends Aggregator[(java.lang.Long, java.lang.Long), FrequentItems, Array[Byte]] {
+  override def zero: FrequentItems = FrequentItems(k)
+  override def reduce(buf: FrequentItems, v: (java.lang.Long, java.lang.Long)): FrequentItems = {
+    if (v._1 != null && v._2 != null && v._2.longValue() > 0L)
+      buf.add(v._1.longValue(), v._2.longValue())
+    buf
+  }
+  override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  override def finish(buf: FrequentItems): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[FrequentItems] = Encoders.kryo[FrequentItems]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 class TDigestAggregator(compression: Double) extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
   override def zero: TDigest = TDigest(compression)
   override def reduce(buf: TDigest, v: java.lang.Double): TDigest = {
@@ -152,6 +172,9 @@ object GraftFunctions {
   def frequentItems(c: Column, k: Int = 64): Column =
     udaf(new FrequentItemsAggregator(k)).apply(c)
 
+  def frequentItemsWeighted(key: Column, weight: Column, k: Int = 64): Column =
+    udaf(new FrequentItemsWeightedAggregator(k)).apply(key, weight)
+
   /** Register SQL-callable versions: graft_bloom, graft_hll, graft_cms,
    *  graft_kll (fixed default shapes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -162,6 +185,7 @@ object GraftFunctions {
     spark.udf.register("graft_kll", udaf(new KllAggregator(200)))
     spark.udf.register("graft_tdigest", udaf(new TDigestAggregator(100.0)))
     spark.udf.register("graft_freq", udaf(new FrequentItemsAggregator(64)))
+    spark.udf.register("graft_freq_w", udaf(new FrequentItemsWeightedAggregator(64)))
     // stored-sketch re-aggregation: graft_*_merge union serialized sketches
     SketchMerge.register(spark)
     // scalar surface (simhash/minhash/text stats/PII/grams) — registered

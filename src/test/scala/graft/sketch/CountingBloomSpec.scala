@@ -1,0 +1,116 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CountingBloomSpec extends AnyFunSuite {
+
+  private def key(i: Int, tag: String = "k"): Array[Byte] =
+    s"$tag-$i".getBytes("UTF-8")
+
+  test("insert/membership/delete: FNR is zero for live items through churn") {
+    val cb = CountingBloom(0.01, 10000L)
+    (0 until 5000).foreach(i => cb.add(key(i)))
+    // all inserted items present
+    (0 until 5000).foreach(i => assert(cb.contains(key(i)), s"FN on live $i"))
+    // expire the first epoch
+    (0 until 2500).foreach(i => cb.remove(key(i)))
+    // remaining epoch must ALL still read present (delete of other items
+    // can never create a false negative under the delete contract)
+    (2500 until 5000).foreach(i => assert(cb.contains(key(i)), s"FN after churn $i"))
+    // refill the reclaimed capacity with a fresh epoch — still no FN
+    (10000 until 12500).foreach(i => cb.add(key(i)))
+    (2500 until 5000).foreach(i => assert(cb.contains(key(i))))
+    (10000 until 12500).foreach(i => assert(cb.contains(key(i))))
+  }
+
+  test("FPR <= 2p while live count <= n, even after churn reclaims capacity") {
+    val p = 0.01
+    val n = 20000L
+    val cb = CountingBloom(p, n)
+    // churn: 3 epochs of n inserted, 2 fully expired -> live = n
+    (0 until 3).foreach { e =>
+      (0 until n.toInt).foreach(i => cb.add(key(i, s"e$e")))
+      if (e < 2) (0 until n.toInt).foreach(i => cb.remove(key(i, s"e$e")))
+    }
+    val probes = 20000
+    val fps = (0 until probes).count(i => cb.contains(key(i, "never-inserted")))
+    assert(fps.toDouble / probes <= 2 * p,
+      s"FPR ${fps.toDouble / probes} > ${2 * p} after churn")
+    // a plain filter with the same history would sit at 3n occupancy;
+    // sanity that churn actually reclaimed: estimate tracks LIVE count
+    val est = cb.countEstimate
+    assert(math.abs(est.toDouble / n - 1.0) < 0.05,
+      s"live estimate $est not within 5% of $n")
+  }
+
+  test("probe parity: cell addresses match BloomSketch bit addresses for same (p,n)") {
+    val p = 0.001
+    val n = 5000L
+    val cb = CountingBloom(p, n)
+    val bs = BloomSketch(p, n)
+    assert(cb.m === bs.m)
+    assert(cb.k === bs.k)
+    (0 until n.toInt).foreach { i =>
+      cb.add(key(i)); bs.add(key(i))
+    }
+    // every nonzero cell must be a set bit and vice versa (no deletes yet)
+    def bit(idx: Long): Boolean =
+      (bs.words((idx >>> 6).toInt) & (1L << idx)) != 0L
+    var i = 0L
+    while (i < cb.m) {
+      assert((cb.cells(i.toInt) != 0) === bit(i), s"cell/bit divergence at $i")
+      i += 1
+    }
+  }
+
+  test("merge: cell-wise saturating sum is associative/commutative; partials == bulk") {
+    val p = 0.01
+    val n = 3000L
+    val bulk = CountingBloom(p, n)
+    (0 until 3000).foreach(i => bulk.add(key(i)))
+    val parts = (0 until 3).map { part =>
+      val s = CountingBloom(p, n)
+      (part * 1000 until (part + 1) * 1000).foreach(i => s.add(key(i)))
+      s
+    }
+    val mergedLR = parts(0).copySketch().addInPlace(parts(1)).addInPlace(parts(2))
+    val mergedRL = parts(2).copySketch().addInPlace(parts(1)).addInPlace(parts(0))
+    assert(mergedLR === bulk)
+    assert(mergedRL === bulk)
+    // deletes distribute across partials too: remove epoch0 from a partial
+    val withRemoved = parts(0).copySketch()
+    (0 until 1000).foreach(i => withRemoved.remove(key(i)))
+    val net = withRemoved.addInPlace(parts(1)).addInPlace(parts(2))
+    (1000 until 3000).foreach(i => assert(net.contains(key(i))))
+  }
+
+  test("serialize round-trip preserves equality and behavior") {
+    val cb = CountingBloom(0.01, 1000L)
+    (0 until 700).foreach(i => cb.add(key(i)))
+    (0 until 200).foreach(i => cb.remove(key(i)))
+    val back = CountingBloom.deserialize(cb.serialize())
+    assert(back === cb)
+    assert(back.countEstimate === cb.countEstimate)
+    (200 until 700).foreach(i => assert(back.contains(key(i))))
+  }
+
+  test("saturation is sticky: a 255 cell never decrements, no false negatives") {
+    val cb = CountingBloom(0.01, 100L)
+    // hammer one key far past 255
+    (0 until 300).foreach(_ => cb.add(key(1)))
+    assert(cb.contains(key(1)))
+    // removing all 300 leaves the saturated cells pinned: still "present"
+    // (bounded false positive, NEVER a false negative elsewhere)
+    (0 until 300).foreach(_ => cb.remove(key(1)))
+    assert(cb.contains(key(1)), "sticky saturation must not zero the cells")
+  }
+
+  test("add returns probe-and-insert verdict; remove reports prior presence") {
+    val cb = CountingBloom(0.001, 1000L)
+    assert(cb.add(key(42)) === true)   // fresh
+    assert(cb.add(key(42)) === false)  // already present
+    assert(cb.remove(key(42)) === true)
+    assert(cb.remove(key(42)) === true) // count was 2: still present before this remove
+    assert(cb.contains(key(42)) === false)
+  }
+}

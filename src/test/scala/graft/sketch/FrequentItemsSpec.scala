@@ -65,4 +65,80 @@ class FrequentItemsSpec extends AnyFunSuite {
     // estimates must still be valid lower bounds
     sk.items.foreach { case (_, c) => assert(c >= 1L && c <= 10000L) }
   }
+
+  // ---------- weighted (Berinde et al. 2010 generalization) ----------
+
+  /** Skewed (key, weight) stream: few heavy-byte keys over a long tail. */
+  private def weightedStream(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val key = math.floor(math.pow(60.0, rnd.nextDouble()) - 1.0).toLong
+      val w = if (key < 5) rnd.nextInt(5000).toLong + 1000 else rnd.nextInt(50).toLong + 1
+      (key, w)
+    }
+  }
+
+  test("weighted: every key above W/(k+1) retained; estimates lower bounds within W/(k+1)") {
+    val xs = weightedStream(20000, seed = 17L)
+    val k = 16
+    val sk = xs.foldLeft(FrequentItems(k)) { case (s, (x, w)) => s.add(x, w) }
+    val exact = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = xs.map(_._2).sum
+    val bound = total / (k + 1)
+    assert(sk.n === total)
+    assert(sk.maxError === bound)
+    exact.foreach { case (key, wsum) =>
+      val est = sk.estimate(key)
+      assert(est <= wsum, s"estimate exceeds true weight ($key)")
+      assert(est >= wsum - bound, s"estimate short by more than W/(k+1) ($key)")
+      if (wsum > bound) assert(est > 0L, s"heavy-weight key $key ($wsum > $bound) lost")
+    }
+  }
+
+  test("weighted: merge of arbitrary partitions preserves the weighted guarantee") {
+    val xs = weightedStream(30000, seed = 23L)
+    val k = 24
+    Seq(2, 5, 16).foreach { parts =>
+      val merged = xs.grouped(math.max(1, xs.size / parts)).toSeq
+        .map(_.foldLeft(FrequentItems(k)) { case (s, (x, w)) => s.add(x, w) })
+        .reduce(_.mergeInPlace(_))
+      val exact = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val total = xs.map(_._2).sum
+      val bound = total / (k + 1)
+      assert(merged.n === total)
+      exact.foreach { case (key, wsum) =>
+        val est = merged.estimate(key)
+        assert(est <= wsum && est >= wsum - bound, s"parts=$parts key=$key")
+        if (wsum > bound) assert(est > 0L, s"parts=$parts heavy key $key lost")
+      }
+    }
+  }
+
+  test("weighted: add(x) is exactly add(x, 1) — unit streams agree bit-for-bit") {
+    val xs = skewedStream(8000, seed = 29L)
+    val unit = xs.foldLeft(FrequentItems(12))(_.add(_))
+    val weighted = xs.foldLeft(FrequentItems(12))(_.add(_, 1L))
+    assert(unit.items === weighted.items)
+    assert(unit.n === weighted.n)
+    assert(java.util.Arrays.equals(unit.serialize(), weighted.serialize()))
+  }
+
+  test("weighted: a weight-w insert equals w unit inserts of the same NEW key in sum semantics") {
+    // when the key is tracked (or there is room) the two are identical;
+    // on eviction pressure the weighted form is a single (k+1)-reduction
+    // — bounds hold either way (asserted above); here pin the easy law
+    val a = FrequentItems(8)
+    a.add(3L, 5L)
+    val b = (0 until 5).foldLeft(FrequentItems(8))((s, _) => s.add(3L))
+    assert(a.items === b.items)
+    assert(a.n === b.n)
+  }
+
+  test("weighted: zero weight is a no-op; negative weight rejected") {
+    val sk = FrequentItems(4)
+    sk.add(1L, 0L)
+    assert(sk.n === 0L)
+    assert(sk.items.isEmpty)
+    intercept[IllegalArgumentException](sk.add(1L, -1L))
+  }
 }

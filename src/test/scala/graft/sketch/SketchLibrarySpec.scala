@@ -89,6 +89,50 @@ class SketchLibrarySpec extends AnyFunSuite {
     assert(CountMinSketch.deserialize(a.serialize()) === a)
   }
 
+  test("CMS inner product: never under, over <= eps*Na*Nb (join-size estimate)") {
+    val rnd = new scala.util.Random(11)
+    // two key-frequency profiles with overlapping support — the equi-join
+    // output size is the inner product of the frequency vectors
+    val aFreqs = (1 to 300).map(i => s"k$i" -> (rnd.nextInt(20) + 1))
+    val bFreqs = (150 to 450).map(i => s"k$i" -> (rnd.nextInt(15) + 1))
+    def sk(fs: Seq[(String, Int)]): CountMinSketch = {
+      val s = CountMinSketch(5, 8192)
+      fs.foreach { case (k, f) => s.add(k, f.toLong) }
+      s
+    }
+    val (sa, sb) = (sk(aFreqs), sk(bFreqs))
+    val bMap = bFreqs.toMap
+    val trueDot = aFreqs.map { case (k, fa) =>
+      fa.toLong * bMap.getOrElse(k, 0).toLong
+    }.sum
+    val est = sa.innerProductEstimate(sb)
+    assert(est >= trueDot, s"inner product underestimated: $est < $trueDot")
+    val bound = trueDot + (sa.epsilon * sa.totalCount * sb.totalCount).toLong
+    assert(est <= bound, s"inner product over eps*Na*Nb: $est > $bound")
+    // symmetric
+    assert(sb.innerProductEstimate(sa) === est)
+    // estimate from MERGED partials equals estimate from bulk sketches
+    val half = aFreqs.size / 2
+    val merged = sk(aFreqs.take(half)).addInPlace(sk(aFreqs.drop(half)))
+    assert(merged.innerProductEstimate(sb) === est)
+    // disjoint supports: small estimate (only hash-collision mass)
+    val disjoint = sk((1000 to 1100).map(i => s"z$i" -> 3))
+    assert(sa.innerProductEstimate(disjoint) <=
+      (sa.epsilon * sa.totalCount * disjoint.totalCount).toLong)
+  }
+
+  test("CMS inner product saturates instead of overflowing") {
+    // force per-cell counts near Long.MaxValue: products overflow int64
+    val s1 = CountMinSketch(2, 4)
+    val s2 = CountMinSketch(2, 4)
+    s1.add("x", Long.MaxValue / 2)
+    s2.add("x", Long.MaxValue / 2)
+    val est = s1.innerProductEstimate(s2)
+    // true dot overflows; the estimate must come back a sane saturated
+    // value, never a negative wrap
+    assert(est > 0L)
+  }
+
   test("CMS fromAccuracy shapes correctly") {
     val cms = CountMinSketch.fromAccuracy(eps = 0.001, delta = 0.01)
     assert(cms.width === math.ceil(math.E / 0.001).toInt)
