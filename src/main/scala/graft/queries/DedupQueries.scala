@@ -172,6 +172,61 @@ object DedupQueries {
     "SELECT count(*) AS n_docs, true AS members_all_found, true AS fpr_within_2p, " +
       "true AS estimate_within_5pct FROM documents"
 
+  /** RETENTION dedup (counting Bloom, Fan et al. 2000): delete a whole
+   *  signature subset from the live dedup filter WITHOUT rebuilding —
+   *  the takedown/TTL operation a 100 TB filter cannot afford to answer
+   *  with a full corpus re-scan. Both the corpus filter and the
+   *  deletion set build as mergeable map-side partials
+   *  ([[graft.sketch.CountingBloomAggregator]]); the deletion partial's
+   *  cells subtract owner-side in one pass; probing uses the 1-bit
+   *  [[graft.sketch.CountingBloom.toBloomSketch]] view through the SAME
+   *  native Catalyst probe expression as the plain filter (m bits
+   *  broadcast, not m bytes). Checks pinned: zero false negatives on
+   *  every kept key after the deletion, deleted keys read absent up to
+   *  the 2p false-positive allowance, fresh keys FPR <= 2p, and the
+   *  live-count estimate (inserts MINUS deletes — structurally
+   *  impossible for the plain filter's estimator) within 5%. */
+  def retentionDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 0.01
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(concat(col("event_id").cast("string"), lit(":"), col("event_type")).as("key"),
+        col("event_type"))
+      .cache()
+    val nAll = ev.count()
+    val nDeleted = ev.where(col("event_type") === "click").count()
+    val nKept = nAll - nDeleted
+    def partial(df: DataFrame): graft.sketch.CountingBloom =
+      graft.sketch.CountingBloom.deserialize(
+        df.agg(udaf(new graft.sketch.CountingBloomAggregator(p, nAll))
+          .apply(MarkDuplicates.signature(col("key")))).head().getAs[Array[Byte]](0))
+    val live = partial(ev).subtractInPlace(partial(ev.where(col("event_type") === "click")))
+    val probeView = live.toBloomSketch
+    def probe(c: org.apache.spark.sql.Column) =
+      graft.plans.GraftExpressions.bloomContains(probeView, MarkDuplicates.signature(c))
+    val hits = ev.agg(
+      count(when(probe(col("key")) && col("event_type") =!= "click", 1)).as("kept_hits"),
+      count(when(probe(col("key")) && col("event_type") === "click", 1)).as("del_hits"),
+      count(when(probe(concat(col("key"), lit("__fresh__"))), 1)).as("fresh_hits")).head()
+    ev.unpersist()
+    val (keptHits, delHits, freshHits) =
+      (hits.getLong(0), hits.getLong(1), hits.getLong(2))
+    Seq((nAll, nDeleted,
+      keptHits == nKept,
+      delHits.toDouble / nDeleted <= 2 * p,
+      freshHits.toDouble / nAll <= 2 * p,
+      math.abs(live.countEstimate.toDouble / nKept - 1.0) < 0.05))
+      .toDF("n_total", "n_deleted", "kept_all_found", "deleted_absent_within_2p",
+        "fresh_fpr_within_2p", "live_estimate_within_5pct")
+  }
+
+  val RetentionDedupSql: String =
+    """SELECT count(*) AS n_total,
+      |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_deleted,
+      |       true AS kept_all_found, true AS deleted_absent_within_2p,
+      |       true AS fresh_fpr_within_2p, true AS live_estimate_within_5pct
+      |FROM events""".stripMargin
+
   /** Operators #12-#14/#22 (sizing + show-capacity): golden values are the
    *  published reference numbers, so the oracle pins them as literals. */
   def bloomSizing(spark: SparkSession, dir: String): DataFrame = {

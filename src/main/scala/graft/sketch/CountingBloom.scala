@@ -144,6 +144,56 @@ final class CountingBloom private (
     math.ceil(mOverK * -math.log(1.0 - nonzeroCells.toDouble / m)).toLong
   }
 
+  /** Cell-wise SUBTRACTION of a whole deletion summary: equivalent to
+   *  calling [[remove]] once per (item, multiplicity) in `other`, but the
+   *  deletion set can be built DISTRIBUTED (a mergeable insert-only
+   *  partial via [[CountingBloomAggregator]]) and applied in one pass —
+   *  the shape a 100 TB takedown needs: the corpus filter lives on one
+   *  owner; the day's deletions aggregate map-side into a single
+   *  counting partial whose cells subtract here, no per-key round trips
+   *  and no full-filter rebuild.
+   *
+   *  Same delete contract as [[remove]] (only subtract what was added,
+   *  at most as many times). Saturated cells on EITHER side are left
+   *  untouched (sticky-255 can't know its true count; skipping risks
+   *  only a bounded-rate false positive, never a false negative), and
+   *  under-floor clamps at 0 (only reachable by violating the
+   *  contract). Mutates and returns `this`. */
+  def subtractInPlace(other: CountingBloom): CountingBloom = {
+    require(other.m == m && other.k == k,
+      s"cannot subtract sketches of different shape: ($m,$k) vs (${other.m},${other.k})")
+    val oc = other.cells
+    var i = 0
+    while (i < cells.length) {
+      val c = cells(i) & 0xFF
+      val d = oc(i) & 0xFF
+      if (c != 255 && d != 255 && d != 0) {
+        cells(i) = (if (d >= c) 0 else c - d).toByte
+      }
+      i += 1
+    }
+    this
+  }
+
+  /** Plain-filter VIEW of the live state: bit i set iff cell i nonzero.
+   *  Because cell addresses equal the plain filter's bit addresses
+   *  (same sizing + K-M probes — pinned by CountingBloomSpec), the
+   *  result probes EXACTLY like this sketch's [[contains]], so the
+   *  existing native Catalyst probe expression
+   *  (`plans.BloomContainsExpr`) serves retention-filtered streams with
+   *  no new expression code — and the 1-bit view is what should
+   *  BROADCAST to executors (m bits, not m bytes; deletability is an
+   *  owner-side concern, probing is not). */
+  def toBloomSketch: BloomSketch = {
+    val words = new Array[Long](BloomSketch.wordsFor(m))
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i) != 0) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new BloomSketch(p, n, m, k, words)
+  }
+
   /** Cell-wise saturating-sum merge (associative, commutative; identity =
    *  empty sketch). Requires identical shape. Mutates and returns `this`. */
   def addInPlace(other: CountingBloom): CountingBloom = {

@@ -136,6 +136,27 @@ class FrequentItemsWeightedAggregator(k: Int)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Mergeable COUNTING-Bloom partial over binary signatures (insert-only:
+ *  cell-wise saturating sum is associative/commutative, so partials
+ *  build map-side like every sketch here; deletion happens OWNER-SIDE
+ *  via [[CountingBloom.subtractInPlace]] — a decrement is not a
+ *  commutative merge under saturation, so it is not an aggregator).
+ *  This is both the corpus-filter builder and the takedown-set builder
+ *  for retention dedup: build the day's deletions as one partial, ship
+ *  one sketch, subtract once. */
+class CountingBloomAggregator(p: Double, n: Long)
+    extends Aggregator[Array[Byte], CountingBloom, Array[Byte]] {
+  override def zero: CountingBloom = CountingBloom(p, n)
+  override def reduce(buf: CountingBloom, sig: Array[Byte]): CountingBloom = {
+    if (sig != null) buf.add(sig)
+    buf
+  }
+  override def merge(a: CountingBloom, b: CountingBloom): CountingBloom = a.addInPlace(b)
+  override def finish(buf: CountingBloom): Array[Byte] = buf.serialize()
+  override def bufferEncoder: Encoder[CountingBloom] = Encoders.kryo[CountingBloom]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 class TDigestAggregator(compression: Double) extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
   override def zero: TDigest = TDigest(compression)
   override def reduce(buf: TDigest, v: java.lang.Double): TDigest = {

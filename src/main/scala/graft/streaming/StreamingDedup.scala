@@ -121,6 +121,100 @@ object StreamingDedup {
     handle.query = query
     handle
   }
+  /** Distributed insert-only counting partial of a batch's signatures
+   *  (shape = mkMin(cfg.p, cfg.expectedN), identical across epochs so
+   *  partials subtract cell-for-cell). */
+  private[streaming] def buildCountingPartial(
+      batch: DataFrame, contentCol: String,
+      cfg: graft.dedup.DedupConfig): graft.sketch.CountingBloom =
+    graft.sketch.CountingBloom.deserialize(
+      batch.agg(udaf(new graft.sketch.CountingBloomAggregator(cfg.p, cfg.expectedN))
+        .apply(MarkDuplicates.signature(col(contentCol)))).head().getAs[Array[Byte]](0))
+
+  /**
+   * ROLLING-RETENTION streaming dedup: like [[dedupStreamWithEpochSketch]]
+   * but the probe filter remembers only the last `windowEpochs` epochs —
+   * the TTL'd-crawl shape where a re-crawl after the window must NOT be
+   * marked as a duplicate of a long-expired snapshot.
+   *
+   * The plain-filter epoch loop structurally cannot do this: its bits
+   * only accumulate, so expiry means a full rebuild over the retained
+   * window every epoch. Here each epoch's signatures build one
+   * insert-only [[graft.sketch.CountingBloom]] partial (distributed,
+   * mergeable); at the epoch boundary the new partial's cells ADD into
+   * the live filter, the partial falling out of the window SUBTRACTS
+   * ([[graft.sketch.CountingBloom.subtractInPlace]] — exact inverse of
+   * its inserts while cells are unsaturated), and executors probe the
+   * 1-bit [[graft.sketch.CountingBloom.toBloomSketch]] view through the
+   * same native expression as every other mode (m bits broadcast per
+   * epoch, not m bytes).
+   *
+   * Driver state is CONSTANT: `windowEpochs + 1` counting filters plus
+   * the live one — independent of stream length. The delete contract
+   * holds by construction (every subtraction is a partial previously
+   * added, exactly once). Marks lag by at most one epoch, as in the
+   * grow-only mode; FPR <= 2p holds whenever the LIVE window's
+   * signature count stays within cfg capacity — old epochs no longer
+   * count against it, which is the point.
+   */
+  def dedupStreamWithRollingRetention(
+      stream: DataFrame,
+      contentCol: String,
+      cfg: graft.dedup.DedupConfig = graft.dedup.DedupConfig(),
+      windowEpochs: Int = 4,
+      refreshEvery: Int = 1,
+      outputCol: String = "is_duplicate")(
+      sink: (DataFrame, Long) => Unit): RollingRetentionQuery = {
+    require(windowEpochs >= 1 && refreshEvery >= 1)
+    val handle = new RollingRetentionQuery(
+      graft.sketch.CountingBloom(cfg.p, cfg.expectedN), windowEpochs)
+    val query = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(markAgainstSketchStream(batch, handle.frozen, contentCol, outputCol), batchId)
+        handle.learn(buildCountingPartial(batch, contentCol, cfg), refreshEvery)
+      }
+      .start()
+    handle.query = query
+    handle
+  }
+}
+
+/** Live handle on a rolling-retention streaming dedup: the live counting
+ *  filter (last `windowEpochs` epochs), the frozen 1-bit probe view, and
+ *  the per-epoch partial ring. All mutation under `synchronized` (the
+ *  foreachBatch thread); reads see immutable snapshots. */
+final class RollingRetentionQuery private[streaming] (
+    live: graft.sketch.CountingBloom,
+    windowEpochs: Int) {
+
+  var query: org.apache.spark.sql.streaming.StreamingQuery = _
+  @volatile private[streaming] var frozenSketch: BloomSketch = live.toBloomSketch
+  private val window = scala.collection.mutable.Queue.empty[graft.sketch.CountingBloom]
+  private var pending: graft.sketch.CountingBloom = null
+  private var batches = 0L
+
+  private[streaming] def frozen: BloomSketch = frozenSketch
+
+  private[streaming] def learn(
+      batchPartial: graft.sketch.CountingBloom, refreshEvery: Int): Unit =
+    synchronized {
+      pending = if (pending == null) batchPartial else pending.addInPlace(batchPartial)
+      batches += 1
+      if (batches % refreshEvery == 0) {
+        live.addInPlace(pending)
+        window.enqueue(pending)
+        pending = null
+        if (window.size > windowEpochs) live.subtractInPlace(window.dequeue())
+        frozenSketch = live.toBloomSketch
+      }
+    }
+
+  def epochsCompleted(refreshEvery: Int): Long = synchronized(batches / refreshEvery)
+  /** Estimated signatures currently REMEMBERED (the live window only). */
+  def liveEstimate: Long = synchronized(live.countEstimate)
+  /** Constant-state evidence: filters held (<= windowEpochs + live + pending). */
+  def filtersHeld: Int = synchronized(window.size + 1 + (if (pending == null) 0 else 1))
 }
 
 /** Live handle on an epoch-refreshed streaming dedup: the frozen probe

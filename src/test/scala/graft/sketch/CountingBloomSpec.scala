@@ -105,6 +105,54 @@ class CountingBloomSpec extends AnyFunSuite {
     assert(cb.contains(key(1)), "sticky saturation must not zero the cells")
   }
 
+  test("subtractInPlace == per-item removes; deletion set can be built as merged partials") {
+    val p = 0.01
+    val n = 6000L
+    val live = CountingBloom(p, n)
+    (0 until 6000).foreach(i => live.add(key(i)))
+    // deletion set 0..1999 as TWO merged insert-only partials (the
+    // distributed build: map-side partials, saturating-sum merge)
+    val dA = CountingBloom(p, n); (0 until 1000).foreach(i => dA.add(key(i)))
+    val dB = CountingBloom(p, n); (1000 until 2000).foreach(i => dB.add(key(i)))
+    val bulkSubtracted = live.copySketch().subtractInPlace(dA.copySketch().addInPlace(dB))
+    // sequential removes of the same items
+    val seqRemoved = live.copySketch()
+    (0 until 2000).foreach(i => seqRemoved.remove(key(i)))
+    assert(bulkSubtracted === seqRemoved,
+      "one-pass subtraction must equal per-item removal")
+    (2000 until 6000).foreach(i => assert(bulkSubtracted.contains(key(i)), s"FN on kept $i"))
+    assert(math.abs(bulkSubtracted.countEstimate - 4000L).toDouble / 4000 < 0.05)
+  }
+
+  test("subtract skips saturated cells on either side (no false negatives ever)") {
+    val live = CountingBloom(0.01, 200L)
+    (0 until 300).foreach(_ => live.add(key(7)))   // saturate key 7's cells
+    live.add(key(8))
+    val del = CountingBloom(0.01, 200L)
+    (0 until 300).foreach(_ => del.add(key(7)))    // deletion side saturated too
+    live.subtractInPlace(del)
+    // sticky: key 7 still reads present (bounded FP), key 8 untouched
+    assert(live.contains(key(7)))
+    assert(live.contains(key(8)))
+  }
+
+  test("toBloomSketch: 1-bit view probes identically to the counting filter") {
+    val cb = CountingBloom(0.001, 4000L)
+    (0 until 4000).foreach(i => cb.add(key(i)))
+    (0 until 1500).foreach(i => cb.remove(key(i)))
+    val view = cb.toBloomSketch
+    assert(view.m === cb.m && view.k === cb.k)
+    // exact probe agreement on members, removed keys, and fresh keys
+    (0 until 4000).foreach { i =>
+      assert(view.contains(key(i)) === cb.contains(key(i)), s"member/removed $i")
+    }
+    (0 until 4000).foreach { i =>
+      val f = key(i, "fresh")
+      assert(view.contains(f) === cb.contains(f), s"fresh $i")
+    }
+    assert(view.countEstimate === cb.countEstimate)
+  }
+
   test("add returns probe-and-insert verdict; remove reports prior presence") {
     val cb = CountingBloom(0.001, 1000L)
     assert(cb.add(key(42)) === true)   // fresh

@@ -178,4 +178,82 @@ class StreamingDedupSpec extends SparkSpecBase {
       assert(handle.epochsCompleted(1) === Epochs.toLong)
     } finally q.stop()
   }
+
+  test("rolling retention: in-window dups marked, expired epochs forgotten, constant state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = 1e-3
+    val W = 3 // window epochs
+    val Epochs = 12
+    val FreshPerEpoch = 80
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "content")
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val handle = StreamingDedup.dedupStreamWithRollingRetention(
+      stream, "content",
+      DedupConfig(contentCol = "content", p = p, expectedN = 10000L),
+      windowEpochs = W, refreshEvery = 1) { (marked, _) =>
+      sunk.synchronized {
+        sunk ++= marked.select("id", "is_duplicate").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1))
+      }
+    }
+    val q = handle.query
+    try {
+      def content(e: Int, i: Int) = s"retention epoch $e row $i"
+      val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val freshIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val inWindowDupIds = scala.collection.mutable.ArrayBuffer.empty[Long]   // e-1 and e-W
+      val expiredDupIds = scala.collection.mutable.ArrayBuffer.empty[Long]    // e-W-1
+      for (e <- 0 until Epochs) {
+        val fresh = (0 until FreshPerEpoch).map { i =>
+          val id = e.toLong * 1000L + i
+          freshIds += id
+          (id, content(e, i))
+        }
+        // probe view during epoch e covers epochs [e-W, e-1]:
+        //  - a dup of epoch e-1 (newest in window) must be marked
+        //  - a dup of epoch e-W (oldest in window) must be marked
+        //  - a dup of epoch e-W-1 (just expired) must NOT be marked
+        val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        if (e >= 1) {
+          val id = 900000L + e * 10L
+          inWindowDupIds += id
+          probes += ((id, content(e - 1, 0)))
+        }
+        if (e >= W) {
+          val id = 900000L + e * 10L + 1L
+          inWindowDupIds += id
+          probes += ((id, content(e - W, 1)))
+        }
+        if (e >= W + 1) {
+          val id = 900000L + e * 10L + 2L
+          expiredDupIds += id
+          probes += ((id, content(e - W - 1, 2)))
+        }
+        input.addData(fresh ++ probes: _*)
+        q.processAllAvailable()
+        stateBytes += handle.frozenSketch.serialize().length
+        assert(handle.filtersHeld <= W + 1,
+          s"epoch $e holds ${handle.filtersHeld} filters (> ${W + 1}): state not constant")
+      }
+      val marks = sunk.synchronized(sunk.toMap)
+      assert(stateBytes.distinct.size === 1,
+        s"probe view must be constant-size, got ${stateBytes.distinct}")
+      inWindowDupIds.foreach(id =>
+        assert(marks(id), s"in-window dup $id must be marked"))
+      expiredDupIds.foreach(id =>
+        assert(!marks(id), s"dup $id of an EXPIRED epoch must be forgotten"))
+      // FPR on fresh rows stays within 2p even after W+ subtraction cycles
+      val falseMarks = freshIds.count(id => marks(id))
+      assert(falseMarks <= math.max(1L, (2 * p * freshIds.size).toLong),
+        s"$falseMarks false positives in ${freshIds.size} fresh rows exceeds 2p")
+      // live estimate tracks the WINDOW's uniques, not the stream's total:
+      // last W epochs hold ~W*(FreshPerEpoch + ~2 probe rows)
+      val windowUniques = W * (FreshPerEpoch + 3)
+      assert(math.abs(handle.liveEstimate.toDouble / windowUniques - 1.0) < 0.15,
+        s"liveEstimate ${handle.liveEstimate} should track ~$windowUniques window uniques")
+      assert(handle.epochsCompleted(1) === Epochs.toLong)
+    } finally q.stop()
+  }
 }
