@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sketch.{CountMinSketch, FrequentItems, GraftFunctions, HllSketch}
+
+/**
+ * Sketch-driven join planning: decide broadcast vs salted-skew vs plain
+ * shuffle join from ONE mergeable-sketch pass per side — BEFORE any
+ * shuffle is committed.
+ *
+ * At 100 TB the cost of choosing a join strategy wrong is measured in
+ * hours (a sort-merge join with one hot key = one runaway reducer; a
+ * missed broadcast = a pointless full-table exchange). Spark's AQE can
+ * re-plan some of this at runtime, but only AFTER the first shuffle's
+ * map side has already run, only within one query, and not for plans
+ * AQE cannot see (foreachBatch loops, RDD hand-offs). The sketch pass
+ * costs one map-side-combined aggregation per side and yields:
+ *
+ *  - row count (exact),
+ *  - distinct join keys (HLL, ±0.8%),
+ *  - hot-key candidates with lower-bound frequencies (Misra-Gries:
+ *    every key above 1/(k+1) of the side is GUARANTEED present),
+ *  - the key-frequency CMS whose inner product estimates the join
+ *    OUTPUT size within eps·Na·Nb ([[CountMinSketch.innerProductEstimate]]).
+ *
+ * The stats are themselves reusable artifacts: built per partition /
+ * per ingest batch and merged, the same sketches answer every future
+ * join against the table without another scan.
+ *
+ * The RESULT IS EXACT under every choice: broadcast and plain are
+ * stock inner joins; the salted path pairs each key on exactly one
+ * salt ([[saltedJoinWithHotKeys]]), so all three produce the same rows
+ * — the sketches only pick the SHAPE. A hash-collision in skew
+ * detection (keys sketch as 64-bit xxhash64) could at worst salt one
+ * extra innocent key or miss a sub-threshold one: a performance
+ * wobble, never a correctness issue.
+ */
+object JoinPlanner {
+
+  /** One side's join-planning evidence (from [[sideStats]]). */
+  final case class SideStats(
+      rows: Long,
+      /** HLL estimate of distinct join keys. */
+      ndv: Long,
+      /** Misra-Gries candidates over xxhash64(key): (keyHash, lowerBoundCount). */
+      hotHashes: Seq[(Long, Long)],
+      /** Key-frequency CMS (string-cast key) for join-size estimation. */
+      cms: CountMinSketch) {
+    /** Lower-bound share of the most frequent key (0 when empty). */
+    def maxKeyShare: Double =
+      if (rows == 0L || hotHashes.isEmpty) 0.0
+      else hotHashes.map(_._2).max.toDouble / rows
+  }
+
+  /** The chosen shape. Exactness is invariant across all of them. */
+  sealed trait JoinPlan
+  /** Build side fits the broadcast budget: map-side hash join. */
+  case object BroadcastBuild extends JoinPlan
+  /** A key exceeds `skewShare` of the probe side: salt hot keys over
+   *  `saltBuckets`, replicate matching build rows per salt. */
+  final case class SaltedSkew(hotKeyHashes: Seq[Long], saltBuckets: Int) extends JoinPlan
+  /** No broadcast fit, no dominant key: stock shuffle join. */
+  case object PlainShuffle extends JoinPlan
+
+  private val MgK = 64
+  private val CmsDepth = 5
+  private val CmsWidth = 65536
+
+  /** ONE aggregation pass: exact count + HLL NDV + MG hot candidates +
+   *  frequency CMS, all map-side-combined mergeable buffers — the whole
+   *  planning basis in a single scan (and a single Exchange of four
+   *  sketch partials). */
+  def sideStats(df: DataFrame, key: String): SideStats = {
+    val keyHash = xxhash64(col(key))
+    val row = df.agg(
+      count(when(col(key).isNotNull, 1)).as("n"),
+      GraftFunctions.hllSketchLong(keyHash).as("hll"),
+      GraftFunctions.frequentItems(keyHash, k = MgK).as("mg"),
+      GraftFunctions.cmsSketch(col(key).cast("string"), CmsDepth, CmsWidth).as("cms"))
+      .head()
+    SideStats(
+      rows = row.getLong(0),
+      ndv = HllSketch.deserialize(row.getAs[Array[Byte]](1)).estimate,
+      hotHashes = FrequentItems.deserialize(row.getAs[Array[Byte]](2)).items.toSeq,
+      cms = CountMinSketch.deserialize(row.getAs[Array[Byte]](3)))
+  }
+
+  /** Join OUTPUT size estimate (never under; over by <= eps·Na·Nb). */
+  def estimatedJoinRows(a: SideStats, b: SideStats): Long =
+    a.cms.innerProductEstimate(b.cms)
+
+  /** Pick the shape. `probe` is the large/fact side, `build` the side a
+   *  broadcast would ship. Decision order mirrors cost: a broadcast
+   *  dodges the exchange entirely; salting only pays when a single key
+   *  would otherwise own a reducer; else stock shuffle (AQE still free
+   *  to improve it). */
+  def plan(
+      probe: SideStats, build: SideStats,
+      broadcastMaxRows: Long = 10000000L,
+      skewShare: Double = 0.05,
+      saltBuckets: Int = 32): JoinPlan = {
+    require(skewShare > 1.0 / (MgK + 1),
+      f"skewShare must exceed the MG retention bound ${1.0 / (MgK + 1)}%.4f " +
+        "(below it a hot key could evade the sketch)")
+    if (build.rows <= broadcastMaxRows) BroadcastBuild
+    else {
+      // every key above skewShare of its side is guaranteed among the MG
+      // candidates (retention bound 1/(k+1) < skewShare); lower-bound
+      // counts can only UNDER-claim a share, and by at most 1/(k+1)
+      val cut = skewShare - 1.0 / (MgK + 1)
+      val hot = probe.hotHashes.collect {
+        case (h, c) if c.toDouble / probe.rows >= cut => h
+      }
+      if (hot.nonEmpty) SaltedSkew(hot, saltBuckets) else PlainShuffle
+    }
+  }
+
+  /** Salted inner equi-join with the hot keys KNOWN UP FRONT (from the
+   *  sketch pass) — unlike `dedup.Skew.replicatedSkewJoin`, no exact
+   *  per-key counting shuffle runs first. Hot probe rows salt uniformly
+   *  (hash of all probe columns); hot build rows replicate once per
+   *  salt; cold keys pair on salt 0. Every matching (probe, build) pair
+   *  meets on exactly one salt value, so the result equals the plain
+   *  inner join row-for-row. */
+  def saltedJoinWithHotKeys(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      hotKeyHashes: Seq[Long], saltBuckets: Int): DataFrame = {
+    require(keys.nonEmpty && saltBuckets > 1)
+    def isHot(df: DataFrame): Column =
+      xxhash64(keys.map(df(_)): _*).isin(hotKeyHashes: _*)
+    val probeCols = probe.columns.map(probe(_))
+    val p = probe.withColumn("__salt",
+      when(isHot(probe), pmod(xxhash64(probeCols: _*), lit(saltBuckets)).cast("int"))
+        .otherwise(lit(0)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0),
+        when(isHot(build), lit(saltBuckets - 1)).otherwise(lit(0)))))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Plan from sketches, then execute. Exact inner equi-join under every
+   *  branch; returns the chosen plan for observability. */
+  def adaptiveJoin(
+      probe: DataFrame, build: DataFrame, keys: Seq[String],
+      broadcastMaxRows: Long = 10000000L,
+      skewShare: Double = 0.05,
+      saltBuckets: Int = 32): (DataFrame, JoinPlan) = {
+    require(keys.size == 1, "sketch stats cover single-column keys; " +
+      "pre-concat composite keys into one column")
+    val chosen = plan(
+      sideStats(probe, keys.head), sideStats(build, keys.head),
+      broadcastMaxRows, skewShare, saltBuckets)
+    val joined = chosen match {
+      case BroadcastBuild => probe.join(broadcast(build), keys)
+      case SaltedSkew(hot, buckets) =>
+        saltedJoinWithHotKeys(probe, build, keys, hot, buckets)
+      case PlainShuffle => probe.join(build, keys)
+    }
+    (joined, chosen)
+  }
+}

@@ -273,6 +273,51 @@ object EventQueries {
       |FROM p JOIN b USING (k)
       |GROUP BY tag""".stripMargin
 
+  /** SKETCH-PLANNED join: [[graft.operators.JoinPlanner.adaptiveJoin]]
+   *  decides broadcast vs salted-skew vs plain shuffle from ONE
+   *  mergeable-sketch pass per side (exact count + HLL NDV + Misra-Gries
+   *  hot candidates + frequency CMS) — no exact per-key counting shuffle
+   *  before the join, no waiting for AQE to discover the skew mid-job.
+   *  Same planted shape as `skew_replicated_join` (75% of probe rows on
+   *  one key); a tiny broadcast budget forces the planner past the
+   *  broadcast branch, and the dominant key's guaranteed MG retention
+   *  (share 0.75 >> cut 0.05 − 1/65) makes the salted choice
+   *  deterministic at any scale factor — pinned by `salted_chosen`. The
+   *  oracle is the PLAIN join: the planner may only pick shape, never
+   *  change the result. */
+  def adaptiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        when(col("l_orderkey") % 4 > 0, 0L)
+          .otherwise(lit(1L) + col("l_partkey") % 20).as("k"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val build = spark.read.parquet(s"$dir/nation.parquet")
+      .select((col("n_nationkey") % 21).cast("long").as("k"),
+        col("n_name").as("tag"))
+    val (joined, chosen) = graft.operators.JoinPlanner.adaptiveJoin(
+      probe, build, keys = Seq("k"),
+      broadcastMaxRows = 10L, skewShare = 0.05, saltBuckets = 8)
+    joined.groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("salted_chosen",
+        lit(chosen.isInstanceOf[graft.operators.JoinPlanner.SaltedSkew]))
+  }
+
+  val AdaptiveJoinSql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN l_orderkey % 4 > 0 THEN 0
+      |              ELSE 1 + l_partkey % 20 END AS k,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT n_nationkey % 21 AS k, n_name AS tag FROM nation
+      |)
+      |SELECT tag, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       true AS salted_chosen
+      |FROM p JOIN b USING (k)
+      |GROUP BY tag""".stripMargin
+
   /** Event-time window aggregation — Spark's `window()` operator in
    *  batch, both flavors in one result: TUMBLING 1-hour buckets and
    *  SLIDING 1-hour windows hopping every 30 min (each event lands in

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.operators.JoinPlanner._
+
+class JoinPlannerSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** Probe with one dominant key (share ~hotShare) + a uniform tail. */
+  private def skewedProbe(n: Int, hotShare: Double) =
+    spark.range(n).select(
+      when(pmod(col("id"), lit(100)) < lit((hotShare * 100).toInt), lit(7L))
+        .otherwise(pmod(col("id"), lit(997)) + 100L).as("k"),
+      col("id").as("pv"))
+
+  private def uniformBuild(n: Int) =
+    spark.range(n).select(pmod(col("id"), lit(1100)).as("k"), col("id").as("bv"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("k", "pv", "bv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("sideStats: exact rows, NDV within HLL bound, hot key guaranteed captured, join-size bracket") {
+    val probe = skewedProbe(20000, 0.60).cache()
+    val build = uniformBuild(5000).cache()
+    val sp = sideStats(probe, "k")
+    val sb = sideStats(build, "k")
+    assert(sp.rows === 20000L)
+    assert(sb.rows === 5000L)
+    val ndvTrue = probe.select("k").distinct().count()
+    assert(math.abs(sp.ndv.toDouble / ndvTrue - 1.0) < 0.05,
+      s"NDV ${sp.ndv} vs true $ndvTrue")
+    // the 60%-share key MUST be an MG candidate, lower-bounded within 1/(k+1)
+    val hotHash = probe.where(col("k") === 7L)
+      .select(xxhash64(col("k"))).head().getLong(0)
+    val cand = sp.hotHashes.toMap
+    assert(cand.contains(hotHash), "dominant key evaded the MG sketch")
+    assert(cand(hotHash) <= 12000L && cand(hotHash) >= 12000L - sp.rows / 65)
+    assert(sp.maxKeyShare >= 0.60 - 1.0 / 65)
+    // join-size estimate brackets the exact join size
+    val exact = probe.join(build, Seq("k")).count()
+    val est = estimatedJoinRows(sp, sb)
+    assert(est >= exact, s"join-size estimate under: $est < $exact")
+    assert(est <= exact + (sp.cms.epsilon * sp.cms.totalCount * sb.cms.totalCount).toLong)
+    probe.unpersist(); build.unpersist()
+  }
+
+  test("plan: broadcast when build fits; salted when a key dominates; plain otherwise") {
+    val probe = skewedProbe(20000, 0.60).cache()
+    val uniform = skewedProbe(20000, 0.0).cache()
+    val build = uniformBuild(5000).cache()
+    val sp = sideStats(probe, "k")
+    val su = sideStats(uniform, "k")
+    val sb = sideStats(build, "k")
+    assert(plan(sp, sb, broadcastMaxRows = 10000L) === BroadcastBuild)
+    plan(sp, sb, broadcastMaxRows = 100L) match {
+      case SaltedSkew(hot, _) => assert(hot.nonEmpty, "dominant key must be salted")
+      case other => fail(s"expected SaltedSkew, got $other")
+    }
+    assert(plan(su, sb, broadcastMaxRows = 100L) === PlainShuffle)
+    // guard: a skewShare below the MG retention bound is meaningless
+    intercept[IllegalArgumentException](plan(sp, sb, skewShare = 0.01))
+    probe.unpersist(); uniform.unpersist(); build.unpersist()
+  }
+
+  test("adaptiveJoin: all three shapes return EXACTLY the plain inner join") {
+    // duplicate keys on BOTH sides so replication bugs would surface
+    val probe = skewedProbe(8000, 0.50).cache()
+    val build = uniformBuild(3000)
+      .union(uniformBuild(3000).where(col("k") === 7L)) // dup hot build rows
+      .cache()
+    val expected = canon(probe.join(build, Seq("k")))
+    val (bc, pBc) = adaptiveJoin(probe, build, Seq("k"), broadcastMaxRows = 10000L)
+    assert(pBc === BroadcastBuild)
+    assert(canon(bc) === expected)
+    val (salted, pSalt) = adaptiveJoin(probe, build, Seq("k"), broadcastMaxRows = 10L)
+    assert(pSalt.isInstanceOf[SaltedSkew])
+    assert(canon(salted) === expected)
+    val uniformProbe = skewedProbe(8000, 0.0).cache()
+    val expU = canon(uniformProbe.join(build, Seq("k")))
+    val (plainJ, pPlain) = adaptiveJoin(uniformProbe, build, Seq("k"), broadcastMaxRows = 10L)
+    assert(pPlain === PlainShuffle)
+    assert(canon(plainJ) === expU)
+    probe.unpersist(); build.unpersist(); uniformProbe.unpersist()
+  }
+
+  test("salted shape: broadcast plan for the chosen build; no exact counting pass; salts spread the hot key") {
+    val probe = skewedProbe(8000, 0.50)
+    val build = uniformBuild(3000)
+    val buckets = 8
+    val hotHash = spark.range(1).select(xxhash64(lit(7L))).head().getLong(0)
+    val j = saltedJoinWithHotKeys(probe, build, Seq("k"), Seq(hotHash), buckets)
+    // the hot key's probe rows actually fan out over > 1 salt value
+    val saltSpread = probe
+      .withColumn("__salt",
+        when(xxhash64(col("k")).isin(hotHash),
+          pmod(xxhash64(probe.columns.map(probe(_)): _*), lit(buckets)).cast("int"))
+          .otherwise(lit(0)))
+      .where(col("k") === 7L)
+      .select("__salt").distinct().count()
+    assert(saltSpread > 1L, "hot key must spread over multiple salts")
+    assert(canon(j) === canon(probe.join(build, Seq("k"))))
+  }
+}
