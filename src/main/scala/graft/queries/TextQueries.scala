@@ -23,6 +23,43 @@ object TextQueries {
         length(col("n")).cast("long").as("n_chars_norm"))
   }
 
+  /** HTML → text extraction over deterministically-synthesized markup
+   *  (the documents table is prose, so each query wraps its text in a
+   *  fixed page shell exercising every rule: script/style subtree
+   *  removal, comments, block-tag line boundaries, attribute-carrying
+   *  and self-closing tags, all six entities). Byte-level parity via
+   *  sha256; the DuckDB recipe comes from the SAME object
+   *  ([[graft.text.HtmlExtract.extractTextSql]]) so the two chains
+   *  cannot drift. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var x = 1 && 2;</script>" +
+        "<style>.c{color:red}</style></head><body><!-- boilerplate\n note -->"),
+      lit("<h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1>\n<div class=\"art\"><p>"), coalesce(col("text"), lit("")),
+      lit("</p><br/><ul><li>lang: "), col("lang"),
+      lit("&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>"))
+    DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), graft.text.HtmlExtract.extractText(html).as("x"))
+      .select(col("doc_id"), sha2(col("x"), 256).as("extract_sha"),
+        length(col("x")).cast("long").as("n_chars_extract"))
+  }
+
+  val HtmlExtractSql: String = {
+    val htmlExpr =
+      """('<html><head><script type="text/javascript">var x = 1 && 2;</script>' ||
+        |   '<style>.c{color:red}</style></head><body><!-- boilerplate' || chr(10) || ' note -->' ||
+        |   '<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |   '</h1>' || chr(10) || '<div class="art"><p>' || coalesce(text, '') ||
+        |   '</p><br/><ul><li>lang: ' || lang ||
+        |   '&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>')"""
+        .stripMargin
+    s"""SELECT doc_id, sha256(x) AS extract_sha, len(x) AS n_chars_extract FROM (
+       |  SELECT doc_id, ${graft.text.HtmlExtract.extractTextSql(htmlExpr)} AS x
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   val TextNormalizeSql: String =
     """SELECT doc_id, sha256(n) AS norm_sha, len(n) AS n_chars_norm FROM (
       |  SELECT doc_id,

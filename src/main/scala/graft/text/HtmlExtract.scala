@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML → text extraction: the stage a web-crawl corpus passes BEFORE any
+ * of the text filters in this library can run (C4/RefinedWeb/Dolma all
+ * start from markup, not prose). A deterministic, rule-based extractor:
+ *
+ *  1. drop `<!-- -->` comments, `<script>`/`<style>` subtree content
+ *     (the only elements whose TEXT must not leak into the corpus);
+ *  2. convert block-level boundaries (`p`, `div`, `br`, `li`, headings,
+ *     table rows, `blockquote`, `tr`) to newlines so downstream
+ *     line-level filters (`LineClean`, Gopher line rules) see the same
+ *     line structure a browser would;
+ *  3. strip every remaining tag;
+ *  4. decode the six entities that appear in machine-generated markup
+ *     (`&nbsp; &lt; &gt; &quot; &#39; &amp;` — `&amp;` LAST, the
+ *     standard order that avoids double-decoding);
+ *  5. collapse intra-line whitespace runs and blank lines.
+ *
+ * Scale shape: ONE chain of codegen'd `regexp_replace`/`replace` calls —
+ * map-only, zero Exchange, composes into `CorpusPipeline.clean` ahead
+ * of every other stage. Patterns stay inside the RE2-compatible subset
+ * ((?is) inline flags, lazy quantifiers, no backrefs) so an engine
+ * replaying the recipe in RE2 (DuckDB — see the `html_extract` oracle —
+ * or a Go/Rust pipeline) produces byte-identical text.
+ *
+ * NOT a browser: malformed-nesting recovery, CSS visibility, and
+ * JS-rendered content are out of scope (published pipelines accept the
+ * same limitation for WARC-scale throughput; trafilatura-class DOM
+ * extraction is where a Pandas-UDF stage would slot in).
+ */
+object HtmlExtract {
+
+  /** Tags whose opening OR closing edge is a line boundary. */
+  private val BlockTags = "p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote"
+
+  /** The extraction chain (see object doc). Null-safe: null in → null out. */
+  def extractText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val blocksAsNewlines =
+      regexp_replace(noStyle, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "\n")
+    val noTags = regexp_replace(blocksAsNewlines, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    // collapse: spaces/tabs runs -> one space; trim around newlines;
+    // blank-line runs -> one newline; trim the ends
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    val trimmedLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNewline = regexp_replace(trimmedLines, "\\n+", "\n")
+    trim(oneNewline, "\n ")
+  }
+
+  /** The same chain as DuckDB SQL over a column expression — kept HERE,
+   *  next to the Spark chain, so the two recipes cannot drift apart.
+   *  DuckDB's regexp_replace is single-match by default: every regex
+   *  step needs the 'g' flag (Spark's replaces all matches). */
+  def extractTextSql(in: String): String = {
+    // replacement NEWLINES must be chr(10): DuckDB string literals do
+    // not interpret backslash escapes (inside regex PATTERNS the RE2
+    // engine interprets \n itself, so patterns are unaffected)
+    def re(s: String, pat: String, rep: String) =
+      s"regexp_replace($s, '$pat', $rep, 'g')"
+    val noComments = re(in, "(?s)<!--.*?-->", "' '")
+    val noScript = re(noComments, "(?is)<script[^>]*>.*?</script>", "' '")
+    val noStyle = re(noScript, "(?is)<style[^>]*>.*?</style>", "' '")
+    val blocks = re(noStyle, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "chr(10)")
+    val noTags = re(blocks, "<[^>]*>", "' '")
+    val decoded = Seq(
+      "&nbsp;" -> "' '", "&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&#39;" -> "''''", "&amp;" -> "'&'")
+      .foldLeft(noTags) { case (c, (ent, ch)) => s"replace($c, '$ent', $ch)" }
+    val oneSpace = re(decoded, "[ \\t]+", "' '")
+    val trimmedLines = re(oneSpace, " ?\\n ?", "chr(10)")
+    val oneNewline = re(trimmedLines, "\\n+", "chr(10)")
+    s"trim($oneNewline, chr(10) || ' ')"
+  }
+}

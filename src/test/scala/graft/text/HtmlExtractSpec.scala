@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class HtmlExtractSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.extractText(col("h"))).head().getString(0)
+
+  test("script/style subtree text and comments never leak into the corpus") {
+    val out = extract(
+      "<html><head><script>var secret = 'LEAK1';</script>" +
+        "<style>.x { content: 'LEAK2' }</style></head>" +
+        "<body><!-- LEAK3 -->visible</body></html>")
+    assert(out === "visible")
+    assert(!out.contains("LEAK"))
+  }
+
+  test("script with attributes and mixed case is still removed (lazy, per-element)") {
+    val out = extract(
+      "<ScRiPt type=\"module\" async>a()</sCrIpT>first" +
+        "<script>b()</script>second")
+    // LAZY match: the first </script> closes the first element — a greedy
+    // match would swallow the text between the two script elements
+    assert(out === "first second")
+  }
+
+  test("block tags become line boundaries; inline tags become plain breaks") {
+    val out = extract(
+      "<h1>Title</h1><p>one <b>bold</b> word</p><ul><li>a</li><li>b</li></ul>" +
+        "<div class=\"x\">div text</div>line<br/>after")
+    assert(out === "Title\none bold word\na\nb\ndiv text\nline\nafter")
+  }
+
+  test("entities decode once, &amp; last (no double decoding)") {
+    // &amp;lt; must decode to the literal text "&lt;", NOT to "<"
+    val out = extract("A&amp;B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;")
+    assert(out === "A&B <tag> \"q\" 's' end &lt;")
+  }
+
+  test("whitespace collapses: runs, blank lines, edges") {
+    val out = extract("<p>  a   b\t\tc  </p><p></p><p>  </p><p>d</p>")
+    assert(out === "a b c\nd")
+  }
+
+  test("null in, null out; plain text passes through") {
+    val r = Seq[(Option[String])](None).toDF("h")
+      .select(HtmlExtract.extractText(col("h"))).head()
+    assert(r.isNullAt(0))
+    assert(extract("no markup here") === "no markup here")
+  }
+
+  test("Spark chain and DuckDB recipe agree on the rules (structure check)") {
+    // extractTextSql is executed for real by the html_extract oracle; here
+    // pin the invariants that keep the recipes replayable: every regex
+    // step carries the 'g' flag and newline replacements use chr(10)
+    val sql = HtmlExtract.extractTextSql("h")
+    val regexCalls = "regexp_replace".r.findAllIn(sql).size
+    assert(regexCalls === 8, s"expected 8 regex steps, got $regexCalls")
+    assert("'g'\\)".r.findAllIn(sql).size === regexCalls, "every step needs the 'g' flag")
+    assert(sql.contains("chr(10)"), "newlines must be chr(10) in DuckDB")
+    assert(!sql.matches("(?s).*'[^']*\\\\n[^']*'\\s*,\\s*'g'\\)\\s*$"),
+      "no backslash-n replacement literals")
+  }
+}
