@@ -14,7 +14,7 @@ import graft.pipeline.{CorpusPipeline, GlobalShuffle}
  * spark-submit --class graft.CorpusCli graft.jar \
  *   --input docs.parquet --output clean.parquet \
  *   [--id-col doc_id] [--text-col text] [--url-col url] \
- *   [--no-pii-scrub] [--line-clean] [--line-min-words 5] \
+ *   [--html-extract] [--no-pii-scrub] [--line-clean] [--line-min-words 5] \
  *   [--line-min-kept 2] [--min-quality 45] [--langs en,de,es] \
  *   [--lm-max-nll-micro 9000000] [--lm-vocab 4096] \
  *   [--no-exact-dedup] [--near-dedup 0.7] [--span-remove-ngram 13] \
@@ -25,7 +25,8 @@ import graft.pipeline.{CorpusPipeline, GlobalShuffle}
 object CorpusCli {
 
   private[graft] def parse(args: Array[String]): Map[String, String] = {
-    val flags = Set("--no-pii-scrub", "--no-exact-dedup", "--line-clean")
+    val flags = Set("--no-pii-scrub", "--no-exact-dedup", "--line-clean",
+      "--html-extract")
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -66,6 +67,7 @@ object CorpusCli {
       val cleaned = CorpusPipeline.clean(docs,
         idCol = idCol,
         textCol = textCol,
+        htmlExtract = opts.contains("--html-extract"),
         urlDedupCol = opts.get("--url-col"),
         scrubPii = !opts.contains("--no-pii-scrub"),
         lineClean = opts.contains("--line-clean"),

@@ -47,6 +47,9 @@ object CorpusPipeline {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      // raw-crawl input: run text.HtmlExtract FIRST so every downstream
+      // stage (PII, line rules, quality, dedup grams) sees prose, not tags
+      htmlExtract: Boolean = false,
       // Some(urlCol): first-seen-wins URL dedup before any content work
       urlDedupCol: Option[String] = None,
       scrubPii: Boolean = true,
@@ -82,6 +85,8 @@ object CorpusPipeline {
     urlDedupCol.foreach { u =>
       df = UrlDedup.dedupByUrl(df, idCol, u)
     }
+    if (htmlExtract)
+      df = df.withColumn(textCol, graft.text.HtmlExtract.extractText(col(textCol)))
     if (scrubPii)
       df = df.withColumn(textCol, graft.text.Pii.scrub(col(textCol)))
     if (lineClean)

@@ -38,6 +38,26 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(t5 === "totally different tokens making a clean doc")
   }
 
+  test("htmlExtract stage: markup docs become prose BEFORE dedup/PII see them") {
+    val docs = Seq(
+      // 1 and 2 are the SAME article under different markup -> after
+      // extraction their texts are identical -> exact dedup keeps 1
+      (1L, "<html><body><p>same clean article text</p></body></html>", "en"),
+      (2L, "<div><script>track();</script><p>same   clean article text</p></div>", "en"),
+      // PII hides inside markup: the scrub must see extracted prose
+      (3L, "<p>contact&nbsp;me at a@b.co today</p>", "en"),
+      (4L, "plain prose no markup at all", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.clean(docs, htmlExtract = true)
+    val byId = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.keySet === Set(1L, 3L, 4L), s"got ${byId.keySet}")
+    assert(byId(1L) === "same clean article text")
+    assert(!byId(3L).contains("a@b.co"), "PII inside markup must still be scrubbed")
+    assert(!byId(3L).contains("&nbsp;"))
+    assert(byId(4L) === "plain prose no markup at all")
+  }
+
   test("no benchmark, no lang filter: dedup alone keeps min-id per scrubbed text") {
     val docs = Seq(
       (10L, "same text mail a@b.co", "en"),
