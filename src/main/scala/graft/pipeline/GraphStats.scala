@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph triangle statistics — the web-curation structure signal
+ * PageRank can't see: triangle density separates organic link
+ * neighborhoods from link farms and spam cliques (dense mutual-link
+ * blocks), and the local clustering coefficient is the standard
+ * per-node form (Watts–Strogatz 1998).
+ *
+ * Algorithm: degree-ordered edge orientation (Schank–Wagner 2005;
+ * MapReduce form in Suri–Vassilvitskii WWW'11 "node-iterator++").
+ * Every undirected edge is oriented from the endpoint that is SMALLER
+ * under the total order (degree, node-id) to the larger one. Wedges
+ * are then generated only at each triangle's minimum-order apex —
+ * pairs of out-neighbors (b, c) with ord(b) < ord(c) — and closed by
+ * an equi-join against the oriented edge set itself, so each triangle
+ * is produced exactly once with no post-hoc dedup.
+ *
+ * Scale shape — why orientation IS the skew guard: a node's out-degree
+ * under degree ordering is O(sqrt(m)) regardless of its real degree
+ * (it can only point at neighbors of equal-or-higher degree, and there
+ * are at most sqrt(2m) nodes of degree >= sqrt(2m)). A 10^8-degree hub
+ * in a crawl graph therefore generates NO quadratic wedge set at its
+ * own apex — its edges are oriented INTO it and the wedge work lands
+ * on its (low-degree) neighbors. Every shuffled row is 2-3 longs: the
+ * canonical edge pass, the degree aggregation (map-side combined), the
+ * apex self-join, and the closing equi-join on the (b, c) pair. No
+ * adjacency list is ever materialized per node.
+ *
+ * Integer-exact throughout: counts are int64 and the clustering
+ * coefficient is fixed-point micro via integer division, so the SQL
+ * oracle replays every value bit-for-bit.
+ */
+object GraphStats {
+
+  val Micro = 1000000L
+
+  /**
+   * Canonical undirected edge set: (lo, hi) with lo < hi, self-loops
+   * dropped, direction and duplicates collapsed. The distinct is the
+   * standard slim exchange on two longs.
+   */
+  def canonicalUndirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    edges
+      .where(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("lo"), greatest(s, d).as("hi"))
+      .distinct()
+  }
+
+  /**
+   * Per-node triangle count and local clustering coefficient over an
+   * edge list (interpreted as undirected; see [[canonicalUndirected]]).
+   *
+   * @return (node, degree, triangles, lcc_micro) for EVERY node with
+   *         degree >= 1; lcc_micro = (2 T 10^6) div (d (d-1)) for
+   *         d >= 2, else 0.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+
+    val deg = und.select(col("lo").as("node"))
+      .unionAll(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+    // Orient each edge by the total order (degree, node): the oriented
+    // frame is reused by both the wedge self-join and the closing join,
+    // so cache the slim (a, b, deg_b) triple. deg_b rides along so the
+    // wedge ordering below needs no third join against deg.
+    val before = (col("dl") < col("dh")) || (col("dl") === col("dh") && col("lo") < col("hi"))
+    val oriented = und
+      .join(deg.select(col("node").as("lo"), col("degree").as("dl")), "lo")
+      .join(deg.select(col("node").as("hi"), col("degree").as("dh")), "hi")
+      .select(
+        when(before, col("lo")).otherwise(col("hi")).as("a"),
+        when(before, col("hi")).otherwise(col("lo")).as("b"),
+        when(before, col("dh")).otherwise(col("dl")).as("db"))
+      .cache()
+
+    // Wedges at the minimum-order apex: out-neighbor pairs with
+    // ord(b) < ord(c). Closing edge, if present, is oriented b -> c
+    // (both are above the apex in the order), so one equi-join on the
+    // exact (b, c) pair finishes each triangle.
+    val o1 = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val o2 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = o1.join(o2, Seq("a"))
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("a").as("apex"), col("x"), col("y"))
+    val triangles = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+
+    val perNode = triangles.select(col("apex").as("node"))
+      .unionAll(triangles.select(col("x").as("node")))
+      .unionAll(triangles.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("(2 * coalesce(triangles, 0L) * 1000000L) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
+  /** Global triangle count: one row, one long. */
+  def totalTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    triangleCounts(edges, srcCol, dstCol)
+      .agg(expr("sum(triangles) div 3").as("total_triangles"))
+  }
+}

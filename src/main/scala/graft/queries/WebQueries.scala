@@ -333,4 +333,63 @@ object WebQueries {
        |), $rounds
        |SELECT node, rank_micro FROM r$RankIters""".stripMargin
   }
+
+  /** Per-node triangle count + local clustering coefficient
+   *  (`graft.pipeline.GraphStats.triangleCounts`) over the SAME
+   *  deterministic event-derived link graph as `link_rank`, read as
+   *  undirected. Degree-ordered orientation means each triangle is
+   *  produced exactly once at its minimum-(degree,id) apex; the oracle
+   *  replays the orientation, the wedge ordering, the closing join, and
+   *  the fixed-point coefficient — all integer, bit-for-bit. */
+  def linkTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("src"),
+        ((col("user_id") + col("event_id") % 37 + 1) % 1500).as("dst"))
+    graft.pipeline.GraphStats.triangleCounts(edges, "src", "dst")
+  }
+
+  val LinkTrianglesSql: String =
+    """WITH raw AS (
+      |  SELECT user_id AS s, (user_id + event_id % 37 + 1) % 1500 AS t
+      |  FROM events
+      |), und AS (
+      |  SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
+      |  FROM raw WHERE s <> t
+      |), deg AS (
+      |  SELECT node, count(*) AS degree
+      |  FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+      |  GROUP BY node
+      |), o AS (
+      |  SELECT CASE WHEN dl.degree < dh.degree
+      |              OR (dl.degree = dh.degree AND u.lo < u.hi)
+      |         THEN u.lo ELSE u.hi END AS a,
+      |         CASE WHEN dl.degree < dh.degree
+      |              OR (dl.degree = dh.degree AND u.lo < u.hi)
+      |         THEN u.hi ELSE u.lo END AS b,
+      |         CASE WHEN dl.degree < dh.degree
+      |              OR (dl.degree = dh.degree AND u.lo < u.hi)
+      |         THEN dh.degree ELSE dl.degree END AS db
+      |  FROM und u
+      |  JOIN deg dl ON dl.node = u.lo
+      |  JOIN deg dh ON dh.node = u.hi
+      |), tri AS (
+      |  SELECT o1.a AS apex, o1.b AS x, o2.b AS y
+      |  FROM o o1
+      |  JOIN o o2 ON o2.a = o1.a
+      |  JOIN o oc ON oc.a = o1.b AND oc.b = o2.b
+      |  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)
+      |), pernode AS (
+      |  SELECT node, count(*) AS t
+      |  FROM (SELECT apex AS node FROM tri
+      |        UNION ALL SELECT x FROM tri
+      |        UNION ALL SELECT y FROM tri)
+      |  GROUP BY node
+      |)
+      |SELECT deg.node, deg.degree,
+      |       CAST(COALESCE(pernode.t, 0) AS BIGINT) AS triangles,
+      |       CAST(CASE WHEN deg.degree >= 2
+      |            THEN (2 * COALESCE(pernode.t, 0) * 1000000)
+      |                 // (deg.degree * (deg.degree - 1))
+      |            ELSE 0 END AS BIGINT) AS lcc_micro
+      |FROM deg LEFT JOIN pernode USING (node)""".stripMargin
 }

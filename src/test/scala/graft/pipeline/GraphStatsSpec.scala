@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GraphStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    GraphStats.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("K4: every node in 3 triangles, lcc = 1") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val got = counts(k4)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    got.values.foreach { case (deg, tri, lcc) =>
+      assert(deg === 3L); assert(tri === 3L); assert(lcc === 1000000L)
+    }
+  }
+
+  test("triangle + pendant path: coefficients and zero-triangle nodes") {
+    // 0-1-2 triangle, 2-3-4 path
+    val got = counts(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got(0L) === ((2L, 1L, 1000000L)))
+    assert(got(1L) === ((2L, 1L, 1000000L)))
+    // node 2: degree 3, 1 triangle of 3 possible pairs -> 1/3
+    assert(got(2L) === ((3L, 1L, 333333L)))
+    assert(got(3L) === ((2L, 0L, 0L)))
+    assert(got(4L) === ((1L, 0L, 0L)))
+  }
+
+  test("direction, duplicates, and self-loops collapse before counting") {
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L),
+      (0L, 0L), (2L, 2L), (0L, 1L))
+    val got = counts(messy)
+    got.values.foreach { case (deg, tri, _) => assert(deg === 2L && tri === 1L) }
+  }
+
+  test("matches brute-force on a seeded random graph; sum(triangles) = 3T") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(5) == 0
+    } yield (a.toLong, b.toLong)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expPerNode = adj.map { case (v, nbrs) =>
+      val t = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      v -> t.toLong
+    }
+    val got = counts(edges)
+    assert(got.keySet === adj.keySet)
+    expPerNode.foreach { case (v, t) =>
+      assert(got(v)._2 === t, s"node $v")
+      val d = got(v)._1
+      val expLcc = if (d >= 2) (2L * t * 1000000L) / (d * (d - 1)) else 0L
+      assert(got(v)._3 === expLcc, s"lcc node $v")
+    }
+    val total = GraphStats.totalTriangles(edges.toDF("src", "dst"), "src", "dst")
+      .head().getLong(0)
+    assert(total * 3 === got.values.map(_._2).sum)
+  }
+
+  test("hub skew: a star center generates no wedge work at its own apex") {
+    // star: center 1000 connected to 0..99, plus one triangle 0-1-1000.
+    // Degree ordering orients every star edge INTO the center, so the
+    // center's out-degree is 0-1 and the wedge set stays linear.
+    val star = (0L until 100L).map(i => (1000L, i)) :+ (0L, 1L)
+    val got = counts(star)
+    assert(got(1000L) === ((100L, 1L, (2L * 1000000L) / (100L * 99L))))
+    assert(got(0L)._2 === 1L && got(1L)._2 === 1L)
+    assert(got.values.map(_._2).sum === 3L)
+  }
+}
