@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Site-template (boilerplate) line removal — the per-HOST curation
+ * stage between HTML extraction and corpus-wide dedup: navigation
+ * bars, cookie banners, copyright footers repeat on nearly every page
+ * of one site but are NOT corpus-wide duplicates, so document- and
+ * paragraph-level dedup both miss them (template detection per Gibson
+ * et al. 2005; the same shape as CCNet's per-shard line dedup).
+ *
+ * A line is boilerplate for host h when it occurs in at least
+ * `minDocFracMicro` (fixed-point micro) of h's documents and h has at
+ * least `minHostDocs` documents (small hosts carry no frequency
+ * evidence — their pages pass through untouched).
+ *
+ * Scale shape: the DECISION never sees line text crossing an exchange
+ * wider than one line's sha256 — exploded lines project to
+ * (host, sig, doc) before the distinct, doc-frequency aggregation is
+ * map-side combined, and the per-host doc count is a slim broadcast-
+ * sized join. The boilerplate set (host, sig) is template-sized (a few
+ * hundred rows per host, not corpus-sized), so the left-anti gate
+ * against the exploded lines broadcasts in practice and AQE picks that
+ * up from the real post-filter size. The only wide shuffle is the
+ * per-document reassembly groupBy — inherent to any rewrite, same as
+ * [[ParagraphDedup]]. Thresholds are integer cross-multiplied: no
+ * float ratio ever decides a removal.
+ */
+object Boilerplate {
+
+  val Micro = 1000000L
+
+  /**
+   * Per-(host, line) document frequency against the host's document
+   * count — the decision table, exposed for audits.
+   *
+   * @param df one row per document
+   * @return (host, sig, line_docs, host_docs, is_boilerplate)
+   */
+  def hostLineStats(
+      df: DataFrame, idCol: String, hostCol: String, textCol: String,
+      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L): DataFrame = {
+    val nl = java.util.regex.Pattern.quote("\n")
+    val hostDocs = df.groupBy(col(hostCol)).agg(count(lit(1)).as("host_docs"))
+    val lineDocs = df
+      .select(col(idCol), col(hostCol),
+        explode(split(col(textCol), nl)).as("__line"))
+      .select(col(hostCol), sha2(col("__line"), 256).as("sig"), col(idCol))
+      .distinct()
+      .groupBy(col(hostCol), col("sig"))
+      .agg(count(lit(1)).as("line_docs"))
+    lineDocs.join(hostDocs, hostCol)
+      .withColumn("is_boilerplate",
+        col("host_docs") >= minHostDocs &&
+          col("line_docs") * Micro >= lit(minDocFracMicro) * col("host_docs"))
+  }
+
+  /**
+   * Rewrite `textCol` with each host's boilerplate lines removed
+   * (original line order kept; a fully-boilerplate document survives
+   * as the empty string). All non-text columns ride through.
+   */
+  def removeHostBoilerplate(
+      df: DataFrame, idCol: String, hostCol: String, textCol: String,
+      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L): DataFrame = {
+    val nl = java.util.regex.Pattern.quote("\n")
+    val boiler = hostLineStats(df, idCol, hostCol, textCol,
+      minDocFracMicro, minHostDocs)
+      .where(col("is_boilerplate"))
+      .select(col(hostCol), col("sig"))
+    val lines = df
+      .select(col(idCol), col(hostCol),
+        posexplode(split(col(textCol), nl)).as(Seq("__pos", "__line")))
+      .withColumn("sig", sha2(col("__line"), 256))
+    val kept = lines.join(boiler, Seq(hostCol, "sig"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        "\n").as(textCol))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+}

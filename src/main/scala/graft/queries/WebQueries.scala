@@ -392,4 +392,66 @@ object WebQueries {
       |                 // (deg.degree * (deg.degree - 1))
       |            ELSE 0 END AS BIGINT) AS lcc_micro
       |FROM deg LEFT JOIN pernode USING (node)""".stripMargin
+
+  /** Site-template line removal (`graft.pipeline.Boilerplate`): each
+   *  document gets a deterministic host (doc_id % 7) and a templated
+   *  page shell — a NAV line on every page (100% > τ=60%, removed), a
+   *  Copyright footer on 90% of pages (removed), a SPECIAL line on 2%
+   *  (kept), the unique body (kept). The oracle replays the per-host
+   *  doc-frequency decision on line STRINGS (a sha256 collision in the
+   *  engine would surface) and byte-parity of every rewritten page. */
+  def hostBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val h = concat(lit("h"), (col("doc_id") % 7).cast("string"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), h.as("host"),
+        concat(
+          lit("NAV "), h, lit("\n"), col("text"),
+          when(col("doc_id") % 10 =!= 0, concat(lit("\nCopyright "), h))
+            .otherwise(lit("")),
+          when(col("doc_id") % 50 === 0, lit("\nSPECIAL OFFER"))
+            .otherwise(lit(""))).as("text"))
+    val cleaned = graft.pipeline.Boilerplate.removeHostBoilerplate(
+      docs, "doc_id", "host", "text",
+      minDocFracMicro = 600000L, minHostDocs = 2L)
+    cleaned.select(col("doc_id"), col("host"),
+      sha2(col("text"), 256).as("clean_sha"),
+      length(col("text")).cast("long").as("n_chars_clean"))
+  }
+
+  val HostBoilerplateSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+      |    'NAV h' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text
+      |    || CASE WHEN doc_id % 10 <> 0
+      |            THEN chr(10) || 'Copyright h' || CAST(doc_id % 7 AS VARCHAR)
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'SPECIAL OFFER'
+      |            ELSE '' END AS text
+      |  FROM documents
+      |), hostdocs AS (
+      |  SELECT host, count(*) AS hdocs FROM docs GROUP BY host
+      |), lines AS (
+      |  SELECT doc_id, host,
+      |         unnest(string_split(text, chr(10))) AS line,
+      |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      |  FROM docs
+      |), linedocs AS (
+      |  SELECT host, line, count(DISTINCT doc_id) AS ldocs
+      |  FROM lines GROUP BY host, line
+      |), boiler AS (
+      |  SELECT l.host, l.line
+      |  FROM linedocs l JOIN hostdocs h USING (host)
+      |  WHERE h.hdocs >= 2 AND l.ldocs * 1000000 >= 600000 * h.hdocs
+      |), kept AS (
+      |  SELECT li.doc_id, li.pos, li.line
+      |  FROM lines li LEFT JOIN boiler b
+      |    ON b.host = li.host AND b.line = li.line
+      |  WHERE b.line IS NULL
+      |), rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.host, sha256(coalesce(r.text, '')) AS clean_sha,
+      |       CAST(len(coalesce(r.text, '')) AS BIGINT) AS n_chars_clean
+      |FROM docs d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
 }

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BoilerplateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def clean(rows: Seq[(Long, String, String)],
+                    fracMicro: Long = 500000L,
+                    minDocs: Long = 2L): Map[Long, String] =
+    Boilerplate.removeHostBoilerplate(
+      rows.toDF("id", "host", "text"), "id", "host", "text",
+      fracMicro, minDocs)
+      .select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("host-frequent lines go, unique bodies stay, other hosts untouched") {
+    val rows = Seq(
+      (1L, "a", "NAV\nbody one\nfooter"),
+      (2L, "a", "NAV\nbody two\nfooter"),
+      (3L, "a", "NAV\nbody three"),
+      (4L, "b", "NAV\nbody four")) // host b: single doc, below minHostDocs
+    val got = clean(rows, fracMicro = 600000L)
+    assert(got(1L) === "body one")          // footer in 2/3 = 66% >= 60%: gone
+    assert(got(2L) === "body two")
+    assert(got(3L) === "body three")
+    assert(got(4L) === "NAV\nbody four")    // small host passes through
+  }
+
+  test("threshold is integer cross-multiplied, boundary inclusive") {
+    // 'common' in exactly 2 of 4 docs = 500000 micro; uniques at 250000
+    val rows = Seq((1L, "h", "x\ncommon"), (2L, "h", "y\ncommon"),
+      (3L, "h", "z"), (4L, "h", "w"))
+    assert(clean(rows, fracMicro = 500000L) ===
+      Map(1L -> "x", 2L -> "y", 3L -> "z", 4L -> "w"))
+    // one micro above the boundary it stays
+    assert(clean(rows, fracMicro = 500001L)(1L) === "x\ncommon")
+  }
+
+  test("within-doc repeats count once toward doc frequency") {
+    // 'dup' occurs 3x in doc 1 but only in 1 of 2 docs -> 50% < 60%
+    val rows = Seq((1L, "h", "dup\ndup\ndup\nbody"), (2L, "h", "other"))
+    val got = clean(rows, fracMicro = 600000L)
+    assert(got(1L) === "dup\ndup\ndup\nbody")
+  }
+
+  test("fully-boilerplate document survives as empty string; columns ride through") {
+    val rows = Seq((1L, "h", "NAV"), (2L, "h", "NAV"), (3L, "h", "NAV\nkeep"))
+    val out = Boilerplate.removeHostBoilerplate(
+      rows.toDF("id", "host", "text").withColumn("extra", col("id") * 10),
+      "id", "host", "text", 600000L, 2L)
+    val got = out.select("id", "text", "extra").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("", 10L)))
+    assert(got(2L) === (("", 20L)))
+    assert(got(3L) === (("keep", 30L)))
+  }
+
+  test("hostLineStats exposes the decision table") {
+    val rows = Seq((1L, "h", "NAV\na"), (2L, "h", "NAV\nb"))
+    val stats = Boilerplate.hostLineStats(
+      rows.toDF("id", "host", "text"), "id", "host", "text", 600000L, 2L)
+      .collect().map(r => (r.getAs[String]("sig"),
+        r.getAs[Long]("line_docs"), r.getAs[Long]("host_docs"),
+        r.getAs[Boolean]("is_boilerplate")))
+    assert(stats.count(_._4) === 1)          // only NAV
+    val nav = stats.filter(_._4).head
+    assert(nav._2 === 2L && nav._3 === 2L)
+    assert(stats.filterNot(_._4).forall(_._2 === 1L))
+  }
+}
