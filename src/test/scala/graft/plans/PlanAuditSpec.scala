@@ -181,4 +181,21 @@ class PlanAuditSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("link_triangles: every join is an equi-join (no nested-loop wedge blowup)") {
+    val p = plan(graft.queries.WebQueries.linkTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"wedge generation and the closing join must stay hash/sort equi-joins:\n$p")
+  }
+
+  test("host_boilerplate decision: line text never crosses an Exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "h", "NAV\na"), (2L, "h", "NAV\nb")).toDF("id", "host", "text")
+    val p = plan(graft.pipeline.Boilerplate.hostLineStats(
+      docs, "id", "host", "text"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("__line"),
+        s"decision must shuffle (host, sig, doc) only, not the line text:\n$l")
+    }
+  }
 }
