@@ -111,6 +111,6 @@ object GraphStats {
   /** Global triangle count: one row, one long. */
   def totalTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     triangleCounts(edges, srcCol, dstCol)
-      .agg(expr("sum(triangles) div 3").as("total_triangles"))
+      .agg(coalesce(expr("sum(triangles) div 3"), lit(0L)).as("total_triangles"))
   }
 }

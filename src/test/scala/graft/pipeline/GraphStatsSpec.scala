@@ -65,6 +65,15 @@ class GraphStatsSpec extends SparkSpecBase {
     assert(total * 3 === got.values.map(_._2).sum)
   }
 
+  test("triangle-free and empty inputs: zero counts, no null rows") {
+    assert(GraphStats.totalTriangles(
+      Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"), "src", "dst")
+      .head().getLong(0) === 0L)
+    assert(GraphStats.totalTriangles(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .head().getLong(0) === 0L)
+  }
+
   test("hub skew: a star center generates no wedge work at its own apex") {
     // star: center 1000 connected to 0..99, plus one triangle 0-1-1000.
     // Degree ordering orients every star edge INTO the center, so the
