@@ -502,4 +502,56 @@ object SketchQueries {
       |       true AS within_eps_na_nb
       |FROM orders JOIN customer
       |  ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'""".stripMargin
+
+  /** Mergeable byte-weighted document sample (priority sampling, DLT
+   *  2007) via the `PrioritySampleAggregator` UDAF: ONE map-side-
+   *  combined pass over the corpus returns k=64 docs drawn ∝ n_chars
+   *  plus the threshold τ and the unbiased per-doc weight estimate
+   *  max(w, τ). Deterministic (priority = floor(w·2^52/(sha52(doc_id)
+   *  +1)), 128-bit exact, total order (q desc, id asc)), so the oracle
+   *  replays the ENTIRE selection — sample membership, τ, and every
+   *  estimate — with HUGEINT arithmetic. */
+  val PrioritySampleK = 64
+
+  def prioritySampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .where(col("w") > 0)
+    val bytes = docs
+      .agg(GraftFunctions.prioritySample(col("doc_id"), col("w"),
+        PrioritySampleK).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = PrioritySample.deserialize(bytes)
+    val tau = sk.threshold
+    sk.estimates
+      .map { case (e, est) => (e.key, e.w, e.q, tau, est) }
+      .toDF("doc_id", "weight", "priority", "tau", "w_est")
+  }
+
+  val PrioritySampleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       |    CAST(list_sum([
+       |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * power(16, 13 - i)
+       |      for i in generate_series(1, 13)]) AS BIGINT) AS h52
+       |  FROM (SELECT doc_id, n_chars,
+       |          substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+       |        FROM documents WHERE n_chars > 0)
+       |), q AS (
+       |  SELECT doc_id, w,
+       |    CAST(LEAST((CAST(w AS HUGEINT) * 4503599627370496) // (h52 + 1),
+       |               9223372036854775807) AS BIGINT) AS priority
+       |  FROM w
+       |), r AS (
+       |  SELECT doc_id, w, priority,
+       |    row_number() OVER (ORDER BY priority DESC, doc_id ASC, w DESC) AS rk
+       |  FROM q
+       |), tau AS (
+       |  SELECT COALESCE(
+       |    (SELECT priority FROM r WHERE rk = ${PrioritySampleK + 1}), 0) AS tau
+       |)
+       |SELECT r.doc_id, r.w AS weight, r.priority, tau.tau,
+       |       GREATEST(r.w, tau.tau) AS w_est
+       |FROM r, tau WHERE r.rk <= $PrioritySampleK""".stripMargin
 }

@@ -1,0 +1,144 @@
+package graft.sketch
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Priority sampling (Duffield–Lund–Thorup, JACM 2007) — the mergeable
+ * fixed-size WEIGHTED sample the library's other sketches don't give:
+ * KMV samples distinct keys uniformly, Misra-Gries keeps only heavy
+ * keys; priority sampling returns k rows drawn proportionally to
+ * weight (bytes, tokens) with an unbiased subset-sum estimator — "give
+ * me 64 documents representing the byte mass of 100 TB, in one pass".
+ *
+ * Each item (key, w) gets priority q = w / u with u ∈ (0,1] derived
+ * from a hash of the key; the sketch keeps the k+1 highest-priority
+ * items. The sample is the top k; the (k+1)-th priority is the
+ * threshold τ, and every sampled item estimates its weight as
+ * ŵ = max(w, τ) — unbiased for any subset sum (DLT Theorem 1), with
+ * zero variance once k ≥ n (τ = 0, estimates exact).
+ *
+ * Mergeability is structural: the summary is the top-(k+1) of the
+ * stream under a TOTAL order, and top-(k+1) of a union is the
+ * top-(k+1) of the partials' union — associative, commutative,
+ * idempotent-in-distribution, so per-partition partials merged at the
+ * exchange equal the single-pass sketch EXACTLY (not just in bound),
+ * and the result is independent of partition count and merge order.
+ *
+ * DETERMINISTIC and cross-engine replayable: u = (h+1)/2^52 with
+ * h = sha52(key) (the repo's cross-engine hash — first 13 hex digits
+ * of sha256 of the key's decimal string), and the priority is the
+ * INTEGER q = floor(w · 2^52 / (h+1)) saturated at Long.Max, computed
+ * in 128-bit (BigInt here, HUGEINT in the DuckDB oracle). Selection
+ * order (q desc, key asc, w desc) is total, so an independent engine
+ * replays the exact sample, threshold, and every estimate.
+ *
+ * State is at most k+1 (key, weight, priority) triples — constant
+ * per-partition memory, ~24(k+1) bytes on the wire.
+ */
+final class PrioritySample private (
+    val k: Int,
+    private val buf: ArrayBuffer[PrioritySample.Entry]) extends Serializable {
+
+  import PrioritySample.{Entry, ordering}
+
+  /** Worst (last-place) tracked entry while the buffer is full — lets
+   *  `add` reject a below-threshold row in O(1) after the hash instead
+   *  of re-sorting k+1 entries per row. Null until the buffer fills. */
+  @transient private var worst: Entry = _
+
+  private def shrink(): Unit = {
+    if (buf.length > k + 1) {
+      val kept = buf.sorted(ordering).take(k + 1)
+      buf.clear()
+      buf ++= kept
+    }
+    worst = if (buf.length == k + 1) buf.maxBy(identity)(ordering) else null
+  }
+
+  def add(key: Long, w: Long): this.type = {
+    require(w >= 0L, s"weight must be >= 0: $w")
+    if (w == 0L) return this
+    val e = Entry(key, w, PrioritySample.priority(key, w))
+    if (worst != null && ordering.compare(e, worst) >= 0) return this
+    buf += e
+    shrink()
+    this
+  }
+
+  def mergeInPlace(other: PrioritySample): this.type = {
+    require(other.k == k, s"cannot merge k=$k with k=${other.k}")
+    buf ++= other.buf
+    shrink()
+    this
+  }
+
+  /** Items tracked (≤ k+1, ordered best-first). */
+  def entries: Seq[Entry] = buf.sorted(ordering).toSeq
+
+  /** The weighted sample: top k by priority. */
+  def sample: Seq[Entry] = entries.take(k)
+
+  /** τ: the (k+1)-th priority, 0 while the stream fits entirely. */
+  def threshold: Long = { val e = entries; if (e.length > k) e(k).q else 0L }
+
+  /** Unbiased per-item weight estimate: ŵ = max(w, τ). */
+  def estimates: Seq[(Entry, Long)] = {
+    val tau = threshold
+    sample.map(e => e -> math.max(e.w, tau))
+  }
+
+  /** Unbiased estimate of the TOTAL weight: Σ max(w, τ) over the sample. */
+  def totalEstimate: Long = estimates.map(_._2).sum
+
+  def serialize: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(k); out.writeInt(buf.length)
+    buf.foreach { e => out.writeLong(e.key); out.writeLong(e.w); out.writeLong(e.q) }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object PrioritySample {
+
+  /** (key, weight, integer priority). */
+  final case class Entry(key: Long, w: Long, q: Long)
+
+  /** Total selection order: best priority first. */
+  val ordering: Ordering[Entry] =
+    Ordering.by((e: Entry) => (-e.q, e.key, -e.w))
+
+  private val Pow52 = BigInt(1) << 52
+  private val LongMax = BigInt(Long.MaxValue)
+
+  def apply(k: Int): PrioritySample = {
+    require(k >= 1, s"k must be >= 1: $k")
+    new PrioritySample(k, ArrayBuffer.empty)
+  }
+
+  /** sha52 of the key's decimal string — bit-identical to the Column
+   *  `KmvOps.sha52(CAST(key AS STRING))` and the DuckDB hex-digit fold. */
+  def hash52(key: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .take(7).map(b => f"$b%02x").mkString // 14 hex digits; take 13
+    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+  }
+
+  /** q = floor(w · 2^52 / (h+1)) saturated at Long.Max — 128-bit exact. */
+  def priority(key: Long, w: Long): Long = {
+    val h = hash52(key)
+    ((BigInt(w) * Pow52) / BigInt(h + 1)).min(LongMax).toLong
+  }
+
+  def deserialize(bytes: Array[Byte]): PrioritySample = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val k = in.readInt(); val n = in.readInt()
+    require(k >= 1 && n >= 0 && n <= k + 1,
+      s"corrupt PrioritySample wire image: k=$k n=$n")
+    val buf = ArrayBuffer.empty[Entry]
+    var i = 0
+    while (i < n) { buf += Entry(in.readLong(), in.readLong(), in.readLong()); i += 1 }
+    new PrioritySample(k, buf)
+  }
+}

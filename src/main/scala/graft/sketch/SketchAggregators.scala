@@ -157,6 +157,24 @@ class CountingBloomAggregator(p: Double, n: Long)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Mergeable fixed-size WEIGHTED sample (priority sampling, DLT 2007)
+ *  over (key, weight) pairs: top-(k+1) under a deterministic total
+ *  priority order, so partition-count- and merge-order-invariant
+ *  EXACTLY. Null keys/weights and non-positive weights are skipped. */
+class PrioritySampleAggregator(k: Int)
+    extends Aggregator[(java.lang.Long, java.lang.Long), PrioritySample, Array[Byte]] {
+  override def zero: PrioritySample = PrioritySample(k)
+  override def reduce(buf: PrioritySample, v: (java.lang.Long, java.lang.Long)): PrioritySample = {
+    if (v._1 != null && v._2 != null && v._2.longValue() > 0L)
+      buf.add(v._1.longValue(), v._2.longValue())
+    buf
+  }
+  override def merge(a: PrioritySample, b: PrioritySample): PrioritySample = a.mergeInPlace(b)
+  override def finish(buf: PrioritySample): Array[Byte] = buf.serialize
+  override def bufferEncoder: Encoder[PrioritySample] = Encoders.kryo[PrioritySample]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 class TDigestAggregator(compression: Double) extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
   override def zero: TDigest = TDigest(compression)
   override def reduce(buf: TDigest, v: java.lang.Double): TDigest = {
@@ -196,6 +214,9 @@ object GraftFunctions {
   def frequentItemsWeighted(key: Column, weight: Column, k: Int = 64): Column =
     udaf(new FrequentItemsWeightedAggregator(k)).apply(key, weight)
 
+  def prioritySample(key: Column, weight: Column, k: Int = 64): Column =
+    udaf(new PrioritySampleAggregator(k)).apply(key, weight)
+
   /** Register SQL-callable versions: graft_bloom, graft_hll, graft_cms,
    *  graft_kll (fixed default shapes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -207,6 +228,7 @@ object GraftFunctions {
     spark.udf.register("graft_tdigest", udaf(new TDigestAggregator(100.0)))
     spark.udf.register("graft_freq", udaf(new FrequentItemsAggregator(64)))
     spark.udf.register("graft_freq_w", udaf(new FrequentItemsWeightedAggregator(64)))
+    spark.udf.register("graft_wsample", udaf(new PrioritySampleAggregator(64)))
     // stored-sketch re-aggregation: graft_*_merge union serialized sketches
     SketchMerge.register(spark)
     // scalar surface (simhash/minhash/text stats/PII/grams) — registered

@@ -1,0 +1,88 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrioritySampleSpec extends AnyFunSuite {
+
+  private def weightOf(key: Long): Long = 1L + (key * key) % 997
+
+  private def build(keys: Seq[Long], k: Int): PrioritySample = {
+    val s = PrioritySample(k)
+    keys.foreach(key => s.add(key, weightOf(key)))
+    s
+  }
+
+  test("merge of arbitrary partitions equals the single-pass sketch EXACTLY") {
+    val keys = (0L until 2000L)
+    val whole = build(keys, 64)
+    for (parts <- Seq(2, 7, 32)) {
+      val partials = keys.grouped(keys.length / parts + 1).map(build(_, 64)).toSeq
+      val merged = partials.reduce((a, b) => a.mergeInPlace(b))
+      assert(merged.entries === whole.entries, s"parts=$parts")
+      assert(merged.threshold === whole.threshold)
+    }
+    // merge order invariance (mergeInPlace mutates, so build fresh
+    // partials for each reduction order)
+    def partials() = keys.grouped(500).map(build(_, 64)).toSeq
+    val fwd = partials().reduce(_.mergeInPlace(_)).entries
+    val rev = partials().reverse.reduce(_.mergeInPlace(_)).entries
+    assert(fwd === rev)
+  }
+
+  test("k >= n: the sample is the whole stream, tau = 0, estimates exact") {
+    val keys = (0L until 50L)
+    val s = build(keys, 64)
+    assert(s.threshold === 0L)
+    assert(s.sample.map(_.key).sorted === keys)
+    assert(s.totalEstimate === keys.map(weightOf).sum)
+    s.estimates.foreach { case (e, est) => assert(est === e.w) }
+  }
+
+  test("subset-sum estimator is close to truth (DLT unbiasedness, one draw)") {
+    val keys = (0L until 5000L)
+    val s = build(keys, 256)
+    val trueTotal = keys.map(weightOf).sum
+    val est = s.totalEstimate
+    assert(math.abs(est - trueTotal).toDouble / trueTotal < 0.25,
+      s"total: est=$est true=$trueTotal")
+    val subset = (k: Long) => k % 3 == 0
+    val trueSub = keys.filter(subset).map(weightOf).sum
+    val estSub = s.estimates.collect { case (e, w) if subset(e.key) => w }.sum
+    assert(math.abs(estSub - trueSub).toDouble / trueSub < 0.35,
+      s"subset: est=$estSub true=$trueSub")
+  }
+
+  test("heavier keys are sampled preferentially") {
+    val s = PrioritySample(50)
+    (0L until 500L).foreach(k => s.add(k, if (k < 100) 10000L else 1L))
+    val heavy = s.sample.count(_.key < 100L)
+    assert(heavy >= 40, s"only $heavy/50 sampled items are heavy")
+  }
+
+  test("hash52 matches the cross-engine Column sha52 contract") {
+    // KmvOps.sha52 = conv(first 13 hex of sha256(decimal string), 16, 10)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for (key <- Seq(0L, 1L, 42L, 999999L, Long.MaxValue)) {
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      assert(PrioritySample.hash52(key) === java.lang.Long.parseLong(hex, 16))
+    }
+  }
+
+  test("priority saturates instead of overflowing on extreme weights") {
+    val q = PrioritySample.priority(7L, Long.MaxValue)
+    assert(q > 0L && q <= Long.MaxValue)
+  }
+
+  test("serialization round-trips; zero weight is a no-op; negative rejected") {
+    val s = build(0L until 300L, 16)
+    val back = PrioritySample.deserialize(s.serialize)
+    assert(back.entries === s.entries && back.k === s.k)
+    val before = s.entries
+    s.add(12345L, 0L)
+    assert(s.entries === before)
+    intercept[IllegalArgumentException](s.add(1L, -1L))
+    intercept[IllegalArgumentException](
+      PrioritySample(16).mergeInPlace(PrioritySample(8)))
+  }
+}
