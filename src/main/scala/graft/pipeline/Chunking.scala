@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Overlapping token-window document chunking — the context-window
+ * splitting stage between cleaning and indexing/packing: long documents
+ * become windows of at most `windowTokens` whitespace tokens, each
+ * window starting `strideTokens` after the previous (overlap =
+ * windowTokens - strideTokens), the shape RAG indexes and
+ * long-document pretraining both consume. `SequencePacking` assigns
+ * WHOLE documents to fixed-length packs; this op splits WITHIN a
+ * document, so the two compose (chunk, then pack the chunks).
+ *
+ * Window layout for a document of n tokens (n >= 1):
+ *   chunks  C = floorDiv(max(0, n - W) + S - 1, S) + 1
+ *   chunk i covers token positions [i*S, min(i*S + W, n))
+ * so every token is covered, consecutive chunks overlap by exactly
+ * W - S tokens (until the tail), and the last chunk is the only one
+ * allowed to be shorter than W. Empty/null documents produce ZERO
+ * chunks. The chunk text is the window's tokens rejoined with a single
+ * space — runs of whitespace are normalized by construction (the same
+ * contract as every other whitespace-token op in the library).
+ *
+ * Scale shape: one map-only pass — tokenize, compute C, explode C
+ * per-document structs. No shuffle, no UDF (split/transform/sequence/
+ * slice/array_join are all codegen'd), and the explode fan-out is
+ * ~n/S rows per document, proportional to input bytes — the same
+ * output volume any chunker must emit. Chunk ids are (doc, i) local,
+ * so no global coordination exists at any scale.
+ */
+object Chunking {
+
+  /** Exact integer floor division (SQL DIV) as a Column op — all chunk
+   *  arithmetic is exact int64, never double. */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(b)))
+
+  /**
+   * @param windowTokens max tokens per chunk, W >= 1
+   * @param strideTokens window start spacing, 1 <= S <= W
+   * @return (idCol, chunk_id int, start_tok int, n_tokens int,
+   *         chunk string) — zero rows for empty/null documents
+   */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"need 1 <= strideTokens <= windowTokens: $strideTokens vs $windowTokens")
+    val w = lit(windowTokens)
+    val s = lit(strideTokens)
+    // split then drop empty tokens: null / "" / all-whitespace (incl.
+    // tabs, which `trim` does not touch) all uniformly yield n = 0, and
+    // a leading "\t" can never inject a phantom "" token into a chunk
+    val words = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => length(t) > 0)
+    val n = size(words)
+    val nChunks = when(col("__n") === 0, lit(0))
+      .otherwise(intDiv(greatest(col("__n") - w, lit(0)) + s - 1, s) + 1)
+    df.select(col(idCol), words.as("__w"), n.as("__n"))
+      .select(col(idCol), col("__w"), col("__n"),
+        nChunks.cast("int").as("__c"))
+      .where(col("__c") > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__c") - 1),
+          i => struct(
+            (i * s).as("start_tok"),
+            slice(col("__w"), i * s + 1, w).as("toks"))))
+          .as(Seq("chunk_id", "__ch")))
+      .select(col(idCol), col("chunk_id"),
+        col("__ch.start_tok").as("start_tok"),
+        size(col("__ch.toks")).as("n_tokens"),
+        array_join(col("__ch.toks"), " ").as("chunk"))
+  }
+}

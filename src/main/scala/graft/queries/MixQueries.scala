@@ -581,6 +581,39 @@ object MixQueries {
       |   floor((start_token + n_tokens - 1) / 2048.0) > floor(start_token / 2048.0)) AS spans_packs
       |FROM s""".stripMargin
 
+  /** Overlapping context-window chunking (`pipeline.Chunking`): W=64
+   *  token windows every S=48 tokens (16-token overlap) — the RAG/
+   *  long-doc splitting stage. Map-only; the oracle replays the window
+   *  layout and every chunk STRING, so token coverage, overlap, the
+   *  short-tail rule, and empty-doc elision are all value-compared. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    graft.pipeline.Chunking.chunkByTokens(d, "doc_id", "text",
+      windowTokens = 64, strideTokens = 48)
+  }
+
+  val DocChunksSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    [x for x in regexp_split_to_array(coalesce(text, ''), '\s+') if x <> ''] AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w,
+      |    (GREATEST(len(w) - 64, 0) + 47) // 48 + 1 AS nc
+      |  FROM src WHERE len(w) > 0
+      |), chunked AS (
+      |  SELECT doc_id,
+      |    [{'i': i, 's': w[i*48+1:i*48+64]}
+      |     for i in generate_series(0, CAST(nc AS INT) - 1)] AS chunks
+      |  FROM c
+      |)
+      |SELECT doc_id,
+      |  CAST(ch.i AS INT) AS chunk_id,
+      |  CAST(ch.i * 48 AS INT) AS start_tok,
+      |  CAST(len(ch.s) AS INT) AS n_tokens,
+      |  array_to_string(ch.s, ' ') AS chunk
+      |FROM chunked, unnest(chunks) AS u(ch)""".stripMargin
+
   val CorpusPipelineSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, text FROM documents

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("window layout: coverage, overlap, short tail, exact strings") {
+    val df = Seq((1L, toks(10))).toDF("doc_id", "text")
+    // W=4, S=3 over 10 tokens -> C = (6+2)/3 + 1 = 3 chunks? floorDiv(6+2,3)=2 -> 3 chunks
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 3, 6))
+    assert(out.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    assert(out.map(_.getString(4)).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+  }
+
+  test("every token position is covered; consecutive overlap is W-S") {
+    val df = Seq((1L, toks(101))).toDF("doc_id", "text")
+    val rows = Chunking.chunkByTokens(df, "doc_id", "text", 16, 11)
+      .orderBy("chunk_id").collect()
+    val covered = rows.flatMap(r => r.getInt(2) until (r.getInt(2) + r.getInt(3))).toSet
+    assert(covered == (0 until 101).toSet)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val overlap = (a.getInt(2) + a.getInt(3)) - b.getInt(2)
+      assert(overlap == 16 - 11 || b.getInt(1) == rows.length - 1)
+    }
+    // only the LAST chunk may be short
+    assert(rows.dropRight(1).forall(_.getInt(3) == 16))
+  }
+
+  test("short docs yield one chunk; empty/null/whitespace docs yield zero") {
+    val df = Seq(
+      (1L, "one two"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "   \t  "), (5L, "solo")).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", 64, 48)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    assert(out.map(_.getString(4)).toSeq == Seq("one two", "solo"))
+    assert(out.forall(r => r.getInt(1) == 0 && r.getInt(2) == 0))
+  }
+
+  test("S == W tiles without overlap and reconstructs the token stream") {
+    val df = Seq((9L, toks(23))).toDF("doc_id", "text")
+    val rows = Chunking.chunkByTokens(df, "doc_id", "text", 5, 5)
+      .orderBy("chunk_id").collect()
+    assert(rows.map(_.getString(4)).mkString(" ") == toks(23))
+    assert(rows.length == 5 && rows.last.getInt(3) == 3)
+  }
+
+  test("plan is map-only: zero Exchange, zero ScalaUDF") {
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      lit(toks(100)).as("text"))
+    val plan = Chunking.chunkByTokens(df, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("invalid window/stride rejected") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 4, 5)
+    }
+  }
+}
