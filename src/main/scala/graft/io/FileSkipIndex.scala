@@ -1,0 +1,105 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExpressions
+import graft.sketch.BloomSizing
+
+/**
+ * Per-file data-skipping index: one row per parquet file with the
+ * file's zone map (min/max of the key) AND a Bloom membership sketch of
+ * the key set — the explicit secondary index Delta Lake's bloom-filter
+ * index and Iceberg's puffin blobs provide, built here as a plain
+ * DataFrame so it stores, merges, and queries like any other table.
+ *
+ * Complements the library's layout machinery: `ZOrderLayout` arranges
+ * rows so parquet FOOTER min/max stats prune range predicates;
+ * this index prunes POINT lookups, which zone maps alone cannot (a
+ * uniformly-hashed key is inside almost every file's [min,max] — only
+ * a membership sketch says "this file cannot contain key k").
+ *
+ * Scale shape:
+ *  - build is ONE pass over the table: `groupBy(input_file_name())` —
+ *    each scan partition covers one file's row ranges, so the partial
+ *    aggregates are file-local and the only shuffle rows are F
+ *    (file, partial-sketch) pairs, F = file count, data-independent;
+ *    the sketch partials cross the exchange in the Bloom's own wire
+ *    format (`plans.BloomSketchAgg` — no Kryo cap);
+ *  - lookup is DISTRIBUTED: the K probe signatures ride the plan as
+ *    literals ([[graft.plans.BloomContainsAnyExpr]]), each of the F
+ *    index rows answers all K probes in one eval, and only MATCHING
+ *    file names reach the driver — the index's sketch bytes never
+ *    collect (at 10^6 files x MB-sized blooms, collecting the index
+ *    would be the bottleneck);
+ *  - the pruned read lists exactly the candidate files, so the final
+ *    scan opens |candidates| files instead of F, with the residual
+ *    IN-filter pushed to the parquet reader.
+ *
+ * False positives cost one extra file read (the residual filter keeps
+ * the answer exact); false negatives cannot happen (Bloom FNR = 0 and
+ * the zone map is exact), so the pruned result ALWAYS equals the full
+ * scan's.
+ */
+object FileSkipIndex {
+
+  /** The library-wide key signature: 32-byte sha256 of the key's
+   *  decimal string (binary — half the bytes of the hex form). */
+  def keySig(key: Column): Column = unhex(sha2(key.cast("string"), 256))
+
+  private def sigBytes(key: Long): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.toString.getBytes("UTF-8"))
+
+  /**
+   * Build the index for the parquet files under `path`:
+   * (file, n_rows, min_key, max_key, key_bloom binary).
+   *
+   * @param expectedRowsPerFile Bloom capacity per file (sizes m and k
+   *        via the reference formula); overshooting costs memory,
+   *        undershooting raises FPR toward extra file reads — never
+   *        wrong answers.
+   */
+  def build(
+      spark: SparkSession, path: String, keyCol: String,
+      p: Double = 1e-3, expectedRowsPerFile: Long = 4000000L): DataFrame = {
+    val (m, k) = BloomSizing.mkMin(p, expectedRowsPerFile)
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol).cast("long").as("__k"))
+      .groupBy(col("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__k")).as("min_key"),
+        max(col("__k")).as("max_key"),
+        GraftExpressions.bloomSketchAgg(
+          keySig(col("__k")), p, m, k, expectedRowsPerFile).as("key_bloom"))
+  }
+
+  /** Files that MAY contain any of `keys`: zone-map range AND Bloom
+   *  membership, evaluated on the executors; only matching file names
+   *  (not sketch bytes) reach the driver. Sorted for determinism. */
+  def candidateFiles(index: DataFrame, keys: Seq[Long]): Seq[String] = {
+    require(keys.nonEmpty, "candidateFiles: empty key set")
+    val ks = typedLit(keys)
+    val inRange = exists(ks, k => k >= col("min_key") && k <= col("max_key"))
+    val inBloom = GraftExpressions.bloomContainsAny(
+      col("key_bloom"), keys.map(sigBytes))
+    index.where(inRange && inBloom)
+      .select(col("file"))
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Exact point-lookup through the index: read ONLY candidate files,
+   *  then apply the exact IN-filter (pushed to the parquet reader).
+   *  Returns an empty frame with the table's schema when no file can
+   *  contain any key. */
+  def readMatching(
+      spark: SparkSession, index: DataFrame, path: String,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    val files = candidateFiles(index, keys)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(keyCol).cast("long").isin(keys: _*))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import graft.sketch.BloomSketch
+
+/**
+ * "May this SERIALIZED-PER-ROW Bloom sketch contain ANY of these fixed
+ * signatures?" — the probe shape of a secondary index scan
+ * ([[graft.io.FileSkipIndex]]): the index relation carries one sketch
+ * per file, the (small) probe key set rides the plan as literals, and
+ * each row answers all K probes in one eval. The dual of
+ * [[BloomContainsExpr]], which probes ONE fixed sketch with a per-row
+ * signature.
+ *
+ * Each row's sketch deserializes once per eval (not once per probe);
+ * rows where every probe misses return false, so only candidate index
+ * rows survive a WHERE on this expression. Null sketch bytes -> false.
+ */
+case class BloomContainsAnyExpr(child: Expression, sigs: Seq[Array[Byte]])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else {
+      val sketch = BloomSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      sigs.exists(sketch.contains)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_contains_any"
+  override def toString: String =
+    s"graft_bloom_contains_any($child, ${sigs.length} probes)"
+}

@@ -52,4 +52,9 @@ object GraftExpressions {
    *  minimum distinct values. */
   def kmvSketchAgg(hash: Column, k: Int): Column =
     toColumn(KmvSketchAgg(exprOf(hash), k).toAggregateExpression())
+
+  /** "May this per-row serialized sketch contain ANY of these fixed
+   *  signatures?" — the index-scan probe (see [[BloomContainsAnyExpr]]). */
+  def bloomContainsAny(bloomBytes: Column, sigs: Seq[Array[Byte]]): Column =
+    toColumn(BloomContainsAnyExpr(exprOf(bloomBytes), sigs))
 }

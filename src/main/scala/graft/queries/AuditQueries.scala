@@ -179,4 +179,32 @@ object AuditQueries {
        |UNION ALL
        |SELECT doc_id + ${DedupQueries.DupOffset}, doc_id,
        |  CAST(2 AS BIGINT), CAST(500000 AS BIGINT) FROM dup""".stripMargin
+
+  // ---------- per-file data-skipping index ----------
+
+  /** Point lookup through the per-file zone-map + Bloom index
+   *  (`io.FileSkipIndex`): documents are laid out range-partitioned
+   *  into 8 parquet files, the index is built in one pass, and five
+   *  deterministic keys (quotients of max(doc_id), one guaranteed
+   *  absent) are answered by reading ONLY candidate files. Bloom false
+   *  positives cost an extra file read, never a wrong row, so the
+   *  oracle is simply the plain IN-filter over the full table. */
+  def fileSkipLookup(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val path = "/tmp/graft_fsi_docs.parquet"
+    d.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    val index = graft.io.FileSkipIndex.build(
+      spark, path, "doc_id", p = 1e-3, expectedRowsPerFile = 100000L)
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val keys = Seq(mx / 7, mx / 3, mx / 2, mx - 1, mx * 2 + 10)
+    graft.io.FileSkipIndex.readMatching(spark, index, path, "doc_id", keys)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val FileSkipLookupSql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+      |SELECT doc_id, lang, n_chars FROM documents, m
+      |WHERE doc_id IN (mx // 7, mx // 3, mx // 2, mx - 1, mx * 2 + 10)""".stripMargin
 }

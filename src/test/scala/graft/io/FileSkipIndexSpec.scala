@@ -1,0 +1,77 @@
+package graft.io
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FileSkipIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeRange(path: String): Unit =
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(path)
+
+  test("range layout: a point lookup prunes to one file; rows exact") {
+    val path = "/tmp/graft_fsi_spec_range.parquet"
+    writeRange(path)
+    val index = FileSkipIndex.build(spark, path, "k",
+      p = 1e-3, expectedRowsPerFile = 1000L)
+    assert(index.count() == 8)
+    val files = FileSkipIndex.candidateFiles(index, Seq(5L))
+    assert(files.size == 1, s"range-partitioned point lookup should hit 1 file: $files")
+    val got = FileSkipIndex.readMatching(spark, index, path, "k", Seq(5L, 999L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((5L, 15L), (999L, 2997L)))
+  }
+
+  test("hash layout: ranges overlap everywhere, the Bloom still prunes") {
+    val path = "/tmp/graft_fsi_spec_hash.parquet"
+    spark.range(1000).select(col("id").as("k"))
+      .repartition(8, col("k")) // every file spans ~the whole key range
+      .write.mode("overwrite").parquet(path)
+    val index = FileSkipIndex.build(spark, path, "k",
+      p = 1e-4, expectedRowsPerFile = 1000L)
+    val files = FileSkipIndex.candidateFiles(index, Seq(437L))
+    // zone maps alone would keep ~all 8 files; the sketch must cut that
+    // down to the true file (plus at most FPR-rate extras)
+    assert(files.nonEmpty && files.size <= 2, s"bloom should prune: ${files.size} files")
+    val got = FileSkipIndex.readMatching(spark, index, path, "k", Seq(437L)).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(437L))
+  }
+
+  test("no false negatives: every key finds its row through the index") {
+    val path = "/tmp/graft_fsi_spec_range.parquet"
+    writeRange(path)
+    val index = FileSkipIndex.build(spark, path, "k",
+      p = 1e-2, expectedRowsPerFile = 50L) // deliberately undersized: FPR up, never FNR
+    val keys = Seq(0L, 1L, 123L, 500L, 998L, 999L)
+    val got = FileSkipIndex.readMatching(spark, index, path, "k", keys)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == keys.sorted)
+  }
+
+  test("absent keys: empty result with the table schema, possibly zero files read") {
+    val path = "/tmp/graft_fsi_spec_range.parquet"
+    writeRange(path)
+    val index = FileSkipIndex.build(spark, path, "k",
+      p = 1e-3, expectedRowsPerFile = 1000L)
+    val out = FileSkipIndex.readMatching(spark, index, path, "k", Seq(-5L, 100000L))
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.count() == 0)
+  }
+
+  test("lookup plan collects only file names, never sketch bytes") {
+    val path = "/tmp/graft_fsi_spec_range.parquet"
+    writeRange(path)
+    val index = FileSkipIndex.build(spark, path, "k",
+      p = 1e-3, expectedRowsPerFile = 1000L)
+    val pruned = index.where(
+      exists(typedLit(Seq(5L)), k => k >= col("min_key") && k <= col("max_key")) &&
+        graft.plans.GraftExpressions.bloomContainsAny(col("key_bloom"),
+          Seq(java.security.MessageDigest.getInstance("SHA-256")
+            .digest("5".getBytes("UTF-8")))))
+      .select("file")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
