@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic synchronous label propagation (Raghavan et al. 2007) —
+ * DENSITY communities, the grouping connected components cannot give:
+ * CC merges anything touched by one edge (a single stray hyperlink
+ * fuses two unrelated hosts), LPA assigns a node to the label the
+ * MAJORITY of its neighbors carry, so sparse bridges between dense
+ * blocks do not merge them. The web-curation use is host/link-farm
+ * community detection: a paid-link ring stays one community even when
+ * a few organic links leak out of it.
+ *
+ * Semantics (fully deterministic, replayed by the SQL oracle):
+ *  - the graph is undirected and simple: edges dedup as unordered
+ *    pairs, self-loops drop;
+ *  - label(0)(v) = v;
+ *  - round r: label(r)(v) = the label with the highest count among
+ *    v's neighbors' round-(r-1) labels, ties to the SMALLEST label
+ *    (argmax by (count desc, label asc) — a total order, no RNG, no
+ *    visit-order dependence, unlike the async original);
+ *  - exactly `rounds` synchronous rounds — a fixed recipe, not a
+ *    convergence loop, because synchronous LPA can oscillate
+ *    (2-colorable subgraphs flip forever); fixed-round output is what
+ *    an independent engine can replay bit-for-bit.
+ *
+ * Scale shape (per round): one equi-join of the symmetric edge list
+ * with the F = |V| label frame on the neighbor key, a
+ * (node, label)-count aggregate with map-side combine, and a per-node
+ * argmax folded into ONE hash aggregate via max(struct(count,
+ * -label)) — no window, no sort. Only (long, long[, long]) rows ever
+ * shuffle; `rounds` is a constant (LPA communities stabilize in ~5
+ * rounds on power-law graphs), so total cost is rounds x O(|E|)
+ * shuffle — the same per-round bill as pageRank. Each round
+ * localCheckpoints and releases the previous round's blocks, so
+ * lineage and storage stay O(1) in round count.
+ */
+object Communities {
+
+  /** (node, community) after exactly `rounds` synchronous LPA rounds
+   *  over the undirected simple graph of (srcCol, dstCol). Nodes are
+   *  every edge endpoint; isolated nodes don't exist by construction. */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val sym = und.select(col("lo").as("node"), col("hi").as("nbr"))
+      .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
+      .localCheckpoint(true) // consumed every round — compute the dedup once
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val nbrLabels = sym.join(
+          labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .select(col("node"), col("label"))
+      // argmax by (count desc, label asc) as ONE hash aggregate:
+      // max(struct(c, -label, label)) — negation orders ties to the
+      // smallest label and is exact for every id above Long.MinValue
+      // (negative id spaces included)
+      val next = nbrLabels.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
+      labels = next
+      r += 1
+    }
+    val out = labels.select(col("node"), col("label").as("community"))
+    out
+  }
+}

@@ -454,4 +454,56 @@ object WebQueries {
       |SELECT d.doc_id, d.host, sha256(coalesce(r.text, '')) AS clean_sha,
       |       CAST(len(coalesce(r.text, '')) AS BIGINT) AS n_chars_clean
       |FROM docs d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  /** Density communities via deterministic synchronous label
+   *  propagation (`pipeline.Communities`): a planted-block link graph
+   *  (dense 50-node blocks from in-block successor edges, sparse
+   *  cross-block bridges every 53rd event) where CC would fuse
+   *  bridge-connected blocks but majority-label rounds keep them
+   *  apart. 3 fixed rounds; the oracle unrolls every round, so all
+   *  ~1.5k final labels must match exactly. */
+  val LpaRounds = 3
+
+  def linkCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val dst = when(col("event_id") % 53 === 0,
+        (col("user_id") + 50) % 1500)
+      .otherwise(expr("(user_id DIV 50) * 50") +
+        (col("user_id") + col("event_id") % 3 + 1) % 50)
+    val edges = e.select(col("user_id").as("src"), dst.as("dst"))
+    graft.pipeline.Communities.labelPropagation(edges, "src", "dst", LpaRounds)
+  }
+
+  val LinkCommunitiesSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT s.node, l.label, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} l ON l.node = s.nbr
+         |  GROUP BY s.node, l.label
+         |), l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label ASC) AS rk
+         |    FROM c$k)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT user_id AS s,
+       |    CASE WHEN event_id % 53 = 0 THEN (user_id + 50) % 1500
+       |         ELSE (user_id // 50) * 50 + (user_id + event_id % 3 + 1) % 50
+       |    END AS t
+       |  FROM events
+       |), und AS (
+       |  SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
+       |  FROM raw WHERE s <> t
+       |), sym AS (
+       |  SELECT lo AS node, hi AS nbr FROM und
+       |  UNION ALL SELECT hi, lo FROM und
+       |), l0 AS (
+       |  SELECT DISTINCT node, node AS label FROM sym
+       |), $rounds
+       |SELECT node, label AS community FROM l$LpaRounds""".stripMargin
+  }
 }

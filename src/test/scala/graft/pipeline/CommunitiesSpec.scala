@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CommunitiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Two 6-cliques joined by ONE bridge edge: CC fuses them; LPA must
+   *  keep two communities (density beats connectivity). */
+  private def twoCliques() = {
+    val cliqueA = for (i <- 0 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 15; j <- (i + 1) to 15) yield (i.toLong, j.toLong)
+    (cliqueA ++ cliqueB :+ (5L, 10L)).toDF("src", "dst")
+  }
+
+  test("bridged cliques stay separate communities (where CC would merge)") {
+    val edges = twoCliques()
+    val lpa = Communities.labelPropagation(edges, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelsA = (0L to 5L).map(lpa).toSet
+    val labelsB = (10L to 15L).map(lpa).toSet
+    assert(labelsA.size == 1, s"clique A split: $labelsA")
+    assert(labelsB.size == 1, s"clique B split: $labelsB")
+    assert(labelsA != labelsB, "bridge fused the cliques")
+    // the deterministic tie rule converges each clique to its min id
+    assert(labelsA == Set(0L) && labelsB == Set(10L))
+    // sanity: CC on the same graph gives ONE cluster
+    val cc = graft.sim.Clustering.connectedComponents(
+      edges.select(col("src").as("a"), col("dst").as("b")),
+      edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id"))).distinct())
+    assert(cc.select(col("cluster")).distinct().count() == 1)
+  }
+
+  test("deterministic across partitionings and repeated runs") {
+    val edges = twoCliques()
+    val a = Communities.labelPropagation(edges.repartition(1), "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    val b = Communities.labelPropagation(edges.repartition(7), "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  test("self-loops and duplicate/reversed edges are ignored") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val lpa = Communities.labelPropagation(edges, "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("one round matches the hand-computed majority step") {
+    // star: center 9, leaves 1,2,3 -> round 1: leaves take 9's label? No:
+    // each leaf sees only {9} -> label 9; center sees {1,2,3} -> min label 1
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val lpa = Communities.labelPropagation(edges, "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(9L -> 1L, 1L -> 9L, 2L -> 9L, 3L -> 9L))
+  }
+
+  test("negative id spaces order ties correctly") {
+    val edges = Seq((-5L, -3L), (-5L, -8L)).toDF("src", "dst")
+    val lpa = Communities.labelPropagation(edges, "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 sees {-3, -8}: counts tie -> smallest label = -8
+    assert(lpa(-5L) == -8L)
+    assert(lpa(-3L) == -5L && lpa(-8L) == -5L)
+  }
+
+  test("per-round plan: no window, no sort — argmax is one hash aggregate") {
+    val edges = twoCliques()
+    val plan = Communities.labelPropagation(edges, "src", "dst", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}
