@@ -100,6 +100,21 @@ object FileSkipIndex {
       if (files.isEmpty)
         spark.read.parquet(path).limit(0)
       else spark.read.parquet(files: _*)
-    base.where(col(keyCol).cast("long").isin(keys: _*))
+    // probe with literals of the COLUMN's own type: casting the column
+    // up to long instead would block parquet predicate pushdown (and
+    // row-group skipping) for int/short key columns. Keys outside the
+    // narrow type's range cannot match and are dropped up front.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val typedKeys: Seq[Any] = base.schema(keyCol).dataType match {
+      case IntegerType =>
+        keys.filter(k => k >= Int.MinValue && k <= Int.MaxValue).map(_.toInt)
+      case ShortType =>
+        keys.filter(k => k >= Short.MinValue && k <= Short.MaxValue).map(_.toShort)
+      case ByteType =>
+        keys.filter(k => k >= Byte.MinValue && k <= Byte.MaxValue).map(_.toByte)
+      case _ => keys
+    }
+    if (typedKeys.isEmpty) base.limit(0)
+    else base.where(col(keyCol).isin(typedKeys: _*))
   }
 }

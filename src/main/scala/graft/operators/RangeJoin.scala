@@ -25,14 +25,10 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   private def bucketOf(t: Column, w: Long): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     // t - pmod(t, w) is exactly divisible by w, so IntegralDivide yields
     // the exact floor(t / w) on int64 — Column./ would round-trip
     // through double, where |t| > 2^53 loses exactness
-    val aligned = t - pmod(t, lit(w))
-    ColumnBridge.toColumn(IntegralDivide(
-      ColumnBridge.exprOf(aligned), ColumnBridge.exprOf(lit(w))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.intDiv(t - pmod(t, lit(w)), lit(w))
   }
 
   /**

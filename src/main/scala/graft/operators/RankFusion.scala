@@ -34,10 +34,8 @@ object RankFusion {
    *  so the fixed-point contract holds for ANY scale constant / kConst,
    *  not just those where double division happens to be exact. */
   def rrfContribution(rank: Column, kConst: Int = DefaultK): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      ColumnBridge.exprOf(lit(1000000L)),
-      ColumnBridge.exprOf(lit(kConst.toLong) + rank.cast("long"))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.intDiv(
+      lit(1000000L), lit(kConst.toLong) + rank.cast("long"))
   }
 
   /**

@@ -32,14 +32,6 @@ import org.apache.spark.sql.functions._
  */
 object Chunking {
 
-  /** Exact integer floor division (SQL DIV) as a Column op — all chunk
-   *  arithmetic is exact int64, never double. */
-  private def intDiv(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(a),
-        org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(b)))
-
   /**
    * @param windowTokens max tokens per chunk, W >= 1
    * @param strideTokens window start spacing, 1 <= S <= W
@@ -61,7 +53,7 @@ object Chunking {
       t => length(t) > 0)
     val n = size(words)
     val nChunks = when(col("__n") === 0, lit(0))
-      .otherwise(intDiv(greatest(col("__n") - w, lit(0)) + s - 1, s) + 1)
+      .otherwise(org.apache.spark.sql.graftbridge.ColumnBridge.intDiv(greatest(col("__n") - w, lit(0)) + s - 1, s) + 1)
     df.select(col(idCol), words.as("__w"), n.as("__n"))
       .select(col(idCol), col("__w"), col("__n"),
         nChunks.cast("int").as("__c"))

@@ -75,7 +75,13 @@ object Communities {
       labels = next
       r += 1
     }
+    // the final labels checkpoint is the result's storage; the shared
+    // edge frame is no longer referenced — release its blocks so
+    // repeated calls in one session don't accumulate 2|E| rows each
     val out = labels.select(col("node"), col("label").as("community"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(sym)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
     out
   }
 }

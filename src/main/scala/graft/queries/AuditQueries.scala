@@ -192,7 +192,10 @@ object AuditQueries {
   def fileSkipLookup(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val path = "/tmp/graft_fsi_docs.parquet"
+    // per-application path: concurrent verify/bench runs on one host
+    // must not race on each other's layout rewrite
+    val path =
+      s"/tmp/graft_fsi_docs_${spark.sparkContext.applicationId}.parquet"
     d.repartitionByRange(8, col("doc_id"))
       .write.mode("overwrite").parquet(path)
     val index = graft.io.FileSkipIndex.build(

@@ -515,7 +515,7 @@ object SketchQueries {
 
   def prioritySampleDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = DedupQueries.docs(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("w"))
       .where(col("w") > 0)
     val bytes = docs

@@ -47,12 +47,16 @@ final class PrioritySample private (
   @transient private var worst: Entry = _
 
   private def shrink(): Unit = {
-    if (buf.length > k + 1) {
-      val kept = buf.sorted(ordering).take(k + 1)
-      buf.clear()
-      buf ++= kept
-    }
-    worst = if (buf.length == k + 1) buf.maxBy(identity)(ordering) else null
+    // SET-union semantics: identical (key, w, q) triples collapse, so
+    // merging overlapping sketches (a re-ingested day, a sketch merged
+    // with itself) is idempotent rather than double-counting a key into
+    // two of the k+1 slots — run even below capacity, where duplicates
+    // would otherwise survive. Distinct keys always produce distinct
+    // triples, so a plain stream is untouched.
+    val kept = buf.sorted(ordering).distinct.take(k + 1)
+    buf.clear()
+    buf ++= kept
+    worst = if (buf.length == k + 1) buf(k) else null
   }
 
   def add(key: Long, w: Long): this.type = {

@@ -14,6 +14,14 @@ object ColumnBridge {
   def exprOf(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def toColumn(e: Expression): Column = Column(ExpressionColumnNode(e))
 
+  /** Exact int64 floor division (SQL DIV) as a Column op — the shared
+   *  bridge for every integer fixed-point derivation (CodeFilters,
+   *  RankFusion, RangeJoin, Chunking, ...): one site to patch if the
+   *  IntegralDivide surface ever changes. */
+  def intDiv(a: Column, b: Column): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      exprOf(a), exprOf(b)))
+
   /** Release the cached blocks behind a `localCheckpoint()`ed frame (the
    *  checkpointed plan is a LogicalRDD over the materialized RDD; plain
    *  `df.unpersist()` can't reach it). No-op for non-checkpointed frames:

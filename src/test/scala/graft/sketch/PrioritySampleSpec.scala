@@ -29,6 +29,26 @@ class PrioritySampleSpec extends AnyFunSuite {
     assert(fwd === rev)
   }
 
+  test("merge is a SET union: overlapping/duplicate sketches never double-count") {
+    // a sketch merged with a copy of itself is unchanged (full buffer)
+    val whole = build(0L until 2000L, 64)
+    val copy = PrioritySample.deserialize(whole.serialize)
+    assert(copy.mergeInPlace(PrioritySample.deserialize(whole.serialize))
+      .entries === whole.entries)
+    // overlapping partials (shared keys) equal the sketch of the key UNION
+    val a = build(0L until 1200L, 64)
+    val b = build(600L until 2000L, 64) // keys 600..1199 in both
+    assert(a.mergeInPlace(b).entries === whole.entries)
+    // below capacity too: two identical small partials stay n entries
+    val s1 = build(0L until 10L, 64)
+    val s2 = build(0L until 10L, 64)
+    assert(s1.mergeInPlace(s2).entries.size === 10)
+    // and repeated identical adds in one stream collapse
+    val s3 = PrioritySample(8)
+    s3.add(5L, 100L).add(5L, 100L)
+    assert(s3.entries.size === 1)
+  }
+
   test("k >= n: the sample is the whole stream, tau = 0, estimates exact") {
     val keys = (0L until 50L)
     val s = build(keys, 64)
