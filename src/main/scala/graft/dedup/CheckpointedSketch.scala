@@ -223,17 +223,24 @@ object CheckpointedSketch {
          |"SKETCH":$sketchJson,
          |"CHECKPOINTS":$parts}""".stripMargin
     // same write-then-rename discipline as the sketch partials: a crash
-    // mid-write must never leave truncated JSON at the canonical path
+    // mid-write must never leave truncated JSON at the canonical path —
+    // and a re-run must never pass through a no-lineage state, so the
+    // rename OVERWRITES atomically (FileContext Rename.OVERWRITE) rather
+    // than delete-then-rename, whose crash window destroys the old
+    // record before the new one lands
     val path = new Path(s"$checkpointDir/lineage.json")
     val fs = path.getFileSystem(hadoopConf)
     val tmp = new Path(s"$checkpointDir/.lineage.json.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(path)) fs.delete(path, false) // re-run refreshes provenance
-    if (!fs.rename(tmp, path)) {
-      fs.delete(tmp, false)
-      if (!fs.exists(path))
-        throw new java.io.IOException(s"rename to $path failed — lineage not written")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+        .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        if (!fs.exists(path))
+          throw new java.io.IOException(s"rename to $path failed — lineage not written", e)
     }
   }
 }

@@ -73,16 +73,7 @@ object AudioCodec {
     }
   }
 
-  private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-
-  private def tagAt(b: Array[Byte], off: Int, s: String): Boolean =
-    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
-      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+  import RiffBytes.{le16, le32, tagAt}
 
   /**
    * REAL chunk-walking decode: RIFF/WAVE envelope, then chunks in file

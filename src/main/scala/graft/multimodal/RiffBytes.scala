@@ -1,0 +1,20 @@
+package graft.multimodal
+
+/** Shared little-endian byte readers for the RIFF container family
+ *  (WAV in [[AudioCodec]], AVI in [[VideoCodec]]): one copy of the
+ *  bounds-free primitives both chunk walkers build on, so a fix to the
+ *  readers can never apply to one parser and miss the other. Callers
+ *  bounds-check offsets BEFORE reading — these are raw accessors. */
+private[multimodal] object RiffBytes {
+
+  def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  def tagAt(b: Array[Byte], off: Int, s: String): Boolean =
+    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
+      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+}

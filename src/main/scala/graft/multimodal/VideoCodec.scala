@@ -29,7 +29,8 @@ object VideoCodec {
    *  `gray(f, x, y)` in 0..255 becomes frame f's (r=g=b) pixel. */
   def encodeAviDib24(
       width: Int, height: Int, fps: Int, frames: Int,
-      gray: (Int, Int, Int) => Int): Array[Byte] = {
+      gray: (Int, Int, Int) => Int,
+      withAudioStream: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0 && frames > 0, "bad geometry")
     val stride = (width * 3 + 3) & ~3
     val frameSize = stride * height
@@ -60,6 +61,15 @@ object VideoCodec {
     tag("strf"); i32(40)
     i32(40); i32(width); i32(height); i16(1); i16(24)
     i32(0); i32(frameSize); i32(2835); i32(2835); i32(0); i32(0)
+    if (withAudioStream) {
+      // a second strl: strh 'auds' + a 16-byte WAVEFORMATEX-shaped strf —
+      // the standard interleaved audio+video layout the decoder must
+      // skip (not reject)
+      tag("LIST"); i32(4 + 8 + 56 + 8 + 16); tag("strl")
+      tag("strh"); i32(56)
+      tag("auds"); (0 until 52).foreach(_ => buf += 0)
+      tag("strf"); i32(16); (0 until 16).foreach(_ => buf += 0)
+    }
     val hdrlEnd = buf.length
     patch32(buf, hdrlSizeAt, hdrlEnd - hdrlSizeAt - 4)
     // --- LIST movi ---
@@ -94,31 +104,29 @@ object VideoCodec {
     buf(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-
-  private def tagAt(b: Array[Byte], off: Int, s: String): Boolean =
-    b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
-      b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
+  import RiffBytes.{le16, le32, tagAt}
 
   /**
    * REAL nested-chunk decode: walks RIFF('AVI '), descends `LIST hdrl` →
-   * `LIST strl` to read the stream-format BITMAPINFOHEADER (must be
-   * 24-bit uncompressed BI_RGB), then `LIST movi` collecting `00db`/
-   * `00dc` frame chunks in order, each parsed bottom-up/BGR/padded
-   * exactly like a BMP payload. Unknown chunks anywhere (JUNK, idx1,
-   * vedt …) are skipped with the spec's word alignment. null for
-   * anything malformed, truncated, or in an unsupported layout.
+   * `LIST strl`, and reads the stream-format BITMAPINFOHEADER (must be
+   * 24-bit uncompressed BI_RGB) of the VIDEO stream — each strl's strh
+   * fccType gates its strf, so the audio stream of a standard
+   * interleaved video+audio AVI (strf = a 16-18-byte WAVEFORMATEX) is
+   * skipped rather than rejected as malformed. Then `LIST movi`
+   * collects `00db`/`00dc` frame chunks in order, each parsed
+   * bottom-up/BGR/padded exactly like a BMP payload. Unknown chunks
+   * anywhere (JUNK, idx1, vedt …) are skipped with the spec's word
+   * alignment. null for anything malformed, truncated, or in an
+   * unsupported layout.
    */
   def decodeFrames(blob: Array[Byte]): Array[ImageCodec.DecodedImage] = {
     if (blob == null || blob.length < 12) return null
     if (!tagAt(blob, 0, "RIFF") || !tagAt(blob, 8, "AVI ")) return null
     var width = -1
     var height = -1
+    // fccType of the current strl's strh — only 'vids' streams contribute
+    // (and validate) a format; reset per strl
+    var curStreamVideo = false
     val frames = ArrayBuffer.empty[ImageCodec.DecodedImage]
     var bad = false
 
@@ -154,10 +162,15 @@ object VideoCodec {
         if (size < 0 || pos.toLong + 8 + size > end) { bad = true; return }
         if (tagAt(blob, pos, "LIST") && size >= 4) {
           // descend into hdrl/strl/movi; skip other list types
-          if (tagAt(blob, pos + 8, "hdrl") || tagAt(blob, pos + 8, "strl") ||
-            tagAt(blob, pos + 8, "movi"))
+          if (tagAt(blob, pos + 8, "strl")) {
+            curStreamVideo = false // strh inside decides
             walk(pos + 12, pos + 8 + size)
-        } else if (tagAt(blob, pos, "strf")) {
+          } else if (tagAt(blob, pos + 8, "hdrl") || tagAt(blob, pos + 8, "movi"))
+            walk(pos + 12, pos + 8 + size)
+        } else if (tagAt(blob, pos, "strh")) {
+          if (size < 4) { bad = true; return }
+          curStreamVideo = tagAt(blob, pos + 8, "vids")
+        } else if (tagAt(blob, pos, "strf") && curStreamVideo) {
           if (size < 40) { bad = true; return }
           val hdrSize = le32(blob, pos + 8)
           val bits = le16(blob, pos + 8 + 14)

@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
  * et al. 2005; the same shape as CCNet's per-shard line dedup).
  *
  * A line is boilerplate for host h when it occurs in at least
- * `minDocFracMicro` (fixed-point micro) of h's documents and h has at
+ * `minDocFracMicro` (fixed-point micro) of h's documents, h has at
  * least `minHostDocs` documents (small hosts carry no frequency
- * evidence — their pages pass through untouched).
+ * evidence — their pages pass through untouched), and the line has at
+ * least `minLineChars` non-whitespace-trimmed characters. The length
+ * floor exists because EMPTY lines hash identically everywhere: without
+ * it any host whose pages contain blank lines would classify "" as
+ * boilerplate and strip every paragraph break corpus-wide ("Title\n\n
+ * Body" -> "Title\nBody"), collapsing the structure ParagraphDedup
+ * splits on — the standard CCNet-style guard.
  *
  * Scale shape: the DECISION never sees line text crossing an exchange
  * wider than one line's sha256 — exploded lines project to
@@ -41,12 +47,16 @@ object Boilerplate {
    */
   def hostLineStats(
       df: DataFrame, idCol: String, hostCol: String, textCol: String,
-      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L): DataFrame = {
+      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L,
+      minLineChars: Int = 1): DataFrame = {
     val nl = java.util.regex.Pattern.quote("\n")
     val hostDocs = df.groupBy(col(hostCol)).agg(count(lit(1)).as("host_docs"))
     val lineDocs = df
       .select(col(idCol), col(hostCol),
         explode(split(col(textCol), nl)).as("__line"))
+      // below-floor lines (blank first) never enter the decision, so
+      // their sigs can never reach the removal gate
+      .where(length(trim(col("__line"))) >= minLineChars)
       .select(col(hostCol), sha2(col("__line"), 256).as("sig"), col(idCol))
       .distinct()
       .groupBy(col(hostCol), col("sig"))
@@ -64,10 +74,11 @@ object Boilerplate {
    */
   def removeHostBoilerplate(
       df: DataFrame, idCol: String, hostCol: String, textCol: String,
-      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L): DataFrame = {
+      minDocFracMicro: Long = 500000L, minHostDocs: Long = 2L,
+      minLineChars: Int = 1): DataFrame = {
     val nl = java.util.regex.Pattern.quote("\n")
     val boiler = hostLineStats(df, idCol, hostCol, textCol,
-      minDocFracMicro, minHostDocs)
+      minDocFracMicro, minHostDocs, minLineChars)
       .where(col("is_boilerplate"))
       .select(col(hostCol), col("sig"))
     val lines = df

@@ -98,7 +98,7 @@ object GraphStats {
       .unionAll(triangles.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
 
-    deg.join(perNode, Seq("node"), "left")
+    val result = deg.join(perNode, Seq("node"), "left")
       .select(
         col("node"),
         col("degree"),
@@ -106,6 +106,12 @@ object GraphStats {
         when(col("degree") >= 2,
           expr("(2 * coalesce(triangles, 0L) * 1000000L) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
+      // materialize the |V|-row result, then release the cached oriented
+      // frame — otherwise every triangleCounts call pins an edge-sized
+      // cache for the session lifetime
+      .localCheckpoint(true)
+    oriented.unpersist(false)
+    result
   }
 
   /** Global triangle count: one row, one long. */

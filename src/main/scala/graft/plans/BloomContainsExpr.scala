@@ -57,4 +57,9 @@ object GraftExpressions {
    *  signatures?" — the index-scan probe (see [[BloomContainsAnyExpr]]). */
   def bloomContainsAny(bloomBytes: Column, sigs: Seq[Array[Byte]]): Column =
     toColumn(BloomContainsAnyExpr(exprOf(bloomBytes), sigs))
+
+  /** Column-level large counting-Bloom aggregation over a binary
+   *  signature column (see [[CountingBloomSketchAgg]] — no Kryo cap). */
+  def countingBloomAgg(sig: Column, p: Double, m: Long, k: Int, n: Long): Column =
+    toColumn(CountingBloomSketchAgg(exprOf(sig), p, m, k, n).toAggregateExpression())
 }

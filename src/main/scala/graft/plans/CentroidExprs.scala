@@ -79,11 +79,12 @@ case class NearestCentroidL2Expr(
  *  cid (long); ties resolve to the smallest cid. Dots accumulate
  *  left-to-right in dimension order — bit-identical to the
  *  `aggregate(zip_with(vec, typedLit(c)))` fold it replaces for finite
- *  dots. A NaN dot ranks ABOVE every finite dot (the same total order
- *  `array_max` and [[CentroidOrderDotExpr]]'s probe sort use), so a
+ *  dots. A NaN dot ranks ABOVE every other dot ([[CentroidOrderDotExpr
+ *  .ProbeOrder]], the shared total order with the probe sort), so a
  *  vector containing a NaN element — which makes every dot NaN —
- *  deterministically lands on the smallest cid rather than on a
- *  phantom bucket no probe list references. */
+ *  deterministically lands on the smallest cid AND that bucket is the
+ *  first its probe list visits, never a phantom bucket no probe list
+ *  references. */
 case class NearestCentroidDotExpr(
     child: Expression, cids: Array[Long], codebook: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
@@ -153,10 +154,15 @@ case class CentroidOrderDotExpr(
       var s = 0.0
       var j = 0
       while (j < n) { s += vec.getDouble(j) * c(j); j += 1 }
-      scored(i) = (-s, cids(i))
+      scored(i) = (s, cids(i))
       i += 1
     }
-    val out = scored.sorted.map(_._2)
+    // dot desc, NaN ranking ABOVE every other dot (+Inf included), ties
+    // cid asc — the SAME total order as NearestCentroidDotExpr.best, so
+    // the bucket a NaN-afflicted vector is assigned to is also the FIRST
+    // bucket its probe list visits (a plain array_sort over (-dot, cid)
+    // would instead sort NaN last and nprobe << k would never reach it)
+    val out = scored.sorted(CentroidOrderDotExpr.ProbeOrder).map(_._2)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -172,6 +178,24 @@ case class CentroidOrderDotExpr(
   override def prettyName: String = "graft_centroid_order_dot"
   override def toString: String =
     s"$prettyName($child, k=${codebook.length}, dim=${codebook.head.length})"
+}
+
+object CentroidOrderDotExpr {
+  /** (dot, cid) probe order: dot desc with NaN greatest, ties cid asc —
+   *  shared total order with the assignment expression. */
+  val ProbeOrder: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val na = java.lang.Double.isNaN(a._1)
+      val nb = java.lang.Double.isNaN(b._1)
+      if (na && nb) java.lang.Long.compare(a._2, b._2)
+      else if (na) -1
+      else if (nb) 1
+      else {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+  }
 }
 
 object CentroidExprs {

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import graft.sketch.CountingBloom
+
+/**
+ * The counting-Bloom builder as a native `TypedImperativeAggregate` —
+ * the SCALE path for large deletable filters, exactly as
+ * [[BloomSketchAgg]] is for the 1-bit sketch. The `Aggregator`-based
+ * `CountingBloomAggregator` ships its buffer through `Encoders.kryo`,
+ * whose output buffer caps at 64 MB — and counting cells are BYTES
+ * (m ≈ 9.6·n at p=1e-2, 28.8·n at p=1e-6), 8x the plain filter, so the
+ * cap lands at n in the single-digit millions: precisely the corpus
+ * sizes retention dedup targets. This aggregate serializes partials
+ * with the sketch's OWN wire format (`CountingBloom.serialize`) — no
+ * Kryo, no cap, one copy.
+ *
+ * Input: binary signature column; nulls skipped. Merge = cell-wise
+ * saturating sum (associative/commutative — insert-only; deletion
+ * stays owner-side via `subtractInPlace`, which is not a commutative
+ * merge under saturation).
+ */
+case class CountingBloomSketchAgg(
+    child: Expression,
+    p: Double,
+    m: Long,
+    k: Int,
+    n: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountingBloom] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def createAggregationBuffer(): CountingBloom =
+    CountingBloom.withCapacity(p, n, m, k)
+
+  override def update(buffer: CountingBloom, input: InternalRow): CountingBloom = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(buffer: CountingBloom, other: CountingBloom): CountingBloom =
+    buffer.addInPlace(other)
+
+  override def eval(buffer: CountingBloom): Any = buffer.serialize()
+
+  override def serialize(buffer: CountingBloom): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): CountingBloom =
+    CountingBloom.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountingBloomSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountingBloomSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_counting_bloom_agg"
+}

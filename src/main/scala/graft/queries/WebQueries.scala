@@ -396,6 +396,8 @@ object WebQueries {
   /** Site-template line removal (`graft.pipeline.Boilerplate`): each
    *  document gets a deterministic host (doc_id % 7) and a templated
    *  page shell — a NAV line on every page (100% > τ=60%, removed), a
+   *  BLANK line on every page (100% doc frequency but under the
+   *  minLineChars floor — KEPT: paragraph structure must survive), a
    *  Copyright footer on 90% of pages (removed), a SPECIAL line on 2%
    *  (kept), the unique body (kept). The oracle replays the per-host
    *  doc-frequency decision on line STRINGS (a sha256 collision in the
@@ -405,7 +407,7 @@ object WebQueries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), h.as("host"),
         concat(
-          lit("NAV "), h, lit("\n"), col("text"),
+          lit("NAV "), h, lit("\n\n"), col("text"),
           when(col("doc_id") % 10 =!= 0, concat(lit("\nCopyright "), h))
             .otherwise(lit("")),
           when(col("doc_id") % 50 === 0, lit("\nSPECIAL OFFER"))
@@ -421,7 +423,7 @@ object WebQueries {
   val HostBoilerplateSql: String =
     """WITH docs AS (
       |  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
-      |    'NAV h' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text
+      |    'NAV h' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10) || text
       |    || CASE WHEN doc_id % 10 <> 0
       |            THEN chr(10) || 'Copyright h' || CAST(doc_id % 7 AS VARCHAR)
       |            ELSE '' END
@@ -442,6 +444,7 @@ object WebQueries {
       |  SELECT l.host, l.line
       |  FROM linedocs l JOIN hostdocs h USING (host)
       |  WHERE h.hdocs >= 2 AND l.ldocs * 1000000 >= 600000 * h.hdocs
+      |    AND length(trim(l.line)) >= 1
       |), kept AS (
       |  SELECT li.doc_id, li.pos, li.line
       |  FROM lines li LEFT JOIN boiler b

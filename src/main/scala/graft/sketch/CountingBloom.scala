@@ -246,6 +246,15 @@ object CountingBloom {
     new CountingBloom(p, n, m, k, new Array[Byte](m.toInt))
   }
 
+  /** Sized with all of (p, n, m, k) explicit — the `DedupConfig
+   *  .sketchShape` path, so a memspec-capped config shapes counting
+   *  filters identically to every other sketch it builds. */
+  def withCapacity(p: Double, n: Long, m: Long, k: Int): CountingBloom = {
+    require(m <= Int.MaxValue.toLong,
+      s"m=$m cells exceed a single JVM byte array: shard via partials")
+    new CountingBloom(p, n, m, k, new Array[Byte](m.toInt))
+  }
+
   def deserialize(bytes: Array[Byte]): CountingBloom = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val magic = buf.getInt()

@@ -109,27 +109,35 @@ object StreamingDedup {
       outputCol: String = "is_duplicate")(
       sink: (DataFrame, Long) => Unit): EpochSketchQuery = {
     require(refreshEvery >= 1)
-    val handle = new EpochSketchQuery(emptySketch(cfg), emptySketch(cfg))
+    val handle = new EpochSketchQuery(emptySketch(cfg), emptySketch(cfg), refreshEvery)
     val query = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(markAgainstSketchStream(batch, handle.frozen, contentCol, outputCol), batchId)
         val batchSketch = MarkDuplicates.buildSketch(batch, cfg)
-        handle.learn(batchSketch, refreshEvery)
+        handle.learn(batchSketch)
       }
       .start()
     handle.query = query
     handle
   }
-  /** Distributed insert-only counting partial of a batch's signatures
-   *  (shape = mkMin(cfg.p, cfg.expectedN), identical across epochs so
-   *  partials subtract cell-for-cell). */
+  /** Distributed insert-only counting partial of a batch's signatures.
+   *  Shape = `cfg.sketchShape` — the SAME single sizing rule (memspec if
+   *  given, else mkMin) every other sketch built from this config uses,
+   *  and identical across epochs so partials subtract cell-for-cell.
+   *  Partials travel in the sketch's own wire format (native
+   *  `CountingBloomSketchAgg`), not Kryo — counting cells are bytes, 8x
+   *  the plain filter, so the Kryo 64 MB cap would land at n in the
+   *  single-digit millions. */
   private[streaming] def buildCountingPartial(
       batch: DataFrame, contentCol: String,
-      cfg: graft.dedup.DedupConfig): graft.sketch.CountingBloom =
+      cfg: graft.dedup.DedupConfig): graft.sketch.CountingBloom = {
+    val (m, k, n) = cfg.sketchShape
     graft.sketch.CountingBloom.deserialize(
-      batch.agg(udaf(new graft.sketch.CountingBloomAggregator(cfg.p, cfg.expectedN))
-        .apply(MarkDuplicates.signature(col(contentCol)))).head().getAs[Array[Byte]](0))
+      batch.agg(graft.plans.GraftExpressions.countingBloomAgg(
+        MarkDuplicates.signature(col(contentCol)), cfg.p, m, k, n))
+        .head().getAs[Array[Byte]](0))
+  }
 
   /**
    * ROLLING-RETENTION streaming dedup: like [[dedupStreamWithEpochSketch]]
@@ -166,13 +174,18 @@ object StreamingDedup {
       outputCol: String = "is_duplicate")(
       sink: (DataFrame, Long) => Unit): RollingRetentionQuery = {
     require(windowEpochs >= 1 && refreshEvery >= 1)
+    // cfg.sketchShape, same rule as the partials: a memspec-capped
+    // config must shape the live filter identically or subtraction
+    // would fail at the first epoch retirement
     val handle = new RollingRetentionQuery(
-      graft.sketch.CountingBloom(cfg.p, cfg.expectedN), windowEpochs)
+      { val (m, k, n) = cfg.sketchShape
+        graft.sketch.CountingBloom.withCapacity(cfg.p, n, m, k) },
+      windowEpochs, refreshEvery)
     val query = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(markAgainstSketchStream(batch, handle.frozen, contentCol, outputCol), batchId)
-        handle.learn(buildCountingPartial(batch, contentCol, cfg), refreshEvery)
+        handle.learn(buildCountingPartial(batch, contentCol, cfg))
       }
       .start()
     handle.query = query
@@ -186,7 +199,8 @@ object StreamingDedup {
  *  foreachBatch thread); reads see immutable snapshots. */
 final class RollingRetentionQuery private[streaming] (
     live: graft.sketch.CountingBloom,
-    windowEpochs: Int) {
+    windowEpochs: Int,
+    refreshEvery: Int) {
 
   var query: org.apache.spark.sql.streaming.StreamingQuery = _
   @volatile private[streaming] var frozenSketch: BloomSketch = live.toBloomSketch
@@ -196,8 +210,7 @@ final class RollingRetentionQuery private[streaming] (
 
   private[streaming] def frozen: BloomSketch = frozenSketch
 
-  private[streaming] def learn(
-      batchPartial: graft.sketch.CountingBloom, refreshEvery: Int): Unit =
+  private[streaming] def learn(batchPartial: graft.sketch.CountingBloom): Unit =
     synchronized {
       pending = if (pending == null) batchPartial else pending.addInPlace(batchPartial)
       batches += 1
@@ -210,7 +223,9 @@ final class RollingRetentionQuery private[streaming] (
       }
     }
 
-  def epochsCompleted(refreshEvery: Int): Long = synchronized(batches / refreshEvery)
+  /** Epochs completed under the refresh cadence the stream was STARTED
+   *  with — stored state, not a per-call argument that could disagree. */
+  def epochsCompleted: Long = synchronized(batches / refreshEvery)
   /** Estimated signatures currently REMEMBERED (the live window only). */
   def liveEstimate: Long = synchronized(live.countEstimate)
   /** Constant-state evidence: filters held (<= windowEpochs + live + pending). */
@@ -222,14 +237,15 @@ final class RollingRetentionQuery private[streaming] (
  *  signatures seen). `insertedEstimate` supports capacity monitoring. */
 final class EpochSketchQuery private[streaming] (
     @volatile private[streaming] var frozenSketch: BloomSketch,
-    private var acc: BloomSketch) {
+    private var acc: BloomSketch,
+    refreshEvery: Int) {
 
   var query: org.apache.spark.sql.streaming.StreamingQuery = _
   private var batches = 0L
 
   private[streaming] def frozen: BloomSketch = frozenSketch
 
-  private[streaming] def learn(batchSketch: BloomSketch, refreshEvery: Int): Unit =
+  private[streaming] def learn(batchSketch: BloomSketch): Unit =
     synchronized {
       acc = acc.orInPlace(batchSketch)
       batches += 1
@@ -239,6 +255,8 @@ final class EpochSketchQuery private[streaming] (
       }
     }
 
-  def epochsCompleted(refreshEvery: Int): Long = synchronized(batches / refreshEvery)
+  /** Epochs completed under the refresh cadence the stream was STARTED
+   *  with — stored state, not a per-call argument that could disagree. */
+  def epochsCompleted: Long = synchronized(batches / refreshEvery)
   def insertedEstimate: Long = synchronized(acc.countEstimate)
 }

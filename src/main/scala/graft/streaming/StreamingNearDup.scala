@@ -27,15 +27,25 @@ import graft.sim.MinHashLsh
  * like any other table (see `io.Compaction` for the small-file sweep).
  *
  * Batch-id-keyed appends make retries IDEMPOTENT: batch N's signatures
- * land under `batch=N`, written with overwrite, so a replayed epoch
- * (foreachBatch gives at-least-once) replaces its own partition instead
- * of double-inserting. Duplicate store rows would not corrupt results —
- * the pair path ends in a pair-key dropDuplicates — but idempotent
- * writes keep the store size honest. Streaming batch ids count up from 0
- * per checkpoint, so a BACKFILL seed (the batch `signatureStore` of the
- * existing corpus) must live under a partition value no micro-batch will
- * claim — use a non-numeric one, e.g. `batch=backfill` (readStore picks
- * up every `batch=*` directory regardless of value type).
+ * land under `batch=<base+N>`, written with overwrite, so a replayed
+ * epoch (foreachBatch gives at-least-once) replaces its own partition
+ * instead of double-inserting. Duplicate store rows would not corrupt
+ * results — the pair path ends in a pair-key dropDuplicates — but
+ * idempotent writes keep the store size honest.
+ *
+ * `base` exists because streaming batch ids count up from 0 PER
+ * CHECKPOINT: a redeploy with a fresh/reset checkpoint would otherwise
+ * reuse partition ids the previous run already wrote — silently
+ * excluding the whole existing store from probing (every stored id is
+ * >= the replayed batch id) and OVERWRITING its oldest partitions. At
+ * start the store's max numeric partition is read once and new epochs
+ * continue after it; with a caller-managed `checkpointLocation` the
+ * base is persisted beside the checkpoint (`graft_store_base`) so a
+ * RESUME of the same checkpoint (whose batch ids continue, not reset)
+ * keeps its original mapping. A BACKFILL seed (the batch
+ * `signatureStore` of the existing corpus) still lives under a
+ * non-numeric partition, e.g. `batch=backfill` — always probed, never
+ * claimed by a micro-batch.
  *
  * Emitted per batch (to `sink`): `(id_new, id_ref, est_jaccard)` with
  * `est_jaccard >= threshold` — `id_ref` the prior-seen document
@@ -98,6 +108,43 @@ object StreamingNearDup {
    * once per micro-batch (write it, or join it back to the batch to mark
    * rows — same freedom `foreachBatch` always gives).
    */
+  /** The store-partition offset for this run: streaming batch N lands
+   *  under `batch=<base+N>`. Resume of a caller-managed checkpoint reads
+   *  the base persisted beside it (batch ids continue there); otherwise
+   *  — fresh checkpoint, reset checkpoint, or the temp-checkpoint
+   *  default — new epochs continue AFTER every numeric partition already
+   *  in the store, so prior runs' signatures stay probed and intact. */
+  private[streaming] def storeBase(
+      spark: SparkSession, storePath: String,
+      checkpointLocation: Option[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseFile = checkpointLocation.map(c => new Path(c, "graft_store_base"))
+    val persisted = baseFile.filter(f => f.getFileSystem(conf).exists(f)).map { f =>
+      val in = f.getFileSystem(conf).open(f)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+    persisted.getOrElse {
+      val p = new Path(storePath)
+      val fs = p.getFileSystem(conf)
+      val maxExisting =
+        if (!fs.exists(p)) -1L
+        else fs.listStatus(p).iterator.flatMap { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("batch="))
+            scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+          else None
+        }.foldLeft(-1L)(math.max)
+      val base = maxExisting + 1
+      baseFile.foreach { f =>
+        val fs2 = f.getFileSystem(conf)
+        val out = fs2.create(f, false) // fail rather than clobber a racer
+        try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      }
+      base
+    }
+  }
+
   def nearDupStreamAgainstStore(
       stream: DataFrame,
       idCol: String,
@@ -107,12 +154,17 @@ object StreamingNearDup {
       numHashes: Int = MinHashLsh.DefaultNumHashes,
       bands: Int = MinHashLsh.DefaultBands,
       shingleSize: Int = 3,
-      maxBucketPairs: Long = 10000L)(
+      maxBucketPairs: Long = 10000L,
+      checkpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    stream.writeStream
+    val base = storeBase(stream.sparkSession, storePath, checkpointLocation)
+    val writer = stream.writeStream
       .outputMode("append")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val storeEpoch = base + batchId
         val spark = batch.sparkSession
         // pin the batch: it feeds the cross probe, the within probe, and
         // the store append — without this each consumer re-reads the
@@ -121,7 +173,7 @@ object StreamingNearDup {
         // exclude this (and any later) batch's own partition: an
         // at-least-once replay must probe the store as it stood BEFORE
         // the batch first ran, or every replayed row self-collides
-        val store = readStore(spark, storePath, excludeBatchesAtOrAbove = Some(batchId))
+        val store = readStore(spark, storePath, excludeBatchesAtOrAbove = Some(storeEpoch))
         val cross = MinHashLsh.candidatePairsAgainstSigs(
             pinned, store, idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
           .select(col("id_new"), col("id_ref"), col("est_jaccard"))
@@ -133,7 +185,7 @@ object StreamingNearDup {
           .select(col("id_b").as("id_new"), col("id_a").as("id_ref"), col("est_jaccard"))
         sink(cross.unionAll(within).where(col("est_jaccard") >= threshold), batchId)
         MinHashLsh.signatureStore(pinned, idCol, textCol, numHashes, shingleSize)
-          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$storePath/batch=$storeEpoch")
       }
       .start()
   }

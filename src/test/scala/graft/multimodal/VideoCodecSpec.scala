@@ -132,4 +132,17 @@ class VideoCodecSpec extends SparkSpecBase {
     val want = VideoCodec.sampleFrameHashes(good, 2).map(t => t._1 -> t._3).toMap
     assert(rows === want)
   }
+
+  test("interleaved audio+video AVI decodes: the audio strl is skipped, not rejected") {
+    def gray(f: Int, x: Int, y: Int): Int = (f * 37 + x * 11 + y * 5) % 256
+    val plain = VideoCodec.decodeFrames(
+      VideoCodec.encodeAviDib24(6, 4, 10, 3, gray))
+    val withAudio = VideoCodec.decodeFrames(
+      VideoCodec.encodeAviDib24(6, 4, 10, 3, gray, withAudioStream = true))
+    assert(withAudio != null, "audio stream must not null the decode")
+    assert(withAudio.length === plain.length)
+    plain.zip(withAudio).foreach { case (a, b) =>
+      assert(a.gray.toSeq === b.gray.toSeq)
+    }
+  }
 }

@@ -57,6 +57,27 @@ class BoilerplateSpec extends SparkSpecBase {
     assert(got(3L) === (("keep", 30L)))
   }
 
+  test("blank lines are never boilerplate: paragraph structure survives") {
+    // every page of h has a blank line (100% doc frequency) — without
+    // the minLineChars floor "" would classify as template and every
+    // paragraph break on the host would be stripped
+    val rows = Seq(
+      (1L, "h", "NAV\n\nTitle one\n\nBody one"),
+      (2L, "h", "NAV\n\nTitle two\n\nBody two"))
+    val out = Boilerplate.removeHostBoilerplate(
+        rows.toDF("id", "host", "text"), "id", "host", "text", 600000L, 2L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) === "\nTitle one\n\nBody one")
+    assert(out(2L) === "\nTitle two\n\nBody two")
+    // and the decision table never lists the blank line at all
+    val sigs = Boilerplate.hostLineStats(
+        rows.toDF("id", "host", "text"), "id", "host", "text", 600000L, 2L)
+      .collect().map(_.getAs[String]("sig")).toSet
+    val blankSig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Array.empty[Byte]).map(b => f"$b%02x").mkString
+    assert(!sigs.contains(blankSig))
+  }
+
   test("hostLineStats exposes the decision table") {
     val rows = Seq((1L, "h", "NAV\na"), (2L, "h", "NAV\nb"))
     val stats = Boilerplate.hostLineStats(

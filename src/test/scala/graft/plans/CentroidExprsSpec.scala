@@ -173,4 +173,25 @@ class CentroidExprsSpec extends SparkSpecBase {
     val uncapped = survivors(cap = 100000L)
     assert(uncapped === Set(1L, 2L))
   }
+
+  test("NaN vectors: assignment bucket is FIRST in probe order (shared total order)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cids = Array(3L, 1L, 2L)
+    val cb = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5))
+    val assignE = NearestCentroidDotExpr(
+      org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(lit(0)), cids, cb)
+    val orderE = CentroidOrderDotExpr(
+      org.apache.spark.sql.graftbridge.ColumnBridge.exprOf(lit(0)), cids, cb)
+    val nanVec = ArrayData.toArrayData(Array(Double.NaN, 1.0))
+    val assigned = assignE.best(nanVec)
+    val probe = orderE.ordered(nanVec).toLongArray.toSeq
+    // every dot is NaN: assignment takes the smallest cid, and the probe
+    // list must START there — a plain (-dot, cid) sort would put it LAST
+    assert(assigned === 1L)
+    assert(probe.head === assigned)
+    assert(probe === Seq(1L, 2L, 3L))
+    // finite vectors: plain dot-desc, cid-asc order, heads agree too
+    val fin = ArrayData.toArrayData(Array(1.0, 0.0))
+    assert(orderE.ordered(fin).toLongArray.head === assignE.best(fin))
+  }
 }

@@ -116,7 +116,7 @@ class StreamingDedupSpec extends SparkSpecBase {
       val falseMarks = fresh.map(_._1).count(id => marks(id))
       assert(falseMarks <= math.max(1L, (2 * p * fresh.size).toLong),
         s"$falseMarks false positives in ${fresh.size} fresh rows exceeds 2p")
-      assert(handle.epochsCompleted(1) === 3L)
+      assert(handle.epochsCompleted === 3L)
     } finally q.stop()
   }
 
@@ -175,7 +175,7 @@ class StreamingDedupSpec extends SparkSpecBase {
       val planted = freshIds.size + dupIds.size
       assert(math.abs(inserted.toDouble / freshIds.size - 1.0) < 0.1,
         s"insertedEstimate $inserted should track ~${freshIds.size} uniques (planted $planted)")
-      assert(handle.epochsCompleted(1) === Epochs.toLong)
+      assert(handle.epochsCompleted === Epochs.toLong)
     } finally q.stop()
   }
 
@@ -253,7 +253,7 @@ class StreamingDedupSpec extends SparkSpecBase {
       val windowUniques = W * (FreshPerEpoch + 3)
       assert(math.abs(handle.liveEstimate.toDouble / windowUniques - 1.0) < 0.15,
         s"liveEstimate ${handle.liveEstimate} should track ~$windowUniques window uniques")
-      assert(handle.epochsCompleted(1) === Epochs.toLong)
+      assert(handle.epochsCompleted === Epochs.toLong)
     } finally q.stop()
   }
 }

@@ -81,6 +81,36 @@ class StreamingNearDupSpec extends SparkSpecBase {
       "prior numeric batches and the backfill seed must survive exclusion")
   }
 
+  test("checkpoint reset cannot clobber the store: fresh runs continue after it") {
+    import spark.implicits._
+    val storePath = java.nio.file.Files.createTempDirectory("snd_base").toString
+    val docs = Seq((20L, longText("phi"))).toDF("id", "text")
+    // a prior run wrote batches 0..2 (plus a backfill seed)
+    for (b <- 0 to 2)
+      graft.sim.MinHashLsh.signatureStore(docs, "id", "text")
+        .write.mode("overwrite").parquet(s"$storePath/batch=$b")
+    graft.sim.MinHashLsh.signatureStore(docs, "id", "text")
+      .write.mode("overwrite").parquet(s"$storePath/batch=backfill")
+    // a redeploy with a reset/temp checkpoint restarts batch ids at 0 —
+    // the run's base must land AFTER every existing numeric partition
+    assert(StreamingNearDup.storeBase(spark, storePath, None) === 3L)
+    // so its batch 0 probes the WHOLE prior store (exclusion at 3+0)
+    assert(StreamingNearDup.readStore(spark, storePath, Some(3L)).count() === 4L)
+    // a caller-managed checkpoint persists its base: resume reads it
+    // back unchanged even after the store has grown past it
+    val ckpt = java.nio.file.Files.createTempDirectory("snd_ckpt").toString
+    assert(StreamingNearDup.storeBase(spark, storePath, Some(ckpt)) === 3L)
+    graft.sim.MinHashLsh.signatureStore(docs, "id", "text")
+      .write.mode("overwrite").parquet(s"$storePath/batch=9")
+    assert(StreamingNearDup.storeBase(spark, storePath, Some(ckpt)) === 3L,
+      "resume of the same checkpoint must keep its original base")
+    // while a genuinely new run (new checkpoint) continues after batch=9
+    assert(StreamingNearDup.storeBase(spark, storePath, None) === 10L)
+    // empty store, fresh run: base 0
+    val empty = java.nio.file.Files.createTempDirectory("snd_base_empty").toString
+    assert(StreamingNearDup.storeBase(spark, empty, None) === 0L)
+  }
+
   test("readStore on an empty/absent store yields the empty typed frame") {
     val storePath = java.nio.file.Files.createTempDirectory("snd_empty").toString
     val df = StreamingNearDup.readStore(spark, storePath)
