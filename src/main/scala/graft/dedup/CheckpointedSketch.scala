@@ -239,8 +239,12 @@ object CheckpointedSketch {
     } catch {
       case e: java.io.IOException =>
         fs.delete(tmp, false)
-        if (!fs.exists(path))
-          throw new java.io.IOException(s"rename to $path failed — lineage not written", e)
+        // rethrow UNCONDITIONALLY: if an old lineage.json survives, it
+        // records the PREVIOUS run — returning normally would let stale
+        // provenance masquerade as this run's record
+        throw new java.io.IOException(
+          s"rename to $path failed — lineage for THIS run not written" +
+            (if (fs.exists(path)) " (a prior run's record remains at the path)" else ""), e)
     }
   }
 }

@@ -30,7 +30,9 @@ object VideoCodec {
   def encodeAviDib24(
       width: Int, height: Int, fps: Int, frames: Int,
       gray: (Int, Int, Int) => Int,
-      withAudioStream: Boolean = false): Array[Byte] = {
+      withAudioStream: Boolean = false,
+      audioFirst: Boolean = false): Array[Byte] = {
+    require(!audioFirst || withAudioStream, "audioFirst needs withAudioStream")
     require(width > 0 && height > 0 && fps > 0 && frames > 0, "bad geometry")
     val stride = (width * 3 + 3) & ~3
     val frameSize = stride * height
@@ -44,6 +46,17 @@ object VideoCodec {
     }
     def tag(s: String): Unit = s.foreach(c => buf += c.toByte)
 
+    def audioStrl(): Unit = {
+      // strh 'auds' + a 16-byte WAVEFORMATEX-shaped strf — the standard
+      // interleaved audio+video layout the decoder must skip (not reject)
+      tag("LIST"); i32(4 + 8 + 56 + 8 + 16); tag("strl")
+      tag("strh"); i32(56)
+      tag("auds"); (0 until 52).foreach(_ => buf += 0)
+      tag("strf"); i32(16); (0 until 16).foreach(_ => buf += 0)
+    }
+    // AVI stream numbers follow strl order: audio-first makes the video
+    // stream 01 and its movi frame chunks '01db'
+    val vTag = if (audioFirst) "01db" else "00db"
     tag("RIFF"); i32(0); tag("AVI ") // size patched at the end
     // --- LIST hdrl ---
     val hdrlSizeAt = buf.length + 4
@@ -52,6 +65,7 @@ object VideoCodec {
     i32(1000000 / fps); i32(frameSize * fps); i32(0); i32(0)
     i32(frames); i32(0); i32(1); i32(frameSize)
     i32(width); i32(height); i32(0); i32(0); i32(0); i32(0)
+    if (audioFirst) audioStrl()
     tag("LIST"); i32(4 + 8 + 56 + 8 + 40); tag("strl")
     tag("strh"); i32(56)
     tag("vids"); tag("DIB "); i32(0); i16(0); i16(0); i32(0)
@@ -61,15 +75,7 @@ object VideoCodec {
     tag("strf"); i32(40)
     i32(40); i32(width); i32(height); i16(1); i16(24)
     i32(0); i32(frameSize); i32(2835); i32(2835); i32(0); i32(0)
-    if (withAudioStream) {
-      // a second strl: strh 'auds' + a 16-byte WAVEFORMATEX-shaped strf —
-      // the standard interleaved audio+video layout the decoder must
-      // skip (not reject)
-      tag("LIST"); i32(4 + 8 + 56 + 8 + 16); tag("strl")
-      tag("strh"); i32(56)
-      tag("auds"); (0 until 52).foreach(_ => buf += 0)
-      tag("strf"); i32(16); (0 until 16).foreach(_ => buf += 0)
-    }
+    if (withAudioStream && !audioFirst) audioStrl()
     val hdrlEnd = buf.length
     patch32(buf, hdrlSizeAt, hdrlEnd - hdrlSizeAt - 4)
     // --- LIST movi ---
@@ -77,7 +83,7 @@ object VideoCodec {
     tag("LIST"); i32(0); tag("movi")
     var f = 0
     while (f < frames) {
-      tag("00db"); i32(frameSize)
+      tag(vTag); i32(frameSize)
       var y = height - 1 // bottom-up rows
       while (y >= 0) {
         var x = 0
@@ -125,10 +131,23 @@ object VideoCodec {
     var width = -1
     var height = -1
     // fccType of the current strl's strh — only 'vids' streams contribute
-    // (and validate) a format; reset per strl
+    // (and validate) a format; reset per strl. strl ordinal = the AVI
+    // stream number, so frame chunks are matched as '<NN>db'/'<NN>dc' of
+    // the VIDEO stream — an audio-FIRST interleaved file (audio = stream
+    // 00, video = stream 01, frames under '01db') decodes too
     var curStreamVideo = false
+    var strlOrdinal = -1
+    var videoStream = -1
     val frames = ArrayBuffer.empty[ImageCodec.DecodedImage]
     var bad = false
+
+    def frameChunkAt(pos: Int): Boolean = {
+      if (videoStream < 0) return false
+      val d0 = blob(pos) - '0'; val d1 = blob(pos + 1) - '0'
+      if (d0 < 0 || d0 > 9 || d1 < 0 || d1 > 9 || d0 * 10 + d1 != videoStream) return false
+      val c2 = blob(pos + 2); val c3 = blob(pos + 3)
+      (c2 == 'd'.toByte) && (c3 == 'b'.toByte || c3 == 'c'.toByte)
+    }
 
     def decodeFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
       // geometry in LONG: width/height come from the strf header, not
@@ -164,12 +183,17 @@ object VideoCodec {
           // descend into hdrl/strl/movi; skip other list types
           if (tagAt(blob, pos + 8, "strl")) {
             curStreamVideo = false // strh inside decides
+            strlOrdinal += 1
             walk(pos + 12, pos + 8 + size)
           } else if (tagAt(blob, pos + 8, "hdrl") || tagAt(blob, pos + 8, "movi"))
             walk(pos + 12, pos + 8 + size)
         } else if (tagAt(blob, pos, "strh")) {
           if (size < 4) { bad = true; return }
           curStreamVideo = tagAt(blob, pos + 8, "vids")
+          if (curStreamVideo) {
+            if (videoStream >= 0) { bad = true; return } // two video streams: unsupported
+            videoStream = strlOrdinal
+          }
         } else if (tagAt(blob, pos, "strf") && curStreamVideo) {
           if (size < 40) { bad = true; return }
           val hdrSize = le32(blob, pos + 8)
@@ -183,7 +207,7 @@ object VideoCodec {
           // later geometry product inside int64
           if (width <= 0 || height <= 0 ||
             width.toLong * height > blob.length) { bad = true; return }
-        } else if (tagAt(blob, pos, "00db") || tagAt(blob, pos, "00dc")) {
+        } else if (frameChunkAt(pos)) {
           if (width < 0) { bad = true; return } // frame before format
           val f = decodeFrame(pos + 8, size)
           if (f == null) { bad = true; return }

@@ -55,8 +55,11 @@ object Boilerplate {
       .select(col(idCol), col(hostCol),
         explode(split(col(textCol), nl)).as("__line"))
       // below-floor lines (blank first) never enter the decision, so
-      // their sigs can never reach the removal gate
-      .where(length(trim(col("__line"))) >= minLineChars)
+      // their sigs can never reach the removal gate. The floor measures
+      // the line with ALL ASCII whitespace stripped (regex \s, RE2- and
+      // Java-identical), not `trim` — a tab-only separator line would
+      // otherwise still classify as template and be stripped host-wide
+      .where(length(regexp_replace(col("__line"), "^\\s+|\\s+$", "")) >= minLineChars)
       .select(col(hostCol), sha2(col("__line"), 256).as("sig"), col(idCol))
       .distinct()
       .groupBy(col(hostCol), col("sig"))

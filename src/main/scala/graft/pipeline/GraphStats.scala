@@ -107,8 +107,12 @@ object GraphStats {
           expr("(2 * coalesce(triangles, 0L) * 1000000L) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
       // materialize the |V|-row result, then release the cached oriented
-      // frame — otherwise every triangleCounts call pins an edge-sized
-      // cache for the session lifetime
+      // frame — otherwise every triangleCounts call pins an EDGE-sized
+      // cache for the session lifetime. The caller owns the returned
+      // frame's (|V|-row) checkpoint blocks: long-lived sessions calling
+      // this per snapshot should release them when done
+      // (`ColumnBridge.unpersistCheckpoint(result)`), the same contract
+      // as `Communities.labelPropagation`.
       .localCheckpoint(true)
     oriented.unpersist(false)
     result

@@ -196,10 +196,12 @@ object DedupQueries {
     val nAll = ev.count()
     val nDeleted = ev.where(col("event_type") === "click").count()
     val nKept = nAll - nDeleted
+    val (cbM, cbK) = graft.sketch.BloomSizing.mkMin(p, nAll)
     def partial(df: DataFrame): graft.sketch.CountingBloom =
       graft.sketch.CountingBloom.deserialize(
-        df.agg(udaf(new graft.sketch.CountingBloomAggregator(p, nAll))
-          .apply(MarkDuplicates.signature(col("key")))).head().getAs[Array[Byte]](0))
+        df.agg(graft.plans.GraftExpressions.countingBloomAgg(
+          MarkDuplicates.signature(col("key")), p, cbM, cbK, nAll))
+          .head().getAs[Array[Byte]](0))
     val live = partial(ev).subtractInPlace(partial(ev.where(col("event_type") === "click")))
     val probeView = live.toBloomSketch
     def probe(c: org.apache.spark.sql.Column) =

@@ -158,6 +158,16 @@ object StreamingNearDup {
       checkpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // a session-wide checkpoint root + a NAMED query would give this
+    // stream a durable checkpoint this function cannot see (batch ids
+    // resume, but the base would be recomputed — breaking the replay
+    // self-collision exclusion). Durability must flow through the
+    // explicit parameter, where the base is persisted beside it.
+    require(checkpointLocation.isDefined ||
+        stream.sparkSession.conf.getOption(
+          "spark.sql.streaming.checkpointLocation").isEmpty,
+      "a session-wide spark.sql.streaming.checkpointLocation is set: pass " +
+        "checkpointLocation explicitly so the store base persists with the checkpoint")
     val base = storeBase(stream.sparkSession, storePath, checkpointLocation)
     val writer = stream.writeStream
       .outputMode("append")

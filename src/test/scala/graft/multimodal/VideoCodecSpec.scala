@@ -144,5 +144,14 @@ class VideoCodecSpec extends SparkSpecBase {
     plain.zip(withAudio).foreach { case (a, b) =>
       assert(a.gray.toSeq === b.gray.toSeq)
     }
+    // audio-FIRST: video is stream 01, frames under '01db' — the frame
+    // collector must follow the video stream's ordinal, not assume 00
+    val audioFirst = VideoCodec.decodeFrames(
+      VideoCodec.encodeAviDib24(6, 4, 10, 3, gray,
+        withAudioStream = true, audioFirst = true))
+    assert(audioFirst != null, "audio-first AVI must decode")
+    plain.zip(audioFirst).foreach { case (a, b) =>
+      assert(a.gray.toSeq === b.gray.toSeq)
+    }
   }
 }
