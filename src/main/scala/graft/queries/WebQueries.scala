@@ -444,7 +444,7 @@ object WebQueries {
       |  SELECT l.host, l.line
       |  FROM linedocs l JOIN hostdocs h USING (host)
       |  WHERE h.hdocs >= 2 AND l.ldocs * 1000000 >= 600000 * h.hdocs
-      |    AND length(trim(l.line)) >= 1
+      |    AND length(regexp_replace(l.line, '^\s+|\s+$', '', 'g')) >= 1
       |), kept AS (
       |  SELECT li.doc_id, li.pos, li.line
       |  FROM lines li LEFT JOIN boiler b
