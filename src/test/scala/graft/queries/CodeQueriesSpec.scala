@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Engine-side invariants for the code-corpus admission block
+ *  (`repo_license`, `code_dep_rank`) on top of the driver's DuckDB
+ *  replay: concrete repo decisions derived by hand from the planted
+ *  residues, the universal rollup invariants, and the no-window plan
+ *  shape the scaladoc promises. */
+class CodeQueriesSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001" // 500 docs, ids 0..499
+
+  test("repo_license: hand-derived decisions for planted repos") {
+    val rows = CodeQueries.repoLicense(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // repo 0 (docs 0..9): doc 0 hits every residue; the LAST prepend
+    // (GNU phrase) is outermost but the FIRST SPDX tag in the header is
+    // GPL-3.0-only -> copyleft. Docs 1..9 hit nothing -> unknown.
+    val r0 = rows(0L)
+    assert(r0.getLong(1) === 10L && r0.getLong(2) === 1L &&
+      r0.getLong(3) === 1L && r0.getString(4) === "copyleft" &&
+      !r0.getBoolean(5), r0.toString)
+
+    // repo 4 (docs 40..49): 41 -> SPDX MIT (permissive), 43 -> SPDX
+    // GPL-3.0-only (copyleft), 47 -> Apache phrase (permissive).
+    // Majority 2-vs-1 permissive; the copyleft file kills the strict gate.
+    val r4 = rows(4L)
+    assert(r4.getLong(1) === 10L && r4.getLong(2) === 3L &&
+      r4.getLong(3) === 2L && r4.getString(4) === "permissive" &&
+      !r4.getBoolean(5), r4.toString)
+
+    // repo 16 (docs 160..169): only doc 164 is planted (MIT) -> the
+    // one repo shape The Stack admits: all detected licenses permissive.
+    val r16 = rows(16L)
+    assert(r16.getLong(1) === 10L && r16.getLong(2) === 1L &&
+      r16.getLong(3) === 1L && r16.getString(4) === "permissive" &&
+      r16.getBoolean(5), r16.toString)
+  }
+
+  test("repo_license: universal rollup invariants over every repo") {
+    val df = CodeQueries.repoLicense(spark, sf).cache()
+    try {
+      val n = df.count()
+      assert(n === 50L, s"500 docs / 10 per repo = 50 repos, got $n")
+      assert(df.select(col("repo")).distinct().count() === n, "one row per repo")
+      val bad = df.where(
+        col("licensed_files") > col("files") ||
+        col("n_families") > col("licensed_files") ||
+        (col("licensed_files") === 0L &&
+          (col("top_family") =!= "unknown" || col("all_permissive"))) ||
+        (col("all_permissive") &&
+          (col("top_family") =!= "permissive" || col("n_families") =!= 1L)))
+      assert(bad.isEmpty, bad.collect().mkString("\n"))
+    } finally df.unpersist()
+  }
+
+  test("repo_license: argmax is a hash aggregate, not a window (plan pin)") {
+    val p = CodeQueries.repoLicense(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"per-repo argmax must not plan a Window:\n$p")
+    assert(p.contains("HashAggregate"), s"partial aggregation expected:\n$p")
+  }
+
+  test("code_dep_rank: 40 package nodes, floor rank honored, deterministic") {
+    val a = CodeQueries.codeDepRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size === 40, s"doc_id % 40 covers all packages, got ${a.size}")
+    assert(a.keySet === (0L until 40L).toSet)
+    // every node keeps at least the undamped teleport mass each round
+    assert(a.values.forall(_ >= 150000L), a.toString)
+    // ranks differ across nodes — the conditional plants give in-degrees
+    // 1..3 at EVERY scale factor (a regular graph ranks exactly uniform,
+    // which is what the first affine-only construction degenerated to)
+    assert(a.values.toSet.size >= 3,
+      s"expected >=3 distinct ranks from the 3 in-degree classes: $a")
+    val b = CodeQueries.codeDepRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "integer fixed-point rank must be bit-replayable")
+  }
+}
