@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{GlobalShuffle, UrlDedup}
-import graft.text.LmQuality
+import graft.text.{LmQuality, NaiveBayesFilter}
 
 /** Web-corpus pipeline queries: URL dedup, deterministic corpus
  *  shuffling, and unigram-LM quality — each with an exact DuckDB oracle
@@ -173,6 +173,86 @@ object WebQueries {
        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
        |       coalesce(s.sum_logp_micro, 0) AS sum_logp_micro
        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
+  // ---------- trained quality classifier (NB train -> score corpus) ----------
+
+  val NbVocabSize = 256
+
+  /** The GPT-3-style quality-filter shape driven end-to-end: a junk
+   *  tail (40 `zqNjunk` tokens, N = doc_id % 5) is planted on every
+   *  doc_id % 7 == 0 document; labels are revealed ONLY for the even
+   *  half (the curated training set); the NB classifier trains on that
+   *  half and scores EVERY document — including the held-out odd junk
+   *  docs it never saw labels for, which `NaiveBayesFilterSpec` pins
+   *  it must catch. The oracle replays the whole recipe (vocab cut,
+   *  Laplace weights, priors, integer score sums) bit-for-bit. */
+  def nbQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val content = concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 7 === 0,
+        repeat(concat(lit(" zq"), (col("doc_id") % 5).cast("string"),
+          lit("junk")), 40)).otherwise(lit("")))
+    val lbl = when(col("doc_id") % 2 === 0, col("doc_id") % 7 === 0)
+    val in = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), content.as("content"), lbl.as("lbl"))
+    NaiveBayesFilter.trainAndScore(in, "doc_id", "content", "lbl", NbVocabSize)
+      .select(col("doc_id"), col("n_vocab_tokens"),
+        col("score_pos_micro").as("score_junk_micro"),
+        col("score_neg_micro").as("score_clean_micro"),
+        col("pred_pos").as("pred_junk"))
+  }
+
+  val NbQualityFilterSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '') || CASE WHEN doc_id % 7 = 0
+       |      THEN repeat(' zq' || (doc_id % 5) || 'junk', 40) ELSE '' END AS content,
+       |    CASE WHEN doc_id % 2 = 0 THEN (doc_id % 7 = 0) ELSE NULL END AS lbl
+       |  FROM documents
+       |), trainw AS (
+       |  SELECT doc_id, lbl,
+       |    unnest(regexp_split_to_array(lower(trim(content)), '\\s+')) AS word
+       |  FROM docs WHERE lbl IS NOT NULL AND trim(coalesce(content, '')) <> ''
+       |), dc AS (
+       |  SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS dp,
+       |         sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS dn
+       |  FROM docs WHERE lbl IS NOT NULL
+       |), vdf AS (
+       |  SELECT word, count(DISTINCT doc_id) AS df FROM trainw GROUP BY word
+       |), vocab AS (
+       |  SELECT word FROM vdf ORDER BY df DESC, word LIMIT $NbVocabSize
+       |), cnts AS (
+       |  SELECT w.word,
+       |    sum(CASE WHEN w.lbl THEN 1 ELSE 0 END) AS cp,
+       |    sum(CASE WHEN w.lbl THEN 0 ELSE 1 END) AS cn
+       |  FROM trainw w JOIN vocab USING (word) GROUP BY w.word
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v,
+       |         sum(cp) AS tp, sum(cn) AS tn FROM cnts
+       |), model AS (
+       |  SELECT word,
+       |    CAST(round(ln((cp + 1.0) / ((SELECT tp FROM tot) + (SELECT v FROM tot))) * 1000000) AS BIGINT) AS lpp,
+       |    CAST(round(ln((cn + 1.0) / ((SELECT tn FROM tot) + (SELECT v FROM tot))) * 1000000) AS BIGINT) AS lpn
+       |  FROM cnts
+       |), priors AS (
+       |  SELECT CAST(round(ln(CAST(dp AS DOUBLE) / (dp + dn)) * 1000000) AS BIGINT) AS pp,
+       |         CAST(round(ln(CAST(dn AS DOUBLE) / (dp + dn)) * 1000000) AS BIGINT) AS pn
+       |  FROM dc
+       |), allw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(content)), '\\s+')) AS word
+       |  FROM docs WHERE trim(coalesce(content, '')) <> ''
+       |), s AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+       |    CAST(sum(m.lpp) AS BIGINT) AS sp, CAST(sum(m.lpn) AS BIGINT) AS sn
+       |  FROM allw JOIN model m USING (word) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_vocab_tokens, 0) AS n_vocab_tokens,
+       |  coalesce(s.sp, 0) + (SELECT pp FROM priors) AS score_junk_micro,
+       |  coalesce(s.sn, 0) + (SELECT pn FROM priors) AS score_clean_micro,
+       |  coalesce(s.sp, 0) + (SELECT pp FROM priors)
+       |    >= coalesce(s.sn, 0) + (SELECT pn FROM priors) AS pred_junk
+       |FROM docs d LEFT JOIN s USING (doc_id)""".stripMargin
 
   /** CCNet head/middle/tail: per-LANGUAGE tertile buckets of the
    *  unigram-LM score via grouped mergeable KLL sketches

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trained quality-classifier filter — the third member of the quality
+ * family alongside the rule-based gate (`GopherRules`) and the
+ * LM-perplexity scorer (`LmQuality`): a multinomial Naive Bayes text
+ * classifier trained on labeled documents, scoring every document's
+ * class log-odds. This is the shape of GPT-3's quality filter (a linear
+ * classifier over text features scored against the whole Common Crawl)
+ * and of fastText-based filters in CCNet/RedPajama — NB is its
+ * count-based, exactly-replayable core: a linear classifier whose
+ * weights are log conditional probabilities derived from ONE
+ * aggregation over the training tokens.
+ *
+ * Determinism: weights are fixed-point `round(ln(·) * 10^6)` int64
+ * computed once per (word, class) on the driver (V rows); per-document
+ * scores are exact integer SUMS of those weights — no float
+ * accumulation order anywhere, so an oracle replaying the recipe
+ * (vocab cut, Laplace smoothing, priors) matches bit-for-bit, the
+ * `LmQuality` discipline.
+ *
+ * Scale shape (the textbook distributed NB): training is one exploded
+ * token-count aggregate with map-side combine (slim `(word, label,
+ * cnt)` rows shuffle) plus a distinct-doc-frequency aggregate for the
+ * vocab cut (TakeOrdered top-V, no global sort); the model is V rows,
+ * materialized driver-side exactly like `LmQuality.trainVocab` (CCNet
+ * ships its model as a file for the same reason) and BROADCAST into
+ * scoring, so the scoring pass is map-side: per-doc work is linear in
+ * tokens, the only exchange is the slim `(doc_id, 3×int64)` sum. At
+ * 10^12 rows nothing grows but the two token aggregates.
+ */
+object NaiveBayesFilter {
+
+  private def tokens(textCol: String): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  private def nonEmpty(textCol: String): Column =
+    length(trim(coalesce(col(textCol), lit("")))) > 0
+
+  /**
+   * Train a binary multinomial NB model from the rows of `df` where
+   * `labelCol` is non-null (true = positive class). Returns a V-row
+   * frame `(word, lp_pos_micro, lp_neg_micro, prior_pos_micro,
+   * prior_neg_micro)` — the priors ride every row so the model is one
+   * self-contained broadcastable table.
+   *
+   * Vocabulary: the `vocabSize` words with the highest TRAINING
+   * document frequency (ties to the lexicographically smallest word,
+   * so the cut is deterministic). Out-of-vocabulary tokens are ignored
+   * by both training totals and scoring — the bounded-vocab NB that
+   * keeps engine and oracle on the same finite feature set.
+   *
+   * Weights: Laplace(+1)-smoothed over the vocab,
+   * `lp_c(w) = round(ln((cnt_{w,c} + 1) / (total_c + V)) * 10^6)`
+   * where `total_c` sums vocab-token occurrences in class c; priors
+   * `round(ln(docs_c / docs_total) * 10^6)`.
+   */
+  def train(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      vocabSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val train = df.where(col(labelCol).isNotNull)
+    val docCounts = train.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)),
+      sum(when(col(labelCol), 0L).otherwise(1L))).first()
+    val (docsPos, docsNeg) = (docCounts.getLong(0), docCounts.getLong(1))
+    require(docsPos > 0 && docsNeg > 0,
+      s"both classes need training docs (pos=$docsPos, neg=$docsNeg)")
+    val docsTotal = docsPos + docsNeg
+
+    val tok = train.where(nonEmpty(textCol))
+      .select(col(idCol), col(labelCol).as("__pos"),
+        explode(tokens(textCol)).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // vocab cut by distinct-doc frequency: slim (doc, word) distinct
+      // then a word count; TakeOrdered keeps V rows off the driver path
+      val vocab = tok.select(col(idCol), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(vocabSize)
+        .select(col("word"))
+      // per-(word, class) occurrence counts, vocab-gated by a broadcast
+      // semi-join; 2V slim rows reach the driver
+      val counts = tok
+        .join(broadcast(vocab), Seq("word"), "left_semi")
+        .groupBy(col("word"))
+        .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+          sum(when(col("__pos"), 0L).otherwise(1L)).as("cn"))
+        .as[(String, Long, Long)].collect()
+      val v = counts.length.toLong.max(1L)
+      val totPos = counts.map(_._2).sum
+      val totNeg = counts.map(_._3).sum
+      def lp(cnt: Long, tot: Long): Long =
+        math.round(math.log((cnt + 1.0) / (tot + v)) * 1e6)
+      val priorPos = math.round(math.log(docsPos.toDouble / docsTotal) * 1e6)
+      val priorNeg = math.round(math.log(docsNeg.toDouble / docsTotal) * 1e6)
+      counts.toSeq
+        .map { case (w, cp, cn) =>
+          (w, lp(cp, totPos), lp(cn, totNeg), priorPos, priorNeg) }
+        .toDF("word", "lp_pos_micro", "lp_neg_micro",
+          "prior_pos_micro", "prior_neg_micro")
+    } finally { tok.unpersist(); () }
+  }
+
+  /**
+   * Score every document of `df` under a trained model:
+   * `(idCol, n_vocab_tokens, score_pos_micro, score_neg_micro,
+   * pred_pos)` where each score is the class prior plus the integer
+   * sum of per-token weights over IN-VOCAB tokens, and `pred_pos` is
+   * the log-odds decision with ties (score equality) resolving to the
+   * positive class — deterministic on both engines. Documents with no
+   * vocab tokens score priors alone (the NB prior decision).
+   */
+  def score(
+      df: DataFrame, idCol: String, textCol: String, model: DataFrame): DataFrame = {
+    val priors = model
+      .select(col("prior_pos_micro"), col("prior_neg_micro")).first()
+    val (priorPos, priorNeg) = (priors.getLong(0), priors.getLong(1))
+    val tok = df.where(nonEmpty(textCol))
+      .select(col(idCol), explode(tokens(textCol)).as("word"))
+    val sums = tok
+      .join(broadcast(model.select(
+        col("word"), col("lp_pos_micro"), col("lp_neg_micro"))),
+        Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        sum(col("lp_pos_micro")).as("sp"),
+        sum(col("lp_neg_micro")).as("sn"))
+    df.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"),
+        (coalesce(col("sp"), lit(0L)) + priorPos).as("score_pos_micro"),
+        (coalesce(col("sn"), lit(0L)) + priorNeg).as("score_neg_micro"))
+      .withColumn("pred_pos",
+        col("score_pos_micro") >= col("score_neg_micro"))
+  }
+
+  /** Train-then-score in one call (the quality-filter shape: label a
+   *  curated subset, score the whole corpus). */
+  def trainAndScore(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      vocabSize: Int): DataFrame =
+    score(df, idCol, textCol, train(df, idCol, textCol, labelCol, vocabSize))
+}

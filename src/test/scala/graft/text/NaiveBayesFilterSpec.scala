@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class NaiveBayesFilterSpec extends SparkSpecBase {
+
+  private def toy() = {
+    import spark.implicits._
+    // pos (junk) docs speak "spam", neg (clean) docs speak "prose";
+    // doc 7 is unlabeled junk-ish, doc 8 unlabeled clean-ish, doc 9
+    // has NO vocab tokens at all (priors-only decision).
+    Seq(
+      (1L, "spam spam offer spam", Some(true)),
+      (2L, "spam offer spam click", Some(true)),
+      (3L, "prose words here calm prose", Some(false)),
+      (4L, "calm words prose reading", Some(false)),
+      (5L, "words calm reading prose here", Some(false)),
+      (6L, "prose calm here", Some(false)),
+      (7L, "offer spam click spam", None),
+      (8L, "calm prose words", None),
+      (9L, "zzunseen qqnovel", None)
+    ).toDF("id", "t", "lbl")
+  }
+
+  test("held-out docs classify by their vocabulary; no-vocab doc falls to the prior") {
+    val scored = NaiveBayesFilter.trainAndScore(toy(), "id", "t", "lbl", 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(scored(7L)._4, s"held-out junk must score junk: ${scored(7L)}")
+    assert(!scored(8L)._4, s"held-out clean must score clean: ${scored(8L)}")
+    // doc 9: zero vocab tokens -> priors alone; 2 pos vs 4 neg training
+    // docs -> clean
+    assert(scored(9L)._1 === 0L && !scored(9L)._4,
+      s"no-vocab doc must take the prior decision: ${scored(9L)}")
+    // labeled docs classify consistently with their own labels
+    assert(scored(1L)._4 && scored(2L)._4 && !scored(3L)._4 && !scored(6L)._4)
+  }
+
+  test("scores are exact integers and bit-replayable across runs") {
+    val a = NaiveBayesFilter.trainAndScore(toy(), "id", "t", "lbl", 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = NaiveBayesFilter.trainAndScore(toy(), "id", "t", "lbl", 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("vocab cut binds: vocabSize=1 keeps only the highest-df word") {
+    // df: prose=5(docs 3,4,5,6? prose in 3,4,5,6 -> 4 docs) vs calm(4)
+    // vs words(3) vs spam(2): tie band decided by (df desc, word asc).
+    val scored = NaiveBayesFilter.trainAndScore(toy(), "id", "t", "lbl", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with a 1-word vocab, only docs containing that word have tokens
+    val nonZero = scored.count(_._2 > 0L)
+    assert(nonZero >= 3 && nonZero < scored.size,
+      s"1-word vocab must gate token counts: $scored")
+  }
+
+  test("model scoring join broadcasts; no cartesian/nested-loop degeneration") {
+    val p = NaiveBayesFilter.trainAndScore(toy(), "id", "t", "lbl", 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"V-row model must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no nested-loop degeneration:\n$p")
+  }
+
+  test("driver query: every held-out (odd) junk doc is caught on sf0.001") {
+    val got = graft.queries.WebQueries.nbQualityFilter(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("pred_junk")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val junkIds = got.keySet.filter(id => id % 7 == 0)
+    val heldOutJunk = junkIds.filter(_ % 2 == 1)
+    assert(heldOutJunk.nonEmpty)
+    assert(heldOutJunk.forall(got), "the 40-token junk tail must dominate the score")
+    // clean-side accuracy: the planted signal should not drag clean docs over
+    val clean = got.keySet.filterNot(id => id % 7 == 0)
+    val cleanAcc = clean.count(id => !got(id)).toDouble / clean.size
+    assert(cleanAcc >= 0.9, f"clean accuracy $cleanAcc%.3f")
+  }
+
+  test("train rejects a single-class labeling") {
+    import spark.implicits._
+    val df = Seq((1L, "a b", Some(true)), (2L, "c d", Some(true))).toDF("id", "t", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayesFilter.train(df, "id", "t", "lbl", 8)
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+}
