@@ -141,13 +141,20 @@ object VideoCodec {
     val frames = ArrayBuffer.empty[ImageCodec.DecodedImage]
     var bad = false
 
-    def frameChunkAt(pos: Int): Boolean = {
-      if (videoStream < 0) return false
+    // '<NN>db'/'<NN>dc' shape, regardless of which stream NN names —
+    // split from the videoStream match so the walk can distinguish
+    // "another stream's data" (skippable) from "frame data before any
+    // strh" (malformed, must reject)
+    def frameShapedAt(pos: Int): Boolean = {
       val d0 = blob(pos) - '0'; val d1 = blob(pos + 1) - '0'
-      if (d0 < 0 || d0 > 9 || d1 < 0 || d1 > 9 || d0 * 10 + d1 != videoStream) return false
+      if (d0 < 0 || d0 > 9 || d1 < 0 || d1 > 9) return false
       val c2 = blob(pos + 2); val c3 = blob(pos + 3)
       (c2 == 'd'.toByte) && (c3 == 'b'.toByte || c3 == 'c'.toByte)
     }
+
+    def frameChunkAt(pos: Int): Boolean =
+      videoStream >= 0 && frameShapedAt(pos) &&
+        (blob(pos) - '0') * 10 + (blob(pos + 1) - '0') == videoStream
 
     def decodeFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
       // geometry in LONG: width/height come from the strf header, not
@@ -207,11 +214,17 @@ object VideoCodec {
           // later geometry product inside int64
           if (width <= 0 || height <= 0 ||
             width.toLong * height > blob.length) { bad = true; return }
-        } else if (frameChunkAt(pos)) {
-          if (width < 0) { bad = true; return } // frame before format
-          val f = decodeFrame(pos + 8, size)
-          if (f == null) { bad = true; return }
-          frames += f
+        } else if (frameShapedAt(pos)) {
+          // frame data before ANY stream header is malformed, not
+          // skippable — silently dropping it would return a partial
+          // frame sequence for a corrupt file instead of null
+          if (videoStream < 0) { bad = true; return }
+          if (frameChunkAt(pos)) {
+            if (width < 0) { bad = true; return } // frame before format
+            val f = decodeFrame(pos + 8, size)
+            if (f == null) { bad = true; return }
+            frames += f
+          } // other ordinals' d-chunks: a non-video stream's data, skip
         }
         pos += 8 + size + (size & 1)
       }

@@ -56,10 +56,14 @@ object Boilerplate {
         explode(split(col(textCol), nl)).as("__line"))
       // below-floor lines (blank first) never enter the decision, so
       // their sigs can never reach the removal gate. The floor measures
-      // the line with ALL ASCII whitespace stripped (regex \s, RE2- and
-      // Java-identical), not `trim` — a tab-only separator line would
-      // otherwise still classify as template and be stripped host-wide
-      .where(length(regexp_replace(col("__line"), "^\\s+|\\s+$", "")) >= minLineChars)
+      // the line with edge whitespace stripped, not `trim` — a tab-only
+      // separator line would otherwise still classify as template and
+      // be stripped host-wide. The class is spelled out because Java's
+      // \s includes \x0B and RE2's (the DuckDB oracle's) does not; the
+      // explicit RE2 class reads identically on both engines
+      // (graft.text.TextTokens documents the same rule).
+      .where(length(regexp_replace(col("__line"),
+        "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$", "")) >= minLineChars)
       .select(col(hostCol), sha2(col("__line"), 256).as("sig"), col(idCol))
       .distinct()
       .groupBy(col(hostCol), col("sig"))

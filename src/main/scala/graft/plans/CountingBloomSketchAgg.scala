@@ -9,9 +9,9 @@ import graft.sketch.CountingBloom
 /**
  * The counting-Bloom builder as a native `TypedImperativeAggregate` —
  * the SCALE path for large deletable filters, exactly as
- * [[BloomSketchAgg]] is for the 1-bit sketch. The `Aggregator`-based
- * `CountingBloomAggregator` ships its buffer through `Encoders.kryo`,
- * whose output buffer caps at 64 MB — and counting cells are BYTES
+ * [[BloomSketchAgg]] is for the 1-bit sketch. The Kryo-buffered
+ * `Aggregator` it replaced (since removed) capped its serialized
+ * buffer at Kryo's 64 MB limit — and counting cells are BYTES
  * (m ≈ 9.6·n at p=1e-2, 28.8·n at p=1e-6), 8x the plain filter, so the
  * cap lands at n in the single-digit millions: precisely the corpus
  * sizes retention dedup targets. This aggregate serializes partials

@@ -177,7 +177,8 @@ object DedupQueries {
    *  the takedown/TTL operation a 100 TB filter cannot afford to answer
    *  with a full corpus re-scan. Both the corpus filter and the
    *  deletion set build as mergeable map-side partials
-   *  ([[graft.sketch.CountingBloomAggregator]]); the deletion partial's
+   *  (`plans.CountingBloomSketchAgg`, the native wire-format
+   *  aggregate); the deletion partial's
    *  cells subtract owner-side in one pass; probing uses the 1-bit
    *  [[graft.sketch.CountingBloom.toBloomSketch]] view through the SAME
    *  native Catalyst probe expression as the plain filter (m bits

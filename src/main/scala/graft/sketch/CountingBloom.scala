@@ -147,7 +147,7 @@ final class CountingBloom private (
   /** Cell-wise SUBTRACTION of a whole deletion summary: equivalent to
    *  calling [[remove]] once per (item, multiplicity) in `other`, but the
    *  deletion set can be built DISTRIBUTED (a mergeable insert-only
-   *  partial via [[CountingBloomAggregator]]) and applied in one pass —
+   *  partial via `plans.CountingBloomSketchAgg`) and applied in one pass —
    *  the shape a 100 TB takedown needs: the corpus filter lives on one
    *  owner; the day's deletions aggregate map-side into a single
    *  counting partial whose cells subtract here, no per-key round trips

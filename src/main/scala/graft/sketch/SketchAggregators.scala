@@ -136,26 +136,10 @@ class FrequentItemsWeightedAggregator(k: Int)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-/** Mergeable COUNTING-Bloom partial over binary signatures (insert-only:
- *  cell-wise saturating sum is associative/commutative, so partials
- *  build map-side like every sketch here; deletion happens OWNER-SIDE
- *  via [[CountingBloom.subtractInPlace]] — a decrement is not a
- *  commutative merge under saturation, so it is not an aggregator).
- *  This is both the corpus-filter builder and the takedown-set builder
- *  for retention dedup: build the day's deletions as one partial, ship
- *  one sketch, subtract once. */
-class CountingBloomAggregator(p: Double, n: Long)
-    extends Aggregator[Array[Byte], CountingBloom, Array[Byte]] {
-  override def zero: CountingBloom = CountingBloom(p, n)
-  override def reduce(buf: CountingBloom, sig: Array[Byte]): CountingBloom = {
-    if (sig != null) buf.add(sig)
-    buf
-  }
-  override def merge(a: CountingBloom, b: CountingBloom): CountingBloom = a.addInPlace(b)
-  override def finish(buf: CountingBloom): Array[Byte] = buf.serialize()
-  override def bufferEncoder: Encoder[CountingBloom] = Encoders.kryo[CountingBloom]
-  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-}
+// the counting-Bloom partial builder lives in
+// plans.CountingBloomSketchAgg (a native wire-format aggregate — the
+// Kryo-buffered Aggregator it replaced hit the 64 MB Kryo buffer cap
+// at real filter sizes and was removed once its last caller migrated)
 
 /** Mergeable fixed-size WEIGHTED sample (priority sampling, DLT 2007)
  *  over (key, weight) pairs: top-(k+1) under a deterministic total

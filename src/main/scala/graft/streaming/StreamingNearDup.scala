@@ -158,16 +158,15 @@ object StreamingNearDup {
       checkpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // a session-wide checkpoint root + a NAMED query would give this
-    // stream a durable checkpoint this function cannot see (batch ids
-    // resume, but the base would be recomputed — breaking the replay
-    // self-collision exclusion). Durability must flow through the
-    // explicit parameter, where the base is persisted beside it.
-    require(checkpointLocation.isDefined ||
-        stream.sparkSession.conf.getOption(
-          "spark.sql.streaming.checkpointLocation").isEmpty,
-      "a session-wide spark.sql.streaming.checkpointLocation is set: pass " +
-        "checkpointLocation explicitly so the store base persists with the checkpoint")
+    // a session-wide spark.sql.streaming.checkpointLocation is harmless
+    // here: this writer never sets queryName, so Spark resolves the
+    // conf root to <root>/<fresh random UUID> on every start — the
+    // checkpoint is never resumed across restarts, batch ids restart at
+    // 0, and storeBase's fresh-checkpoint path (max existing store
+    // epoch + 1) is exactly the safe case. DURABLE resume (where batch
+    // ids continue and the base must be recomputed-from-disk, not
+    // re-derived) can only flow through the explicit parameter, where
+    // the base is persisted beside the checkpoint.
     val base = storeBase(stream.sparkSession, storePath, checkpointLocation)
     val writer = stream.writeStream
       .outputMode("append")

@@ -28,11 +28,11 @@ object LmQuality {
   /** Sentinel OOV pseudo-count (0.5 — Laplace-half smoothing). */
   val OovCount = 0.5
 
-  private def tokens(textCol: String) =
-    split(lower(trim(col(textCol))), "\\s+")
+  // shared with NaiveBayesFilter — see TextTokens for why the
+  // whitespace class is spelled out instead of \s
+  private def tokens(textCol: String) = TextTokens.tokens(textCol)
 
-  private def nonEmpty(textCol: String) =
-    length(trim(coalesce(col(textCol), lit("")))) > 0
+  private def nonEmpty(textCol: String) = TextTokens.nonEmpty(textCol)
 
   /** Top-`vocabSize` unigram model: `(word, cnt, total, logp_micro)` —
    *  ties broken by word so the vocab cut is deterministic. The

@@ -34,18 +34,21 @@ import org.apache.spark.sql.functions._
  */
 object NaiveBayesFilter {
 
-  private def tokens(textCol: String): Column =
-    split(lower(trim(col(textCol))), "\\s+")
+  // the shared oracle-paired tokenizer (see TextTokens: explicit RE2
+  // whitespace class, one definition for every quality operator)
+  private def tokens(textCol: String): Column = TextTokens.tokens(textCol)
 
-  private def nonEmpty(textCol: String): Column =
-    length(trim(coalesce(col(textCol), lit("")))) > 0
+  private def nonEmpty(textCol: String): Column = TextTokens.nonEmpty(textCol)
 
   /**
    * Train a binary multinomial NB model from the rows of `df` where
-   * `labelCol` is non-null (true = positive class). Returns a V-row
+   * `labelCol` is non-null (true = positive class). Returns a (V+1)-row
    * frame `(word, lp_pos_micro, lp_neg_micro, prior_pos_micro,
    * prior_neg_micro)` — the priors ride every row so the model is one
-   * self-contained broadcastable table.
+   * self-contained broadcastable table, and one `word = NULL` carrier
+   * row is always present so the priors survive even a zero-vocab
+   * model (all-whitespace training text); a null word can never match
+   * the scoring join, so the carrier contributes nothing else.
    *
    * Vocabulary: the `vocabSize` words with the highest TRAINING
    * document frequency (ties to the lexicographically smallest word,
@@ -68,7 +71,10 @@ object NaiveBayesFilter {
     val docCounts = train.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)),
       sum(when(col(labelCol), 0L).otherwise(1L))).first()
-    val (docsPos, docsNeg) = (docCounts.getLong(0), docCounts.getLong(1))
+    // sums over zero labeled rows come back null — fold to 0 so the
+    // require below reports the real problem instead of an opaque NPE
+    def lng(i: Int): Long = if (docCounts.isNullAt(i)) 0L else docCounts.getLong(i)
+    val (docsPos, docsNeg) = (lng(0), lng(1))
     require(docsPos > 0 && docsNeg > 0,
       s"both classes need training docs (pos=$docsPos, neg=$docsNeg)")
     val docsTotal = docsPos + docsNeg
@@ -100,9 +106,10 @@ object NaiveBayesFilter {
         math.round(math.log((cnt + 1.0) / (tot + v)) * 1e6)
       val priorPos = math.round(math.log(docsPos.toDouble / docsTotal) * 1e6)
       val priorNeg = math.round(math.log(docsNeg.toDouble / docsTotal) * 1e6)
-      counts.toSeq
+      (counts.toSeq
         .map { case (w, cp, cn) =>
           (w, lp(cp, totPos), lp(cn, totNeg), priorPos, priorNeg) }
+        :+ ((null: String), 0L, 0L, priorPos, priorNeg))
         .toDF("word", "lp_pos_micro", "lp_neg_micro",
           "prior_pos_micro", "prior_neg_micro")
     } finally { tok.unpersist(); () }

@@ -1,0 +1,31 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The ONE whitespace-token definition shared by every quality operator
+ * whose DuckDB oracle splits on `\s+` (`LmQuality`, `NaiveBayesFilter`
+ * — and any future oracle-paired tokenizer must use this, not a local
+ * copy, so engine and oracle can never desynchronize).
+ *
+ * Why an explicit class and not `\s`: the two regex engines disagree on
+ * the shorthand. Java's `\s` is `[ \t\n\x0B\f\r]`; RE2's (DuckDB's) is
+ * exactly `[\t\n\f\r ]` — no vertical tab. A document containing
+ * `\x0B` would tokenize differently on the two sides under `\s+`, so
+ * the engine spells out RE2's class, which both engines interpret
+ * identically.
+ */
+object TextTokens {
+
+  /** RE2's `\s` as an explicit class — identical under Java regex. */
+  val WhitespaceClass = "[ \\t\\n\\f\\r]"
+
+  /** Lower-cased whitespace-split token array of `textCol`. */
+  def tokens(textCol: String): Column =
+    split(lower(trim(col(textCol))), WhitespaceClass + "+")
+
+  /** True when `textCol` has any non-space content (null-safe). */
+  def nonEmpty(textCol: String): Column =
+    length(trim(coalesce(col(textCol), lit("")))) > 0
+}

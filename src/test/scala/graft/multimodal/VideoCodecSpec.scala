@@ -154,4 +154,29 @@ class VideoCodecSpec extends SparkSpecBase {
       assert(a.gray.toSeq === b.gray.toSeq)
     }
   }
+
+  test("frame data before any stream header rejects the file, not a partial decode") {
+    val good = VideoCodec.encodeAviDib24(16, 8, 10, 3, pix(7L))
+    def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    def tag(b: Array[Byte], p: Int) = new String(b, p, 4, "ISO-8859-1")
+    // locate the top-level movi LIST, then build a blob with a COPY of
+    // it spliced before the headers: its '00db' chunks precede any strh
+    var p = 12
+    var movi: (Int, Int) = null
+    while (p + 8 <= good.length) {
+      val size = le32(good, p + 4)
+      val end = p + 8 + size + (size & 1)
+      if (tag(good, p) == "LIST" && tag(good, p + 8) == "movi") movi = (p, end)
+      p = end
+    }
+    assert(movi != null, "encoder must emit a movi LIST")
+    val bad = good.slice(0, 12) ++ good.slice(movi._1, movi._2) ++
+      good.slice(12, good.length)
+    // without the reject, the leading frames are silently skipped and
+    // the trailing movi decodes — a partial sequence for a corrupt file
+    assert(VideoCodec.decodeFrames(bad) == null,
+      "frame chunks before any strh must reject the file")
+  }
 }

@@ -78,6 +78,34 @@ class NaiveBayesFilterSpec extends SparkSpecBase {
     assert(cleanAcc >= 0.9, f"clean accuracy $cleanAcc%.3f")
   }
 
+  test("zero-vocab model (all-whitespace training text) scores priors alone") {
+    import spark.implicits._
+    // space-only texts: `trim` strips spaces, so these train with NO
+    // tokens at all (tab-edged text would instead contribute empty-
+    // string edge tokens — the shared tokenizer's documented artifact,
+    // identical on both engines)
+    val df = Seq(
+      (1L, "   ", Some(true)), (2L, "  ", Some(false)),
+      (3L, "now some words", Option.empty[Boolean])).toDF("id", "t", "lbl")
+    val scored = NaiveBayesFilter.trainAndScore(df, "id", "t", "lbl", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(scored.values.forall(_._1 === 0L), s"no vocab tokens anywhere: $scored")
+    // priors: 1 pos vs 1 neg doc -> ln(1/2) both; tie resolves positive
+    val prior = math.round(math.log(0.5) * 1e6)
+    assert(scored(3L)._2 === prior && scored(3L)._3 === prior && scored(3L)._4,
+      s"priors-only decision expected: ${scored(3L)}")
+  }
+
+  test("train with zero labeled rows fails with the both-classes message, not an NPE") {
+    import spark.implicits._
+    val df = Seq((1L, "a b", Option.empty[Boolean])).toDF("id", "t", "lbl")
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayesFilter.train(df, "id", "t", "lbl", 8)
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("train rejects a single-class labeling") {
     import spark.implicits._
     val df = Seq((1L, "a b", Some(true)), (2L, "c d", Some(true))).toDF("id", "t", "lbl")
