@@ -33,6 +33,18 @@ object TableSource {
     }
   }
 
+  /** ORC directory holding the same shape — the second columnar format
+   *  behind the seam, proving the contract (shape, partition pruning,
+   *  column pruning) is format-agnostic: an Iceberg table whose data
+   *  files are ORC behaves like this plus catalog snapshots. */
+  case class OrcSource(path: String, validate: Boolean = true) extends TableSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val df = spark.read.orc(path)
+      if (validate) requireRepoShape(df)
+      df
+    }
+  }
+
   /** A catalog table (`spark.table`) — how an Iceberg table arrives once
    *  the catalog is configured (`spark.sql.catalog.* = ...iceberg...`). */
   case class CatalogSource(table: String, validate: Boolean = true) extends TableSource {

@@ -210,4 +210,31 @@ object AuditQueries {
     """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
       |SELECT doc_id, lang, n_chars FROM documents, m
       |WHERE doc_id IN (mx // 7, mx // 3, mx // 2, mx - 1, mx * 2 + 10)""".stripMargin
+
+  // ---------- second-columnar-format round trip (ORC) ----------
+
+  /** Byte-parity of the documents table through a lang-partitioned ORC
+   *  export and re-read (`spark.read.orc` — the second columnar format
+   *  behind the `io.TableSource` seam; see `TableSourceContractSpec`
+   *  for the pruning contract on ORC): every doc comes back with its
+   *  text sha256 and lang intact, including null-text docs, which must
+   *  survive as nulls (hashed here as the empty-string sentinel).
+   *  The oracle never sees the ORC layer — it reads the parquet
+   *  directly, so any round-trip corruption hash-mismatches. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val path = s"/tmp/graft_orc_docs_${spark.sparkContext.applicationId}"
+    d.write.partitionBy("lang").mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .select(col("doc_id"),
+        sha2(coalesce(col("text"), lit("")), 256).as("text_sha"),
+        (col("text").isNull).as("was_null"),
+        col("lang"))
+  }
+
+  val OrcRoundtripSql: String =
+    """SELECT doc_id, sha256(coalesce(text, '')) AS text_sha,
+      |       text IS NULL AS was_null, lang
+      |FROM documents""".stripMargin
 }

@@ -60,6 +60,25 @@ class TableSourceContractSpec extends SparkSpecBase {
     verifyContract(TableSource.ParquetSource(dir), expectRows = 200L)
   }
 
+  test("OrcSource (lang-partitioned) satisfies the SAME contract — the seam is format-agnostic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tablesource-orc").toString
+    repoRows(200, Seq("scala", "python", "go", "rust"))
+      .write.partitionBy("lang").mode("overwrite").orc(dir)
+    verifyContract(TableSource.OrcSource(dir), expectRows = 200L)
+  }
+
+  test("ORC round-trips null content as null (not empty string)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-null").toString
+    Seq(("r1", "a", "c1", "scala", "body"),
+        ("r2", "b", "c2", "scala", null))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .write.partitionBy("lang").mode("overwrite").orc(dir)
+    val back = TableSource.OrcSource(dir).load(spark)
+      .select(col("path"), col("content")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(back("a") === Some("body") && back("b") === None)
+  }
+
   test("loaded frame is a snapshot: post-load appends are not visible to it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tablesource-snap").toString
     repoRows(100, Seq("scala", "python")).write.partitionBy("lang")
