@@ -1,0 +1,108 @@
+package graft.io
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * WARC (ISO 28500) container codec — the raw-crawl ingestion format a
+ * web-scale corpus pipeline starts from (Common Crawl ships WARC; the
+ * HTML-extract → clean → dedup chain begins at these records). Pure
+ * JVM, no dependencies: an encoder for deterministic synthetic archives
+ * (tests/benchmarks) and a TOTAL decoder — `decode` returns records for
+ * a well-formed archive and null for ANYTHING malformed (bad version
+ * line, missing/invalid Content-Length, truncated payload, broken
+ * record framing), never throws. Payload framing is by Content-Length,
+ * so payload bytes are opaque: a payload containing the literal text
+ * "WARC/1.0" cannot split a record (pinned by `WarcCodecSpec`).
+ *
+ * Scale shape: one archive blob = one `decode` call, map-side via the
+ * native `plans.WarcExprs` expressions (no ScalaUDF); a corpus of
+ * archives parses embarrassingly parallel, records explode to rows and
+ * feed the existing text pipeline.
+ */
+object WarcCodec {
+
+  /** One WARC record: type, target URI, content type, payload bytes. */
+  final case class WarcRec(
+      recType: String, uri: String, contentType: String, payload: Array[Byte])
+
+  private val Crlf = "\r\n"
+
+  /** Serialize records as a WARC/1.0 archive (CRLF framing, explicit
+   *  Content-Length, the standard double-CRLF record terminator). */
+  def encode(records: Seq[WarcRec]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val header = new StringBuilder()
+        .append("WARC/1.0").append(Crlf)
+        .append("WARC-Type: ").append(r.recType).append(Crlf)
+        .append("WARC-Target-URI: ").append(r.uri).append(Crlf)
+        .append("Content-Type: ").append(r.contentType).append(Crlf)
+        .append("Content-Length: ").append(r.payload.length).append(Crlf)
+        .append(Crlf)
+      out.write(header.toString.getBytes("UTF-8"))
+      out.write(r.payload)
+      out.write(Crlf.getBytes("UTF-8"))
+      out.write(Crlf.getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a WARC/1.0 archive; null for anything malformed. */
+  def decode(blob: Array[Byte]): Array[WarcRec] = {
+    if (blob == null) return null
+    val recs = ArrayBuffer.empty[WarcRec]
+    var pos = 0
+
+    // reads the CRLF-terminated header line starting at `pos`, returns
+    // (line, next position) or null when no CRLF arrives (truncation)
+    def line(): String = {
+      var i = pos
+      while (i + 1 < blob.length && !(blob(i) == '\r' && blob(i + 1) == '\n')) i += 1
+      if (i + 1 >= blob.length) return null
+      val s = new String(blob, pos, i - pos, "UTF-8")
+      pos = i + 2
+      s
+    }
+
+    while (pos < blob.length) {
+      if (line() != "WARC/1.0") return null
+      var recType: String = null
+      var uri: String = null
+      var contentType: String = null
+      var contentLength = -1L
+      var l = line()
+      while (l != null && l.nonEmpty) {
+        val colon = l.indexOf(':')
+        if (colon <= 0) return null
+        val key = l.substring(0, colon).trim.toLowerCase
+        val value = l.substring(colon + 1).trim
+        key match {
+          case "warc-type"       => recType = value
+          case "warc-target-uri" => uri = value
+          case "content-type"    => contentType = value
+          case "content-length"  =>
+            try contentLength = value.toLong
+            catch { case _: NumberFormatException => return null }
+          case _ => () // unknown headers are legal; skip
+        }
+        l = line()
+      }
+      if (l == null) return null // truncated inside the header block
+      if (contentLength < 0 || contentLength > blob.length - pos) return null
+      val payload = java.util.Arrays.copyOfRange(
+        blob, pos, pos + contentLength.toInt)
+      pos += contentLength.toInt
+      // the record terminator: CRLF CRLF, by Content-Length framing —
+      // payload bytes that LOOK like headers can never split a record
+      if (pos + 4 > blob.length || blob(pos) != '\r' || blob(pos + 1) != '\n' ||
+        blob(pos + 2) != '\r' || blob(pos + 3) != '\n') return null
+      pos += 4
+      recs += WarcRec(
+        if (recType == null) "" else recType,
+        if (uri == null) "" else uri,
+        if (contentType == null) "" else contentType,
+        payload)
+    }
+    recs.toArray
+  }
+}

@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * WARC archive codec (`graft.io.WarcCodec`, ISO 28500) as native
+ * codegen'd expressions — raw-crawl ingestion without a ScalaUDF:
+ * records-array → archive blob (the deterministic test/bench writer)
+ * and archive blob → records-array (the TOTAL parser; malformed bytes
+ * → null, never an exception).
+ *
+ * Scale shape: both directions are map-side; callers explode the
+ * parsed array so only the slim per-record columns they select ever
+ * reach an exchange, never the archive blob.
+ */
+object WarcExprs {
+
+  val RecordType: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** WARC/1.0 archive bytes of `records` (array of RecordType structs,
+   *  in array order). */
+  def warcEncode(records: Column): Column =
+    toColumn(WarcEncodeExpr(exprOf(records)))
+
+  /** array(struct(rec_type, uri, content_type, payload)) parsed from a
+   *  WARC/1.0 archive blob; null for malformed bytes. */
+  def warcRecords(blob: Column): Column =
+    toColumn(WarcRecordsExpr(exprOf(blob)))
+}
+
+case class WarcEncodeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(WarcExprs.RecordType, containsNull = false))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  def enc(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val recs = new Array[graft.io.WarcCodec.WarcRec](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 4)
+      recs(i) = graft.io.WarcCodec.WarcRec(
+        r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString, r.getBinary(3))
+      i += 1
+    }
+    graft.io.WarcCodec.encode(recs.toIndexedSeq)
+  }
+
+  override def nullSafeEval(v: Any): Any = enc(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("warcEncode", this, classOf[WarcEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.enc($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_warc_encode"
+}
+
+case class WarcRecordsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(WarcExprs.RecordType, containsNull = false)
+  override def nullable: Boolean = true
+
+  def dec(blob: Array[Byte]): GenericArrayData = {
+    val rs = graft.io.WarcCodec.decode(blob)
+    if (rs == null) null
+    else new GenericArrayData(rs.map { r =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.recType), UTF8String.fromString(r.uri),
+        UTF8String.fromString(r.contentType), r.payload))
+    })
+  }
+
+  override def nullSafeEval(v: Any): Any = dec(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("warcRecords", this, classOf[WarcRecordsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.dec($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_warc_records"
+}

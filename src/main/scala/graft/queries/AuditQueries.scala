@@ -237,4 +237,46 @@ object AuditQueries {
     """SELECT doc_id, sha256(coalesce(text, '')) AS text_sha,
       |       text IS NULL AS was_null, lang
       |FROM documents""".stripMargin
+
+  // ---------- WARC ingestion (raw-crawl container round trip) ----------
+
+  /** Raw-crawl ingestion driven end-to-end IN the engine: documents
+   *  group into 10-record WARC/1.0 archives (`io.WarcCodec` via the
+   *  native `plans.WarcExprs` — no ScalaUDF), each archive's bytes are
+   *  built and then PARSED back map-side, records explode to rows, and
+   *  every parsed field + payload sha must match the raw table. Any
+   *  framing error (Content-Length, CRLF terminators, header parsing)
+   *  hash-mismatches the oracle, which never sees WARC bytes at all. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val recs = d.groupBy(expr("doc_id DIV 10").as("archive"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"),
+        lit("response").as("rec_type"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("uri"),
+        lit("text/plain").as("content_type"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")))).as("rs"))
+      .select(col("archive"), expr(
+        """transform(rs, r -> named_struct(
+          |  'rec_type', r.rec_type, 'uri', r.uri,
+          |  'content_type', r.content_type, 'payload', r.payload))""".stripMargin)
+        .as("rs"))
+    val blobs = recs.select(col("archive"),
+      graft.plans.WarcExprs.warcEncode(col("rs")).as("blob"))
+    blobs
+      .select(explode(graft.plans.WarcExprs.warcRecords(col("blob"))).as("r"))
+      .select(
+        expr("CAST(substring(r.uri, 5) AS BIGINT)").as("doc_id"),
+        col("r.uri").as("uri"), col("r.rec_type").as("rec_type"),
+        col("r.content_type").as("content_type"),
+        sha2(col("r.payload"), 256).as("payload_sha"),
+        length(col("r.payload")).cast("long").as("n_bytes"))
+  }
+
+  val WarcIngestSql: String =
+    """SELECT doc_id, 'doc:' || doc_id AS uri, 'response' AS rec_type,
+      |       'text/plain' AS content_type,
+      |       sha256(coalesce(text, '')) AS payload_sha,
+      |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
 }

@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.io.WarcCodec.WarcRec
+
+class WarcCodecSpec extends SparkSpecBase {
+
+  private def rec(i: Int, payload: Array[Byte]) =
+    WarcRec("response", s"doc:$i", "text/plain", payload)
+
+  test("encode -> decode round-trips every record byte-for-byte") {
+    val recs = Seq(
+      rec(1, "hello world".getBytes("UTF-8")),
+      rec(2, Array.emptyByteArray),                       // empty payload
+      rec(3, "WARC/1.0\r\nContent-Length: 0\r\n\r\n".getBytes("UTF-8")), // header-lookalike payload
+      rec(4, Array.tabulate(257)(i => (i % 251).toByte))) // binary payload incl. CR/LF bytes
+    val back = WarcCodec.decode(WarcCodec.encode(recs))
+    assert(back != null && back.length === 4)
+    recs.zip(back).foreach { case (a, b) =>
+      assert(a.recType === b.recType && a.uri === b.uri &&
+        a.contentType === b.contentType)
+      assert(a.payload.toSeq === b.payload.toSeq)
+    }
+  }
+
+  test("Content-Length framing: a payload containing record syntax cannot split a record") {
+    val tricky = ("x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("UTF-8")
+    val back = WarcCodec.decode(WarcCodec.encode(Seq(rec(9, tricky))))
+    assert(back != null && back.length === 1, "one record, not three")
+    assert(back(0).payload.toSeq === tricky.toSeq)
+  }
+
+  test("decode is total: prefixes and mutations never throw; only record-boundary prefixes parse") {
+    val blob = WarcCodec.encode(Seq(
+      rec(1, "aa".getBytes), rec(2, "bbbb".getBytes), rec(3, "c".getBytes)))
+    val boundary1 = WarcCodec.encode(Seq(rec(1, "aa".getBytes))).length
+    val boundary2 = WarcCodec.encode(Seq(rec(1, "aa".getBytes), rec(2, "bbbb".getBytes))).length
+    for (n <- 0 to blob.length) {
+      val out = WarcCodec.decode(blob.take(n)) // must not throw
+      if (n == 0) assert(out != null && out.isEmpty)
+      else if (n == boundary1) assert(out != null && out.length === 1)
+      else if (n == boundary2) assert(out != null && out.length === 2)
+      else if (n == blob.length) assert(out != null && out.length === 3)
+      else assert(out == null, s"truncation at $n must reject")
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val m = blob.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      WarcCodec.decode(m) // any outcome, no exception
+    }
+    assert(WarcCodec.decode("WARC/1.0\r\nContent-Length: -5\r\n\r\n".getBytes) == null)
+    assert(WarcCodec.decode("WARC/0.9\r\n\r\n".getBytes) == null)
+    assert(WarcCodec.decode(null) == null)
+  }
+
+  test("native expressions: engine encode/parse round-trip, codegen-strict, malformed -> null row") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "alpha"), (2L, ""), (3L, "line1\nline2")).toDF("id", "t")
+      val recs = df.groupBy(lit(1).as("g"))
+        .agg(sort_array(collect_list(struct(
+          col("id"),
+          lit("response").as("rec_type"),
+          concat(lit("doc:"), col("id").cast("string")).as("uri"),
+          lit("text/plain").as("content_type"),
+          encode(col("t"), "UTF-8").as("payload")))).as("rs"))
+        .select(expr(
+          """transform(rs, r -> named_struct(
+            |  'rec_type', r.rec_type, 'uri', r.uri,
+            |  'content_type', r.content_type, 'payload', r.payload))""".stripMargin).as("rs"))
+      val blob = recs.select(graft.plans.WarcExprs.warcEncode(col("rs")).as("b"))
+      val rows = blob
+        .select(explode(graft.plans.WarcExprs.warcRecords(col("b"))).as("r"))
+        .select(col("r.uri"), col("r.payload").cast("string").as("t"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows === Map("doc:1" -> "alpha", "doc:2" -> "", "doc:3" -> "line1\nline2"))
+      // malformed blob -> null (row drops under explode, no exception)
+      val badCount = Seq(Array[Byte](1, 2, 3)).toDF("b")
+        .select(graft.plans.WarcExprs.warcRecords(col("b")).as("r"))
+        .where(col("r").isNotNull).count()
+      assert(badCount === 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+}
