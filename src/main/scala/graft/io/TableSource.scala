@@ -24,25 +24,28 @@ object TableSource {
     StructField("lang", StringType),
     StructField("content", StringType)))
 
+  private def loadPath(
+      spark: SparkSession, format: String, path: String,
+      validate: Boolean): DataFrame = {
+    val df = spark.read.format(format).load(path)
+    if (validate) requireRepoShape(df)
+    df
+  }
+
   /** Parquet directory holding the Iceberg-shaped table. */
   case class ParquetSource(path: String, validate: Boolean = true) extends TableSource {
-    override def load(spark: SparkSession): DataFrame = {
-      val df = spark.read.parquet(path)
-      if (validate) requireRepoShape(df)
-      df
-    }
+    override def load(spark: SparkSession): DataFrame =
+      loadPath(spark, "parquet", path, validate)
   }
 
   /** ORC directory holding the same shape — the second columnar format
    *  behind the seam, proving the contract (shape, partition pruning,
    *  column pruning) is format-agnostic: an Iceberg table whose data
-   *  files are ORC behaves like this plus catalog snapshots. */
+   *  files are ORC behaves like this plus catalog snapshots. Both
+   *  file sources share one load path; only the format name differs. */
   case class OrcSource(path: String, validate: Boolean = true) extends TableSource {
-    override def load(spark: SparkSession): DataFrame = {
-      val df = spark.read.orc(path)
-      if (validate) requireRepoShape(df)
-      df
-    }
+    override def load(spark: SparkSession): DataFrame =
+      loadPath(spark, "orc", path, validate)
   }
 
   /** A catalog table (`spark.table`) — how an Iceberg table arrives once

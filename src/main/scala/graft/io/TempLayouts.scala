@@ -1,0 +1,41 @@
+package graft.io
+
+/**
+ * Bounded lifetime for the scratch table layouts some driver queries
+ * materialize under /tmp (`orc_roundtrip`'s ORC export,
+ * `file_skip_lookup`'s range-partitioned parquet): paths registered
+ * here are recursively deleted at JVM exit, so repeated bench/verify
+ * runs — each a fresh applicationId and therefore a fresh path — do
+ * not accumulate a copy of the documents table per run on a
+ * long-lived host. Registration is idempotent; deletion failures at
+ * exit are swallowed (best effort — the path is /tmp).
+ */
+object TempLayouts {
+
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  @volatile private var hookInstalled = false
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Register `path` for recursive deletion at JVM exit; returns it. */
+  def deleteOnExit(path: String): String = {
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        sys.addShutdownHook {
+          registered.keySet().forEach { p =>
+            try deleteRecursively(new java.io.File(p))
+            catch { case _: Exception => () }
+          }
+        }
+        hookInstalled = true
+      }
+    }
+    registered.put(path, java.lang.Boolean.TRUE)
+    path
+  }
+}

@@ -28,10 +28,19 @@ object WarcCodec {
   private val Crlf = "\r\n"
 
   /** Serialize records as a WARC/1.0 archive (CRLF framing, explicit
-   *  Content-Length, the standard double-CRLF record terminator). */
+   *  Content-Length, the standard double-CRLF record terminator).
+   *  Header VALUES must not contain CR or LF — a newline in a uri
+   *  would terminate the header block early and silently corrupt the
+   *  framing, so it is rejected here at the point of the bad input
+   *  (payloads are unrestricted: Content-Length framing covers them). */
   def encode(records: Seq[WarcRec]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
+      Seq("WARC-Type" -> r.recType, "WARC-Target-URI" -> r.uri,
+        "Content-Type" -> r.contentType).foreach { case (k, v) =>
+        require(v != null && !v.exists(c => c == '\r' || c == '\n'),
+          s"WARC header value for $k must be non-null and CR/LF-free")
+      }
       val header = new StringBuilder()
         .append("WARC/1.0").append(Crlf)
         .append("WARC-Type: ").append(r.recType).append(Crlf)
@@ -74,7 +83,9 @@ object WarcCodec {
       while (l != null && l.nonEmpty) {
         val colon = l.indexOf(':')
         if (colon <= 0) return null
-        val key = l.substring(0, colon).trim.toLowerCase
+        // Locale.ROOT: under a Turkish default locale "URI" would
+        // lowercase to "urı" and silently never match
+        val key = l.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val value = l.substring(colon + 1).trim
         key match {
           case "warc-type"       => recType = value

@@ -45,27 +45,40 @@ case class WarcEncodeExpr(child: Expression)
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(WarcExprs.RecordType, containsNull = false))
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = child.nullable
+  // type checking ignores nullability (sameType), so a nullable-field
+  // input can reach eval: a null element/field yields a NULL blob
+  // (total, like the decode side) instead of an executor NPE
+  override def nullable: Boolean = true
 
   def enc(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val recs = new Array[graft.io.WarcCodec.WarcRec](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val r = arr.getStruct(i, 4)
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3))
+        return null
       recs(i) = graft.io.WarcCodec.WarcRec(
         r.getUTF8String(0).toString, r.getUTF8String(1).toString,
         r.getUTF8String(2).toString, r.getBinary(3))
       i += 1
     }
-    graft.io.WarcCodec.encode(recs.toIndexedSeq)
+    // header values carrying CR/LF are rejected loudly by the codec
+    // (framing injection); at the expression surface that row encodes
+    // to NULL instead of failing the whole stage
+    try graft.io.WarcCodec.encode(recs.toIndexedSeq)
+    catch { case _: IllegalArgumentException => null }
   }
 
   override def nullSafeEval(v: Any): Any = enc(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("warcEncode", this, classOf[WarcEncodeExpr].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.enc($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.enc($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -56,6 +56,36 @@ class WarcCodecSpec extends SparkSpecBase {
     assert(WarcCodec.decode(null) == null)
   }
 
+  test("encode rejects CR/LF header values loudly (framing injection)") {
+    val e = intercept[IllegalArgumentException] {
+      WarcCodec.encode(Seq(WarcRec("response", "a\r\n\r\nX", "text/plain", Array[Byte]())))
+    }
+    assert(e.getMessage.contains("CR/LF-free"))
+    // Locale safety is structural (Locale.ROOT), but pin the mixed-case
+    // header acceptance the spec allows
+    val mixed = ("WARC/1.0\r\nwarc-TYPE: response\r\nWarc-Target-Uri: doc:5\r\n" +
+      "content-length: 2\r\ncontent-type: text/plain\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
+    val back = WarcCodec.decode(mixed)
+    assert(back != null && back.length === 1 &&
+      back(0).uri === "doc:5" && back(0).recType === "response")
+  }
+
+  test("encode expression is total: null fields and CRLF header values -> null blob, not a crash") {
+    import spark.implicits._
+    def blobOf(uri: org.apache.spark.sql.Column) =
+      Seq(1).toDF("x")
+        .select(array(struct(
+          lit("response").as("rec_type"), uri.as("uri"),
+          lit("text/plain").as("content_type"),
+          encode(lit("p"), "UTF-8").as("payload"))).as("rs"))
+        .select(graft.plans.WarcExprs.warcEncode(col("rs")).as("b"))
+    assert(blobOf(lit("doc:1")).head().getAs[Array[Byte]]("b") != null)
+    assert(blobOf(lit(null).cast("string")).head().isNullAt(0),
+      "null uri must yield a null blob")
+    assert(blobOf(lit("bad\r\nuri")).head().isNullAt(0),
+      "CRLF uri must yield a null blob at the expression surface")
+  }
+
   test("native expressions: engine encode/parse round-trip, codegen-strict, malformed -> null row") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
