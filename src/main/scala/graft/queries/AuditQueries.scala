@@ -281,4 +281,51 @@ object AuditQueries {
       |       sha256(coalesce(text, '')) AS payload_sha,
       |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
       |FROM documents""".stripMargin
+
+  /** The crawl FRONT DOOR composed end-to-end in the engine: each doc
+   *  becomes an HTML page (the same shell `html_extract` pins) plus a
+   *  non-HTML metadata record; 10 docs = one WARC archive; archives
+   *  are parsed back, records ROUTED by Content-Type (the metadata
+   *  records must be dropped), payloads UTF-8-decoded (zh/es/de docs
+   *  exercise multibyte transit through Content-Length byte framing),
+   *  and the HTML extracted to text. The oracle replays only the HTML
+   *  extraction from the raw table — the entire WARC layer must be
+   *  lossless and the routing exact for the hashes to match. */
+  def crawlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val recs = d.groupBy(expr("doc_id DIV 10").as("archive"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"),
+        lit("response").as("rec_type"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("uri"),
+        lit("text/html").as("content_type"),
+        encode(TextQueries.pageHtml(), "UTF-8").as("payload")))).as("pages"),
+        sort_array(collect_list(struct(
+          col("doc_id"),
+          lit("metadata").as("rec_type"),
+          concat(lit("meta:"), col("doc_id").cast("string")).as("uri"),
+          lit("application/json").as("content_type"),
+          encode(concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}")),
+            "UTF-8").as("payload")))).as("metas"))
+      .select(col("archive"), expr(
+        """transform(concat(pages, metas), r -> named_struct(
+          |  'rec_type', r.rec_type, 'uri', r.uri,
+          |  'content_type', r.content_type, 'payload', r.payload))""".stripMargin)
+        .as("rs"))
+    recs
+      .select(graft.plans.WarcExprs.warcEncode(col("rs")).as("blob"))
+      .select(explode(graft.plans.WarcExprs.warcRecords(col("blob"))).as("r"))
+      .where(col("r.content_type") === "text/html")
+      .select(
+        expr("CAST(substring(r.uri, 5) AS BIGINT)").as("doc_id"),
+        graft.text.HtmlExtract.extractText(col("r.payload").cast("string")).as("x"))
+      .select(col("doc_id"), sha2(col("x"), 256).as("extract_sha"),
+        length(col("x")).cast("long").as("n_chars_extract"))
+  }
+
+  val CrawlIngestSql: String =
+    s"""SELECT doc_id, sha256(x) AS extract_sha, len(x) AS n_chars_extract FROM (
+       |  SELECT doc_id, ${graft.text.HtmlExtract.extractTextSql(TextQueries.PageHtmlSqlExpr)} AS x
+       |  FROM documents
+       |)""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions._
 
@@ -31,34 +31,37 @@ object TextQueries {
    *  sha256; the DuckDB recipe comes from the SAME object
    *  ([[graft.text.HtmlExtract.extractTextSql]]) so the two chains
    *  cannot drift. */
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><script type=\"text/javascript\">var x = 1 && 2;</script>" +
-        "<style>.c{color:red}</style></head><body><!-- boilerplate\n note -->"),
-      lit("<h1>Doc "), col("doc_id").cast("string"),
-      lit("</h1>\n<div class=\"art\"><p>"), coalesce(col("text"), lit("")),
-      lit("</p><br/><ul><li>lang: "), col("lang"),
-      lit("&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>"))
+  /** The synthetic page shell shared by `html_extract` and the
+   *  WARC-composition `crawl_ingest` (AuditQueries) — one definition on
+   *  each side so the two queries' markup can never drift. */
+  private[queries] def pageHtml(): Column = concat(
+    lit("<html><head><script type=\"text/javascript\">var x = 1 && 2;</script>" +
+      "<style>.c{color:red}</style></head><body><!-- boilerplate\n note -->"),
+    lit("<h1>Doc "), col("doc_id").cast("string"),
+    lit("</h1>\n<div class=\"art\"><p>"), coalesce(col("text"), lit("")),
+    lit("</p><br/><ul><li>lang: "), col("lang"),
+    lit("&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>"))
+
+  private[queries] val PageHtmlSqlExpr: String =
+    """('<html><head><script type="text/javascript">var x = 1 && 2;</script>' ||
+      |   '<style>.c{color:red}</style></head><body><!-- boilerplate' || chr(10) || ' note -->' ||
+      |   '<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |   '</h1>' || chr(10) || '<div class="art"><p>' || coalesce(text, '') ||
+      |   '</p><br/><ul><li>lang: ' || lang ||
+      |   '&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>')"""
+      .stripMargin
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.docs(spark, dir)
-      .select(col("doc_id"), graft.text.HtmlExtract.extractText(html).as("x"))
+      .select(col("doc_id"), graft.text.HtmlExtract.extractText(pageHtml()).as("x"))
       .select(col("doc_id"), sha2(col("x"), 256).as("extract_sha"),
         length(col("x")).cast("long").as("n_chars_extract"))
-  }
 
-  val HtmlExtractSql: String = {
-    val htmlExpr =
-      """('<html><head><script type="text/javascript">var x = 1 && 2;</script>' ||
-        |   '<style>.c{color:red}</style></head><body><!-- boilerplate' || chr(10) || ' note -->' ||
-        |   '<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
-        |   '</h1>' || chr(10) || '<div class="art"><p>' || coalesce(text, '') ||
-        |   '</p><br/><ul><li>lang: ' || lang ||
-        |   '&nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt; A&amp;B</li></ul></div></body></html>')"""
-        .stripMargin
+  val HtmlExtractSql: String =
     s"""SELECT doc_id, sha256(x) AS extract_sha, len(x) AS n_chars_extract FROM (
-       |  SELECT doc_id, ${graft.text.HtmlExtract.extractTextSql(htmlExpr)} AS x
+       |  SELECT doc_id, ${graft.text.HtmlExtract.extractTextSql(PageHtmlSqlExpr)} AS x
        |  FROM documents
        |)""".stripMargin
-  }
 
   val TextNormalizeSql: String =
     """SELECT doc_id, sha256(n) AS norm_sha, len(n) AS n_chars_norm FROM (
