@@ -56,6 +56,40 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Serialize records as a gzip-member WARC archive — Common Crawl's
+   *  actual layout: each record's full WARC entry is its OWN gzip
+   *  member and members concatenate, which is what makes per-record
+   *  random access (offset+length into the .warc.gz) possible at the
+   *  archive store while still reading as one stream. */
+  def encodeGz(records: Seq[WarcRec]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(encode(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Parse a gzip-member WARC archive (any member split — one record
+   *  per member, several, or one member for the whole archive:
+   *  GZIPInputStream reads concatenated members as one stream); null
+   *  for anything malformed at either layer. An empty blob is an empty
+   *  archive, like `decode`. */
+  def decodeGz(blob: Array[Byte]): Array[WarcRec] = {
+    if (blob == null) return null
+    if (blob.isEmpty) return Array.empty
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      decode(out.toByteArray)
+    } catch { case _: java.io.IOException => null }
+  }
+
   /** Parse a WARC/1.0 archive; null for anything malformed. */
   def decode(blob: Array[Byte]): Array[WarcRec] = {
     if (blob == null) return null

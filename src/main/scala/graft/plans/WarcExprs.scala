@@ -29,17 +29,19 @@ object WarcExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
 
   /** WARC/1.0 archive bytes of `records` (array of RecordType structs,
-   *  in array order). */
-  def warcEncode(records: Column): Column =
-    toColumn(WarcEncodeExpr(exprOf(records)))
+   *  in array order); `gzip = true` emits Common Crawl's
+   *  one-gzip-member-per-record .warc.gz layout. */
+  def warcEncode(records: Column, gzip: Boolean = false): Column =
+    toColumn(WarcEncodeExpr(exprOf(records), gzip))
 
   /** array(struct(rec_type, uri, content_type, payload)) parsed from a
-   *  WARC/1.0 archive blob; null for malformed bytes. */
-  def warcRecords(blob: Column): Column =
-    toColumn(WarcRecordsExpr(exprOf(blob)))
+   *  WARC/1.0 archive blob (`gzip = true` for .warc.gz member
+   *  streams); null for malformed bytes at either layer. */
+  def warcRecords(blob: Column, gzip: Boolean = false): Column =
+    toColumn(WarcRecordsExpr(exprOf(blob), gzip))
 }
 
-case class WarcEncodeExpr(child: Expression)
+case class WarcEncodeExpr(child: Expression, gzip: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] =
@@ -67,8 +69,10 @@ case class WarcEncodeExpr(child: Expression)
     // header values carrying CR/LF are rejected loudly by the codec
     // (framing injection); at the expression surface that row encodes
     // to NULL instead of failing the whole stage
-    try graft.io.WarcCodec.encode(recs.toIndexedSeq)
-    catch { case _: IllegalArgumentException => null }
+    try {
+      if (gzip) graft.io.WarcCodec.encodeGz(recs.toIndexedSeq)
+      else graft.io.WarcCodec.encode(recs.toIndexedSeq)
+    } catch { case _: IllegalArgumentException => null }
   }
 
   override def nullSafeEval(v: Any): Any = enc(v.asInstanceOf[ArrayData])
@@ -86,7 +90,7 @@ case class WarcEncodeExpr(child: Expression)
   override def prettyName: String = "graft_warc_encode"
 }
 
-case class WarcRecordsExpr(child: Expression)
+case class WarcRecordsExpr(child: Expression, gzip: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -95,7 +99,9 @@ case class WarcRecordsExpr(child: Expression)
   override def nullable: Boolean = true
 
   def dec(blob: Array[Byte]): GenericArrayData = {
-    val rs = graft.io.WarcCodec.decode(blob)
+    val rs =
+      if (gzip) graft.io.WarcCodec.decodeGz(blob)
+      else graft.io.WarcCodec.decode(blob)
     if (rs == null) null
     else new GenericArrayData(rs.map { r =>
       new GenericInternalRow(Array[Any](

@@ -284,8 +284,9 @@ object AuditQueries {
 
   /** The crawl FRONT DOOR composed end-to-end in the engine: each doc
    *  becomes an HTML page (the same shell `html_extract` pins) plus a
-   *  non-HTML metadata record; 10 docs = one WARC archive; archives
-   *  are parsed back, records ROUTED by Content-Type (the metadata
+   *  non-HTML metadata record; 10 docs = one GZIP-MEMBER WARC archive
+   *  (Common Crawl's .warc.gz layout — one gzip member per record);
+   *  archives are parsed back, records ROUTED by Content-Type (the metadata
    *  records must be dropped), payloads UTF-8-decoded (zh/es/de docs
    *  exercise multibyte transit through Content-Length byte framing),
    *  and the HTML extracted to text. The oracle replays only the HTML
@@ -313,8 +314,9 @@ object AuditQueries {
           |  'content_type', r.content_type, 'payload', r.payload))""".stripMargin)
         .as("rs"))
     recs
-      .select(graft.plans.WarcExprs.warcEncode(col("rs")).as("blob"))
-      .select(explode(graft.plans.WarcExprs.warcRecords(col("blob"))).as("r"))
+      .select(graft.plans.WarcExprs.warcEncode(col("rs"), gzip = true).as("blob"))
+      .select(explode(
+        graft.plans.WarcExprs.warcRecords(col("blob"), gzip = true)).as("r"))
       .where(col("r.content_type") === "text/html")
       .select(
         expr("CAST(substring(r.uri, 5) AS BIGINT)").as("doc_id"),

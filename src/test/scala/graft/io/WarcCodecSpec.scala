@@ -56,6 +56,33 @@ class WarcCodecSpec extends SparkSpecBase {
     assert(WarcCodec.decode(null) == null)
   }
 
+  test("gzip-member layout round-trips; members concatenate; totality holds") {
+    val recs = Seq(
+      rec(1, "hello".getBytes("UTF-8")),
+      rec(2, Array.tabulate(1000)(i => (i % 251).toByte)))
+    val gz = WarcCodec.encodeGz(recs)
+    val back = WarcCodec.decodeGz(gz)
+    assert(back != null && back.length === 2)
+    recs.zip(back).foreach { case (a, b) =>
+      assert(a.uri === b.uri && a.payload.toSeq === b.payload.toSeq)
+    }
+    // Common Crawl's property: concatenating two .warc.gz archives is
+    // itself a valid archive of all records
+    val cat = WarcCodec.encodeGz(Seq(rec(3, "x".getBytes))) ++ gz
+    val catBack = WarcCodec.decodeGz(cat)
+    assert(catBack != null && catBack.map(_.uri).toSeq === Seq("doc:3", "doc:1", "doc:2"))
+    // totality at the gzip layer: truncations/mutations never throw
+    for (n <- 0 until gz.length) WarcCodec.decodeGz(gz.take(n))
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val m = gz.clone(); m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      WarcCodec.decodeGz(m)
+    }
+    assert(WarcCodec.decodeGz("not gzip".getBytes) == null)
+    assert(WarcCodec.decodeGz(null) == null)
+    assert(WarcCodec.decodeGz(Array.emptyByteArray).toSeq === Seq())
+  }
+
   test("encode rejects CR/LF header values loudly (framing injection)") {
     val e = intercept[IllegalArgumentException] {
       WarcCodec.encode(Seq(WarcRec("response", "a\r\n\r\nX", "text/plain", Array[Byte]())))
