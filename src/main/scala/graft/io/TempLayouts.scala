@@ -1,41 +1,77 @@
 package graft.io
 
+import java.nio.file.{Files, Path, Paths}
+
 /**
  * Bounded lifetime for the scratch table layouts some driver queries
- * materialize under /tmp (`orc_roundtrip`'s ORC export,
- * `file_skip_lookup`'s range-partitioned parquet): paths registered
- * here are recursively deleted at JVM exit, so repeated bench/verify
- * runs — each a fresh applicationId and therefore a fresh path — do
- * not accumulate a copy of the documents table per run on a
- * long-lived host. Registration is idempotent; deletion failures at
- * exit are swallowed (best effort — the path is /tmp).
+ * materialize (`orc_roundtrip`'s ORC export, `file_skip_lookup`'s
+ * range-partitioned parquet): every path lives under ONE per-process
+ * scratch root created with `Files.createTempDirectory` — a random,
+ * owner-only (0700 where the filesystem supports POSIX permissions)
+ * directory — and the whole root is recursively deleted at JVM exit,
+ * so repeated bench/verify runs do not accumulate a copy of the
+ * documents table per run on a long-lived host.
+ *
+ * Why not fixed `/tmp/graft_<appId>` paths: a predictable name in a
+ * world-writable directory is the classic insecure-tmp pattern — a
+ * pre-planted symlink at the known path would redirect the overwrite
+ * (and the exit-time delete) outside /tmp. The random root removes the
+ * predictability; `deleteRecursively` additionally refuses to descend
+ * through directory symlinks, so even a link planted INSIDE the root
+ * is unlinked, never followed. Deletion failures at exit are swallowed
+ * (best effort — the root is tmpfs-or-/tmp scratch).
  */
 object TempLayouts {
 
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  @volatile private var hookInstalled = false
+  @volatile private var scratchRoot: Path = null
+
+  private def root(): Path = {
+    if (scratchRoot == null) synchronized {
+      if (scratchRoot == null) {
+        val r = Files.createTempDirectory("graft_scratch_")
+        sys.addShutdownHook {
+          try deleteRecursively(r.toFile)
+          catch { case _: Exception => () }
+        }
+        scratchRoot = r
+      }
+    }
+    scratchRoot
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    // unlink symlinks, never traverse them: a directory symlink's
+    // children belong to some OTHER tree
+    val isLink = Files.isSymbolicLink(f.toPath)
+    if (!isLink) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete()
     ()
   }
 
-  /** Register `path` for recursive deletion at JVM exit; returns it. */
+  /** A scratch path named `name` under this process's private random
+   *  root; the root (and everything under it) is deleted at JVM exit.
+   *  Distinct processes get distinct roots, so concurrent verify/bench
+   *  runs on one host cannot race on each other's layout rewrite. */
+  def scratchPath(name: String): String = {
+    val p = root().resolve(name)
+    require(p.normalize().startsWith(root()), s"scratch name escapes root: $name")
+    p.toString
+  }
+
+  /** Back-compat shim: register an EXISTING absolute path for deletion
+   *  at exit. Prefer `scratchPath` — this keeps working for paths the
+   *  caller already owns but offers no protection against predictable
+   *  names. */
   def deleteOnExit(path: String): String = {
-    if (!hookInstalled) synchronized {
-      if (!hookInstalled) {
-        sys.addShutdownHook {
-          registered.keySet().forEach { p =>
-            try deleteRecursively(new java.io.File(p))
-            catch { case _: Exception => () }
-          }
-        }
-        hookInstalled = true
-      }
+    root() // ensure the hook exists
+    val p = Paths.get(path)
+    sys.addShutdownHook {
+      try deleteRecursively(p.toFile)
+      catch { case _: Exception => () }
     }
-    registered.put(path, java.lang.Boolean.TRUE)
     path
   }
 }

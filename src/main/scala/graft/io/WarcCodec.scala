@@ -66,28 +66,100 @@ object WarcCodec {
     records.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(encode(Seq(r)))
-      gz.finish()
+      // close(), not just finish(): releases the Deflater's native zlib
+      // memory now instead of at finalization — at one deflater per
+      // record across thousands of archives per executor the cleaner
+      // cannot keep up. close() on a ByteArrayOutputStream is a no-op,
+      // so the shared `out` stays writable for the next member.
+      gz.close()
     }
     out.toByteArray
   }
 
   /** Parse a gzip-member WARC archive (any member split — one record
-   *  per member, several, or one member for the whole archive:
-   *  GZIPInputStream reads concatenated members as one stream); null
+   *  per member, several, or one member for the whole archive); null
    *  for anything malformed at either layer. An empty blob is an empty
-   *  archive, like `decode`. */
+   *  archive, like `decode`.
+   *
+   *  Members are walked MANUALLY (header parse + raw Inflater + CRC32/
+   *  ISIZE trailer check + exact byte accounting), not via
+   *  GZIPInputStream: the JDK stream treats a corrupt next-member
+   *  header — and any trailing garbage — as end-of-stream (its
+   *  readTrailer swallows the IOException), which would decode a
+   *  damaged .warc.gz to a PARTIAL record list. Silent record loss in
+   *  the ingest path is worse than a null; here every byte of the blob
+   *  must be part of a verified member or the whole archive is null. */
   def decodeGz(blob: Array[Byte]): Array[WarcRec] = {
     if (blob == null) return null
     if (blob.isEmpty) return Array.empty
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < blob.length) {
+      pos = inflateMember(blob, pos, out)
+      if (pos < 0) return null
+    }
+    decode(out.toByteArray)
+  }
+
+  /** Inflate one gzip member starting at `start`, appending its
+   *  decompressed bytes to `out`; returns the offset just past the
+   *  member's 8-byte trailer, or -1 when the member is malformed
+   *  (bad magic/flags framing, truncated deflate stream, CRC32 or
+   *  ISIZE trailer mismatch). RFC 1952 optional fields (FEXTRA,
+   *  FNAME, FCOMMENT, FHCRC) are skipped, matching what real archive
+   *  writers emit. */
+  private def inflateMember(
+      blob: Array[Byte], start: Int, out: java.io.ByteArrayOutputStream): Int = {
+    def u8(i: Int): Int = blob(i) & 0xff
+    var p = start
+    if (p + 10 > blob.length) return -1
+    if (u8(p) != 0x1f || u8(p + 1) != 0x8b || u8(p + 2) != 8) return -1
+    val flg = u8(p + 3)
+    p += 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (p + 2 > blob.length) return -1
+      p += 2 + (u8(p) | (u8(p + 1) << 8))
+      if (p > blob.length) return -1
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (p < blob.length && blob(p) != 0) p += 1
+      if (p >= blob.length) return -1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+      while (p < blob.length && blob(p) != 0) p += 1
+      if (p >= blob.length) return -1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC: 2-byte header CRC (value unchecked)
+      p += 2
+      if (p > blob.length) return -1
+    }
+    val inf = new java.util.zip.Inflater(true)
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(blob))
-      val out = new java.io.ByteArrayOutputStream()
+      inf.setInput(blob, p, blob.length - p)
+      val crc = new java.util.zip.CRC32()
       val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      decode(out.toByteArray)
-    } catch { case _: java.io.IOException => null }
+      var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return -1 }
+        // 0 without finished() means the deflate stream ran out of
+        // input mid-member: truncation
+        if (n == 0 && !inf.finished()) return -1
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+        total += n
+      }
+      p += (blob.length - p) - inf.getRemaining
+      if (p + 8 > blob.length) return -1
+      def u32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+      if (u32(p) != crc.getValue) return -1
+      if (u32(p + 4) != (total & 0xffffffffL)) return -1
+      p + 8
+    } finally inf.end() // frees the native zlib memory deterministically
   }
 
   /** Parse a WARC/1.0 archive; null for anything malformed. */

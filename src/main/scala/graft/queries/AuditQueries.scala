@@ -192,11 +192,10 @@ object AuditQueries {
   def fileSkipLookup(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    // per-application path: concurrent verify/bench runs on one host
-    // must not race on each other's layout rewrite; deleted at JVM
-    // exit so per-run layouts do not accumulate under /tmp
-    val path = graft.io.TempLayouts.deleteOnExit(
-      s"/tmp/graft_fsi_docs_${spark.sparkContext.applicationId}.parquet")
+    // private random scratch root (TempLayouts): concurrent runs on one
+    // host cannot race, predictable-/tmp symlink planting is off the
+    // table, and the layout is deleted at JVM exit
+    val path = graft.io.TempLayouts.scratchPath("fsi_docs.parquet")
     d.repartitionByRange(8, col("doc_id"))
       .write.mode("overwrite").parquet(path)
     val index = graft.io.FileSkipIndex.build(
@@ -225,8 +224,7 @@ object AuditQueries {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val d = DedupQueries.docs(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"))
-    val path = graft.io.TempLayouts.deleteOnExit(
-      s"/tmp/graft_orc_docs_${spark.sparkContext.applicationId}")
+    val path = graft.io.TempLayouts.scratchPath("orc_docs")
     d.write.partitionBy("lang").mode("overwrite").orc(path)
     spark.read.orc(path)
       .select(col("doc_id"),

@@ -109,28 +109,9 @@ object BloomSketchAggregator {
   def bloomSketchColumn(sig: Column, p: Double, n: Long): Column =
     udaf(fromN(p, n)).apply(sig)
 
-  /**
-   * Map-side membership probe against a fixed (already-built) sketch —
-   * the incremental/streaming dedup path: marks rows whose signature is
-   * (probably) in the accumulated corpus sketch, with FPR <= p. No
-   * shuffle: the serialized sketch ships in the task closure and is
-   * deserialized once per executor.
-   */
-  def bloomContains(sketchBytes: Array[Byte]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val probe = new BloomProbe(sketchBytes)
-    org.apache.spark.sql.functions.udf((s: String) => probe(s))
-  }
-
-  /** Binary-input probe (for binary signature columns). */
-  def bloomContainsBytes(sketchBytes: Array[Byte]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val probe = new BloomProbe(sketchBytes)
-    org.apache.spark.sql.functions.udf((b: Array[Byte]) => probe.bytes(b))
-  }
-}
-
-/** Serializable holder deserializing the sketch once per JVM/closure. */
-private[sketch] class BloomProbe(bytesIn: Array[Byte]) extends Serializable {
-  @transient private lazy val sketch: BloomSketch = BloomSketch.deserialize(bytesIn)
-  def apply(s: String): Boolean = s != null && sketch.contains(s)
-  def bytes(b: Array[Byte]): Boolean = b != null && sketch.contains(b)
+  // NOTE: every production membership probe goes through the native
+  // codegen'd `plans.GraftExpressions.bloomContains` (BloomContainsExpr);
+  // the ScalaUDF probes that used to live here are gone so the codegen'd
+  // path stays the ONLY path (`BloomContainsExprSpec` builds its own
+  // throwaway UDF to cross-check the expression).
 }

@@ -42,8 +42,11 @@ object HtmlExtract {
     val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    // TextTokens.WhitespaceClass, not \s: Java reads \s as
+    // [ \t\n\x0B\f\r] but RE2 (the DuckDB oracle) as [ \t\n\f\r] — a
+    // vertical tab after a tag name would break byte-parity
     val blocksAsNewlines =
-      regexp_replace(noStyle, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "\n")
+      regexp_replace(noStyle, s"(?i)</?($BlockTags)(${TextTokens.WhitespaceClass}[^>]*)?/?>", "\n")
     val noTags = regexp_replace(blocksAsNewlines, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
@@ -70,7 +73,7 @@ object HtmlExtract {
     val noComments = re(in, "(?s)<!--.*?-->", "' '")
     val noScript = re(noComments, "(?is)<script[^>]*>.*?</script>", "' '")
     val noStyle = re(noScript, "(?is)<style[^>]*>.*?</style>", "' '")
-    val blocks = re(noStyle, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "chr(10)")
+    val blocks = re(noStyle, s"(?i)</?($BlockTags)(${TextTokens.WhitespaceClass}[^>]*)?/?>", "chr(10)")
     val noTags = re(blocks, "<[^>]*>", "' '")
     val decoded = Seq(
       "&nbsp;" -> "' '", "&lt;" -> "'<'", "&gt;" -> "'>'",

@@ -83,6 +83,50 @@ class WarcCodecSpec extends SparkSpecBase {
     assert(WarcCodec.decodeGz(Array.emptyByteArray).toSeq === Seq())
   }
 
+  test("gzip strictness: damaged or trailing bytes -> null, never a partial record list") {
+    val recs = Seq(rec(1, "alpha".getBytes("UTF-8")), rec(2, "beta".getBytes("UTF-8")))
+    val gz = WarcCodec.encodeGz(recs)
+    // trailing garbage after the last member: GZIPInputStream would
+    // silently stop at the last valid member; we refuse the archive
+    assert(WarcCodec.decodeGz(gz ++ Array[Byte](1, 2, 3)) == null)
+    // corrupt the SECOND member's magic: the JDK stream would return
+    // just record 1 (silent record loss); strict decode returns null
+    val m1len = WarcCodec.encodeGz(Seq(recs.head)).length
+    val corrupt = gz.clone(); corrupt(m1len) = 0x00
+    assert(WarcCodec.decodeGz(corrupt) == null)
+    // truncated trailer (mid-ISIZE) -> null
+    assert(WarcCodec.decodeGz(gz.dropRight(2)) == null)
+    // flipped CRC byte in the first member's trailer -> null
+    val badCrc = gz.clone(); badCrc(m1len - 8) = (badCrc(m1len - 8) ^ 0xff).toByte
+    assert(WarcCodec.decodeGz(badCrc) == null)
+    // a prefix ending exactly at a member boundary IS a valid archive
+    val prefix = WarcCodec.decodeGz(gz.take(m1len))
+    assert(prefix != null && prefix.map(_.uri).toSeq === Seq("doc:1"))
+    // RFC 1952 optional header fields (FNAME here) must still parse:
+    // real archive writers emit them
+    val deflated = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      val body = WarcCodec.encode(Seq(recs.head))
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      (body.length, crc.getValue, bos.toByteArray)
+    }
+    val (isize, crcVal, raw) = deflated
+    val named = new java.io.ByteArrayOutputStream()
+    named.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0x08, 0, 0, 0, 0, 0, 0)) // FLG=FNAME
+    named.write("file.warc".getBytes("UTF-8")); named.write(0)
+    named.write(raw)
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    named.write(le32(crcVal)); named.write(le32(isize.toLong))
+    val viaName = WarcCodec.decodeGz(named.toByteArray)
+    assert(viaName != null && viaName.map(_.uri).toSeq === Seq("doc:1"))
+  }
+
   test("encode rejects CR/LF header values loudly (framing injection)") {
     val e = intercept[IllegalArgumentException] {
       WarcCodec.encode(Seq(WarcRec("response", "a\r\n\r\nX", "text/plain", Array[Byte]())))

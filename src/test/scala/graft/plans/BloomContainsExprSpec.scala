@@ -19,7 +19,9 @@ class BloomContainsExprSpec extends SparkSpecBase {
     df.where(col("s").startsWith("member")).select("sig").collect()
       .foreach(r => sigSk.add(r.getAs[Array[Byte]](0)))
 
-    val udfProbe = BloomSketchAggregator.bloomContainsBytes(sigSk.serialize())
+    // independent reference probe: a throwaway ScalaUDF closing over the
+    // (Serializable) sketch — deliberately NOT a production code path
+    val udfProbe = udf((b: Array[Byte]) => b != null && sigSk.contains(b))
     val res = df.select(
       col("s"),
       GraftExpressions.bloomContains(sigSk, col("sig")).as("native"),
