@@ -1,16 +1,71 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
-/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
- *  flagship dedup throughput on a deterministic generated repositories
- *  table. Prints ONE JSON line. See graft.ScalingBench for the N-vs-4N
- *  parallelism scaling evidence (BENCH/BASELINE.md). */
+/** Per-round benchmark: flagship dedup throughput FIRST (clean JVM state —
+ *  running it after the 139-leg suite understated the engine ~3x from
+ *  heap/page-cache contention, see round-4 notes), then the query suite,
+ *  then the hot-stratum gate. Prints ONE JSON line. See graft.ScalingBench
+ *  for the N-vs-4N parallelism scaling evidence (BENCH/BASELINE.md). */
 object Bench {
+
+  /** Task-metrics window accumulator: snapshot/diff around a bench leg to
+   *  attribute wall-time (GC, spill, shuffle, I/O volumes). Single-JVM
+   *  local mode, so executor deltas == process deltas. */
+  private final class WindowMetrics extends SparkListener {
+    val gcMs = new AtomicLong; val runMs = new AtomicLong
+    val spill = new AtomicLong; val shufW = new AtomicLong
+    val inB = new AtomicLong; val outB = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gcMs.addAndGet(m.jvmGCTime); runMs.addAndGet(m.executorRunTime)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inB.addAndGet(m.inputMetrics.bytesRead)
+        outB.addAndGet(m.outputMetrics.bytesWritten)
+        ()
+      }
+    }
+    def snap(): Array[Long] =
+      Array(gcMs.get, runMs.get, spill.get, shufW.get, inB.get, outB.get)
+  }
+
+  /** Counts accumulator-lifecycle race warnings (the "attempted to access
+   *  non-existent accumulator" / "garbage collected accumulator" class)
+   *  emitted anywhere in this run — the regression guard for the eager-
+   *  localCheckpoint discipline (see SetSimJoin.distinctSets). Reported
+   *  in the artifact as acc_race_warnings; expected 0. */
+  private def installAccRaceGuard(): AtomicLong = {
+    val counter = new AtomicLong
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-acc-race-guard", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m.contains("non-existent accumulator") ||
+              m.contains("garbage collected accumulator")) { counter.incrementAndGet(); () }
+        }
+      }
+      app.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      cfg.getRootLogger.addAppender(app, null, null)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // guard is best-effort: never fail the bench
+    counter
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val dedupRows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS", "2000000").toLong
+    val accRace = installAccRaceGuard()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -19,10 +74,87 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val win = new WindowMetrics
+    spark.sparkContext.addSparkListener(win)
 
-    // warm the JVM/codegen paths once so query timings measure the engine
+    // warm the JVM/codegen paths once so leg timings measure the engine
     SparkEntry.entry(spark).count()
 
+    // between timed repetitions: a broadcast keeper set (GBs at the 8M
+    // leg) is only destroyed when the ContextCleaner sees its plan
+    // garbage-collected — back-to-back reps in one heap otherwise stack
+    // two broadcasts plus 32 parquet writers and OOM. Unpersist + forced
+    // GC OUTSIDE the timed window.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(2000)
+      System.gc()
+    }
+
+    def gcBeansMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ > 0).sum
+    }
+
+    /** One flagship leg: generate `rows`, persist as parquet, then
+     *  `reps`× (MarkDuplicates.run + write marked output), keeping the
+     *  best rep and its attribution (metrics-pass vs mark+write wall,
+     *  task GC, spill, shuffle, input/output volumes). */
+    def flagshipLeg(rows: Long, reps: Int, tag: String): (Double, Long, String) = {
+      val repos = graft.io.RepoTableGen.repositories(
+        spark, rows, dupFraction = 0.3, nullFraction = 0.01,
+        numPartitions = Some(cpus.toInt * 2))
+      val path = s"/tmp/graft_bench_repos_$tag.parquet"
+      repos.write.mode("overwrite").parquet(path)
+      val table = spark.read.parquet(path)
+      val contentBytes = table.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.octet_length(
+            org.apache.spark.sql.functions.col("content")))).head().getLong(0)
+      val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = rows,
+        broadcastKeeperMaxRows = 20000000L)
+      reclaim()
+      var marked = 0L
+      val legs = (1 to reps).map { _ =>
+        val s0 = win.snap(); val gc0 = gcBeansMs
+        val t0 = System.nanoTime()
+        val res = graft.dedup.MarkDuplicates.run(table, cfg)
+        val tMetrics = (System.nanoTime() - t0) / 1e9
+        res.marked.write.mode("overwrite").parquet(s"/tmp/graft_bench_marked_$tag.parquet")
+        val total = (System.nanoTime() - t0) / 1e9
+        val s1 = win.snap(); val gc1 = gcBeansMs
+        marked = res.metrics.rowsMarkedDuplicate
+        res.unpersistAll()
+        reclaim()
+        val d = s1.zip(s0).map { case (a, b) => a - b }
+        (total, f"""{"metrics_sec":$tMetrics%.3f,"write_sec":${total - tMetrics}%.3f,"task_gc_sec":${d(0) / 1e3}%.3f,"jvm_gc_sec":${(gc1 - gc0) / 1e3}%.3f,"task_time_sec":${d(1) / 1e3}%.3f,"spill_mb":${d(2) / 1e6}%.1f,"shuffle_mb":${d(3) / 1e6}%.1f,"read_mb":${d(4) / 1e6}%.1f,"written_mb":${d(5) / 1e6}%.1f,"content_mb":${contentBytes / 1e6}%.1f}""")
+      }
+      val (sec, breakdown) = legs.minBy(_._1)
+      (sec, marked, breakdown)
+    }
+
+    // ---- flagship legs FIRST: clean JVM, nothing else has run ----
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", "2").toInt
+    val (dedupSec, markedCount, dedupBd, rps, mbps) = if (dedupRows > 0) {
+      val (sec, marked, bd) = flagshipLeg(dedupRows, reps, "2m")
+      val contentMb = bd.split("\"content_mb\":")(1).stripSuffix("}").toDouble
+      (sec, marked, bd, dedupRows / sec, contentMb / sec)
+    } else (0.0, 0L, "{}", 0.0, 0.0)
+
+    // second-scale flagship (default 8M rows): rows scale 4x, so a
+    // near-4x time ratio means the engine is throughput-bound, not
+    // overhead-bound; the breakdown attributes any excess.
+    val dedupRows2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS2", "8000000").toLong
+    val reps2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS2", "2").toInt
+    val (dedup2Sec, dedup2Bd, rps2) = if (dedupRows2 > 0) {
+      val (sec, _, bd) = flagshipLeg(dedupRows2, reps2, "8m")
+      (sec, bd, dedupRows2 / sec)
+    } else (0.0, "{}", 0.0)
+
+    // ---- the query suite ----
     // a failed query must NOT read as a (fast) timing — record it explicitly
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling; the
@@ -48,77 +180,6 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-
-    // between timed repetitions: a broadcast keeper set (GBs at the 8M
-    // leg) is only destroyed when the ContextCleaner sees its plan
-    // garbage-collected — back-to-back reps in one 8g heap otherwise
-    // stack two broadcasts plus 32 parquet writers and OOM. Unpersist +
-    // forced GC OUTSIDE the timed window.
-    def reclaim(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(2000)
-      System.gc()
-    }
-
-    // flagship: duplicate-marking throughput (rows/s) on the generated
-    // table — min of `reps` runs (this box shows run-to-run I/O noise; the
-    // least-interfered run is the engine's rate)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", "2").toInt
-    var markedCount = 0L
-    val (dedupSec, rps, mbps) = if (dedupRows > 0) {
-      val repos = graft.io.RepoTableGen.repositories(
-        spark, dedupRows, dupFraction = 0.3, nullFraction = 0.01,
-        numPartitions = Some(cpus.toInt * 2))
-      repos.write.mode("overwrite").parquet("/tmp/graft_bench_repos.parquet")
-      val table = spark.read.parquet("/tmp/graft_bench_repos.parquet")
-      val contentBytes = table.agg(
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.octet_length(
-            org.apache.spark.sql.functions.col("content")))).head().getLong(0)
-      val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows,
-        broadcastKeeperMaxRows = 20000000L)
-      val sec = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val res = graft.dedup.MarkDuplicates.run(table, cfg)
-        res.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked.parquet")
-        val s = (System.nanoTime() - t0) / 1e9
-        markedCount = res.metrics.rowsMarkedDuplicate
-        res.unpersistAll()
-        reclaim()
-        s
-      }.min
-      (sec, dedupRows / sec, contentBytes / 1e6 / sec)
-    } else (0.0, 0.0, 0.0)
-
-    // second-scale flagship (default 8M rows): keeps the headline number
-    // honest where fixed costs dominate the small run — rows scale 4x, so
-    // a near-4x time ratio means the engine is throughput-bound, not
-    // overhead-bound. Min of `reps2` runs: this box shows up to 3x
-    // run-to-run disk variance (the r3 artifact recorded a 154 s outlier
-    // for a tree repeatedly measured at 30-70 s) — the least-interfered
-    // run is the engine's rate, same policy as the 2M leg.
-    val dedupRows2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS2", "8000000").toLong
-    val reps2 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS2", "2").toInt
-    val (dedup2Sec, rps2) = if (dedupRows2 > 0) {
-      val repos2 = graft.io.RepoTableGen.repositories(
-        spark, dedupRows2, dupFraction = 0.3, nullFraction = 0.01,
-        numPartitions = Some(cpus.toInt * 2))
-      repos2.write.mode("overwrite").parquet("/tmp/graft_bench_repos2.parquet")
-      val table2 = spark.read.parquet("/tmp/graft_bench_repos2.parquet")
-      val cfg2 = graft.dedup.DedupConfig(p = 1e-6, expectedN = dedupRows2)
-      val sec = (1 to reps2).map { _ =>
-        val t0 = System.nanoTime()
-        val res2 = graft.dedup.MarkDuplicates.run(table2, cfg2)
-        res2.marked.write.mode("overwrite").parquet("/tmp/graft_bench_marked2.parquet")
-        val s = (System.nanoTime() - t0) / 1e9
-        res2.unpersistAll()
-        reclaim()
-        s
-      }.min
-      (sec, dedupRows2 / sec)
-    } else (0.0, 0.0)
 
     // hot-stratum token-budget gate: 90% of rows in ONE stratum — the
     // shape the salted two-phase cumsum exists for. Default 8M-row input,
@@ -159,7 +220,7 @@ object Bench {
     val total = allQ.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String, extra: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"dedup2_rows":$dedupRows2%d,"dedup2_rows_per_sec":$rps2%.0f,"hot_rows":$hotRows%d,"hot_kept":$hotKept%d,"failed":$failedJson%s$extra%s}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","dedup_rows":$dedupRows%d,"dedup_marked":$markedCount%d,"dedup_rows_per_sec":$rps%.0f,"dedup_content_mb_per_sec":$mbps%.1f,"dedup_reps":$reps%d,"dedup_breakdown":$dedupBd%s,"dedup2_rows":$dedupRows2%d,"dedup2_rows_per_sec":$rps2%.0f,"dedup2_breakdown":$dedup2Bd%s,"hot_rows":$hotRows%d,"hot_kept":$hotKept%d,"acc_race_warnings":${accRace.get}%d,"failed":$failedJson%s$extra%s}"""
     // full artifact -> file (survives any log-prefixing wrapper)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

@@ -25,6 +25,9 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
+      // boundary marker: lets a log reader attribute any async WARN/ERROR
+      // (cleaner races, block-manager noise) to the query that caused it
+      System.err.println(s"[verify] start $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

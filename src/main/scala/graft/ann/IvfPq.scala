@@ -69,11 +69,11 @@ object IvfPq {
       element_at(centroidLit(coarse), col("cluster") + 1), (a, b) => a - b)
     val resDf = IntKmeans.assignKeepVec(df, idCol, vecCol, coarse)
       .select(col(idCol), col("cluster").as("bucket"), res.as("__res"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val cb = ProductQuantizer.train(resDf, idCol, "__res", dim, m, k, pqRounds)
     val codes = resDf.select(col(idCol), col("bucket"),
       ProductQuantizer.codesColumn(col("__res"), cb).as("codes"))
-    Index(coarse, cb, codes.localCheckpoint(false))
+    Index(coarse, cb, codes.localCheckpoint(true))
   }
 
   /**

@@ -84,7 +84,7 @@ object ProductQuantizer {
     val sliced = df.select(
       col(idCol) +:
         (0 until m).map(s => subSlice(col(vecCol), s, subDim).as(s"__sub_$s")): _*)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val books = (0 until m).map { s =>
       IntKmeans.train(sliced, idCol, s"__sub_$s", k, rounds).sortBy(_._1)
     }.toArray

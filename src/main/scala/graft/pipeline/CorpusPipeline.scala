@@ -107,7 +107,7 @@ object CorpusPipeline {
     lmMaxMeanNllMicro.foreach { bound =>
       // branch point: the filtered frame feeds the vocab train pass and
       // the scoring pass
-      if (materializeAtBranch) df = df.localCheckpoint(false)
+      if (materializeAtBranch) df = df.localCheckpoint(true)
       val scores = graft.text.LmQuality
         .unigramScores(df, idCol, textCol, lmVocabSize)
         // mean NLL in micro-nats/token; empty docs score 0 (kept —
@@ -127,14 +127,14 @@ object CorpusPipeline {
       // pass and the representative anti-join — truncate lineage so the
       // upstream stages run once (candidatePairs checkpoints its slim
       // signature frame separately; this checkpoint covers the wide rows)
-      if (materializeAtBranch) df = df.localCheckpoint(false)
+      if (materializeAtBranch) df = df.localCheckpoint(true)
       df = graft.sim.Clustering.removeNearDuplicates(
         df, idCol, textCol, minJaccard, shingleSize = nearDedupShingleSize)
     }
     spanRemoveNGram.foreach { n =>
       // branch point: the deduped frame feeds the gram pass and the
       // rewrite join
-      if (materializeAtBranch) df = df.localCheckpoint(false)
+      if (materializeAtBranch) df = df.localCheckpoint(true)
       val rewritten = SpanDedup.removeDuplicatedSpans(df, idCol, textCol, n)
         .select(col(idCol), col("text_out"))
       df = df.drop(textCol)
@@ -147,7 +147,7 @@ object CorpusPipeline {
       // quality / dedup stages execute once, not once per consumer (at
       // cluster scale, writing the deduped survivors to storage between
       // these two heavy stages achieves the same and adds restartability)
-      if (materializeAtBranch) df = df.localCheckpoint(false)
+      if (materializeAtBranch) df = df.localCheckpoint(true)
       val hits = Decontaminate
         .contaminationHits(df, idCol, textCol, b, benchTextCol, nGram)
       df = df.join(hits, Seq(idCol), "left_anti")

@@ -156,7 +156,7 @@ object DatasetMix {
       df: DataFrame, strataCol: String, orderCol: String, totalTarget: Long,
       gateBuckets: Int = 64): DataFrame = {
     val quotas = sqrtTemperatureQuotas(df, strataCol, totalTarget)
-      .localCheckpoint(false) // read twice: the max below + the broadcast join
+      .localCheckpoint(true) // read twice: the max below + the broadcast join
     val maxRow = quotas.agg(max(col("quota"))).head()
     if (maxRow.isNullAt(0)) return df.limit(0) // empty input: empty sample
     val maxQuota = maxRow.getLong(0)

@@ -61,7 +61,7 @@ object IncrementalDedup {
     // lineage so the batch's upstream plan and sha256 run once, not twice
     val gated = sigged.withColumn("__hit",
       GraftExpressions.bloomContains(sketch, col("__sig")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // exact confirm for the hit slice only; misses are novel by the
     // filter's no-false-negative guarantee
     val confirmed = gated.where(col("__hit"))

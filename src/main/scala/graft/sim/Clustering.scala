@@ -272,7 +272,7 @@ object Clustering {
     // per-row nearest-centroid scan dominates the job — recomputing it
     // per consumer would roughly double the work
     val av = IntKmeans.assignKeepVec(vectors, idCol, vecCol, centroids)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // one slim count per cluster (k rows), broadcast back as a semi-join
     // gate on both pair sides — hot clusters never reach the pair join
     val okClusters = av.groupBy(col("cluster")).count()

@@ -351,7 +351,7 @@ object MinHashLsh {
       .select(col(idCol).as("id"),
         graft.plans.TextSketchExprs.minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
       .where(col("sig").isNotNull)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val banded = sigs
       .select(col("id"),
         posexplode(graft.plans.TextSketchExprs.minhashBands(col("sig"), bands))
@@ -412,7 +412,7 @@ object MinHashLsh {
       // counts, pruned join, sig re-attach) and without a store backing
       // them each read would re-hash the reference text
       newDf, signatureStore(refDf, idCol, textCol, numHashes, shingleSize)
-        .localCheckpoint(false),
+        .localCheckpoint(true),
       idCol, textCol, numHashes, bands, shingleSize, maxBucketPairs)
 
   /**
@@ -458,7 +458,7 @@ object MinHashLsh {
         posexplode(graft.plans.TextSketchExprs.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
     val sigsNew = signatureStore(newDf, idCol, textCol, numHashes, shingleSize)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // a store written under a different numHashes would band-hash into a
     // disjoint key space and the probe would return ~zero pairs with no
     // error — every duplicate silently kept. Fail the row loudly instead.

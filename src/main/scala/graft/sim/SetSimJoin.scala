@@ -150,7 +150,19 @@ object SetSimJoin {
     df.select(col(idCol).as("id"),
         array_compact(array_distinct(col(tokensCol))).as("toks"))
       .where(size(col("toks")) > 0)
-      .localCheckpoint(false)
+      // EAGER checkpoint — library-wide discipline, this is the canonical
+      // comment: a LAZY localCheckpoint materializes inside the FIRST
+      // consuming job, and when several consumers run concurrently (AQE
+      // launches broadcast-exchange jobs in parallel), the first finisher
+      // truncates the lineage, dropping the shuffle RDD and its metric
+      // accumulators; after a GC the sibling jobs' task-end events then
+      // report dead accumulator ids ("attempted to access non-existent
+      // accumulator" DAGScheduler errors — observed, reproduced, and
+      // pinned by this change). Eager materialization finishes — with all
+      // its accumulator updates processed — before any consumer starts,
+      // and also removes duplicated partition computes across the racing
+      // consumers.
+      .localCheckpoint(true)
 
   /** Exploded `(id, n, token)` rows plus the rarest-first prefix
    *  `(token, id)` rows of length n - ceil(t·n) + 1 per set, ordered by

@@ -215,7 +215,7 @@ object SimHash {
     // entry point above filters its featureless rows itself.
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
       .where(col("sh").isNotNull)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val keyed = hashed
       .select(col("id"),
         posexplode(graft.plans.TextSketchExprs.simhashKeys(col("sh"), maxHamming, nBlocks))

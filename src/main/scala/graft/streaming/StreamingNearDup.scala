@@ -178,7 +178,7 @@ object StreamingNearDup {
         // pin the batch: it feeds the cross probe, the within probe, and
         // the store append — without this each consumer re-reads the
         // micro-batch source
-        val pinned = batch.localCheckpoint(false)
+        val pinned = batch.localCheckpoint(true)
         // exclude this (and any later) batch's own partition: an
         // at-least-once replay must probe the store as it stood BEFORE
         // the batch first ran, or every replayed row self-collides

@@ -63,7 +63,7 @@ object Bm25 {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int): DataFrame = {
     val post = postings(docs, idCol, textCol)
-      .localCheckpoint(false) // three consumers: stats, df, the score join
+      .localCheckpoint(true) // three consumers: stats, df, the score join
 
     val statsRow = post.agg(
       countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("t")).head()

@@ -56,7 +56,7 @@ object TfIdf {
       .select(col("id"), xxhash64(col("__g")).as("term"))
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // df over the tf table (already one row per (term, doc)); the
     // groupBy(term) reuses the (term, id) exchange's term keying
     // df = N terms carry zero idf — no discriminative weight AND a
@@ -70,7 +70,7 @@ object TfIdf {
     // norm aggregation — three consumers of one slim long-triple frame
     val weighted = tf.join(terms, Seq("term"))
       .select(col("term"), col("id"), (col("tf") * col("idf_micro")).as("w"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val norms = weighted.groupBy(col("id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     (weighted, norms)
