@@ -48,6 +48,16 @@ object TableSource {
       loadPath(spark, "orc", path, validate)
   }
 
+  /** The lang-partitioned table through the in-repo DataSourceV2
+   *  connector (`graft.io.v2.RepoTableProvider`, shortName
+   *  "graft-repos") — the REAL Spark connector API an Iceberg runtime
+   *  implements, so the seam's pruning contract is proven against the
+   *  v2 code path too, not just the built-in file sources. */
+  case class V2Source(path: String, validate: Boolean = true) extends TableSource {
+    override def load(spark: SparkSession): DataFrame =
+      loadPath(spark, "graft-repos", path, validate)
+  }
+
   /** A catalog table (`spark.table`) — how an Iceberg table arrives once
    *  the catalog is configured (`spark.sql.catalog.* = ...iceberg...`). */
   case class CatalogSource(table: String, validate: Boolean = true) extends TableSource {

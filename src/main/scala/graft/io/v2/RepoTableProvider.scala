@@ -1,0 +1,205 @@
+package graft.io.v2
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.TableSource
+
+/**
+ * DataSourceV2 `TableProvider` for the repositories table — the REAL
+ * Spark connector API an Iceberg runtime implements, exercised end to
+ * end so a catalog jar drops in with zero engine change (SURVEY.md §2
+ * op 1; the engine always consumes a DataFrame through the
+ * `TableSource` seam, and this provider proves the seam's pruning
+ * contract holds through `format("graft-repos")` exactly as through
+ * the built-in file sources).
+ *
+ * Layout: a `lang=<value>/`-partitioned directory of parquet files —
+ * the partitioned-table shape whose directory pruning is the 10^12-file
+ * survival property. One InputPartition per data FILE (what a real
+ * catalog's file manifest yields), so parallelism tracks file count,
+ * not directory count.
+ *
+ * Pushdown surface (the part Catalyst talks to):
+ *  - `SupportsPushDownFilters`: `lang = v` / `lang IN (...)` prune
+ *    partition DIRECTORIES before any file is opened — a file in a
+ *    pruned directory is never touched (pinned by a spec that plants a
+ *    corrupt file there). All filters are also left in the residual, so
+ *    Spark re-evaluates them: pruning is an optimization, never a
+ *    correctness dependency.
+ *  - `SupportsPushDownRequiredColumns`: the pruned schema becomes the
+ *    parquet projection (`ReadSupport.PARQUET_READ_SCHEMA`), so a
+ *    repo/path listing never decodes content pages.
+ *
+ * Decoding rides parquet-mr's PUBLIC example API (`ParquetReader` +
+ * `GroupReadSupport`) — adequate for the all-string repositories
+ * schema; a production connector would swap in a vectorized reader
+ * behind the same `PartitionReaderFactory` without touching the plan
+ * surface above it.
+ */
+final class RepoTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-repos"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TableSource.RepositoriesSchema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-repos requires a path option")
+    new RepoTable(path, schema)
+  }
+}
+
+private[v2] final class RepoTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-repos:$path"
+  override def schema(): StructType = tableSchema // (Table.columns() derives from this)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RepoScanBuilder(path, tableSchema)
+}
+
+private[v2] final class RepoScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var langFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    langFilters = filters.filter {
+      case EqualTo("lang", _: String) => true
+      case In("lang", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    // everything stays residual: Spark re-evaluates all filters, so the
+    // directory pruning below can only skip work, never change results
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = langFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve table column order; an empty projection (count(*)) keeps
+    // one cheap column so the reader still knows the row count
+    val keep = requiredSchema.fieldNames.toSet
+    val pruned = StructType(tableSchema.fields.filter(f => keep.contains(f.name)))
+    required = if (pruned.isEmpty) StructType(tableSchema.fields.take(1)) else pruned
+  }
+
+  override def build(): Scan = new RepoScan(path, required, langFilters)
+}
+
+private[v2] final case class RepoFilePartition(
+    file: String, lang: String, dataCols: Array[String], outCols: Array[String])
+  extends InputPartition
+
+private[v2] final class RepoScan(
+    path: String, required: StructType, langFilters: Array[Filter])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Shown in `explain` — the v2 analog of FileSourceScan's
+   *  PartitionFilters/ReadSchema lines, pinned by the contract spec. */
+  override def description(): String = {
+    val fs = langFilters.map(_.toString).mkString(", ")
+    s"graft-repos PushedLangFilters: [$fs], ReadSchema: ${required.simpleString}"
+  }
+
+  private def langMatches(v: String): Boolean = langFilters.forall {
+    case EqualTo(_, want) => v == want
+    case In(_, vs) => vs.exists(_ == v)
+    case _ => true
+  }
+
+  /** Minimal unescape for partition-dir values (PartitioningUtils
+   *  percent-escapes special chars on write). */
+  private def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new java.io.File(path)
+    val langDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(d => d -> unescape(d.getName.stripPrefix("lang=")))
+      .filter { case (_, v) => langMatches(v) } // the actual pruning
+    val dataCols = required.fieldNames.filter(_ != "lang")
+    langDirs.flatMap { case (dir, lang) =>
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => RepoFilePartition(f.getAbsolutePath, lang, dataCols,
+          required.fieldNames): InputPartition)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new RepoReaderFactory
+}
+
+private[v2] final class RepoReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RepoFileReader(partition.asInstanceOf[RepoFilePartition])
+}
+
+/** Reads one parquet data file through parquet-mr's example API with a
+ *  column projection; the partition-dir lang value is attached without
+ *  touching file bytes (identical to how file sources fill partition
+ *  columns). */
+private[v2] final class RepoFileReader(p: RepoFilePartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.example.data.Group
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    if (p.dataCols.nonEmpty) {
+      val proj = p.dataCols
+        .map(c => s"  optional binary $c (UTF8);")
+        .mkString("message spark_schema {\n", "\n", "\n}")
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj)
+    }
+    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(p.file))
+      .withConf(conf).build()
+  }
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(p.outCols.length)
+    var i = 0
+    while (i < p.outCols.length) {
+      val c = p.outCols(i)
+      if (c == "lang") row.update(i, UTF8String.fromString(p.lang))
+      else if (current.getType.containsField(c) &&
+               current.getFieldRepetitionCount(c) > 0)
+        row.update(i, UTF8String.fromBytes(current.getBinary(c, 0).getBytes))
+      else row.update(i, null)
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

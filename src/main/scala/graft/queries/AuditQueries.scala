@@ -238,6 +238,43 @@ object AuditQueries {
       |       text IS NULL AS was_null, lang
       |FROM documents""".stripMargin
 
+  // ---------- DataSourceV2 connector read (graft-repos) ----------
+
+  /** The repositories table driven through the in-repo DataSourceV2
+   *  connector (`graft.io.v2.RepoTableProvider` via
+   *  `TableSource.V2Source`): documents are recast to the mandated
+   *  (repo, path, commit, lang, content) shape, written lang-partitioned,
+   *  then read back through `format("graft-repos")` with a lang filter
+   *  (partition-directory pruning inside the v2 scan) and a projection
+   *  (parquet column pruning inside the v2 reader). The oracle recomputes
+   *  the same rows from the documents table directly — any decode,
+   *  null-handling, or pruning bug in the connector hash-mismatches. */
+  def dsv2RepoScan(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupQueries.docs(spark, dir)
+    val repoShaped = d.select(
+      concat(lit("r"), (col("doc_id") % 97).cast("string")).as("repo"),
+      concat(lit("p/"), col("doc_id").cast("string")).as("path"),
+      lpad(lower(hex(col("doc_id"))), 40, "0").as("commit"),
+      coalesce(col("lang"), lit("und")).as("lang"),
+      col("text").as("content"))
+    val path = graft.io.TempLayouts.scratchPath("dsv2_repos")
+    repoShaped.write.partitionBy("lang").mode("overwrite").parquet(path)
+    graft.io.TableSource.V2Source(path).load(spark)
+      .where(col("lang") =!= "de") // pushed: prunes the lang=de directory
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(coalesce(col("content"), lit("")), 256).as("content_sha"),
+        col("content").isNull.as("was_null"))
+  }
+
+  val Dsv2RepoScanSql: String =
+    """SELECT 'r' || CAST(doc_id % 97 AS VARCHAR) AS repo,
+      |       'p/' || CAST(doc_id AS VARCHAR) AS path,
+      |       lpad(lower(to_hex(doc_id)), 40, '0') AS "commit",
+      |       coalesce(lang, 'und') AS lang,
+      |       sha256(coalesce(text, '')) AS content_sha,
+      |       text IS NULL AS was_null
+      |FROM documents WHERE coalesce(lang, 'und') <> 'de'""".stripMargin
+
   // ---------- WARC ingestion (raw-crawl container round trip) ----------
 
   /** Raw-crawl ingestion driven end-to-end IN the engine: documents
