@@ -88,17 +88,21 @@ object UrlDedup {
     regexp_extract(noWww, "^[^/?#:]+", 0)
   }
 
-  /** Registered domain as the host's last two dot-labels (`a.b.c.com` ->
-   *  `c.com`); a bare single-label host passes through unchanged. This is
-   *  the standard naive approximation — a real public-suffix list is
-   *  DATA, not code (it ships as a file and changes monthly), so callers
-   *  that need `co.uk`-correct cuts should derive their own domain
-   *  column and join the blocklist on that instead. */
-  def registeredDomainOf(url: Column): Column = {
-    val h = hostOf(url)
-    when(regexp_extract(h, "[^.]+\\.[^.]+$", 0) === "", h)
-      .otherwise(regexp_extract(h, "[^.]+\\.[^.]+$", 0))
-  }
+  /** Registered domain of a URL per the Public Suffix List
+   *  (`graft.text.PublicSuffixList` — `a.b.co.uk` -> `b.co.uk`, where a
+   *  last-two-labels cut would wrongly group every UK site under
+   *  `co.uk`). The rule set is data: pass a `parse`d full PSL file in
+   *  production; the bundled snapshot is the default. A host that is
+   *  itself a public suffix (or a single label) passes through
+   *  unchanged, so exact-host blocklist entries still match. Native
+   *  codegen'd expression — the rules ride the plan as one reference
+   *  object. NOTE: `hostOf` strips a leading `www.` as part of URL
+   *  normalization BEFORE the PSL cut (a deliberate normalization
+   *  choice; oracles replay the same order). */
+  def registeredDomainOf(
+      url: Column,
+      psl: graft.text.PublicSuffixList = graft.text.PublicSuffixList.bundled): Column =
+    graft.plans.UrlExprs.pslDomain(hostOf(url), psl)
 
   /**
    * Drop every row whose registered domain appears in `blocklist` (a

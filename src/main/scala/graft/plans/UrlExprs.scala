@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.PublicSuffixList
+
+/**
+ * URL/host expressions backed by the Public Suffix List
+ * (`graft.text.PublicSuffixList`) as native codegen'd Catalyst
+ * expressions — no ScalaUDF in the hot path. The parsed rule set rides
+ * the expression as ONE reference object (the CentroidExprs pattern):
+ * serialized once into the plan, shared by every task on an executor,
+ * constant-size in corpus rows.
+ */
+object UrlExprs {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** Registered domain of a HOST column per the PSL algorithm
+   *  (`a.b.co.uk` -> `b.co.uk`); a host that is itself a public suffix
+   *  (or a single label) passes through unchanged. */
+  def pslDomain(host: Column, psl: PublicSuffixList = PublicSuffixList.bundled): Column =
+    toColumn(PslDomainExpr(exprOf(host), psl))
+}
+
+case class PslDomainExpr(child: Expression, psl: PublicSuffixList)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  def domain(host: UTF8String): UTF8String = {
+    val d = psl.registeredDomain(host.toString)
+    if (d == null) null else UTF8String.fromString(d)
+  }
+
+  override def nullSafeEval(v: Any): Any = domain(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pslDomain", this, classOf[PslDomainExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.domain($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_psl_domain"
+  override def toString: String =
+    s"graft_psl_domain($child, rules=${psl.ruleLines.size})"
+}

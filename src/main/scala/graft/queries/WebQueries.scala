@@ -71,20 +71,31 @@ object WebQueries {
 
   // ---------- domain-blocklist filtering (the pre-content cut) ----------
 
-  /** Blocklist shared between the query and the oracle. */
-  val BlockedDomains: Seq[String] = Seq("bad-ads.com", "tracker.net")
+  /** Blocklist shared between the query and the oracle. `evil.co.uk` is
+   *  the PSL-dependent entry: only a public-suffix-aware cut derives
+   *  `evil.co.uk` from `x.evil.co.uk` (a last-two-labels cut would say
+   *  `co.uk` and the block would silently never fire). */
+  val BlockedDomains: Seq[String] = Seq("bad-ads.com", "tracker.net", "evil.co.uk")
 
-  /** URL surface forms across five domains, exercising scheme/case/www
-   *  stripping, subdomain collapse to the registered domain, and a port:
-   *  %5==1 (sub of bad-ads.com) and %5==2 (www.Tracker.NET) are blocked;
-   *  0/3/4 survive. */
+  /** URL surface forms across eleven hosts, exercising scheme/case/www
+   *  stripping, subdomain collapse, a port, and every PSL rule class:
+   *  multi-label suffix (bbc.co.uk), public-suffix host pass-through
+   *  (gov.uk), wildcard (`*.ck` -> shop.foo.ck), exception
+   *  (`!city.kawasaki.jp`), and a private-section suffix (github.io).
+   *  %11 in {1, 2, 6} are blocked; the rest survive. */
   def syntheticDomainUrl(id: Column): Column = {
     val k = (id % 97).cast("string")
-    when(id % 5 === 0, concat(lit("https://example.com/p/"), k))
-      .when(id % 5 === 1, concat(lit("http://spam.bad-ads.com/x/"), k))
-      .when(id % 5 === 2, concat(lit("HTTPS://WWW.Tracker.NET/t/"), k, lit("?q=1")))
-      .when(id % 5 === 3, concat(lit("good.org/a/"), k))
-      .otherwise(concat(lit("cdn.assets.example.net:8080/f/"), k))
+    when(id % 11 === 0, concat(lit("https://example.com/p/"), k))
+      .when(id % 11 === 1, concat(lit("http://spam.bad-ads.com/x/"), k))
+      .when(id % 11 === 2, concat(lit("HTTPS://WWW.Tracker.NET/t/"), k, lit("?q=1")))
+      .when(id % 11 === 3, concat(lit("good.org/a/"), k))
+      .when(id % 11 === 4, concat(lit("cdn.assets.example.net:8080/f/"), k))
+      .when(id % 11 === 5, concat(lit("https://news.bbc.co.uk/story/"), k))
+      .when(id % 11 === 6, concat(lit("http://x.evil.co.uk/"), k))
+      .when(id % 11 === 7, concat(lit("https://www.gov.uk/"), k))
+      .when(id % 11 === 8, concat(lit("http://sub.city.kawasaki.jp/"), k))
+      .when(id % 11 === 9, concat(lit("https://shop.foo.ck/"), k))
+      .otherwise(concat(lit("https://user.github.io/proj/"), k))
   }
 
   def domainFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -97,15 +108,28 @@ object WebQueries {
         UrlDedup.registeredDomainOf(col("url")).as("domain"))
   }
 
-  val DomainFilterSql: String =
+  /** The oracle replays the FULL PSL algorithm in SQL — exception rules
+   *  prevail, else longest match (incl. `*.` wildcards), else the
+   *  default `*` rule — over the exact bundled rule lines
+   *  (`PublicSuffixList.bundled.ruleLines`, injected below so the two
+   *  sides cannot drift), then applies the same blocklist cut. */
+  val DomainFilterSql: String = {
+    val rules = graft.text.PublicSuffixList.bundled.ruleLines
+      .map(r => s"('$r')").mkString(", ")
     s"""WITH u AS (
        |  SELECT doc_id,
-       |    CASE doc_id % 5
+       |    CASE doc_id % 11
        |      WHEN 0 THEN 'https://example.com/p/' || (doc_id % 97)
        |      WHEN 1 THEN 'http://spam.bad-ads.com/x/' || (doc_id % 97)
        |      WHEN 2 THEN 'HTTPS://WWW.Tracker.NET/t/' || (doc_id % 97) || '?q=1'
        |      WHEN 3 THEN 'good.org/a/' || (doc_id % 97)
-       |      ELSE 'cdn.assets.example.net:8080/f/' || (doc_id % 97)
+       |      WHEN 4 THEN 'cdn.assets.example.net:8080/f/' || (doc_id % 97)
+       |      WHEN 5 THEN 'https://news.bbc.co.uk/story/' || (doc_id % 97)
+       |      WHEN 6 THEN 'http://x.evil.co.uk/' || (doc_id % 97)
+       |      WHEN 7 THEN 'https://www.gov.uk/' || (doc_id % 97)
+       |      WHEN 8 THEN 'http://sub.city.kawasaki.jp/' || (doc_id % 97)
+       |      WHEN 9 THEN 'https://shop.foo.ck/' || (doc_id % 97)
+       |      ELSE 'https://user.github.io/proj/' || (doc_id % 97)
        |    END AS url
        |  FROM documents
        |), h AS (
@@ -115,14 +139,37 @@ object WebQueries {
        |        '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''),
        |      '^[^/?#:]+') AS host
        |  FROM u
+       |), r(rule) AS (VALUES $rules
+       |), labs AS (
+       |  SELECT doc_id, host, string_split(host, '.') AS ls,
+       |         len(string_split(host, '.')) AS n
+       |  FROM h
+       |), sfx AS (
+       |  SELECT doc_id, host, ls, n, unnest(generate_series(1, n)) AS i FROM labs
+       |), m AS (
+       |  SELECT doc_id, host, n, i,
+       |    ('!' || array_to_string(list_slice(ls, i, n), '.'))
+       |      IN (SELECT rule FROM r) AS is_exc,
+       |    (array_to_string(list_slice(ls, i, n), '.') IN (SELECT rule FROM r)
+       |     OR (i < n AND ('*.' || array_to_string(list_slice(ls, i + 1, n), '.'))
+       |           IN (SELECT rule FROM r))) AS is_match
+       |  FROM sfx
+       |), ps AS (
+       |  SELECT doc_id, host, any_value(n) AS nn,
+       |    coalesce(min(CASE WHEN is_exc THEN i + 1 END),
+       |             min(CASE WHEN is_match THEN i END),
+       |             any_value(n)) AS strt
+       |  FROM m GROUP BY doc_id, host
        |), d AS (
        |  SELECT doc_id,
-       |    CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$$') = '' THEN host
-       |         ELSE regexp_extract(host, '[^.]+\\.[^.]+$$') END AS domain
-       |  FROM h
+       |    CASE WHEN strt <= 1 THEN host
+       |         ELSE array_to_string(
+       |           list_slice(string_split(host, '.'), strt - 1, nn), '.') END AS domain
+       |  FROM ps
        |)
        |SELECT doc_id, domain FROM d
        |WHERE domain NOT IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")})""".stripMargin
+  }
 
   // ---------- deterministic global shuffle / sharding ----------
 

@@ -1,0 +1,107 @@
+package graft.text
+
+/**
+ * Public Suffix List engine — the published publicsuffix.org algorithm
+ * over a rule file, used to cut a host at its REGISTERED domain
+ * (`a.b.co.uk` -> `b.co.uk`, where a last-two-labels cut would wrongly
+ * yield `co.uk` and group every UK site together).
+ *
+ * Algorithm (https://publicsuffix.org/list/):
+ *  - a rule matches when the host ends with the rule's labels, `*`
+ *    matching exactly one label;
+ *  - an exception rule (`!` prefix) prevails over everything: its
+ *    public suffix is the rule minus its leftmost label;
+ *  - otherwise the LONGEST matching rule prevails;
+ *  - if nothing matches, the default rule `*` applies (the rightmost
+ *    label is the public suffix).
+ * The registered domain is the public suffix plus one preceding label.
+ *
+ * The rule set is DATA, not code: `parse` takes any PSL file (the full
+ * list updates monthly); `bundled` loads the snapshot subset shipped at
+ * `graft/psl_snapshot.dat`. The class is Serializable and immutable —
+ * ONE instance rides a task closure / expression reference object, so a
+ * 10^12-row derivation broadcasts the rules once per executor.
+ */
+final class PublicSuffixList private (
+    private val normal: java.util.HashSet[String],
+    private val wildcard: java.util.HashSet[String],
+    private val exception: java.util.HashSet[String],
+    /** Rule lines in file order — the replay surface for oracles. */
+    val ruleLines: IndexedSeq[String]) extends Serializable {
+
+  private def join(labels: Array[String], from: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = from
+    while (i < labels.length) {
+      if (i > from) sb.append('.')
+      sb.append(labels(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Index (into `labels`) where the public suffix starts. */
+  def publicSuffixStart(labels: Array[String]): Int = {
+    val n = labels.length
+    var i = 0
+    while (i < n) { // exception rules prevail outright
+      if (exception.contains(join(labels, i))) return math.min(i + 1, n)
+      i += 1
+    }
+    i = 0
+    while (i < n) { // longest match = smallest start index
+      if (normal.contains(join(labels, i))) return i
+      // "*.<parent>" matches a suffix whose first label is the star
+      if (i + 1 < n && wildcard.contains(join(labels, i + 1))) return i
+      i += 1
+    }
+    n - 1 // default rule "*"
+  }
+
+  /**
+   * Registered domain of `host` (already lowercased/stripped — see
+   * `UrlDedup.hostOf`). When the host IS a public suffix (or a single
+   * label) it has no registered domain; it is passed through unchanged
+   * so blocklist joins on exact public-suffix hosts still work and
+   * single-label hosts keep their identity.
+   */
+  def registeredDomain(host: String): String = {
+    if (host == null || host.isEmpty) return host
+    val labels = host.split('.')
+    if (labels.isEmpty || labels.exists(_.isEmpty)) return host // ".." / trailing-dot junk: pass through
+    val ps = publicSuffixStart(labels)
+    if (ps == 0) host else join(labels, ps - 1)
+  }
+}
+
+object PublicSuffixList {
+
+  /** Parse PSL rule lines (comments `//`, blanks skipped; rules
+   *  lowercased; `!`/`*.` forms routed to their rule class). */
+  def parse(lines: Iterator[String]): PublicSuffixList = {
+    val normal = new java.util.HashSet[String]()
+    val wildcard = new java.util.HashSet[String]()
+    val exception = new java.util.HashSet[String]()
+    val kept = IndexedSeq.newBuilder[String]
+    lines.foreach { raw =>
+      val line = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      if (line.nonEmpty && !line.startsWith("//")) {
+        kept += line
+        if (line.startsWith("!")) exception.add(line.substring(1))
+        else if (line.startsWith("*.")) wildcard.add(line.substring(2))
+        else normal.add(line)
+        ()
+      }
+    }
+    new PublicSuffixList(normal, wildcard, exception, kept.result())
+  }
+
+  /** The bundled snapshot (subset of the public list — see the
+   *  resource header); swap in the full file via `parse` in production. */
+  lazy val bundled: PublicSuffixList = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.dat")
+    require(in != null, "missing bundled PSL snapshot resource")
+    try parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+}

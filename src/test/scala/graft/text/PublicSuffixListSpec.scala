@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** PSL algorithm pinned against the canonical publicsuffix.org test
+ *  vectors (the subset whose rules ship in the bundled snapshot), plus
+ *  the Spark-side native expression under strict codegen. */
+class PublicSuffixListSpec extends SparkSpecBase {
+
+  private val psl = PublicSuffixList.bundled
+
+  test("canonical publicsuffix.org cases: plain, multi-label, wildcard, exception, default") {
+    val cases = Seq(
+      // plain gTLD
+      "example.com" -> "example.com",
+      "a.b.example.com" -> "example.com",
+      // multi-label ccTLD suffixes
+      "bbc.co.uk" -> "bbc.co.uk",
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "a.b.c.co.uk" -> "c.co.uk",
+      "x.gov.uk" -> "x.gov.uk",
+      "example.gov.au" -> "example.gov.au",
+      "www2.example.co.jp" -> "example.co.jp",
+      // wildcard *.ck: foo.ck is a public suffix, one more label registers
+      "shop.foo.ck" -> "shop.foo.ck",
+      "a.shop.foo.ck" -> "shop.foo.ck",
+      // exception !www.ck: www.ck IS registrable
+      "www.ck" -> "www.ck",
+      "a.www.ck" -> "www.ck",
+      // exception !city.kawasaki.jp against *.kawasaki.jp
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "other.kawasaki.jp" -> "other.kawasaki.jp", // wildcard: public suffix itself -> pass-through
+      "x.other.kawasaki.jp" -> "x.other.kawasaki.jp",
+      // private-section suffix
+      "user.github.io" -> "user.github.io",
+      "deep.user.github.io" -> "user.github.io",
+      // default * rule: unknown TLD cuts at the last label
+      "example.unknowntld" -> "example.unknowntld",
+      "a.b.example.unknowntld" -> "example.unknowntld")
+    cases.foreach { case (host, want) =>
+      assert(psl.registeredDomain(host) === want, s"host=$host")
+    }
+  }
+
+  test("hosts that ARE public suffixes (and junk) pass through unchanged") {
+    Seq("com", "co.uk", "gov.uk", "kawasaki.jp", "foo.ck", "github.io",
+      "localhost", "", "a..b", "trailing.").foreach { h =>
+      assert(psl.registeredDomain(h) === h, s"host=$h")
+    }
+    assert(psl.registeredDomain(null) === null)
+  }
+
+  test("the rule set is data: a caller-supplied full list overrides the snapshot") {
+    val custom = PublicSuffixList.parse(Iterator(
+      "// comment", "", "corp", "internal.corp", "*.dyn.corp", "!static.dyn.corp"))
+    assert(custom.registeredDomain("a.b.internal.corp") === "b.internal.corp")
+    assert(custom.registeredDomain("x.y.dyn.corp") === "x.y.dyn.corp")
+    assert(custom.registeredDomain("sub.static.dyn.corp") === "static.dyn.corp")
+    // unknown TLD under the custom list falls to the default rule
+    assert(custom.registeredDomain("a.example.com") === "example.com")
+  }
+
+  test("native expression matches the engine under strict codegen; null-safe") {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val hosts = Seq("news.bbc.co.uk", "a.b.example.com", "sub.city.kawasaki.jp",
+        "shop.foo.ck", "deep.user.github.io", "localhost", null)
+      // through parquet so the expression sits inside a real codegen'd
+      // scan-project stage, not a LocalTableScan
+      val dir = java.nio.file.Files.createTempDirectory("psl-codegen").toString
+      hosts.toDF("h").write.mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select(graft.plans.UrlExprs.pslDomain(col("h")).as("d"))
+        .as[String].collect().toSet
+      assert(got === hosts.map(h => if (h == null) null else psl.registeredDomain(h)).toSet)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("registeredDomainOf end-to-end over URLs (scheme/www/port + PSL cut)") {
+    import spark.implicits._
+    val got = Seq(
+      "https://news.bbc.co.uk/story/1",
+      "HTTP://WWW.Sub.Tracker.NET:8080/x?q=1",
+      "http://x.evil.co.uk/p",
+      "https://shop.foo.ck/",
+      "good.org").toDF("url")
+      .select(graft.pipeline.UrlDedup.registeredDomainOf(col("url"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("bbc.co.uk", "tracker.net", "evil.co.uk", "shop.foo.ck", "good.org"))
+  }
+}
