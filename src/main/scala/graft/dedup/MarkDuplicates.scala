@@ -333,9 +333,15 @@ object MarkDuplicates {
     //    the duplicated fraction of the table enters the shuffled join.
     //    This is the streammd probe re-purposed as a semi-join gate.
     val keepers0 = counts.where(col(CntCol) > 1)
+    // shape choice delegates to the engine-wide broadcast policy
+    // (operators.JoinPlanner.broadcastFits) with this job's MEASURED
+    // evidence — exact keeper rows and priced keeper bytes from the
+    // counts pass — so the dedup mark plan and the sketch-planned joins
+    // share one decision rule (pinned by MarkDuplicatesSpec)
     val marked =
-      if (dupGroupRows <= cfg.broadcastKeeperMaxRows &&
-          keeperBytes <= cfg.broadcastKeeperMaxBytes) {
+      if (graft.operators.JoinPlanner.broadcastFits(
+          dupGroupRows, keeperBytes,
+          cfg.broadcastKeeperMaxRows, cfg.broadcastKeeperMaxBytes)) {
         joinMark(withSig, broadcast(keepers0), cfg)
       } else {
         val gate = sketchFromSigs(

@@ -67,17 +67,30 @@ object JoinPlanner {
   private val CmsDepth = 5
   private val CmsWidth = 65536
 
+  /** Single-column convenience overload of the composite-key pass. */
+  def sideStats(df: DataFrame, key: String): SideStats = sideStats(df, Seq(key))
+
   /** ONE aggregation pass: exact count + HLL NDV + MG hot candidates +
    *  frequency CMS, all map-side-combined mergeable buffers — the whole
    *  planning basis in a single scan (and a single Exchange of four
-   *  sketch partials). */
-  def sideStats(df: DataFrame, key: String): SideStats = {
-    val keyHash = xxhash64(col(key))
+   *  sketch partials). Composite keys hash as the TUPLE
+   *  (`xxhash64(k1, k2, ...)`), and the CMS string form is the
+   *  NUL-joined encoding (the `MarkDuplicates.keyExpr` separator trick)
+   *  so distinct tuples cannot collide by plain concatenation; rows
+   *  with any null key component cannot join and are excluded from
+   *  every sketch. */
+  def sideStats(df: DataFrame, keys: Seq[String]): SideStats = {
+    require(keys.nonEmpty, "need at least one join key")
+    val allNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val keyHash = when(allNotNull, xxhash64(keys.map(col): _*))
+    val cmsKey = when(allNotNull,
+      if (keys.size == 1) col(keys.head).cast("string")
+      else concat_ws("\u0000", keys.map(col(_).cast("string")): _*))
     val row = df.agg(
-      count(when(col(key).isNotNull, 1)).as("n"),
+      count(when(allNotNull, 1)).as("n"),
       GraftFunctions.hllSketchLong(keyHash).as("hll"),
       GraftFunctions.frequentItems(keyHash, k = MgK).as("mg"),
-      GraftFunctions.cmsSketch(col(key).cast("string"), CmsDepth, CmsWidth).as("cms"))
+      GraftFunctions.cmsSketch(cmsKey, CmsDepth, CmsWidth).as("cms"))
       .head()
     SideStats(
       rows = row.getLong(0),
@@ -89,6 +102,17 @@ object JoinPlanner {
   /** Join OUTPUT size estimate (never under; over by <= eps·Na·Nb). */
   def estimatedJoinRows(a: SideStats, b: SideStats): Long =
     a.cms.innerProductEstimate(b.cms)
+
+  /** THE broadcast-fit policy — the one place the engine decides whether
+   *  a build side ships as a broadcast relation. Callers supply whatever
+   *  evidence they have: this planner passes sketch-exact row counts
+   *  (bytes unknown -> 0), `dedup.MarkDuplicates.run` passes its
+   *  measured keeper rows AND bytes from the counts pass. One policy,
+   *  two evidence sources — the shapes cannot drift apart. */
+  def broadcastFits(
+      buildRows: Long, buildBytes: Long,
+      maxRows: Long, maxBytes: Long): Boolean =
+    buildRows <= maxRows && buildBytes <= maxBytes
 
   /** Pick the shape. `probe` is the large/fact side, `build` the side a
    *  broadcast would ship. Decision order mirrors cost: a broadcast
@@ -103,7 +127,7 @@ object JoinPlanner {
     require(skewShare > 1.0 / (MgK + 1),
       f"skewShare must exceed the MG retention bound ${1.0 / (MgK + 1)}%.4f " +
         "(below it a hot key could evade the sketch)")
-    if (build.rows <= broadcastMaxRows) BroadcastBuild
+    if (broadcastFits(build.rows, 0L, broadcastMaxRows, Long.MaxValue)) BroadcastBuild
     else {
       // every key above skewShare of its side is guaranteed among the MG
       // candidates (retention bound 1/(k+1) < skewShare); lower-bound
@@ -146,10 +170,8 @@ object JoinPlanner {
       broadcastMaxRows: Long = 10000000L,
       skewShare: Double = 0.05,
       saltBuckets: Int = 32): (DataFrame, JoinPlan) = {
-    require(keys.size == 1, "sketch stats cover single-column keys; " +
-      "pre-concat composite keys into one column")
     val chosen = plan(
-      sideStats(probe, keys.head), sideStats(build, keys.head),
+      sideStats(probe, keys), sideStats(build, keys),
       broadcastMaxRows, skewShare, saltBuckets)
     val joined = chosen match {
       case BroadcastBuild => probe.join(broadcast(build), keys)

@@ -318,6 +318,51 @@ object EventQueries {
       |FROM p JOIN b USING (k)
       |GROUP BY tag""".stripMargin
 
+  /** The sketch-planned join with a TWO-COLUMN key: the hot key is the
+   *  composite tuple (0, 'g0') — 75% of probe rows — while neither
+   *  component alone identifies it, so skew detection must hash and
+   *  count at tuple level (`JoinPlanner.sideStats(df, Seq(k1, k2))`).
+   *  Same contract as `adaptive_join`: the oracle is the PLAIN
+   *  two-key join, the planner may only pick shape. */
+  def adaptiveJoinMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probe = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        when(col("l_orderkey") % 4 > 0, 0L)
+          .otherwise(lit(1L) + col("l_partkey") % 20).as("k1"),
+        when(col("l_orderkey") % 4 > 0, lit("g0"))
+          .otherwise(concat(lit("g"), (col("l_partkey") % 3).cast("string"))).as("k2"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val build = spark.read.parquet(s"$dir/nation.parquet")
+      .select((col("n_nationkey") % 21).cast("long").as("k1"),
+        col("n_name").as("tag"))
+      .crossJoin(Seq("g0", "g1", "g2").toDF("k2"))
+    val (joined, chosen) = graft.operators.JoinPlanner.adaptiveJoin(
+      probe, build, keys = Seq("k1", "k2"),
+      broadcastMaxRows = 10L, skewShare = 0.05, saltBuckets = 8)
+    joined.groupBy(col("tag"), col("k2"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("salted_chosen",
+        lit(chosen.isInstanceOf[graft.operators.JoinPlanner.SaltedSkew]))
+  }
+
+  val AdaptiveJoinMultiSql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN l_orderkey % 4 > 0 THEN 0
+      |              ELSE 1 + l_partkey % 20 END AS k1,
+      |         CASE WHEN l_orderkey % 4 > 0 THEN 'g0'
+      |              ELSE 'g' || CAST(l_partkey % 3 AS VARCHAR) END AS k2,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT n_nationkey % 21 AS k1, g.k2, n_name AS tag
+      |  FROM nation, (VALUES ('g0'), ('g1'), ('g2')) AS g(k2)
+      |)
+      |SELECT tag, k2, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       true AS salted_chosen
+      |FROM p JOIN b USING (k1, k2)
+      |GROUP BY tag, k2""".stripMargin
+
   /** Event-time window aggregation — Spark's `window()` operator in
    *  batch, both flavors in one result: TUMBLING 1-hour buckets and
    *  SLIDING 1-hour windows hopping every 30 min (each event lands in

@@ -103,4 +103,47 @@ class JoinPlannerSpec extends SparkSpecBase {
     assert(saltSpread > 1L, "hot key must spread over multiple salts")
     assert(canon(j) === canon(probe.join(build, Seq("k"))))
   }
+
+  test("composite keys: tuple-level stats, hot TUPLE salted, exact vs plain join") {
+    // 75% of probe rows sit on the composite key (0, "x"); neither k1=0
+    // nor k2="x" alone would justify salting the OTHER keys they appear
+    // with — the decision must be tuple-level
+    val probe = spark.range(0, 8000).select(
+      when(col("id") % 4 > 0, 0L).otherwise(col("id") % 50).as("k1"),
+      when(col("id") % 4 > 0, lit("x"))
+        .otherwise(concat(lit("t"), (col("id") % 7).cast("string"))).as("k2"),
+      col("id").as("pv"))
+    val build = spark.range(0, 50).select(col("id").as("k1"))
+      .crossJoin(Seq("x", "t0", "t1", "t2", "t3", "t4", "t5", "t6").toDF("k2"))
+      .withColumn("bv", xxhash64(col("k1"), col("k2")))
+    val sp = sideStats(probe, Seq("k1", "k2"))
+    assert(sp.rows === 8000L)
+    // the hot tuple's hash must be a guaranteed MG candidate
+    val hotHash = spark.range(1)
+      .select(xxhash64(lit(0L), lit("x"))).head().getLong(0)
+    assert(sp.hotHashes.exists(_._1 === hotHash), "hot tuple must be retained")
+    val (joined, chosen) = adaptiveJoin(
+      probe, build, Seq("k1", "k2"), broadcastMaxRows = 10L,
+      skewShare = 0.05, saltBuckets = 8)
+    assert(chosen.isInstanceOf[SaltedSkew], s"expected salted, got $chosen")
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.select("k1", "k2", "pv", "bv").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(canon2(joined) === canon2(probe.join(build, Seq("k1", "k2"))))
+  }
+
+  test("composite keys: rows with any null component are excluded from stats") {
+    val df = spark.range(0, 100).select(
+      col("id").as("k1"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(lit("v")).as("k2"))
+    val s = sideStats(df, Seq("k1", "k2"))
+    assert(s.rows === 90L, "null-component rows cannot join and must not count")
+  }
+
+  test("broadcastFits is the single policy: row cap AND byte cap must both hold") {
+    assert(broadcastFits(100L, 1000L, 100L, 1000L))
+    assert(!broadcastFits(101L, 0L, 100L, Long.MaxValue))
+    assert(!broadcastFits(1L, 1001L, 100L, 1000L))
+  }
 }
