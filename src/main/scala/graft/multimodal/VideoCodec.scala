@@ -20,6 +20,14 @@ import scala.collection.mutable.ArrayBuffer
  * `ImageCodec`/`AudioCodec` pairing. Frames reuse
  * `ImageCodec.DecodedImage` and its integer-exact `aHash64`, so one
  * perceptual-hash definition serves stills and frames alike.
+ *
+ * COMPRESSED video: the same walker also decodes MJPEG-in-AVI (strf
+ * biCompression = 'MJPG', one JPEG per '00dc' chunk) by routing each
+ * frame through `ImageCodec.decodeGray`'s ImageIO path — the pure-JVM
+ * compressed-video family (`encodeAviMjpeg` writes it). JPEG is lossy,
+ * so oracles for MJPEG content assert MARGIN-ROBUST derived facts
+ * (8×8-block-constant frames whose aHash bits carry a ~264/765 gray
+ * margin) rather than positional pixel equality.
  */
 object VideoCodec {
 
@@ -110,6 +118,92 @@ object VideoCodec {
     buf(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression fourcc. */
+  val MjpgFourcc: Int = 0x47504A4D
+
+  /** One frame as a JPEG via the JDK encoder. RGB with r=g=b (NOT
+   *  TYPE_BYTE_GRAY, whose linear-gray colorspace shifts values through
+   *  getRGB's sRGB conversion): luma blocks stay DCT-aligned to the 8×8
+   *  grid and chroma is constant, so 8×8-block-constant synthetic
+   *  frames compress essentially losslessly — the property the SQL
+   *  oracle's margin argument rests on. */
+  private def jpegGray(
+      width: Int, height: Int, quality: Float,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p) }
+    finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** MJPEG AVI: same container skeleton as `encodeAviDib24` but each
+   *  frame is its own JPEG in a '00dc' chunk and the stream format
+   *  declares biCompression = 'MJPG' — the compressed-video layout real
+   *  crawled AVIs carry. Frame chunks pad to even size per RIFF. */
+  def encodeAviMjpeg(
+      width: Int, height: Int, fps: Int, frames: Int,
+      gray: (Int, Int, Int) => Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames > 0, "bad geometry")
+    val buf = ArrayBuffer.empty[Byte]
+    def i32(v: Int): Unit = {
+      buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte
+      buf += ((v >> 16) & 0xff).toByte; buf += ((v >> 24) & 0xff).toByte
+    }
+    def i16(v: Int): Unit = {
+      buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte
+    }
+    def tag(s: String): Unit = s.foreach(c => buf += c.toByte)
+    tag("RIFF"); i32(0); tag("AVI ")
+    val hdrlSizeAt = buf.length + 4
+    tag("LIST"); i32(0); tag("hdrl")
+    tag("avih"); i32(56)
+    i32(1000000 / fps); i32(0); i32(0); i32(0)
+    i32(frames); i32(0); i32(1); i32(0)
+    i32(width); i32(height); i32(0); i32(0); i32(0); i32(0)
+    tag("LIST"); i32(4 + 8 + 56 + 8 + 40); tag("strl")
+    tag("strh"); i32(56)
+    tag("vids"); tag("MJPG"); i32(0); i16(0); i16(0); i32(0)
+    i32(1); i32(fps); i32(0); i32(frames)
+    i32(0); i32(-1); i32(0)
+    i16(0); i16(0); i16(width); i16(height)
+    tag("strf"); i32(40)
+    i32(40); i32(width); i32(height); i16(1); i16(24)
+    i32(MjpgFourcc); i32(0); i32(2835); i32(2835); i32(0); i32(0)
+    val hdrlEnd = buf.length
+    patch32(buf, hdrlSizeAt, hdrlEnd - hdrlSizeAt - 4)
+    val moviSizeAt = buf.length + 4
+    tag("LIST"); i32(0); tag("movi")
+    var f = 0
+    while (f < frames) {
+      val jpg = jpegGray(width, height, quality, (x, y) => gray(f, x, y))
+      tag("00dc"); i32(jpg.length)
+      jpg.foreach(buf += _)
+      if ((jpg.length & 1) == 1) buf += 0 // RIFF word alignment
+      f += 1
+    }
+    patch32(buf, moviSizeAt, buf.length - moviSizeAt - 4)
+    patch32(buf, 4, buf.length - 8)
+    buf.toArray
+  }
+
   import RiffBytes.{le16, le32, tagAt}
 
   /**
@@ -130,6 +224,7 @@ object VideoCodec {
     if (!tagAt(blob, 0, "RIFF") || !tagAt(blob, 8, "AVI ")) return null
     var width = -1
     var height = -1
+    var mjpeg = false // strf biCompression == 'MJPG' -> frames are JPEGs
     // fccType of the current strl's strh — only 'vids' streams contribute
     // (and validate) a format; reset per strl. strl ordinal = the AVI
     // stream number, so frame chunks are matched as '<NN>db'/'<NN>dc' of
@@ -155,6 +250,15 @@ object VideoCodec {
     def frameChunkAt(pos: Int): Boolean =
       videoStream >= 0 && frameShapedAt(pos) &&
         (blob(pos) - '0') * 10 + (blob(pos + 1) - '0') == videoStream
+
+    // MJPEG frame: the chunk is one self-contained JPEG — decode through
+    // the SAME ImageIO path as still images, then validate the frame's
+    // own dimensions against the declared stream format (a mismatched
+    // frame is malformed, not silently resized)
+    def decodeMjpegFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
+      val d = ImageCodec.decodeGray(java.util.Arrays.copyOfRange(blob, off, off + size))
+      if (d == null || d.width != width || d.height != height) null else d
+    }
 
     def decodeFrame(off: Int, size: Int): ImageCodec.DecodedImage = {
       // geometry in LONG: width/height come from the strf header, not
@@ -206,14 +310,19 @@ object VideoCodec {
           val hdrSize = le32(blob, pos + 8)
           val bits = le16(blob, pos + 8 + 14)
           val compression = le32(blob, pos + 8 + 16)
-          if (hdrSize < 40 || bits != 24 || compression != 0) { bad = true; return }
+          if (hdrSize < 40 || bits != 24 ||
+            (compression != 0 && compression != MjpgFourcc)) { bad = true; return }
+          mjpeg = compression == MjpgFourcc
           width = le32(blob, pos + 8 + 4)
           height = le32(blob, pos + 8 + 8)
-          // a real frame needs >= 3*w*h payload bytes, so w*h beyond the
-          // blob length is malformed — and bounding it here keeps every
-          // later geometry product inside int64
+          // uncompressed: a real frame needs >= 3*w*h payload bytes, so
+          // w*h beyond the blob length is malformed — and bounding it
+          // here keeps every later geometry product inside int64.
+          // MJPEG frames compress below w*h, so they get a fixed sane
+          // cap instead (decode still validates each frame's own dims).
+          val geomCap = if (mjpeg) 1L << 26 else blob.length.toLong
           if (width <= 0 || height <= 0 ||
-            width.toLong * height > blob.length) { bad = true; return }
+            width.toLong * height > geomCap) { bad = true; return }
         } else if (frameShapedAt(pos)) {
           // frame data before ANY stream header is malformed, not
           // skippable — silently dropping it would return a partial
@@ -221,7 +330,9 @@ object VideoCodec {
           if (videoStream < 0) { bad = true; return }
           if (frameChunkAt(pos)) {
             if (width < 0) { bad = true; return } // frame before format
-            val f = decodeFrame(pos + 8, size)
+            val f =
+              if (mjpeg) decodeMjpegFrame(pos + 8, size)
+              else decodeFrame(pos + 8, size)
             if (f == null) { bad = true; return }
             frames += f
           } // other ordinals' d-chunks: a non-video stream's data, skip

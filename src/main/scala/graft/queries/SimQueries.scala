@@ -910,6 +910,46 @@ object SimQueries {
       |  ON a.doc_id = b.doc_id AND a.f = b.f + 1
       |WHERE bit_count(xor(a.ahash, b.ahash)) > 8""".stripMargin
 
+  /** COMPRESSED video through the same walker: MJPEG-in-AVI (one JPEG
+   *  per '00dc' chunk, strf biCompression = 'MJPG'). JPEG is lossy, so
+   *  the frames are 64×64 with 8×8-BLOCK-CONSTANT checkerboard cells
+   *  (values 40/216) aligned to the JPEG DCT grid: each aHash bit
+   *  compares a cell mean (120 or 648) against the global mean (384)
+   *  with a 264/765 margin that codec noise cannot flip — so the
+   *  DuckDB oracle derives every hash bit EXACTLY from the cell phase
+   *  formula, independent of the JPEG implementation. */
+  val MjpegFrames = 6
+
+  def videoMjpegHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sub = DedupQueries.docs(spark, dir).where(col("doc_id") % 29 === 0)
+      .select(col("doc_id")).as[Long]
+    val blobs = sub.map { id =>
+      (id, graft.multimodal.VideoCodec.encodeAviMjpeg(64, 64, 10, MjpegFrames,
+        (f, x, y) => if (((x / 8) + (y / 8) + f + id) % 2 == 0) 216 else 40))
+    }.toDF("doc_id", "vid")
+    blobs.select(col("doc_id"),
+        explode(graft.plans.VideoExprs.videoFrameHashes(col("vid"), 1)).as("fr"))
+      .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.ahash").as("ahash"))
+  }
+
+  val VideoMjpegHashesSql: String =
+    s"""WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
+      |frm AS (SELECT unnest(range(0, $MjpegFrames)) AS f),
+      |bits AS (SELECT unnest(range(0, 64)) AS b),
+      |onbits AS (
+      |  SELECT doc_id, f, b
+      |  FROM sub, frm, bits
+      |  WHERE ((b % 8) + (b // 8) + f + doc_id) % 2 = 0
+      |), hashed AS (
+      |  SELECT doc_id, f,
+      |    CAST(sum(CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                  ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END) AS BIGINT) AS ahash
+      |  FROM onbits GROUP BY doc_id, f
+      |)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx, ahash FROM hashed""".stripMargin
+
   /** EXACT set-similarity join (`sim.SetSimJoin`): word-3-gram sets of
    *  every 25th doc plus a front-padded copy (shifted grams — high but
    *  not full Jaccard), all pairs at J >= 3/4 via prefix filtering.

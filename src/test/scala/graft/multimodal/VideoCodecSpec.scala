@@ -179,4 +179,77 @@ class VideoCodecSpec extends SparkSpecBase {
     assert(VideoCodec.decodeFrames(bad) == null,
       "frame chunks before any strh must reject the file")
   }
+
+  test("MJPEG AVI round-trips: JPEG frames decode, dims validated, aHash margin holds") {
+    // 64x64, 8x8-block-constant checkerboard (values 40/216): each cell
+    // is exactly one grayscale-JPEG MCU, so the decode is near-lossless
+    // and every aHash bit carries a ~264/765 margin
+    def cellOn(f: Int, x: Int, y: Int): Boolean = ((x / 8) + (y / 8) + f) % 2 == 0
+    val blob = VideoCodec.encodeAviMjpeg(64, 64, 10, 4,
+      (f, x, y) => if (cellOn(f, x, y)) 216 else 40)
+    val frames = VideoCodec.decodeFrames(blob)
+    assert(frames != null && frames.length === 4)
+    assert(frames.forall(d => d.width === 64 && d.height === 64))
+    // JPEG is lossy but block-flat: every pixel within a few units
+    frames.zipWithIndex.foreach { case (d, f) =>
+      (0 until 64 * 64).foreach { i =>
+        val want = if (cellOn(f, i % 64, i / 64)) 3 * 216 else 3 * 40
+        assert(math.abs(d.gray(i) - want) <= 3 * 8, s"f=$f i=$i got ${d.gray(i)}")
+      }
+      // aHash bit b set iff cell (b%8, b//8) is the bright phase
+      var want = 0L
+      (0 until 64).foreach { b =>
+        if (((b % 8) + (b / 8) + f) % 2 == 0) want |= (1L << b)
+      }
+      assert(ImageCodec.aHash64(d) === want, s"frame $f hash")
+    }
+    // an unreadable JPEG payload rejects the file (null), never partial.
+    // (Entropy-data bit flips can still decode — JPEG readers are
+    // lenient — so the test kills the SOI marker, which no reader
+    // accepts.)
+    val movi = {
+      var i = 12
+      while (!(blob(i) == '0' && blob(i + 1) == '0' && blob(i + 2) == 'd' && blob(i + 3) == 'c')) i += 1
+      i
+    }
+    val bad2 = blob.clone()
+    bad2(movi + 8) = 0x00 // SOI first byte: 0xFF -> 0x00
+    assert(VideoCodec.decodeFrames(bad2) == null, "unreadable JPEG frame must null the file")
+    // a frame whose JPEG dims mismatch the stream format is malformed
+    val mismatched = {
+      val good = VideoCodec.encodeAviMjpeg(64, 64, 10, 1, (_, _, _) => 100)
+      val small = VideoCodec.encodeAviMjpeg(32, 32, 10, 1, (_, _, _) => 100)
+      // graft the small file's movi JPEG into the big header: rebuild by
+      // encoding a 32x32 JPEG under a 64x64 strf is equivalent to a
+      // mismatched frame; simplest: decode must reject the small movi
+      // under the big format — spliced manually below
+      var gi = 12
+      while (!(good(gi) == '0' && good(gi + 1) == '0' && good(gi + 2) == 'd' && good(gi + 3) == 'c')) gi += 1
+      var si = 12
+      while (!(small(si) == '0' && small(si + 1) == '0' && small(si + 2) == 'd' && small(si + 3) == 'c')) si += 1
+      val sSize = (small(si + 4) & 0xff) | ((small(si + 5) & 0xff) << 8) |
+        ((small(si + 6) & 0xff) << 16) | ((small(si + 7) & 0xff) << 24)
+      val sChunk = small.slice(si, si + 8 + sSize + (sSize & 1))
+      val head = good.take(gi)
+      val out = head ++ sChunk
+      // patch movi LIST size and RIFF size for the new tail
+      def p32(a: Array[Byte], off: Int, v: Int): Unit = {
+        a(off) = (v & 0xff).toByte; a(off + 1) = ((v >> 8) & 0xff).toByte
+        a(off + 2) = ((v >> 16) & 0xff).toByte; a(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      // locate movi LIST in `out`: search backwards for "LIST....movi"
+      var mi = -1
+      var j = 0
+      while (j + 12 <= head.length) {
+        if (out(j) == 'L' && out(j + 1) == 'I' && out(j + 2) == 'S' && out(j + 3) == 'T' &&
+          out(j + 8) == 'm' && out(j + 9) == 'o' && out(j + 10) == 'v' && out(j + 11) == 'i') mi = j
+        j += 1
+      }
+      p32(out, mi + 4, out.length - mi - 8)
+      p32(out, 4, out.length - 8)
+      out
+    }
+    assert(VideoCodec.decodeFrames(mismatched) == null,
+      "frame dims != stream format must null the file")
+  }
 }
