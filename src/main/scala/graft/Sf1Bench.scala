@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * sf1 scale rehearsal (round-5 task): the flagship duplicate-marking
+ * job and the corpus-cleaning pipeline ONCE at 20M generated rows on
+ * local[32] — the cheapest way to catch a superlinear leg before a
+ * real cluster does. Emits ONE JSON line (and writes it to
+ * SPARK_GRAFT_BENCH_OUT, default BENCH_SF1.json) with per-leg rates so
+ * the per-row curve vs the 2M/8M flagship legs is explicit.
+ *
+ * Protocol matches Bench's flagship legs: generation is untimed; the
+ * dedup leg times MarkDuplicates.run + the full-width parquet write of
+ * the marked table; the corpus leg times CorpusPipeline.clean (PII
+ * scrub -> quality gate -> exact dedup) into a noop sink (sink
+ * bandwidth scales with a real cluster's executors; this box's single
+ * disk does not).
+ */
+object Sf1Bench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SF1_ROWS", "20000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val input = "/tmp/graft_sf1_repos.parquet"
+    if (!(sys.env.get("SPARK_GRAFT_SKIP_GEN").contains("1") &&
+        new java.io.File(input + "/_SUCCESS").exists())) {
+      graft.io.RepoTableGen.repositories(spark, rows, dupFraction = 0.3,
+        nullFraction = 0.01, numPartitions = Some(cpus.toInt * 2))
+        .write.mode("overwrite").parquet(input)
+    }
+    val table = spark.read.parquet(input)
+    val contentBytes = table.agg(sum(octet_length(col("content"))))
+      .head().getLong(0)
+
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(2000); System.gc()
+    }
+
+    // warm codegen on a small slice (untimed)
+    val warmCfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = 100000L)
+    graft.dedup.MarkDuplicates.run(table.limit(100000), warmCfg)
+      .marked.write.format("noop").mode("overwrite").save()
+    reclaim()
+
+    // ---- leg 1: flagship dedup (marked table written to parquet) ----
+    val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = rows,
+      broadcastKeeperMaxRows = 40000000L)
+    val t0 = System.nanoTime()
+    val res = graft.dedup.MarkDuplicates.run(table, cfg)
+    res.marked.write.mode("overwrite").parquet("/tmp/graft_sf1_marked.parquet")
+    val dedupSec = (System.nanoTime() - t0) / 1e9
+    val marked = res.metrics.rowsMarkedDuplicate
+    res.unpersistAll()
+    reclaim()
+
+    // ---- leg 2: corpus pipeline (clean -> noop) ----
+    val docs = table.where(col("content").isNotNull)
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"), col("lang"))
+    graft.pipeline.CorpusPipeline.clean(docs.limit(100000),
+        scrubPii = true, minQuality = Some(20), exactDedup = true)
+      .write.format("noop").mode("overwrite").save()
+    reclaim()
+    val t1 = System.nanoTime()
+    graft.pipeline.CorpusPipeline.clean(docs,
+        scrubPii = true, minQuality = Some(20), exactDedup = true)
+      .write.format("noop").mode("overwrite").save()
+    val corpusSec = (System.nanoTime() - t1) / 1e9
+    reclaim()
+
+    val line =
+      f"""{"rows":$rows%d,"content_mb":${contentBytes / 1e6}%.1f,"dedup_sec":$dedupSec%.2f,"dedup_rows_per_sec":${rows / dedupSec}%.0f,"dedup_content_mb_per_sec":${contentBytes / 1e6 / dedupSec}%.1f,"dedup_marked":$marked%d,"corpus_sec":$corpusSec%.2f,"corpus_rows_per_sec":${rows / corpusSec}%.0f}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SF1.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

@@ -1,0 +1,127 @@
+package graft.io.v2
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.TableSource
+
+/**
+ * DataSourceV2 CATALOG plugin for repositories tables — the seam a real
+ * Iceberg deployment configures (`spark.sql.catalog.<name> =
+ * org.apache.iceberg.spark.SparkCatalog`); here the same Spark-side API
+ * is implemented over a directory warehouse so `spark.table("<cat>.db.
+ * repos")` and plain SQL (`SELECT ... FROM <cat>.db.repos WHERE lang =
+ * ...`) resolve through `loadTable` to the SAME pruning-capable
+ * [[RepoTable]] the path-based `format("graft-repos")` reader uses.
+ *
+ * Configuration:
+ *   spark.sql.catalog.<name>           = graft.io.v2.RepoCatalog
+ *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
+ * where `<warehouse>/<namespace...>/<table>/` is a lang-partitioned
+ * parquet directory (the [[RepoTableProvider]] layout).
+ *
+ * READ-ONLY by design: writes go through the engine's own writers
+ * (partitioned parquet/ORC, compaction, Z-order); create/alter/drop
+ * throw UnsupportedOperationException. An Iceberg catalog drops in with
+ * zero engine change because every job consumes a DataFrame through
+ * `TableSource` — this class exists to prove the catalog-resolution
+ * path works end to end (see `RepoCatalogSpec`).
+ */
+final class RepoCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: java.io.File = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+    warehouse = new java.io.File(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(namespace: Array[String]): java.io.File =
+    namespace.foldLeft(warehouse)((d, n) => new java.io.File(d, n))
+
+  private def tableDir(ident: Identifier): java.io.File =
+    new java.io.File(dirOf(ident.namespace()), ident.name())
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace)
+    if (!d.isDirectory) throwNoNamespace(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      // a table dir holds data files / partition dirs, not further tables
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.asInstanceOf[Identifier])
+    new RepoTable(d.getAbsolutePath, TableSource.RepositoriesSchema)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = tableDir(ident).isDirectory
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: write through the engine's partitioned writers")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  // ---- SupportsNamespaces ----
+
+  private def throwNoNamespace(namespace: Array[String]): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace)
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(f => Array(f.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = dirOf(namespace)
+    if (!d.isDirectory) throwNoNamespace(namespace)
+    Array.empty // one level of namespaces is enough for the seam proof
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!dirOf(namespace).isDirectory) throwNoNamespace(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    dirOf(namespace).isDirectory
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}

@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** The DSv2 CATALOG seam: `spark.sql.catalog.<name> = RepoCatalog`
+ *  resolves `<cat>.<db>.<table>` through loadTable to the pruning-
+ *  capable v2 RepoTable — plain SQL over catalog-qualified names, the
+ *  exact resolution path an Iceberg catalog replaces. */
+class RepoCatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def repoRows(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      (s"repo${i % 7}", s"src/f$i.x", f"c$i%040d",
+        Seq("scala", "python", "go")(i % 3), s"content of file $i")
+    }.toDF("repo", "path", "commit", "lang", "content")
+
+  test("catalog-qualified SQL resolves through loadTable with pushdown intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    repoRows(120).write.partitionBy("lang").mode("overwrite")
+      .parquet(s"$wh/crawl/repos")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[graft.io.v2.RepoCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    try {
+      // spark.table resolution
+      val t = spark.table("graftcat.crawl.repos")
+      TableSource.requireRepoShape(t)
+      assert(t.count() === 120L)
+      // plain SQL with a partition filter — must push into the v2 scan
+      val q = spark.sql(
+        "SELECT repo, path FROM graftcat.crawl.repos WHERE lang = 'scala'")
+      assert(q.count() === 40L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedLangFilters") && plan.contains("lang"),
+        s"catalog-resolved scan must carry the pushed filter:\n$plan")
+      // SHOW TABLES surfaces the directory layout
+      val tables = spark.sql("SHOW TABLES IN graftcat.crawl")
+        .select("tableName").as[String].collect().toSet
+      assert(tables === Set("repos"))
+      // a missing table raises the standard analysis error
+      val e = intercept[Exception](spark.table("graftcat.crawl.nope").count())
+      assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+      // read-only: writes are refused loudly
+      val w = intercept[Exception] {
+        repoRows(3).writeTo("graftcat.crawl.repos2").create()
+      }
+      assert(w.getMessage.contains("read-only") ||
+        w.getMessage.toLowerCase.contains("unsupported"), w.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftcat")
+      spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+    }
+  }
+}
