@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Optimizer fence: a ZERO-COST identity wrapper (eval and codegen both
+ * delegate straight to the child) that reports `deterministic = false`,
+ * which stops Catalyst from substituting the wrapped expression through
+ * plan boundaries:
+ *
+ *  - `PushPredicateThroughNonJoin` will not inline the aliased child
+ *    into filter predicates above it, so a consumer like
+ *    `qualityScore(text)` — which references its input ~10 times —
+ *    evaluates the EXPENSIVE text chain (PII scrub, HTML extract, line
+ *    clean: dozens of regex passes) once per row in its own Project
+ *    instead of once per reference (measured 5x on the corpus
+ *    pipeline's scrub -> quality composition);
+ *  - `CollapseProject` keeps the producing Project separate for the
+ *    same reason.
+ *
+ * SELECTIVE by construction: predicates that do not reference the
+ * fenced column (a `lang` allowlist, a partition filter) still push
+ * past the Project to the scan — only the fenced column's consumers
+ * stay above it. The wrapper stays fully inside WholeStageCodegen
+ * (non-deterministic expressions codegen like any other), so the
+ * stage remains one fused pass with no materialization.
+ *
+ * Use ONLY as a projection alias over an expensive per-row chain
+ * (`df.withColumn(c, fence(expr))`): non-deterministic expressions are
+ * rejected by analysis inside join conditions / grouping keys, and a
+ * fenced value flowing onward does so as a plain attribute anyway.
+ */
+object FenceExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{exprOf, toColumn}
+
+  /** `c`, unchanged, behind the optimizer fence. */
+  def fence(c: Column): Column = toColumn(Fence(exprOf(c)))
+}
+
+case class Fence(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  // the whole point: refuse substitution/collapse. The value is in fact
+  // a pure function of the input row; only the optimizer's view changes.
+  override lazy val deterministic: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fence"
+}

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class FenceExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def withParquet[T](rows: Seq[(Long, String, String)])(
+      body: org.apache.spark.sql.DataFrame => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("fence").toString
+    rows.toDF("id", "text", "lang").write.mode("overwrite").parquet(dir)
+    body(spark.read.parquet(dir))
+  }
+
+  test("identity under strict codegen, including nulls") {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try withParquet(Seq((1L, "a b", "en"), (2L, null, "de"))) { df =>
+      val got = df.select(col("id"),
+          FenceExpr.fence(upper(col("text"))).as("t"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("A B"), 2L -> None))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("blocks substitution of the fenced chain into filters above it") {
+    withParquet((0 until 100).map(i => (i.toLong, s"t $i", "en"))) { df =>
+      val chain = regexp_replace(regexp_replace(col("text"), "a+", "x"), "b+", "y")
+      def planOf(fenced: Boolean): String = {
+        val t = if (fenced) FenceExpr.fence(chain) else chain
+        df.withColumn("text", t)
+          .where(length(col("text")) + length(reverse(col("text"))) > 2)
+          .queryExecution.optimizedPlan.toString
+      }
+      // unfenced: pushdown inlines the regex chain into the filter ->
+      // it appears in BOTH the Filter and the Project
+      val unfenced = planOf(fenced = false)
+      assert(unfenced.split("regexp_replace", -1).length - 1 >= 4,
+        s"expected duplicated chain without the fence:\n$unfenced")
+      // fenced: the chain appears exactly once (its own Project)
+      val fenced = planOf(fenced = true)
+      assert(fenced.split("regexp_replace", -1).length - 1 === 2,
+        s"fence must keep the chain single:\n$fenced")
+    }
+  }
+
+  test("cheap predicates on other columns still reach the scan") {
+    withParquet((0 until 100).map(i =>
+      (i.toLong, s"t $i", if (i % 2 == 0) "en" else "de"))) { df =>
+      val q = df.withColumn("text",
+          FenceExpr.fence(regexp_replace(col("text"), "t", "u")))
+        .where(col("lang") === "en")
+        .select(col("id"))
+      val scan = q.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(scan.contains("EqualTo(lang,en)"),
+        s"lang filter must still reach the scan: $scan")
+      assert(q.count() === 50L)
+    }
+  }
+}
