@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Round-6 profiling harness (guide §1.4): NOT the bench of record.
+ *  Per-query attribution — wall seconds, Spark job count, stage count,
+ *  task count, shuffle bytes — to locate orchestration overhead
+ *  (driver-side rounds, redundant actions) vs data-path cost.
+ *  Usage: SPARK_GRAFT_ONLY=q1,q2 sbt "runMain graft.BenchExtra"
+ *  Optional SPARK_GRAFT_EXPLAIN_DIR dumps .explain("formatted") per query. */
+object BenchExtra {
+
+  private final class Counts extends SparkListener {
+    val jobs = new AtomicLong; val stages = new AtomicLong
+    val tasks = new AtomicLong; val shuf = new AtomicLong
+    val verbose = sys.env.contains("SPARK_GRAFT_JOBLOG")
+    private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    private val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet()
+      if (verbose) {
+        t0.put(e.jobId, System.nanoTime())
+        sites.put(e.jobId,
+          e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?"))
+        ()
+      }
+      ()
+    }
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      if (verbose) {
+        val s = Option(t0.remove(e.jobId)).map(n => (System.nanoTime() - n) / 1e9)
+        val site = Option(sites.remove(e.jobId)).getOrElse("?")
+        println(f"  job ${e.jobId}%-4d ${s.getOrElse(-1.0)}%7.3fs  $site%s")
+      }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = e.taskMetrics
+      if (m != null) { shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
+    def snap(): Array[Long] = Array(jobs.get, stages.get, tasks.get, shuf.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val counts = new Counts
+    spark.sparkContext.addSparkListener(counts)
+
+    SparkEntry.entry(spark).count() // same warm-up as Bench
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    explainDir.foreach(d => new java.io.File(d).mkdirs())
+    val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "1").toInt
+
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+        (1 to reps).map { rep =>
+          spark.sparkContext.setJobDescription(s"$name rep$rep")
+          val s0 = counts.snap()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable => System.err.println(s"FAIL $name: $e")
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val d = counts.snap().zip(s0).map { case (a, b) => a - b }
+          explainDir.foreach { dir =>
+            if (rep == 1) {
+              val plan = fn(spark, sfDir).queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(s"$dir/$name.txt"), plan)
+            }
+          }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          f"$name%-28s rep$rep $sec%8.3fs jobs=${d(0)}%-4d stages=${d(1)}%-5d tasks=${d(2)}%-6d shufMB=${d(3) / 1e6}%.1f"
+        }
+      }
+    println("==== BenchExtra ====")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

@@ -33,19 +33,32 @@ object Clustering {
   def connectedComponents(
       edges: DataFrame,
       vertices: DataFrame,
-      maxIterations: Int = 30): DataFrame = {
-    val vCol = vertices.columns.head
-    val Seq(sCol, dCol) = edges.columns.take(2).toSeq
+      maxIterations: Int = 30): DataFrame =
+    ccCore(canonicalEdges(edges), vertices, maxIterations)
 
-    // canonical big->small orientation; self-loops dropped. localCheckpoint
-    // each round: iterative self-referencing plans otherwise grow the
-    // lineage (not the data) into the bottleneck.
-    var e = edges
+  /** Canonical big->small orientation; self-loops dropped; materialized.
+   *  The checkpoint both truncates the iterative lineage AND makes the
+   *  (possibly expensive — e.g. SemDeDup's quadratic within-cluster
+   *  compare) pair plan evaluate exactly once, so every further consumer
+   *  (the rounds, a derived vertex set) reads the slim long-pair blocks. */
+  private def canonicalEdges(edges: DataFrame): DataFrame = {
+    val Seq(sCol, dCol) = edges.columns.take(2).toSeq
+    edges
       .select(greatest(col(sCol), col(dCol)).as("u"),
         least(col(sCol), col(dCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+  }
+
+  private def ccCore(
+      edges: DataFrame,
+      vertices: DataFrame,
+      maxIterations: Int): DataFrame = {
+    val vCol = vertices.columns.head
+    // localCheckpoint each round: iterative self-referencing plans
+    // otherwise grow the lineage (not the data) into the bottleneck.
+    var e = edges
 
     // order-free edge-set signature: (count, XOR of per-edge hashes) —
     // XOR never overflows and ignores partition order. Equal signatures
@@ -59,23 +72,40 @@ object Clustering {
     var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // Each star phase is ONE window aggregate instead of a
+      // groupBy+join pair: min(v) OVER (PARTITION BY u) attaches the
+      // neighborhood minimum to every edge in a single exchange, where
+      // the join formulation shuffled the same edges once into the
+      // aggregate and once into the join (guide §2.4 — an aggregation
+      // and a window keyed the same way share one partitioning). Per
+      // round: 3 exchanges (two windows + the dedup) instead of 6.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
       // large-star: for every node u, m(u) = min(neighborhood ∪ {u});
       // each LARGER neighbor v of u re-attaches as (v, m(u)). Output rows
       // keep big->small orientation automatically (v > u >= m(u)).
+      // Duplicate (v, m) rows are NOT deduped here: the small-star min is
+      // duplicate-insensitive and the round's final distinct collapses
+      // them — dropping the intermediate distinct removes an exchange.
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val lMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.where(col("v") > col("u"))
-        .join(lMin, Seq("u"))
+      val large = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star over the big->small edges: u's smaller neighbors and u
-      // itself all re-point at m(u) = min of the smaller neighborhood.
-      val sMin = large.groupBy("u").agg(min(col("v")).as("m"))
-      val stepped = large.join(sMin, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over the big->small edges (u > v always, so m < u):
+      // u's smaller neighbors and u itself all re-point at m(u) = min of
+      // the smaller neighborhood. The (u, m) self-edges appear once per
+      // input edge; the final distinct collapses them to the sMin rows
+      // the join formulation produced.
+      // One pass emits BOTH output families per edge — (v, m) re-points
+      // the smaller neighbor, (u, m) is the center's own edge (u > v >= m
+      // so u != m always; v = m rows are the filtered self-loops). An
+      // explode instead of a two-branch union evaluates the window once.
+      val stepped = large.withColumn("m", min(col("v")).over(w))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .where(col("u") =!= col("v"))
-        .unionAll(sMin.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
       val nextSig = signature(stepped)
@@ -120,14 +150,27 @@ object Clustering {
    * so the iterative CC never touches singleton documents at all.
    */
   def nonRepresentatives(pairs: DataFrame): DataFrame = {
-    val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
-    val vertices = pairs.select(col(sCol).as("id"))
-      .unionAll(pairs.select(col(dCol).as("id")))
-      .distinct()
-    connectedComponents(pairs, vertices)
+    val e0 = canonicalEdges(pairs)
+    // vertex set from the CHECKPOINTED canonical edges, not the raw pair
+    // plan — deriving it from `pairs` re-evaluated the (often expensive)
+    // candidate-pair join a second time at the final labeling join.
+    // Vertices appearing only in dropped self-loop pairs are singletons
+    // (never non-representatives), so the output is unchanged.
+    // Materialized before the rounds: the loop unpersists e0's blocks.
+    val vertices = pairVertices(e0)
+    ccCore(e0, vertices, 30)
       .where(col("id") =!= col("cluster"))
       .select(col("id"))
   }
+
+  /** Distinct endpoint ids of a canonical edge checkpoint, materialized
+   *  (the CC rounds release the edge blocks they iterate from, so a lazy
+   *  derivation would read unpersisted, non-recomputable blocks). */
+  private def pairVertices(e0: DataFrame): DataFrame =
+    e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
 
   /**
    * Soft dedup — reweight instead of remove ("SoftDedup"-style corpus
@@ -150,11 +193,12 @@ object Clustering {
    *         singletons).
    */
   def nearDupWeights(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val Seq(sCol, dCol) = pairs.columns.take(2).toSeq
-    val vertices = pairs.select(col(sCol).as("id"))
-      .unionAll(pairs.select(col(dCol).as("id")))
-      .distinct()
-    val comp = connectedComponents(pairs, vertices)
+    // vertices from the checkpointed canonical edges (see
+    // nonRepresentatives): a vertex appearing only in self-loop pairs is
+    // a singleton either way — CC labels it self with size 1, exactly
+    // what the left-join fallback assigns when it is absent.
+    val e0 = canonicalEdges(pairs)
+    val comp = ccCore(e0, pairVertices(e0), 30)
     val sized = comp.join(
       comp.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size")),
       Seq("cluster"))
