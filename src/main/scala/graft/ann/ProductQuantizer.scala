@@ -85,10 +85,51 @@ object ProductQuantizer {
       col(idCol) +:
         (0 until m).map(s => subSlice(col(vecCol), s, subDim).as(s"__sub_$s")): _*)
       .localCheckpoint(true)
-    val books = (0 until m).map { s =>
-      IntKmeans.train(sliced, idCol, s"__sub_$s", k, rounds).sortBy(_._1)
-    }.toArray
-    Codebooks(dim, m, k, books)
+    // The m subspace trainings share their input rows, their seed rows
+    // (the k smallest ids) and their round structure — run them FUSED:
+    // one TakeOrdered collects every subspace's seeds at once, and each
+    // Lloyd round is ONE pass + ONE (m*k*subDim)-row shuffle instead of
+    // m of each (guide §1.2: fewer passes). Per-subspace arithmetic is
+    // untouched (same seeds, same argmin/tie rule, same floorDiv
+    // update), so every codebook entry is bit-identical to the
+    // sequential IntKmeans.train it replaces — PqFusedTrainSpec pins it.
+    val seedRows = sliced.orderBy(col(idCol).asc).limit(k).collect()
+    require(seedRows.length == k, s"need >= $k rows to seed $k clusters")
+    var books: Array[Array[(Int, Array[Long])]] = Array.tabulate(m) { s =>
+      seedRows.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](s + 1).toArray) }
+    }
+    for (_ <- 0 until rounds) {
+      // per row emit (subspace, its cluster, its slice); one hash
+      // aggregate over (s, cluster, pos) — map-side combine keeps the
+      // shuffle at m*k*subDim rows regardless of row count
+      val perSub = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          IntKmeans.nearestCentroid(col(s"__sub_$s"), books(s)).as("cluster"),
+          col(s"__sub_$s").as("vec"))
+      }
+      val stats = sliced
+        .select(explode(array(perSub: _*)).as("__a"))
+        .select(col("__a.s").as("s"), col("__a.cluster").as("cluster"),
+          posexplode(col("__a.vec")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val bySub = stats.groupBy(_.getInt(0))
+      books = Array.tabulate(m) { s =>
+        val byCluster = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        books(s).map { case (cid, old) =>
+          byCluster.get(cid) match {
+            case Some(rows) =>
+              val next = old.clone()
+              rows.foreach(r => next(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4)))
+              (cid, next)
+            case None => (cid, old)
+          }
+        }
+      }
+    }
+    Codebooks(dim, m, k, books.map(_.sortBy(_._1)))
   }
 
   /** The code vector as a Column over `vec` — the nearest-codebook-entry

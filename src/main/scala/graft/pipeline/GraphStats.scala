@@ -63,14 +63,22 @@ object GraphStats {
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
 
+    // materialized: consumed by BOTH orientation joins and the final
+    // result join — un-checkpointed, each consumer re-ran the canonical
+    // distinct + degree aggregate over the raw edges
     val deg = und.select(col("lo").as("node"))
       .unionAll(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
 
     // Orient each edge by the total order (degree, node): the oriented
     // frame is reused by both the wedge self-join and the closing join,
-    // so cache the slim (a, b, deg_b) triple. deg_b rides along so the
-    // wedge ordering below needs no third join against deg.
+    // so materialize the slim (a, b, deg_b) triple once. localCheckpoint
+    // rather than cache(): a cached plan keeps the static shuffle
+    // partition count (AQE may not change cached output partitioning),
+    // while the checkpoint stores the AQE-coalesced layout — partition
+    // count follows the edge volume at any scale. deg_b rides along so
+    // the wedge ordering below needs no third join against deg.
     val before = (col("dl") < col("dh")) || (col("dl") === col("dh") && col("lo") < col("hi"))
     val oriented = und
       .join(deg.select(col("node").as("lo"), col("degree").as("dl")), "lo")
@@ -79,7 +87,7 @@ object GraphStats {
         when(before, col("lo")).otherwise(col("hi")).as("a"),
         when(before, col("hi")).otherwise(col("lo")).as("b"),
         when(before, col("dh")).otherwise(col("dl")).as("db"))
-      .cache()
+      .localCheckpoint(true)
 
     // Wedges at the minimum-order apex: out-neighbor pairs with
     // ord(b) < ord(c). Closing edge, if present, is oriented b -> c
@@ -114,7 +122,8 @@ object GraphStats {
       // (`ColumnBridge.unpersistCheckpoint(result)`), the same contract
       // as `Communities.labelPropagation`.
       .localCheckpoint(true)
-    oriented.unpersist(false)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(oriented)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(deg)
     result
   }
 

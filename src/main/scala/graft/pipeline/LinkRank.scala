@@ -49,18 +49,26 @@ object LinkRank {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // the per-round join's stable side: slim, partitioned on src, cached
+    // the per-round join's stable side: slim, partitioned on src,
+    // materialized via localCheckpoint rather than cache(): a cached
+    // plan keeps the static shuffle-partition count (AQE may not change
+    // cached output partitioning), freezing a tiny graph at N tiny
+    // partitions consumed by every round; the checkpoint materializes
+    // the AQE-coalesced layout — partition count follows data size at
+    // any scale (guide §2.2). repartition(col) with no explicit count
+    // is exactly the AQE-sizeable form.
     val graph = e.join(deg, Seq("src"))
       .repartition(col("src"))
-      .cache()
+      .localCheckpoint(true)
 
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
 
     var ranks = nodes.select(col("node"), lit(Micro).as("rank_micro"))
       .localCheckpoint(true)
+    var prev = ranks
     for (_ <- 1 to iterations) {
       val contrib = graph
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -77,9 +85,13 @@ object LinkRank {
         .select(col("node"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank_micro"))
         .localCheckpoint(true)
+      // round N materialized — release round N-1's blocks (O(1) storage
+      // across rounds, same discipline as Clustering.connectedComponents)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(prev)
+      prev = ranks
     }
-    graph.unpersist()
-    nodes.unpersist()
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(graph)
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(nodes)
     ranks
   }
 }

@@ -1,0 +1,56 @@
+package graft.ann
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Pins the fused PQ training (one seed TakeOrdered + one shuffle per
+ *  Lloyd round across all m subspaces) to the sequential per-subspace
+ *  IntKmeans recipe it replaced: every codebook entry must be
+ *  bit-identical, including empty-cluster carry-over. */
+class PqFusedTrainSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 131 + d * 37) % 41 - 20).toLong))
+    }.toDF("id", "vec")
+
+  private def sequentialTrain(
+      df: org.apache.spark.sql.DataFrame,
+      dim: Int, m: Int, k: Int, rounds: Int): Array[Array[(Int, Array[Long])]] = {
+    val subDim = dim / m
+    val sliced = df.select(
+      col("id") +:
+        (0 until m).map(s => slice(col("vec"), s * subDim + 1, subDim).as(s"__sub_$s")): _*)
+    (0 until m).map { s =>
+      IntKmeans.train(sliced, "id", s"__sub_$s", k, rounds).sortBy(_._1)
+    }.toArray
+  }
+
+  test("fused training reproduces the per-subspace IntKmeans codebooks bit-for-bit") {
+    for ((n, dim, m, k, rounds) <- Seq((50, 8, 4, 3, 2), (40, 12, 3, 5, 1), (30, 8, 2, 4, 0))) {
+      val df = vecs(n, dim)
+      val fused = ProductQuantizer.train(df, "id", "vec", dim, m, k, rounds).books
+      val seq = sequentialTrain(df, dim, m, k, rounds)
+      assert(fused.length === seq.length, s"config ($n,$dim,$m,$k,$rounds)")
+      fused.zip(seq).zipWithIndex.foreach { case ((fb, sb), s) =>
+        assert(fb.map(_._1).toSeq === sb.map(_._1).toSeq, s"subspace $s cids")
+        fb.zip(sb).foreach { case ((cid, fv), (_, sv)) =>
+          assert(fv.toSeq === sv.toSeq,
+            s"config ($n,$dim,$m,$k,$rounds) subspace $s centroid $cid")
+        }
+      }
+    }
+  }
+
+  test("fused training carries empty clusters over unchanged") {
+    // all rows identical: after round 1 every row assigns to cluster 0,
+    // clusters 1..k-1 keep their (identical) seed slices
+    val df = (0 until 20).map(i => (i.toLong, Seq.fill(8)(5L))).toDF("id", "vec")
+    val fused = ProductQuantizer.train(df, "id", "vec", 8, 2, 3, 2).books
+    val seq = sequentialTrain(df, 8, 2, 3, 2)
+    fused.zip(seq).foreach { case (fb, sb) =>
+      fb.zip(sb).foreach { case ((_, fv), (_, sv)) => assert(fv.toSeq === sv.toSeq) }
+    }
+  }
+}
