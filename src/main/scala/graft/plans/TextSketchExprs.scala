@@ -263,6 +263,48 @@ case class CosMicroExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_cos_micro"
 }
 
+/** The predicate `cos_micro(a, b) >= thresholdMicro` as one native
+ *  kernel (math + boundary argument in `HashEmbed.cosMicroGeData`) —
+ *  skips the per-pair BigDecimal HALF_UP tail that a rounded-then-
+ *  compared CosMicroExpr pays, which dominates SemDeDup's quadratic
+ *  within-cluster stage. Accepted pair set is bit-identical to
+ *  `CosMicroExpr >= t` for t >= 1 (enforced). */
+case class CosMicroGeExpr(left: Expression, right: Expression, thresholdMicro: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(thresholdMicro >= 1L,
+    s"cosMicroGe requires a positive threshold (got $thresholdMicro): " +
+      "the boundary identity HALF_UP(x) >= t <=> x >= t - 0.5 needs t >= 1")
+
+  private val tMinusHalf: Double = thresholdMicro - 0.5
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.text.HashEmbed.cosMicroGeData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tMinusHalf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = left.genCode(ctx)
+    val rb = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${la.code}
+        ${rb.code}
+        boolean ${ev.value} = false;
+        if (!${la.isNull} && !${rb.isNull}) {
+          ${ev.value} = graft.text.HashEmbed.cosMicroGeData(
+            ${la.value}, ${rb.value}, ${tMinusHalf}D);
+        }
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cos_micro_ge"
+}
+
 /** All n-token word grams of a text (array<string>; empty on null or
  *  short text — never null). Tokenization and joining in
  *  `Decontaminate.wordGramsData`, built from the SAME primitives as the
@@ -311,6 +353,9 @@ object TextSketchExprs {
 
   def wordGrams(text: Column, n: Int): Column =
     toColumn(WordGramsExpr(exprOf(text), n))
+
+  def cosMicroGe(a: Column, b: Column, thresholdMicro: Long): Column =
+    toColumn(CosMicroGeExpr(exprOf(a), exprOf(b), thresholdMicro))
 
   def simhash64(text: Column): Column =
     toColumn(SimHash64Expr(exprOf(text)))

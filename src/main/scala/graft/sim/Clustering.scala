@@ -327,7 +327,17 @@ object Clustering {
     val b = gated.select(col(idCol).as("id_b"), col("cluster"), col("__vec").as("__vb"))
     val pairs = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
-      .where(graft.text.HashEmbed.cosMicro(col("__va"), col("__vb")) >= thresholdMicro)
+      // native threshold predicate: identical accepted set to
+      // `cosMicro(...) >= thresholdMicro` but without the per-pair
+      // BigDecimal rounding — this comparison IS the quadratic stage.
+      // (The boundary identity needs t >= 1; non-positive thresholds
+      // keep the rounded compare.)
+      .where(
+        if (thresholdMicro >= 1L)
+          graft.plans.TextSketchExprs.cosMicroGe(
+            col("__va"), col("__vb"), thresholdMicro)
+        else
+          graft.text.HashEmbed.cosMicro(col("__va"), col("__vb")) >= thresholdMicro)
       .select(col("id_a"), col("id_b"))
     keepRepresentatives(vectors, idCol, pairs)
   }

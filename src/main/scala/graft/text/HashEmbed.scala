@@ -156,4 +156,35 @@ object HashEmbed {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
     }
   }
+
+  /** Threshold predicate `cosMicro(a, b) >= t` WITHOUT the per-pair
+   *  BigDecimal rounding (the dominant cost of the quadratic SemDeDup
+   *  pair stage): for t >= 1 and the positive boundary t - 0.5 exactly
+   *  representable (|t| < 2^52), HALF_UP(x) >= t  <=>  x >= t - 0.5 —
+   *  HALF_UP rounds the exact boundary up, doubles below the boundary
+   *  have shortest-decimal forms below it, and away-from-zero vs half-up
+   *  only differ for negative halves, unreachable when t >= 1. The float
+   *  value x is computed by the IDENTICAL op sequence as
+   *  [[cosMicroData]], so the accepted pair set is bit-for-bit the
+   *  rounded filter's (CosMicroGeSpec pins the parity). Zero-norm sides
+   *  (null cosine) answer false, like `null >= t`. */
+  def cosMicroGeData(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      tMinusHalf: Double): Boolean = {
+    val n = a.numElements()
+    require(n == b.numElements(), "embedding dim mismatch")
+    var d = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) false
+    else d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6 >= tMinusHalf
+  }
 }

@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Pins CosMicroGeExpr (the unrounded threshold predicate) to the
+ *  rounded `cosMicro(a,b) >= t` compare it replaces: identical accepted
+ *  set over dense random pairs at several thresholds, zero-norm sides
+ *  excluded like a null compare, and t < 1 rejected (the boundary
+ *  identity HALF_UP(x) >= t <=> x >= t - 0.5 needs t >= 1). */
+class CosMicroGeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int) = {
+    val r = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)((r.nextInt(21) - 10).toLong))
+    } :+ ((n.toLong, Seq.fill(dim)(0L))) // a zero-norm row
+  }
+
+  test("accepted pair set equals the rounded compare at several thresholds") {
+    val df = vecs(120, 16).toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib"))
+    for (t <- Seq(1L, 250000L, 500000L, 900000L, 950000L, 999999L, 1000000L)) {
+      val slow = pairs
+        .where(graft.text.HashEmbed.cosMicro(col("va"), col("vb")) >= t)
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+      val fast = pairs
+        .where(TextSketchExprs.cosMicroGe(col("va"), col("vb"), t))
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+      assert(fast === slow, s"t=$t")
+    }
+  }
+
+  test("zero-norm sides are rejected (null cosine semantics)") {
+    val df = Seq((1L, Seq(0L, 0L)), (2L, Seq(1L, 1L))).toDF("id", "v")
+    val got = df.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(df.select(col("v").as("vb")))
+      .where(TextSketchExprs.cosMicroGe(col("va"), col("vb"), 1L))
+      .count()
+    assert(got === 1L) // only the (2, 2) self pair
+  }
+
+  test("non-positive thresholds are rejected at construction") {
+    intercept[IllegalArgumentException] {
+      TextSketchExprs.cosMicroGe(lit(Array(1L)), lit(Array(1L)), 0L)
+    }
+  }
+}
