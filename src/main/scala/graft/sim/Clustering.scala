@@ -60,26 +60,52 @@ object Clustering {
     // otherwise grow the lineage (not the data) into the bottleneck.
     var e = edges
 
-    // order-free edge-set signature: (count, XOR of per-edge hashes) —
-    // XOR never overflows and ignores partition order. Equal signatures
-    // across a round = the star forest reached its fixpoint.
+    // order-free edge-set signature: (count, XOR of per-edge 64-bit row
+    // hashes) — XOR never overflows and ignores partition order. Equal
+    // signatures across a round = the star forest reached its fixpoint.
+    // Computed over the CHECKPOINTED blocks through the RDD API: a
+    // per-round SQL aggregate would re-run the whole Catalyst
+    // analyze/optimize/AQE/codegen pipeline once per round just to fold
+    // already-materialized slim rows — pure driver overhead on an
+    // internal convergence check (the hash only has to be consistent
+    // between the two rounds it compares).
     def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow, XXH64}
+      val schema = df.schema
+      val rdd = df.queryExecution.toRdd
+      if (rdd.getNumPartitions == 0) (0L, 0L)
+      else rdd.mapPartitions { it =>
+        // physical plans emit UnsafeRow; the projection is a type-safe
+        // fallback for any exotic row class
+        lazy val proj = UnsafeProjection.create(schema)
+        var c = 0L
+        var x = 0L
+        while (it.hasNext) {
+          val u = it.next() match {
+            case ur: UnsafeRow => ur
+            case other => proj(other)
+          }
+          c += 1L
+          x ^= XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.getSizeInBytes, 42L)
+        }
+        Iterator((c, x))
+      }.reduce((a, b) => (a._1 + b._1, a._2 ^ b._2))
     }
 
     var sig = signature(e)
     var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // Each star phase is ONE window aggregate instead of a
-      // groupBy+join pair: min(v) OVER (PARTITION BY u) attaches the
-      // neighborhood minimum to every edge in a single exchange, where
-      // the join formulation shuffled the same edges once into the
-      // aggregate and once into the join (guide §2.4 — an aggregation
-      // and a window keyed the same way share one partitioning). Per
-      // round: 3 exchanges (two windows + the dedup) instead of 6.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      // Each star phase is a slim groupBy(u).min + join-back: the
+      // min-table is |V|-sized, so AQE turns the join into a broadcast
+      // hash join with a local (non-crossing) read of the edge side
+      // whenever it fits — and falls back to a shuffle join when it
+      // doesn't, which is the scale-adaptive shape we want. (A
+      // min-OVER-window formulation was measured here too: one fewer
+      // planned exchange, but each round pays a Sort+WindowExec stage
+      // whose per-round cold cost loses to the AQE-broadcast joins on
+      // long-diameter graphs with many rounds.)
       // large-star: for every node u, m(u) = min(neighborhood ∪ {u});
       // each LARGER neighbor v of u re-attaches as (v, m(u)). Output rows
       // keep big->small orientation automatically (v > u >= m(u)).
@@ -87,25 +113,19 @@ object Clustering {
       // duplicate-insensitive and the round's final distinct collapses
       // them — dropping the intermediate distinct removes an exchange.
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("m", least(col("u"), min(col("v")).over(w)))
-        .where(col("v") > col("u"))
+      val lMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.where(col("v") > col("u"))
+        .join(lMin, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
       // small-star over the big->small edges (u > v always, so m < u):
       // u's smaller neighbors and u itself all re-point at m(u) = min of
-      // the smaller neighborhood. The (u, m) self-edges appear once per
-      // input edge; the final distinct collapses them to the sMin rows
-      // the join formulation produced.
-      // One pass emits BOTH output families per edge — (v, m) re-points
-      // the smaller neighbor, (u, m) is the center's own edge (u > v >= m
-      // so u != m always; v = m rows are the filtered self-loops). An
-      // explode instead of a two-branch union evaluates the window once.
-      val stepped = large.withColumn("m", min(col("v")).over(w))
-        .select(explode(array(
-          struct(col("v").as("u"), col("m").as("v")),
-          struct(col("u").as("u"), col("m").as("v")))).as("__e"))
-        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      // the smaller neighborhood.
+      val sMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val stepped = large.join(sMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
+        .unionAll(sMin.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
       val nextSig = signature(stepped)
