@@ -80,8 +80,53 @@ object Sf1Bench {
     val corpusSec = (System.nanoTime() - t1) / 1e9
     reclaim()
 
+    // ---- leg 3 (round-6): MinHash-LSH near-dup end to end ----
+    // candidatePairs -> est_jaccard >= 0.7 -> connected components ->
+    // min-id representative keep — the next-most shuffle-heavy family
+    // after the flagship (band-key exchange + pair graph + CC rounds).
+    // Default row count is rows/2: the leg's transient footprint
+    // (signature checkpoint ~1 KB/row + band-key shuffle) plus the kept
+    // repos/marked tables exceeds this sandbox's usable /tmp at the full
+    // 20M; the scaling ratio vs the 2M control is what the leg is for.
+    val nearRows = sys.env.getOrElse("SPARK_GRAFT_SF1_NEARDUP_ROWS",
+      (rows / 2).toString).toLong
+    // deterministic keep-1-in-k cut (a limit() would funnel rows through
+    // a single-partition global limit)
+    val nearK = math.max(1L, rows / math.max(1L, nearRows))
+    val docs2 = table.where(col("content").isNotNull)
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("id"),
+        col("content").as("text"))
+      .where(pmod(col("id"), lit(nearK)) === 0)
+    val nearInput = docs2.count() // untimed; the leg's true row count
+    graft.sim.Clustering.removeNearDuplicates(
+        docs2.limit(100000), "id", "text", minJaccard = 0.7)
+      .write.format("noop").mode("overwrite").save() // warm (untimed)
+    reclaim()
+    val t2 = System.nanoTime()
+    val nearKept = graft.sim.Clustering.removeNearDuplicates(
+        docs2, "id", "text", minJaccard = 0.7)
+      .count()
+    val nearSec = (System.nanoTime() - t2) / 1e9
+    reclaim()
+
+    // ---- leg 4 (round-6): CC over a planted long-diameter chain ----
+    // runs of 64 chained ids (the cc_chain shape at scale): the
+    // large-star/small-star alternation's round cost is the leg.
+    val ids = spark.range(rows).select(col("id"))
+    val chainEdges = ids.where(col("id") % 64 =!= 63 && col("id") < rows - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    graft.sim.Clustering.connectedComponents(
+        chainEdges.limit(100000), ids.limit(100000).select(col("id")))
+      .write.format("noop").mode("overwrite").save() // warm (untimed)
+    reclaim()
+    val t3 = System.nanoTime()
+    val ccRows = graft.sim.Clustering.connectedComponents(chainEdges, ids)
+      .count()
+    val ccSec = (System.nanoTime() - t3) / 1e9
+    reclaim()
+
     val line =
-      f"""{"rows":$rows%d,"content_mb":${contentBytes / 1e6}%.1f,"dedup_sec":$dedupSec%.2f,"dedup_rows_per_sec":${rows / dedupSec}%.0f,"dedup_content_mb_per_sec":${contentBytes / 1e6 / dedupSec}%.1f,"dedup_marked":$marked%d,"corpus_sec":$corpusSec%.2f,"corpus_rows_per_sec":${rows / corpusSec}%.0f}"""
+      f"""{"rows":$rows%d,"content_mb":${contentBytes / 1e6}%.1f,"dedup_sec":$dedupSec%.2f,"dedup_rows_per_sec":${rows / dedupSec}%.0f,"dedup_content_mb_per_sec":${contentBytes / 1e6 / dedupSec}%.1f,"dedup_marked":$marked%d,"corpus_sec":$corpusSec%.2f,"corpus_rows_per_sec":${rows / corpusSec}%.0f,"neardup_rows":$nearInput%d,"neardup_sec":$nearSec%.2f,"neardup_rows_per_sec":${nearInput / nearSec}%.0f,"neardup_kept":$nearKept%d,"cc_chain_sec":$ccSec%.2f,"cc_chain_rows_per_sec":${rows / ccSec}%.0f,"cc_chain_rows":$ccRows%d}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SF1.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

@@ -182,14 +182,20 @@ object MarkDuplicates {
       .withColumn(cfg.outputCol, coalesce(col(PrevCol), lit(false)) || col(cfg.outputCol))
       .drop(PrevCol)
 
-  /** Left-join the keeper set and derive the duplicate flag. */
+  /** Left-join the keeper set and derive the duplicate flag. The keeper
+   *  relation is projected to (sig, keeper) FIRST: the mark decision
+   *  never reads the count columns, and at realistic duplicate fractions
+   *  this relation is broadcast — two dropped longs per row are driver
+   *  collect bytes, hashed-relation bytes, and executor memory. The
+   *  match test uses KeeperCol (never null on a matched row: keys are
+   *  non-null by construction in every keyExpr shape) instead of CntCol. */
   private def joinFlag(withSig: DataFrame, dupGroups: DataFrame, cfg: DedupConfig): DataFrame =
     combinePrevious(
       withSig
-        .join(dupGroups, Seq(SigCol), "left_outer")
+        .join(dupGroups.select(col(SigCol), col(KeeperCol)), Seq(SigCol), "left_outer")
         .withColumn(cfg.outputCol,
-          col(CntCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
-        .drop(CntCol, KeeperCol, KeeperCntCol),
+          col(KeeperCol).isNotNull && !(keyExpr(withSig, cfg) <=> col(KeeperCol)))
+        .drop(KeeperCol),
       cfg)
 
   private def applyOutputOptions(marked: DataFrame, cfg: DedupConfig): DataFrame = {
