@@ -59,6 +59,33 @@ object BenchExtra {
 
     SparkEntry.entry(spark).count() // same warm-up as Bench
 
+    // flagship attribution probe: time MarkDuplicates.run's metrics pass
+    // with and without the Bloom sketch aggregation (guide §1.4 noop
+    // discipline — no marked write). SPARK_GRAFT_EXTRA_FLAGPROBE=<rows>.
+    sys.env.get("SPARK_GRAFT_EXTRA_FLAGPROBE").map(_.toLong).foreach { rows =>
+      val repos = graft.io.RepoTableGen.repositories(
+        spark, rows, dupFraction = 0.3, nullFraction = 0.01,
+        numPartitions = Some(cpus.toInt * 2))
+      val path = "/tmp/graft_extra_flagprobe.parquet"
+      repos.write.mode("overwrite").parquet(path)
+      val table = spark.read.parquet(path)
+      for (sketch <- Seq(true, false, true, false)) {
+        val cfg = graft.dedup.DedupConfig(p = 1e-6, expectedN = rows,
+          broadcastKeeperMaxRows = 20000000L, buildSketch = sketch)
+        val t0 = System.nanoTime()
+        val res = graft.dedup.MarkDuplicates.run(table, cfg)
+        val tMetrics = (System.nanoTime() - t0) / 1e9
+        res.marked.write.format("noop").mode("overwrite").save()
+        val tAll = (System.nanoTime() - t0) / 1e9
+        res.unpersistAll()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        println(f"flagprobe rows=$rows%d sketch=$sketch%-5s metrics=$tMetrics%7.3fs mark_noop=${tAll - tMetrics}%7.3fs")
+      }
+      spark.stop()
+      sys.exit(0)
+    }
+
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)

@@ -288,8 +288,13 @@ object MarkDuplicates {
       coalesce(sum(when(col(CntCol) > 1,
         keeperWidth + lit(SigBytes + BroadcastRowOverheadBytes))), lit(0L))
         .as("keeper_bytes"))
-    val aggs = if (cfg.buildSketch) baseAggs :+ sketchAggColumn(cfg).as("sketch") else baseAggs
-    val row = counts.agg(aggs.head, aggs.tail: _*).head()
+    // The metrics aggregate stays PURELY declarative: folding the typed
+    // imperative sketch aggregation into the same Aggregate downgrades
+    // the whole pass to interpreted ObjectHashAggregate — every sum/count
+    // update on every counts row loses whole-stage codegen (measured at
+    // the 8M bench leg: ~3.8 s of a ~10 s metrics pass). The sketch runs
+    // as its own slim aggregation below, over the persisted counts.
+    val row = counts.agg(baseAggs.head, baseAggs.tail: _*).head()
     val rowsNonNull = row.getAs[Long]("rows_non_null")
     val dups = row.getAs[Long]("dups")
     val keeperTied = row.getAs[Long]("keeper_tied")
@@ -303,8 +308,26 @@ object MarkDuplicates {
     val rows = df.count()
     val rowsNull = rows - rowsNonNull
 
+    // Sketch pass: one imperative update per row over just the sig
+    // column of the persisted counts (insertion over distinct sigs ==
+    // insertion over all rows — idempotent). Partial-buffer economics:
+    // every partial allocates, fills and ships an m/8-byte bitmap
+    // regardless of how few signatures it saw, so partials are capped at
+    // one per ~m/16 expected set bits — for a mkMin-sized sketch
+    // (k·n/m = ln 2) that is the constant 16·ln 2 ≈ 11; a memory-capped
+    // sketch (m << optimal) grows the cap with n so it never bites.
+    // Derived from the sketch shape, not the core count — scale-invariant.
     val sketch =
-      if (cfg.buildSketch) Some(BloomSketch.deserialize(row.getAs[Array[Byte]]("sketch"))) else None
+      if (cfg.buildSketch) {
+        val (mBits, kH, nExp) = cfg.sketchShape
+        val maxPartials = math.max(1L, (16.0 * nExp * kH / mBits).toLong)
+        val sigs = counts.select(col(SigCol))
+        val sigInput =
+          if (maxPartials < Int.MaxValue && sigs.rdd.getNumPartitions > maxPartials)
+            sigs.coalesce(maxPartials.toInt)
+          else sigs
+        Some(sketchFromSigs(sigInput, cfg))
+      } else None
     val metrics = DedupMetrics(
       rows = rows,
       rowsNullContent = rowsNull,
