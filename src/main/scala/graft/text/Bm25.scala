@@ -65,10 +65,14 @@ object Bm25 {
     val post = postings(docs, idCol, textCol)
       .localCheckpoint(true) // three consumers: stats, df, the score join
 
-    val statsRow = post.agg(
-      countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("t")).head()
-    val n = statsRow.getLong(0)
-    val t = statsRow.getLong(1)
+    // N = docs with >= 1 token == docs with non-empty trimmed text (a
+    // non-empty text always splits to >= 1 token), so it is a cheap
+    // column-pruned count of the docs table instead of a
+    // countDistinct(doc_id) over the postings — exact distinct plans an
+    // Expand that doubles the rows through the aggregate (guide §2.3)
+    val n = docs.where(nonEmpty(textCol)).count()
+    val statsRow = post.agg(sum(col("tf")).as("t")).head()
+    val t = statsRow.getLong(0)
 
     // one ln per vocab term, quantized to micro at the model boundary
     val idf = post.groupBy(col("term"))
